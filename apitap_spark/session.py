@@ -1,0 +1,114 @@
+"""Shared SparkSession management.
+
+Mirrors the reference's single shared engine context
+(``src/utils/datafusion_ext.rs:22-51`` — one global DataFusion
+``SessionContext`` behind a OnceCell). In Spark the session *is* the
+engine: one ``SparkSession`` per process, tuned for the target scale.
+
+Scale notes (100 TB design, local[32] test):
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting
+  and dynamic join-strategy demotion replace hand-tuning at scale.
+* Arrow enabled — every Pandas UDF / toPandas crossing is columnar.
+* ``spark.sql.shuffle.partitions`` defaults to 2x local cores for the
+  test harness; on a real cluster AQE coalesces from a high initial
+  number, so the static value matters little.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "apitap-spark"
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_session(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Get-or-create the shared SparkSession.
+
+    Parameters are honored only on first creation (Spark semantics);
+    subsequent calls return the live session, matching the reference's
+    process-wide shared context.
+    """
+    par = _default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(par * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{par}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing engine quirks.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; we read nanos as long (runtime-settable legacy
+    conf) and truncate to microsecond TimestampType — the same value DuckDB
+    surfaces, so oracles agree.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
+    """Load the driver's parquet tables as DataFrames and register temp views.
+
+    Returns {name: DataFrame}. Missing files are skipped silently so the
+    same helper works for datasets lacking e.g. documents/embeddings.
+    """
+    names = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
