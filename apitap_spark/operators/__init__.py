@@ -1,0 +1,17 @@
+"""Large-scale training-data pipeline operators (beyond the reference surface).
+
+Sanctioned by the build north star (BASELINE.json): dedup, similarity
+search, text analysis, and multimodal column plumbing as first-class
+engine operators, each exposed through the driver contract
+(``queries()`` / ``oracle_sql()``).
+"""
+
+from apitap_spark.operators import dedup, multimodal, similarity, textstats
+
+QUERIES = {}
+ORACLES = {}
+for _mod in (dedup, similarity, textstats, multimodal):
+    QUERIES.update(_mod.QUERIES)
+    ORACLES.update(_mod.ORACLES)
+
+__all__ = ["QUERIES", "ORACLES"]

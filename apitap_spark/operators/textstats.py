@@ -1,0 +1,187 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Catalyst expressions (SURVEY §2.2 Q12 function families applied to
+the documents table) — the per-document cost is O(len(text)) with zero
+shuffles except the final write, which is exactly what a 100 TB quality-
+filtering pass needs.
+
+Ratios divide exact integer counts in double precision, so both engines
+produce bit-identical doubles and the oracles hash-match without tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import normalize_ws, token_count, tokens
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "los", "las", "y", "es", "que"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+@_register(
+    "op_text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                ELSE CAST(list_aggregate(list_transform(string_split_regex(TRIM(text), '\s+'),
+                                                        w -> LENGTH(w)), 'sum') AS DOUBLE)
+                     / LEN(string_split_regex(TRIM(text), '\s+')) END AS avg_token_len
+    FROM documents
+    """,
+)
+def op_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + average token length."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    tok_len_sum = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda acc, v: acc + v
+    )
+    n_tok = token_count("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(tok_len_sum.cast("double") / n_tok)
+        .alias("avg_token_len"),
+    )
+
+
+@_register(
+    "op_text_quality_score",
+    rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS alpha_ratio,
+             CAST(LEN(list_filter(string_split_regex(TRIM(text), '\s+'),
+                                  w -> w IN ({_SQL_STOP}))) AS DOUBLE)
+               / LEN(string_split_regex(TRIM(text), '\s+')) AS stopword_ratio
+      FROM documents
+      WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT doc_id, n_chars, n_tokens, alpha_ratio, stopword_ratio,
+           ROUND(0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.4 * alpha_ratio
+                 + 0.3 * LEAST(stopword_ratio * 5, 1.0), 6) AS quality_score
+    FROM feat
+    """,
+)
+def op_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / alphabetic-ratio / stopword-ratio composite
+    (the C4/Gopher-style cheap quality gate, as a pure column expression)."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    t = tokens("text")
+    n_tok = F.size(t).cast("bigint")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_ratio = (
+        F.size(F.filter(t, lambda w: w.isin(STOPWORDS))).cast("double") / F.size(t)
+    )
+    score = F.round(
+        0.3 * F.least(n_tok.cast("double") / 100, F.lit(1.0))
+        + 0.4 * alpha_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _lang_case_sql() -> str:
+    counts = {
+        lang: (
+            f"LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), "
+            f"w -> w IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    g = "GREATEST(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {counts[lang]} = {g} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return f"CASE WHEN {g} = 0 THEN 'unknown' {whens} END"
+
+
+@_register(
+    "op_text_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang, {_lang_case_sql()} AS predicted_lang
+    FROM documents
+    """,
+)
+def op_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via marker-word voting (n-gram heuristic): count marker
+    hits per language, argmax with deterministic alphabetic tiebreak,
+    'unknown' when nothing matches."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    counts = {
+        lang: F.size(F.filter(t, lambda w: w.isin(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    g = F.greatest(*counts.values())
+    pred = F.when(g == 0, "unknown")
+    for lang in sorted(LANG_MARKERS):
+        pred = pred.when(counts[lang] == g, lang)
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@_register(
+    "op_text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp64
+    FROM documents
+    """,
+)
+def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the whitespace-normalized text plus
+    a 64-bit hex prefix (join-key sized)."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(normalize_ws("text"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp64")
+    )

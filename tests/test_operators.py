@@ -1,0 +1,86 @@
+"""Operator-quality tests beyond the oracle gate: recall of approximate
+dedup/ANN rungs against their exact counterparts, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _pairs(df):
+    return {(r["d1"], r["d2"]) for r in df.collect()}
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_dir):
+    """LSH candidates + exact verification must equal exact Jaccard >= 0.8."""
+    from apitap_spark.operators.dedup import (
+        _jaccard_pairs,
+        _shingle_df,
+        op_dedup_minhash_lsh,
+    )
+
+    sh = _shingle_df(spark, sf_dir)
+    exact = _pairs(_jaccard_pairs(sh, None, 0.8))
+    lsh = _pairs(op_dedup_minhash_lsh(spark, sf_dir))
+    assert lsh == exact
+    assert exact, "testdata should contain planted near-duplicates"
+
+
+def test_simhash_finds_planted_neardups(spark, sf_dir):
+    """Very-high-Jaccard pairs have near-identical token multisets → their
+    simhash hamming distance must be tiny."""
+    from apitap_spark.operators.dedup import (
+        _jaccard_pairs,
+        _shingle_df,
+        op_dedup_simhash,
+    )
+
+    sh = _shingle_df(spark, sf_dir)
+    planted = _pairs(_jaccard_pairs(sh, None, 0.95))
+    found = _pairs(op_dedup_simhash(spark, sf_dir))
+    assert planted, "expected planted >=0.95 jaccard pairs in testdata"
+    missed = planted - found
+    assert len(missed) <= max(1, len(planted) // 5), f"simhash missed {missed}"
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """LSH top-5 should recover a reasonable fraction of brute-force top-5.
+
+    Random gaussian-ish embeddings are LSH's worst case (neighbors are
+    weak), so the bar is deliberately modest — this guards against the
+    bucketing being broken (0 candidates), not against physics."""
+    from apitap_spark.operators.similarity import (
+        op_ann_cosine_topk,
+        op_ann_lsh_bucketed,
+    )
+
+    exact = {
+        (r["q_id"], r["c_id"]) for r in op_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx_df = op_ann_lsh_bucketed(spark, sf_dir)
+    approx = {(r["q_id"], r["c_id"]) for r in approx_df.collect()}
+    assert approx, "LSH ANN returned no candidates at all — bucketing broken"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"recall {recall:.2f} suspiciously low"
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from apitap_spark.operators.multimodal import op_multimodal_features
+
+    a = sorted(map(tuple, op_multimodal_features(spark, sf_dir).collect()))
+    b = sorted(map(tuple, op_multimodal_features(spark, sf_dir).collect()))
+    assert a == b
+    assert all(r[1] > 0 for r in a)  # n_bytes positive
+
+
+def test_decode_image_is_stub():
+    from apitap_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_lang_id_covers_unknown(spark, sf_dir):
+    from apitap_spark.operators.textstats import op_text_lang_id
+
+    langs = {r["predicted_lang"] for r in op_text_lang_id(spark, sf_dir).collect()}
+    assert langs <= {"unknown", "de", "en", "es", "fr"}
