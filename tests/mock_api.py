@@ -1,0 +1,109 @@
+"""In-process mock HTTP API for source tests (FIXTURES F9 pagination matrix).
+
+Serves a configurable dataset with limit/offset, page/per_page, page-only,
+and cursor pagination under custom param names, optional envelope
+data_path, NDJSON mode, total hints, and injectable transient failures.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class MockApi:
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+        self.fail_next = 0  # number of requests to 500 before succeeding
+        self.request_count = 0
+        self.lock = threading.Lock()
+        self.server: ThreadingHTTPServer | None = None
+
+    def start(self) -> str:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                with api.lock:
+                    api.request_count += 1
+                    if api.fail_next > 0:
+                        api.fail_next -= 1
+                        self.send_response(503)
+                        self.end_headers()
+                        self.wfile.write(b"boom")
+                        return
+                parsed = urlparse(self.path)
+                qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                route = parsed.path.strip("/")
+                try:
+                    body, ctype = api.handle(route, qs)
+                except Exception as exc:  # noqa: BLE001
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(exc).encode())
+                    return
+                data = body if isinstance(body, bytes) else json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+        host, port = self.server.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self):
+        if self.server:
+            self.server.shutdown()
+
+    # ---- route logic -----------------------------------------------------
+    def handle(self, route: str, qs: dict):
+        if route == "limit_offset":
+            limit = int(qs.get("limit", qs.get("_limit", 10)))
+            offset = int(qs.get("offset", qs.get("_start", 0)))
+            return self.rows[offset : offset + limit], "application/json"
+        if route == "limit_offset_custom":
+            limit = int(qs["max"])
+            offset = int(qs["skip"])
+            return self.rows[offset : offset + limit], "application/json"
+        if route == "page_number":
+            page = int(qs.get("page", 1))
+            per = int(qs.get("per_page", 10))
+            start = (page - 1) * per
+            return {
+                "data": self.rows[start : start + per],
+                "meta": {"total": len(self.rows)},
+            }, "application/json"
+        if route == "page_number_nohint":
+            page = int(qs.get("pageNum", 1))
+            per = int(qs.get("pageSize", 10))
+            start = (page - 1) * per
+            return {"results": self.rows[start : start + per]}, "application/json"
+        if route == "page_only":
+            page = int(qs.get("p", 1))
+            per = 7
+            start = (page - 1) * per
+            return self.rows[start : start + per], "application/json"
+        if route == "cursor":
+            cur = int(qs.get("nextToken", 0))
+            per = int(qs.get("maxResults", 10))
+            chunk = self.rows[cur : cur + per]
+            nxt = cur + per if cur + per < len(self.rows) else None
+            return {"items": chunk, "next_cursor": nxt}, "application/json"
+        if route == "ndjson":
+            limit = int(qs.get("limit", 10))
+            offset = int(qs.get("offset", 0))
+            lines = "\n".join(json.dumps(r) for r in self.rows[offset : offset + limit])
+            return lines.encode(), "application/x-ndjson"
+        if route == "scalar":
+            return {"data": {"only": "one"}}, "application/json"
+        if route == "null_path":
+            return {"data": None}, "application/json"
+        raise ValueError(f"unknown route {route}")

@@ -1,0 +1,221 @@
+"""HTTP source tests: pagination matrix (FIXTURES F9), data_path drill,
+NDJSON, retry, schema inference lattice (FIXTURES F1-F4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apitap_spark.sources.http import (
+    CursorPagination,
+    HttpSource,
+    LimitOffsetPagination,
+    PageNumberPagination,
+    PageOnlyPagination,
+    RetryPolicy,
+    TotalHint,
+    drill_data_path,
+)
+from tests.mock_api import MockApi
+
+ROWS = [{"id": i, "userId": i % 7, "title": f"t{i}", "score": i * 1.5} for i in range(53)]
+
+
+@pytest.fixture(scope="module")
+def api():
+    api = MockApi(ROWS)
+    api.base = api.start()
+    yield api
+    api.stop()
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+ALL_IDS = sorted(r["id"] for r in ROWS)
+
+
+def test_limit_offset_stop_on_empty(spark, api):
+    src = HttpSource(
+        name="lo",
+        url=f"{api.base}/limit_offset",
+        pagination=LimitOffsetPagination(limit=10),
+    )
+    df = src.load(spark)
+    assert _ids(df) == ALL_IDS
+
+
+def test_limit_offset_custom_params(spark, api):
+    src = HttpSource(
+        name="lo2",
+        url=f"{api.base}/limit_offset_custom",
+        pagination=LimitOffsetPagination(limit=9, limit_param="max", offset_param="skip"),
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_page_number_with_total_hint(spark, api):
+    api.request_count = 0
+    src = HttpSource(
+        name="pn",
+        url=f"{api.base}/page_number",
+        pagination=PageNumberPagination(
+            per_page=10, total_hint=TotalHint("items", "/meta/total")
+        ),
+        data_path="/data",
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+    # hint-sized: no probe requests beyond pages (plus driver page-1 fetches)
+    assert api.request_count <= 6 + 2
+
+
+def test_page_number_without_hint_probes(spark, api):
+    src = HttpSource(
+        name="pn2",
+        url=f"{api.base}/page_number_nohint",
+        pagination=PageNumberPagination(
+            per_page=10, page_param="pageNum", per_page_param="pageSize"
+        ),
+        data_path="/results",
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_page_only(spark, api):
+    src = HttpSource(
+        name="po",
+        url=f"{api.base}/page_only",
+        pagination=PageOnlyPagination(page_param="p"),
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_cursor(spark, api):
+    src = HttpSource(
+        name="cur",
+        url=f"{api.base}/cursor",
+        pagination=CursorPagination(
+            cursor_param="nextToken",
+            page_size_param="maxResults",
+            page_size=10,
+            next_cursor_pointer="/next_cursor",
+        ),
+        data_path="/items",
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_ndjson(spark, api):
+    src = HttpSource(
+        name="nd",
+        url=f"{api.base}/ndjson",
+        pagination=LimitOffsetPagination(limit=20),
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_retry_then_success(spark, api):
+    api.fail_next = 2
+    src = HttpSource(
+        name="r",
+        url=f"{api.base}/limit_offset",
+        pagination=LimitOffsetPagination(limit=60),
+        retry=RetryPolicy(max_attempts=3, min_delay_sec=0.01, max_delay_sec=0.02),
+    )
+    assert _ids(src.load(spark)) == ALL_IDS
+
+
+def test_retry_exhausted(spark, api):
+    api.fail_next = 5
+    src = HttpSource(
+        name="r2",
+        url=f"{api.base}/limit_offset",
+        pagination=LimitOffsetPagination(limit=60),
+        retry=RetryPolicy(max_attempts=2, min_delay_sec=0.01, max_delay_sec=0.02),
+    )
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        src.load(spark)
+    api.fail_next = 0
+
+
+def test_register_and_sql(spark, api):
+    src = HttpSource(
+        name="posts",
+        url=f"{api.base}/limit_offset",
+        pagination=LimitOffsetPagination(limit=25),
+    )
+    src.register(spark, "posts_v")
+    out = spark.sql(
+        "SELECT id, userId AS user_id FROM posts_v WHERE userId > 5 ORDER BY id"
+    ).collect()
+    assert [r["user_id"] for r in out] == [6] * len(out)
+    assert len(out) == sum(1 for r in ROWS if r["userId"] > 5)
+
+
+# ---- data_path drill unit behaviors (reference src/http/fetcher.rs:68-93) --
+def test_drill_array():
+    assert drill_data_path({"data": [1, 2]}, "/data") == [1, 2]
+
+
+def test_drill_scalar_one_row():
+    assert drill_data_path({"data": {"only": "one"}}, "/data") == [{"only": "one"}]
+
+
+def test_drill_null_no_rows():
+    assert drill_data_path({"data": None}, "/data") == []
+
+
+def test_drill_missing_no_rows():
+    assert drill_data_path({"x": 1}, "/data") == []
+
+
+def test_drill_nested_pointer():
+    assert drill_data_path({"a": {"b": {"c": [7]}}}, "/a/b/c") == [7]
+
+
+def test_drill_no_path_array_passthrough():
+    assert drill_data_path([1, 2, 3], None) == [1, 2, 3]
+
+
+# ---- schema inference lattice (FIXTURES F2/F3/F4, SURVEY §1.2) -------------
+def test_inference_widening_and_nullable(spark):
+    src = HttpSource(name="x", url="http://unused")
+    schema = src.infer_schema(
+        spark,
+        [
+            {"id": 1, "value": 100, "email": None, "active": True},
+            {"id": 2, "value": 200.5, "email": "b@x.com", "active": False},
+        ],
+    )
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types["value"] == "double"  # Int64 ⊔ Float64 = Float64
+    assert types["id"] == "bigint"
+    assert types["active"] == "boolean"
+    assert types["email"] == "string"
+    assert all(f.nullable for f in schema.fields)
+
+
+def test_inference_nested_struct_and_list(spark):
+    src = HttpSource(name="x", url="http://unused")
+    schema = src.infer_schema(
+        spark,
+        [{"id": 1, "metadata": {"created": "2024-01-01"}, "tags": ["rust", "testing"]}],
+    )
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types["metadata"] == "struct<created:string>"
+    assert types["tags"] == "array<string>"
+
+
+def test_inference_conflict_falls_to_string(spark):
+    src = HttpSource(name="x", url="http://unused")
+    schema = src.infer_schema(spark, [{"v": 1}, {"v": "x"}])
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types["v"] == "string"
+
+
+def test_inference_sample_cutoff(spark):
+    """Rows beyond sample_size don't influence the schema (fixed-for-run)."""
+    src = HttpSource(name="x", url="http://unused", sample_size=100)
+    rows = [{"v": 1} for _ in range(100)] + [{"v": "drift"}]
+    schema = src.infer_schema(spark, rows)
+    assert {f.name: f.dataType.simpleString() for f in schema.fields}["v"] == "bigint"
