@@ -1,0 +1,247 @@
+"""YAML pipeline configuration (reference ``src/pipeline/mod.rs:12-261``,
+``src/config/mod.rs:7-67``): named sources and targets with name indexes,
+duplicate-name rejection, env-var credential resolution, and pagination
+decoding with custom parameter names (SURVEY §2.1 T6, FIXTURES F9).
+
+Example (mirrors reference ``examples/config/pipelines.yaml``)::
+
+    sources:
+      - name: employees
+        url: https://api.example.com/employees
+        data_path: /data
+        pagination: {type: page_number, page_param: page, per_page_param: per_page, per_page: 100}
+        headers: {X-API-KEY: secret}
+        retry: {max_attempts: 3, min_delay_sec: 1, max_delay_sec: 5}
+        dest_table: employees
+        primary_key_in_dest: id
+    targets:
+      - name: warehouse
+        kind: postgres
+        host: localhost
+        port: 5432
+        database: analytics
+        username_env: PG_USER
+        password_env: PG_PASS
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import yaml
+
+from apitap_spark.sources.http import (
+    CursorPagination,
+    HttpSource,
+    LimitOffsetPagination,
+    PageNumberPagination,
+    PageOnlyPagination,
+    RetryPolicy,
+    TotalHint,
+)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _pagination_from(d: dict | None):
+    if not d:
+        return LimitOffsetPagination()
+    kind = d.get("type", "limit_offset")
+    if kind == "limit_offset":
+        return LimitOffsetPagination(
+            limit=int(d.get("limit", 100)),
+            limit_param=d.get("limit_param", "limit"),
+            offset_param=d.get("offset_param", "offset"),
+        )
+    if kind == "page_number":
+        hint = None
+        h = d.get("total_hint")
+        if h:
+            kind_h = "items" if "items_pointer" in h or h.get("kind") == "items" else "pages"
+            pointer = h.get("items_pointer") or h.get("pages_pointer") or h.get("pointer")
+            hint = TotalHint(kind_h, pointer)
+        return PageNumberPagination(
+            per_page=int(d.get("per_page", 100)),
+            page_param=d.get("page_param", "page"),
+            per_page_param=d.get("per_page_param", "per_page"),
+            total_hint=hint,
+            start_page=int(d.get("start_page", 1)),
+        )
+    if kind == "page_only":
+        return PageOnlyPagination(
+            page_param=d.get("page_param", "page"),
+            start_page=int(d.get("start_page", 1)),
+        )
+    if kind == "cursor":
+        return CursorPagination(
+            cursor_param=d.get("cursor_param", "cursor"),
+            page_size_param=d.get("page_size_param"),
+            page_size=d.get("page_size"),
+            next_cursor_pointer=d.get("next_cursor_pointer", "/next_cursor"),
+        )
+    raise ConfigError(f"unknown pagination type {kind!r}")
+
+
+@dataclass
+class SourceConfig:
+    name: str
+    url: str
+    data_path: str | None = None
+    pagination: object = field(default_factory=LimitOffsetPagination)
+    headers: dict = field(default_factory=dict)
+    params: dict = field(default_factory=dict)
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+    dest_table: str | None = None
+    primary_key: str | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> SourceConfig:
+        if not d.get("name"):
+            raise ConfigError("source requires a name")
+        if not d.get("url"):
+            raise ConfigError(f"source {d.get('name')!r} requires a url")
+        retry = d.get("retry") or {}
+        return cls(
+            name=d["name"],
+            url=d["url"],
+            data_path=d.get("data_path"),
+            pagination=_pagination_from(d.get("pagination")),
+            headers=dict(d.get("headers") or {}),
+            params=dict(d.get("params") or {}),
+            retry=RetryPolicy(
+                max_attempts=int(retry.get("max_attempts", 3)),
+                min_delay_sec=float(retry.get("min_delay_sec", 1.0)),
+                max_delay_sec=float(retry.get("max_delay_sec", 5.0)),
+            ),
+            dest_table=d.get("dest_table"),
+            primary_key=d.get("primary_key_in_dest") or d.get("primary_key"),
+        )
+
+    def to_http_source(self) -> HttpSource:
+        return HttpSource(
+            name=self.name,
+            url=self.url,
+            pagination=self.pagination,
+            data_path=self.data_path,
+            headers=self.headers,
+            extra_params=self.params,
+            retry=self.retry,
+            dest_table=self.dest_table,
+            primary_key=self.primary_key,
+        )
+
+
+@dataclass
+class TargetConfig:
+    name: str
+    kind: str = "postgres"  # postgres | duckdb (test stand-in)
+    host: str = "localhost"
+    port: int = 5432  # reference default, tests/pipeline/config_tests.rs
+    database: str = ""
+    schema: str = "public"
+    username_env: str | None = None
+    password_env: str | None = None
+    path: str | None = None  # duckdb file
+
+    @classmethod
+    def from_dict(cls, d: dict) -> TargetConfig:
+        if not d.get("name"):
+            raise ConfigError("target requires a name")
+        return cls(
+            name=d["name"],
+            kind=d.get("kind", "postgres"),
+            host=d.get("host", "localhost"),
+            port=int(d.get("port", 5432)),
+            database=d.get("database", ""),
+            schema=d.get("schema", "public"),
+            username_env=d.get("username_env"),
+            password_env=d.get("password_env"),
+            path=d.get("path"),
+        )
+
+    def credentials(self) -> tuple[str, str]:
+        """Resolve credentials from env vars; empty/missing is an error
+        (reference src/pipeline/mod.rs env checks)."""
+        if not self.username_env or not self.password_env:
+            raise ConfigError(f"target {self.name!r}: username_env/password_env required")
+        user = os.environ.get(self.username_env, "")
+        pwd = os.environ.get(self.password_env, "")
+        if not user or not pwd:
+            raise ConfigError(
+                f"target {self.name!r}: env {self.username_env}/{self.password_env} not set"
+            )
+        return user, pwd
+
+    def conn_factory(self):
+        """Picklable zero-arg DB-API connection factory for the writer."""
+        if self.kind == "duckdb":
+            path = self.path
+            if not path:
+                raise ConfigError(f"target {self.name!r}: duckdb target requires path")
+
+            def duck():
+                import duckdb
+
+                return duckdb.connect(path)
+
+            return duck
+        if self.kind == "postgres":
+            user, pwd = self.credentials()
+            host, port, db = self.host, self.port, self.database
+
+            def pg():
+                try:
+                    import psycopg2  # noqa: PLC0415
+                except ImportError as exc:  # pragma: no cover
+                    raise RuntimeError(
+                        "postgres target requires psycopg2 (not bundled in this "
+                        "environment); use a duckdb target for local runs"
+                    ) from exc
+                return psycopg2.connect(
+                    host=host, port=port, dbname=db, user=user, password=pwd
+                )
+
+            return pg
+        raise ConfigError(f"unknown target kind {self.kind!r}")
+
+
+@dataclass
+class Config:
+    sources: dict[str, SourceConfig]
+    targets: dict[str, TargetConfig]
+
+    def source(self, name: str) -> SourceConfig:
+        if name not in self.sources:
+            raise ConfigError(f"unknown source {name!r}")
+        return self.sources[name]
+
+    def target(self, name: str) -> TargetConfig:
+        if name not in self.targets:
+            raise ConfigError(f"unknown target {name!r}")
+        return self.targets[name]
+
+
+def load_config(data: dict) -> Config:
+    """Build + validate (duplicate names rejected, reference
+    src/pipeline/mod.rs:238-261)."""
+    sources: dict[str, SourceConfig] = {}
+    for s in data.get("sources") or []:
+        sc = SourceConfig.from_dict(s)
+        if sc.name in sources:
+            raise ConfigError(f"duplicate source name {sc.name!r}")
+        sources[sc.name] = sc
+    targets: dict[str, TargetConfig] = {}
+    for t in data.get("targets") or []:
+        tc = TargetConfig.from_dict(t)
+        if tc.name in targets:
+            raise ConfigError(f"duplicate target name {tc.name!r}")
+        targets[tc.name] = tc
+    return Config(sources=sources, targets=targets)
+
+
+def load_config_from_path(path: str) -> Config:
+    with open(path) as fh:
+        return load_config(yaml.safe_load(fh) or {})

@@ -1,0 +1,164 @@
+"""Pipeline orchestrator + CLI (SURVEY §2.3 T7–T9, reference
+``src/cmd/mod.rs:73-201``, ``src/pipeline/run.rs:20-124``).
+
+Per module (sequentially, like the reference): render → resolve source +
+target → register the HTTP source as a temp view → ``spark.sql`` over the
+WHOLE source (entry 3.1 semantics — never the reference's per-page SQL
+quirk, SURVEY §7.4) → merge/append into the target; per-module stats
+logged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json as _json
+import logging
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from apitap_spark.config.models import Config, load_config_from_path
+from apitap_spark.pipeline.templating import list_sql_templates, render_module
+from apitap_spark.sinks.jdbc_merge import (
+    DuckDbDialect,
+    JdbcMergeWriter,
+    PostgresDialect,
+    WriteMode,
+)
+
+log = logging.getLogger("apitap_spark.pipeline")
+
+
+@dataclass
+class ModuleStats:
+    module: str
+    sink_table: str
+    rows_written: int
+    duration_sec: float
+
+
+def _writer_for(cfg: Config, target_name: str, dest_table: str, primary_key, mode):
+    tgt = cfg.target(target_name)
+    dialect = DuckDbDialect() if tgt.kind == "duckdb" else PostgresDialect()
+    table = dest_table if "." in dest_table or tgt.kind == "duckdb" else f"{tgt.schema}.{dest_table}"
+    return JdbcMergeWriter(
+        tgt.conn_factory(),
+        table,
+        dialect=dialect,
+        mode=mode,
+        primary_key=primary_key,
+    )
+
+
+def run_module(
+    spark: SparkSession,
+    cfg: Config,
+    modules_dir: str,
+    rel_path: str,
+    target_name: str,
+    mode: WriteMode = WriteMode.MERGE,
+) -> ModuleStats:
+    t0 = time.perf_counter()
+    rendered = render_module(modules_dir, rel_path)
+    if not rendered.sources:
+        raise ValueError(f"module {rel_path}: no {{{{ use_source(...) }}}} call")
+    # Register every referenced source under its unique view name.
+    pk = None
+    dest = rendered.sink
+    for src_name, view in rendered.sources.items():
+        sc = cfg.source(src_name)
+        sc.to_http_source().register(spark, view)
+        pk = pk or sc.primary_key
+        dest = dest or sc.dest_table
+    if not dest:
+        raise ValueError(f"module {rel_path}: no sink() and source has no dest_table")
+
+    result = spark.sql(rendered.sql).persist()  # one execution: write + count
+    mode = mode if pk else WriteMode.APPEND  # merge needs a PK
+    writer = _writer_for(cfg, target_name, dest, pk, mode)
+    writer.write(result)
+    n = result.count()
+    result.unpersist()
+    stats = ModuleStats(rel_path, dest, n, round(time.perf_counter() - t0, 3))
+    log.info("module done", extra={"stats": stats.__dict__})
+    return stats
+
+
+def run_pipeline(
+    spark: SparkSession,
+    modules_dir: str,
+    config_path: str,
+    target_name: str | None = None,
+    mode: WriteMode = WriteMode.MERGE,
+) -> list[ModuleStats]:
+    """Sequential module loop (T7). ``target_name`` defaults to the config's
+    single target."""
+    cfg = load_config_from_path(config_path)
+    if target_name is None:
+        if len(cfg.targets) != 1:
+            raise ValueError("target_name required when config has multiple targets")
+        target_name = next(iter(cfg.targets))
+    stats = []
+    for rel in list_sql_templates(modules_dir):
+        stats.append(run_module(spark, cfg, modules_dir, rel, target_name, mode))
+    total = sum(s.rows_written for s in stats)
+    log.info("pipeline done: %d modules, %d rows", len(stats), total)
+    return stats
+
+
+def _setup_logging(json_logs: bool, level: str) -> None:
+    """Structured logging (T9, reference src/log/mod.rs)."""
+    handler = logging.StreamHandler()
+    if json_logs:
+
+        class JsonFormatter(logging.Formatter):
+            def format(self, record):
+                payload = {
+                    "ts": self.formatTime(record),
+                    "level": record.levelname,
+                    "logger": record.name,
+                    "msg": record.getMessage(),
+                }
+                if hasattr(record, "stats"):
+                    payload["stats"] = record.stats
+                return _json.dumps(payload)
+
+        handler.setFormatter(JsonFormatter())
+    else:
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
+        )
+    logging.basicConfig(level=level.upper(), handlers=[handler], force=True)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI (T8, reference src/cmd/mod.rs:23-55):
+    ``apitap-spark -m sql_dir -y pipelines.yaml --log-level debug``"""
+    ap = argparse.ArgumentParser(prog="apitap-spark")
+    ap.add_argument("-m", "--modules", required=True, help="directory of .sql modules")
+    ap.add_argument("-y", "--yaml-config", required=True, help="pipelines YAML")
+    ap.add_argument("-t", "--target", default=None, help="target name (default: sole target)")
+    ap.add_argument("--write-mode", default="merge", choices=[m.value for m in WriteMode])
+    ap.add_argument("--log-json", action="store_true")
+    ap.add_argument("--log-level", default="info")
+    args = ap.parse_args(argv)
+    _setup_logging(args.log_json, args.log_level)
+
+    from apitap_spark.session import get_session
+
+    spark = get_session(app_name="apitap-pipeline")
+    stats = run_pipeline(
+        spark,
+        args.modules,
+        args.yaml_config,
+        target_name=args.target,
+        mode=WriteMode(args.write_mode),
+    )
+    for s in stats:
+        print(_json.dumps(s.__dict__))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

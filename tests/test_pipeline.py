@@ -1,0 +1,214 @@
+"""Pipeline DSL tests: config validation, templating capture, module
+discovery, and the full fetch→SQL→merge-sink run against the mock API +
+a DuckDB target (the reference quick-start flow, README.md:204-217)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from apitap_spark.config.models import (
+    ConfigError,
+    load_config,
+)
+from apitap_spark.pipeline.runner import main as cli_main
+from apitap_spark.pipeline.runner import run_pipeline
+from apitap_spark.pipeline.templating import list_sql_templates, render_module
+from apitap_spark.sources.http import (
+    CursorPagination,
+    PageNumberPagination,
+)
+from tests.mock_api import MockApi
+
+ROWS = [
+    {"id": i, "userId": i % 7, "title": f"title {i}", "body": f"body {i}"}
+    for i in range(41)
+]
+
+
+# ---- config (T6) -----------------------------------------------------------
+def test_config_roundtrip_and_index():
+    cfg = load_config(
+        {
+            "sources": [
+                {
+                    "name": "posts",
+                    "url": "http://x/posts",
+                    "pagination": {
+                        "type": "page_number",
+                        "page_param": "pageNum",
+                        "per_page_param": "pageSize",
+                        "per_page": 25,
+                        "total_hint": {"kind": "items", "pointer": "/meta/total"},
+                    },
+                    "primary_key_in_dest": "id",
+                },
+                {
+                    "name": "cur",
+                    "url": "http://x/c",
+                    "pagination": {"type": "cursor", "cursor_param": "nextToken"},
+                },
+            ],
+            "targets": [{"name": "wh", "kind": "duckdb", "path": "/tmp/x.db"}],
+        }
+    )
+    pg = cfg.source("posts").pagination
+    assert isinstance(pg, PageNumberPagination)
+    assert (pg.page_param, pg.per_page_param, pg.per_page) == ("pageNum", "pageSize", 25)
+    assert pg.total_hint.pointer == "/meta/total"
+    assert isinstance(cfg.source("cur").pagination, CursorPagination)
+    assert cfg.target("wh").kind == "duckdb"
+
+
+def test_config_duplicate_names_rejected():
+    with pytest.raises(ConfigError, match="duplicate source"):
+        load_config(
+            {
+                "sources": [
+                    {"name": "a", "url": "http://x"},
+                    {"name": "a", "url": "http://y"},
+                ]
+            }
+        )
+
+
+def test_config_env_credentials(monkeypatch):
+    cfg = load_config(
+        {
+            "targets": [
+                {
+                    "name": "pg",
+                    "kind": "postgres",
+                    "username_env": "TEST_PG_U",
+                    "password_env": "TEST_PG_P",
+                }
+            ]
+        }
+    )
+    with pytest.raises(ConfigError, match="not set"):
+        cfg.target("pg").credentials()
+    monkeypatch.setenv("TEST_PG_U", "u")
+    monkeypatch.setenv("TEST_PG_P", "p")
+    assert cfg.target("pg").credentials() == ("u", "p")
+
+
+def test_unknown_names():
+    cfg = load_config({})
+    with pytest.raises(ConfigError, match="unknown source"):
+        cfg.source("nope")
+    with pytest.raises(ConfigError, match="unknown target"):
+        cfg.target("nope")
+
+
+# ---- templating (T1-T5) ----------------------------------------------------
+@pytest.fixture
+def modules_dir(tmp_path):
+    d = tmp_path / "sql"
+    (d / "nested").mkdir(parents=True)
+    (d / "transform.sql").write_text(
+        "{{ sink(name='user_posts') }}\n"
+        "SELECT id, userId AS user_id, title\n"
+        "FROM {{ use_source('posts') }}\n"
+        "WHERE userId > 3"
+    )
+    (d / "nested" / "second.SQL").write_text(
+        "{{ sink(name='all_posts') }}\nSELECT id, body FROM {{ use_source('posts') }}"
+    )
+    (d / "readme.txt").write_text("not sql")
+    return str(d)
+
+
+def test_list_templates_recursive_sorted(modules_dir):
+    assert list_sql_templates(modules_dir) == ["nested/second.SQL", "transform.sql"]
+
+
+def test_render_captures_sink_and_source(modules_dir):
+    r = render_module(modules_dir, "transform.sql")
+    assert r.sink == "user_posts"
+    assert list(r.sources) == ["posts"]
+    view = r.sources["posts"]
+    assert view.startswith("posts_") and len(view) > len("posts_")
+    # use_source renders the resolved view name — no string rewrite needed
+    assert f"FROM {view}" in r.sql
+    assert "{{" not in r.sql
+
+
+def test_render_capture_resets_between_modules(modules_dir):
+    a = render_module(modules_dir, "transform.sql")
+    b = render_module(modules_dir, "nested/second.SQL")
+    assert b.sink == "all_posts"
+    assert a.sources["posts"] != b.sources["posts"]  # unique view per render
+
+
+def test_render_substring_hazard_avoided(tmp_path):
+    """A column named like the source must survive (SURVEY §7.4 T5 hazard)."""
+    d = tmp_path / "sql"
+    d.mkdir()
+    (d / "m.sql").write_text(
+        "{{ sink(name='out') }}SELECT posts_count FROM {{ use_source('posts') }}"
+    )
+    r = render_module(str(d), "m.sql")
+    assert "posts_count" in r.sql  # untouched — the hazard the reference has
+
+
+# ---- end-to-end pipeline (T7/T8) ------------------------------------------
+@pytest.fixture(scope="module")
+def api():
+    api = MockApi(ROWS)
+    api.base = api.start()
+    yield api
+    api.stop()
+
+
+def _write_cfg(tmp_path, api_base, duck_path):
+    cfg = tmp_path / "pipelines.yaml"
+    cfg.write_text(
+        f"""
+sources:
+  - name: posts
+    url: {api_base}/limit_offset
+    pagination: {{type: limit_offset, limit: 10}}
+    dest_table: posts_raw
+    primary_key_in_dest: id
+targets:
+  - name: wh
+    kind: duckdb
+    path: {duck_path}
+"""
+    )
+    return str(cfg)
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path, api, modules_dir):
+    duck_path = os.path.join(tmp_path, "wh.duckdb")
+    cfg_path = _write_cfg(tmp_path, api.base, duck_path)
+    stats = run_pipeline(spark, modules_dir, cfg_path)
+    by_module = {s.module: s for s in stats}
+    assert by_module["transform.sql"].sink_table == "user_posts"
+    expected = sum(1 for r in ROWS if r["userId"] > 3)
+    assert by_module["transform.sql"].rows_written == expected
+
+    con = duckdb.connect(duck_path)
+    assert con.execute("SELECT count(*) FROM user_posts").fetchone()[0] == expected
+    assert con.execute("SELECT count(*) FROM all_posts").fetchone()[0] == len(ROWS)
+    con.close()
+
+    # Idempotent re-run: merge-by-PK leaves counts unchanged (retry safety)
+    run_pipeline(spark, modules_dir, cfg_path)
+    con = duckdb.connect(duck_path)
+    assert con.execute("SELECT count(*) FROM user_posts").fetchone()[0] == expected
+    con.close()
+
+
+def test_cli_runs(tmp_path, api, modules_dir, capsys):
+    duck_path = os.path.join(tmp_path, "cli.duckdb")
+    cfg_path = _write_cfg(tmp_path, api.base, duck_path)
+    rc = cli_main(["-m", modules_dir, "-y", cfg_path, "--log-json", "--log-level", "warning"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"sink_table": "user_posts"' in out
+    con = duckdb.connect(duck_path)
+    assert con.execute("SELECT count(*) FROM all_posts").fetchone()[0] == len(ROWS)
+    con.close()

@@ -1,0 +1,215 @@
+"""Merge sink tests: SQL shapes (unit), version dispatch, and real
+upsert/append/overwrite semantics against a DuckDB stand-in database."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from apitap_spark.sinks.jdbc_merge import (
+    DuckDbDialect,
+    JdbcMergeWriter,
+    PostgresDialect,
+    WriteMode,
+    ddl_for_schema,
+    insert_sql,
+    merge_sql,
+    pg_type_for,
+    quote_ident,
+    quote_ident_path,
+    rows_per_statement,
+    upsert_sql,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+# ---- S20 quoting -----------------------------------------------------------
+def test_quote_ident_escapes():
+    assert quote_ident('we"ird') == '"we""ird"'
+    assert quote_ident("plain") == '"plain"'
+
+
+def test_quote_ident_path():
+    assert quote_ident_path("public.events") == '"public"."events"'
+
+
+# ---- type lattice ----------------------------------------------------------
+def test_pg_types():
+    assert pg_type_for(T.LongType()) == "BIGINT"
+    assert pg_type_for(T.IntegerType()) == "BIGINT"
+    assert pg_type_for(T.DoubleType()) == "DOUBLE PRECISION"
+    assert pg_type_for(T.BooleanType()) == "BOOLEAN"
+    assert pg_type_for(T.StringType()) == "TEXT"
+    assert pg_type_for(T.ArrayType(T.LongType())) == "JSONB"
+    assert pg_type_for(T.StructType([])) == "JSONB"
+    assert pg_type_for(T.TimestampType()) == "TIMESTAMP"
+    assert pg_type_for(T.DecimalType(18, 2)) == "NUMERIC(18,2)"
+
+
+def test_ddl_with_pk():
+    ddl = ddl_for_schema("t", SCHEMA, "id")
+    assert ddl.startswith('CREATE TABLE IF NOT EXISTS "t" (')
+    assert '"id" BIGINT' in ddl and '"tags" JSONB' in ddl
+    assert 'PRIMARY KEY ("id")' in ddl
+
+
+# ---- statement shapes ------------------------------------------------------
+def test_insert_sql_shape():
+    sql = insert_sql(PostgresDialect(), "t", ["a", "b"], 2)
+    assert sql == 'INSERT INTO "t" ("a", "b") VALUES (%s, %s), (%s, %s)'
+
+
+def test_upsert_sql_shape():
+    sql = upsert_sql(PostgresDialect(), "t", ["id", "v"], ["id"], 1)
+    assert 'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"' in sql
+
+
+def test_upsert_all_pk_do_nothing():
+    sql = upsert_sql(PostgresDialect(), "t", ["id"], ["id"], 1)
+    assert sql.endswith('ON CONFLICT ("id") DO NOTHING')
+
+
+def test_merge_sql_shape():
+    sql = merge_sql(PostgresDialect(), "s.t", ["id", "v"], ["id"], 2)
+    assert sql.startswith('MERGE INTO "s"."t" AS t USING (VALUES (%s, %s), (%s, %s))')
+    assert 'ON t."id" = s."id"' in sql
+    assert 'WHEN MATCHED THEN UPDATE SET "v" = s."v"' in sql
+    assert 'WHEN NOT MATCHED THEN INSERT ("id", "v") VALUES (s."id", s."v")' in sql
+
+
+def test_param_limit_chunking():
+    assert rows_per_statement(13, 5000) == 5000  # 65000 binds OK
+    assert rows_per_statement(14, 5000) == 65535 // 14  # capped
+    assert rows_per_statement(100000, 5000) == 1
+
+
+# ---- S17 version dispatch --------------------------------------------------
+class FakeConn:
+    def __init__(self, version_text):
+        self.version_text = version_text
+
+    def cursor(self):
+        conn = self
+
+        class Cur:
+            def execute(self, sql, params=None):
+                assert "version" in sql
+
+            def fetchone(self):
+                return (conn.version_text,)
+
+        return Cur()
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("PostgreSQL 15.2 on x86_64-pc-linux-gnu", (15, 2)),
+        ("PostgreSQL 9.6.24", (9, 6)),
+        ("PostgreSQL 16beta1", (16, 0)),
+        ("SomethingElse 1.0", (0, 0)),
+    ],
+)
+def test_pg_version_parse(text, expected):
+    assert PostgresDialect().server_version(FakeConn(text)) == expected
+
+
+def test_version_gates():
+    d = PostgresDialect()
+    assert d.supports_merge((15, 0)) and not d.supports_merge((14, 9))
+    assert d.supports_on_conflict((9, 5)) and not d.supports_on_conflict((9, 4))
+
+
+def test_statement_routing_unsupported():
+    w = JdbcMergeWriter(lambda: None, "t", mode=WriteMode.MERGE, primary_key="id")
+    with pytest.raises(RuntimeError, match="neither MERGE nor ON CONFLICT"):
+        w._statement(2, ["id", "v"], (9, 4), 1)
+
+
+def test_merge_requires_pk():
+    with pytest.raises(ValueError, match="primary key"):
+        JdbcMergeWriter(lambda: None, "t", mode=WriteMode.MERGE)
+
+
+# ---- semantics against DuckDB ---------------------------------------------
+@pytest.fixture
+def duck_path(tmp_path):
+    return os.path.join(tmp_path, "sink.duckdb")
+
+
+def _factory(path):
+    def connect():
+        return duckdb.connect(path)
+
+    return connect
+
+
+def _writer(path, mode, **kw):
+    return JdbcMergeWriter(
+        _factory(path),
+        "target",
+        dialect=DuckDbDialect(),
+        mode=mode,
+        **kw,
+    )
+
+
+def test_merge_upsert_semantics(spark, duck_path):
+    """Second write with same PKs updates instead of duplicating (S15/S16)."""
+    w = _writer(duck_path, WriteMode.MERGE, primary_key="id")
+    df1 = spark.createDataFrame(
+        [(1, "a", 1.0, ["x"]), (2, "b", 2.0, ["y"])], SCHEMA
+    ).coalesce(1)
+    w.write(df1)
+    df2 = spark.createDataFrame(
+        [(2, "B!", 20.0, ["y2"]), (3, "c", 3.0, None)], SCHEMA
+    ).coalesce(1)
+    w.write(df2)
+    rows = duckdb.connect(duck_path).execute(
+        "SELECT id, name, score, tags FROM target ORDER BY id"
+    ).fetchall()
+    assert rows == [
+        (1, "a", 1.0, '["x"]'),
+        (2, "B!", 20.0, '["y2"]'),
+        (3, "c", 3.0, None),
+    ]
+
+
+def test_append_duplicates(spark, duck_path):
+    w = _writer(duck_path, WriteMode.APPEND)
+    df = spark.createDataFrame([(1, "a", 1.0, None)], SCHEMA).coalesce(1)
+    w.write(df)
+    w.write(df)
+    n = duckdb.connect(duck_path).execute("SELECT count(*) FROM target").fetchone()[0]
+    assert n == 2
+
+
+def test_overwrite_truncates(spark, duck_path):
+    w = _writer(duck_path, WriteMode.APPEND)
+    w.write(spark.createDataFrame([(1, "a", 1.0, None)], SCHEMA).coalesce(1))
+    w2 = _writer(duck_path, WriteMode.OVERWRITE)
+    w2.write(spark.createDataFrame([(9, "z", 9.0, None)], SCHEMA).coalesce(1))
+    rows = duckdb.connect(duck_path).execute("SELECT id FROM target").fetchall()
+    assert rows == [(9,)]
+
+
+def test_write_rows_driver_side(duck_path):
+    """write_rows works without Spark (library surface, reference entry 3.3)."""
+    w = _writer(duck_path, WriteMode.MERGE, primary_key="id", batch_size=1)
+    w.prepare(SCHEMA)
+    n = w.write_rows([(1, "a", 1.0, None), (1, "a2", 2.0, None)], SCHEMA)
+    w.prepare(SCHEMA)  # idempotent ensure_table
+    assert n == 2
+    rows = duckdb.connect(duck_path).execute("SELECT id, name FROM target").fetchall()
+    assert rows == [(1, "a2")]  # second statement upserted over the first
