@@ -1,0 +1,91 @@
+"""Structured Streaming ingestion: event streams with watermarks, windowed
+aggregation, streaming dedup, and a foreachBatch merge sink.
+
+The reference executes bounded micro-batches only
+(``Boundedness::Bounded``, reference ``src/utils/execution.rs:72``) and
+lists webhook/streaming ingestion as future work (``README.md``); this
+module is the Spark-native extension: the same merge sink and SQL surface
+over an unbounded source.
+
+Scale notes:
+* watermarks bound state — without them windowed aggs grow forever;
+* ``dropDuplicatesWithinWatermark`` keeps dedup state bounded the same way;
+* ``foreachBatch`` reuses the batch JdbcMergeWriter per micro-batch —
+  merge-by-PK makes redelivery after failure idempotent (effectively
+  exactly-once into the warehouse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (the container-friendly stand-in for
+    Kafka/webhook sources — swap ``format`` only; the rest of the pipeline
+    is source-agnostic)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type with late-data handling.
+
+    The watermark bounds aggregation state and admits events up to
+    ``watermark`` late; later ones drop (documented, deterministic)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """At-most-once per event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark keeps state bounded — the streaming
+    sibling of op_dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_merge_to_sink(stream_df: DataFrame, writer, checkpoint_dir: str):
+    """Continuously merge a stream into the warehouse via foreachBatch.
+
+    ``writer`` is a JdbcMergeWriter; each micro-batch runs the same
+    partition-parallel merge as the batch path. Returns the
+    StreamingQuery (caller awaits/stops)."""
+    def sink_batch(batch_df: DataFrame, _batch_id: int):
+        if batch_df.take(1):
+            writer.write(batch_df)  # prepare() inside is IF NOT EXISTS — idempotent
+
+    return (
+        stream_df.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

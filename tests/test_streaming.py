@@ -1,0 +1,110 @@
+"""Structured Streaming tests: windowed aggs, streaming dedup, foreachBatch
+merge sink — file-source micro-batches with availableNow triggers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+
+from apitap_spark.sinks.jdbc_merge import DuckDbDialect, JdbcMergeWriter, WriteMode
+from apitap_spark.streaming.ingest import (
+    read_event_stream,
+    stream_merge_to_sink,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+
+def _write_events(path: str, name: str, events: list[dict]):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+def _ev(i, ts, typ="click", value=1.0, user=1):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": typ,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            _ev(1, "2024-01-01T00:01:00Z"),
+            _ev(2, "2024-01-01T00:05:00Z"),
+            _ev(3, "2024-01-01T00:12:00Z", typ="view", value=2.5),
+        ],
+    )
+    out = windowed_event_counts(read_event_stream(spark, src), window="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].minute, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[(0, "click")] == (2, 2.0)
+    assert rows[(10, "view")] == (1, 2.5)
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "events")
+    _write_events(src, "b1.json", [_ev(1, "2024-01-01T00:01:00Z"), _ev(2, "2024-01-01T00:02:00Z")])
+    _write_events(src, "b2.json", [_ev(2, "2024-01-01T00:02:30Z"), _ev(3, "2024-01-01T00:03:00Z")])
+    deduped = streaming_dedup(
+        read_event_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()
+    )
+    assert ids == [1, 2, 3]  # duplicate event_id=2 dropped across micro-batches
+
+
+def test_stream_merge_to_duckdb(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    duck = str(tmp_path / "wh.duckdb")
+    writer = JdbcMergeWriter(
+        (lambda p: (lambda: __import__("duckdb").connect(p)))(duck),
+        "events_sink",
+        dialect=DuckDbDialect(),
+        mode=WriteMode.MERGE,
+        primary_key="event_id",
+    )
+    _write_events(src, "b1.json", [_ev(1, "2024-01-01T00:01:00Z", value=1.0)])
+    q = stream_merge_to_sink(read_event_stream(spark, src), writer, ckpt)
+    q.awaitTermination(120)
+
+    # Second batch: update event 1, insert event 2; checkpoint resumes.
+    _write_events(src, "b2.json", [_ev(1, "2024-01-01T00:01:00Z", value=9.0), _ev(2, "2024-01-01T00:02:00Z")])
+    q = stream_merge_to_sink(read_event_stream(spark, src), writer, ckpt)
+    q.awaitTermination(120)
+
+    rows = duckdb.connect(duck).execute(
+        "SELECT event_id, value FROM events_sink ORDER BY event_id"
+    ).fetchall()
+    assert rows == [(1, 9.0), (2, 1.0)]
