@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the scale properties claimed in docstrings must
+actually appear in the executed plans (pushdown, pruning, broadcast, partial
+aggregation, top-k). Guards against regressions that stay correct but stop
+scaling."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    from apitap_spark.plans.relational import q6_revenue_forecast
+
+    p = _plan(q6_revenue_forecast(spark, sf_dir))
+    assert "PushedFilters:" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    assert "LessThan(l_quantity,24.0)" in p
+    # column pruning: scan reads only the 4 needed columns
+    assert "l_orderkey" not in p.split("ReadSchema")[1].split("\n")[0]
+    assert "partial_sum" in p  # map-side combine before the shuffle
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    from apitap_spark.plans.relational import q3_shipping_priority
+
+    p = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # ordered LIMIT never globally sorts
+
+
+def test_q5_single_shuffle_join_among_broadcasts(spark, sf_dir):
+    from apitap_spark.plans.relational import q5_region_revenue
+
+    p = _plan(q5_region_revenue(spark, sf_dir))
+    # dims broadcast; the only SortMergeJoin/shuffle join allowed is
+    # orders⋈lineitem (and AQE may demote even that to broadcast at sf0.001)
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    from apitap_spark.plans.relational import q1_pricing_summary
+
+    p = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in p and "partial_count" in p
+
+
+def test_window_topn_group_limit(spark, sf_dir):
+    from apitap_spark.plans.relational import q_window_topn_per_group
+
+    p = _plan(q_window_topn_per_group(spark, sf_dir))
+    # Spark 3.5+/4.x inserts WindowGroupLimit so only rk<=3 rows survive the sort
+    assert "WindowGroupLimit" in p
+
+
+def test_ann_topk_broadcasts_queries(spark, sf_dir):
+    from apitap_spark.operators.similarity import op_ann_cosine_topk
+
+    p = _plan(op_ann_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    import re
+
+    from apitap_spark.operators.dedup import op_dedup_exact
+
+    p = _plan(op_dedup_exact(spark, sf_dir))
+    # one hash shuffle on the digest (formatted output names each op once
+    # in the tree and once in detail — count the detail headers)
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert "partial_min" in p or "partial_count" in p
+
+
+def test_multimodal_no_shuffle(spark, sf_dir):
+    from apitap_spark.operators.multimodal import op_multimodal_features
+
+    p = _plan(op_multimodal_features(spark, sf_dir))
+    assert "Exchange" not in p  # narrow pipeline: scan → project → mapInPandas
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue"],
+)
+def test_whole_stage_codegen_present(spark, sf_dir, qname):
+    """The hot path stays inside whole-stage codegen (no Python, no
+    interpreted expressions)."""
+    import contextlib
+    import io
+
+    from apitap_spark.plans.relational import QUERIES
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE defers codegen
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            QUERIES[qname](spark, sf_dir).explain("codegen")
+        assert "WholeStageCodegen subtrees" in buf.getvalue()
+        assert "Found 0" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
