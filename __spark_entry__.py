@@ -12,11 +12,47 @@ similarity / text-analysis / multimodal operators).
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 SF0001 = "/root/testdata/sf0.001"
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship apitap_spark to executor Python workers via addPyFile.
+
+    Functions used inside mapInPandas/foreachPartition pickle by reference
+    to their module, so workers must be able to ``import apitap_spark``
+    regardless of the driver's cwd/PYTHONPATH. A zip of the package is
+    registered once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.join(_REPO_DIR, "apitap_spark")
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"apitap_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                zf.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
     aggregation → top-k. Exercises scan, broadcast join, partial agg and
     TakeOrderedAndProject in one plan.
     """
+    _ensure_workers_can_import(spark)
     from apitap_spark.plans.relational import q3_shipping_priority
 
     return q3_shipping_priority(spark, SF0001)
@@ -33,7 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from apitap_spark.plans.relational import QUERIES as REL
+    from apitap_spark.plans import QUERIES as REL
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(REL)
@@ -43,12 +80,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(OPS)
     except ImportError:
         pass
-    return out
+
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _wrap(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() key."""
-    from apitap_spark.plans.relational import ORACLES as REL
+    from apitap_spark.plans import ORACLES as REL
 
     out: dict[str, str] = {}
     out.update(REL)

@@ -8,6 +8,9 @@ DataFrame-API query with a DuckDB oracle, over the driver's TPC-H-ish
 testdata.
 """
 
-from apitap_spark.plans.relational import ORACLES, QUERIES
+from apitap_spark.plans import relational, relational2
+
+QUERIES = {**relational.QUERIES, **relational2.QUERIES}
+ORACLES = {**relational.ORACLES, **relational2.ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]
