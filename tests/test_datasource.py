@@ -1,0 +1,128 @@
+"""Spark 4 Python DataSource API tests: spark.read.format("apitap_http")."""
+
+from __future__ import annotations
+
+import pytest
+
+from apitap_spark.sources.schema import infer_schema_simple
+from tests.mock_api import MockApi
+
+ROWS = [{"id": i, "userId": i % 5, "title": f"t{i}", "score": i * 0.5} for i in range(37)]
+
+
+@pytest.fixture(scope="module")
+def api():
+    api = MockApi(ROWS)
+    api.base = api.start()
+    yield api
+    api.stop()
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from apitap_spark.sources.datasource import register
+
+    register(spark)
+    return spark
+
+
+def test_format_read_limit_offset(registered, api):
+    df = (
+        registered.read.format("apitap_http")
+        .option("url", f"{api.base}/limit_offset")
+        .option("pagination_type", "limit_offset")
+        .option("limit", 10)
+        .load()
+    )
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "userId": "bigint",
+        "title": "string",
+        "score": "double",
+    }
+    assert sorted(r["id"] for r in df.collect()) == list(range(37))
+
+
+def test_format_read_page_number_hint(registered, api):
+    df = (
+        registered.read.format("apitap_http")
+        .option("url", f"{api.base}/page_number")
+        .option("pagination_type", "page_number")
+        .option("per_page", 10)
+        .option("total_items_pointer", "/meta/total")
+        .option("data_path", "/data")
+        .load()
+    )
+    # partition-per-page: 4 pages → 4 partitions
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 37
+
+
+def test_format_read_cursor_single_partition(registered, api):
+    df = (
+        registered.read.format("apitap_http")
+        .option("url", f"{api.base}/cursor")
+        .option("pagination_type", "cursor")
+        .option("cursor_param", "nextToken")
+        .option("page_size_param", "maxResults")
+        .option("page_size", 10)
+        .option("data_path", "/items")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1  # inherently sequential
+    assert df.count() == 37
+
+
+def test_format_sql_queryable(registered, api):
+    (
+        registered.read.format("apitap_http")
+        .option("url", f"{api.base}/limit_offset")
+        .option("pagination_type", "limit_offset")
+        .option("limit", 20)
+        .load()
+    ).createOrReplaceTempView("ds_posts")
+    out = registered.sql(
+        "SELECT userId, COUNT(*) AS n FROM ds_posts GROUP BY userId ORDER BY userId"
+    ).collect()
+    expected = [(k, sum(1 for r in ROWS if r["userId"] == k)) for k in range(5)]
+    assert [(r["userId"], r["n"]) for r in out] == expected
+
+
+# ---- flat inferencer semantics (reference schema.rs tests, SURVEY §5) ------
+def test_simple_inference_lattice():
+    schema = infer_schema_simple(
+        [
+            {"i": 1, "f": 1.5, "b": True, "s": "x", "n": None, "nested": {"a": 1}},
+            {"i": 2, "f": 2, "b": False, "s": "y", "n": None, "nested": [1, 2]},
+        ]
+    )
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert types == {
+        "i": "bigint",
+        "f": "double",  # double ⊔ bigint widens
+        "b": "boolean",
+        "s": "string",
+        "n": "string",  # all-null bottoms out at string
+        "nested": "string",  # stringified (reference streaming inferencer)
+    }
+
+
+def test_simple_inference_conflict_to_string():
+    schema = infer_schema_simple([{"v": 1}, {"v": True}])
+    assert schema.fields[0].dataType.simpleString() == "string"
+
+
+def test_simple_inference_empty_errors():
+    with pytest.raises(ValueError, match="empty sample"):
+        infer_schema_simple([])
+
+
+def test_simple_inference_non_object_errors():
+    with pytest.raises(ValueError, match="expected JSON objects"):
+        infer_schema_simple([42])
+
+
+def test_simple_inference_sample_cutoff():
+    rows = [{"v": 1}] * 100 + [{"v": "drift"}]
+    schema = infer_schema_simple(rows, sample_size=100)
+    assert schema.fields[0].dataType.simpleString() == "bigint"
