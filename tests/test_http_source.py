@@ -219,3 +219,39 @@ def test_inference_sample_cutoff(spark):
     rows = [{"v": 1} for _ in range(100)] + [{"v": "drift"}]
     schema = src.infer_schema(spark, rows)
     assert {f.name: f.dataType.simpleString() for f in schema.fields}["v"] == "bigint"
+
+
+def test_headers_sent(spark, api):
+    """Auth headers reach the server (FIXTURES F6) — verified with a local
+    echo endpoint that reflects X-API-KEY back into the row payload."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class EchoHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = _json.dumps(
+                [{"id": 1, "key_seen": self.headers.get("X-API-KEY", "")}]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), EchoHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = HttpSource(
+            name="auth",
+            url=f"http://127.0.0.1:{srv.server_address[1]}/x",
+            pagination=LimitOffsetPagination(limit=50),
+            headers={"X-API-KEY": "sekrit"},
+        )
+        rows = src.load(spark).collect()
+        assert rows[0]["key_seen"] == "sekrit"
+    finally:
+        srv.shutdown()

@@ -84,3 +84,27 @@ def test_lang_id_covers_unknown(spark, sf_dir):
 
     langs = {r["predicted_lang"] for r in op_text_lang_id(spark, sf_dir).collect()}
     assert langs <= {"unknown", "de", "en", "es", "fr"}
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Every doc appears once; cluster head is its own min; pairs end up
+    co-clustered."""
+    from apitap_spark.operators.dedup import (
+        _jaccard_pairs,
+        _shingle_df,
+        op_dedup_clusters,
+    )
+
+    rows = op_dedup_clusters(spark, sf_dir).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert len(by_doc) == len(rows)  # one row per doc
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in clusters.items():
+        assert cid == min(members)  # head is the smallest id
+        kept = [d for d in members if by_doc[d]["is_kept"]]
+        assert kept == [cid]  # exactly one kept per cluster
+    pairs = _jaccard_pairs(_shingle_df(spark, sf_dir), None, 0.8).collect()
+    for p in pairs:
+        assert by_doc[p["d1"]]["cluster_id"] == by_doc[p["d2"]]["cluster_id"]
