@@ -6,11 +6,11 @@ engine operators, each exposed through the driver contract
 (``queries()`` / ``oracle_sql()``).
 """
 
-from apitap_spark.operators import dedup, multimodal, similarity, textstats
+from apitap_spark.operators import dedup, multimodal, similarity, textstats, udtf_ops
 
 QUERIES = {}
 ORACLES = {}
-for _mod in (dedup, similarity, textstats, multimodal):
+for _mod in (dedup, similarity, textstats, multimodal, udtf_ops):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

@@ -108,3 +108,27 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     pairs = _jaccard_pairs(_shingle_df(spark, sf_dir), None, 0.8).collect()
     for p in pairs:
         assert by_doc[p["d1"]]["cluster_id"] == by_doc[p["d2"]]["cluster_id"]
+
+
+def test_approx_aggregates_accuracy(spark, sf_dir):
+    """Sketch estimates stay within documented error of exact values."""
+    from apitap_spark.operators.udtf_ops import op_approx_aggregates
+    from apitap_spark.plans.relational import _t
+
+    approx = {r["l_returnflag"]: r for r in op_approx_aggregates(spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["nd"]) / e["nd"] < 0.1
+        assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.05
