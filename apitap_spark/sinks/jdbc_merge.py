@@ -137,6 +137,13 @@ class Dialect:
     def json_cast(self, expr: str) -> str:
         return expr
 
+    # -- bulk append fast path --------------------------------------------
+    def bulk_append(self, conn, table: str, columns: list[str], rows: list) -> bool:
+        """Engine-native bulk load for APPEND mode (DuckDB: DataFrame
+        registration; Postgres: COPY when the driver exposes it). Returns
+        False when unsupported → caller falls back to multi-row INSERT."""
+        return False
+
 
 class PostgresDialect(Dialect):
     def __init__(self):
@@ -161,6 +168,29 @@ class PostgresDialect(Dialect):
     def json_cast(self, expr: str) -> str:
         return f"{expr}::jsonb"
 
+    def bulk_append(self, conn, table: str, columns: list[str], rows: list) -> bool:
+        """COPY FROM STDIN (CSV) when the driver exposes copy_expert —
+        the 10-100x append path the reference lists as future work
+        (reference README.md:127, docs/OPTIMIZATION_REPORT.md:178-185)."""
+        copy_expert = getattr(getattr(conn, "cursor", lambda: None)(), "copy_expert", None)
+        if copy_expert is None:
+            return False
+        import csv
+        import io
+
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        for r in rows:
+            w.writerow(["" if v is None else v for v in r])
+        buf.seek(0)
+        collist = ", ".join(quote_ident(c) for c in columns)
+        copy_expert(
+            f"COPY {quote_ident_path(table)} ({collist}) FROM STDIN "
+            f"WITH (FORMAT csv, NULL '')",
+            buf,
+        )
+        return True
+
 
 class DuckDbDialect(Dialect):
     """Test stand-in: DuckDB speaks ON CONFLICT and qmark params."""
@@ -172,6 +202,21 @@ class DuckDbDialect(Dialect):
 
     def server_version(self, conn) -> tuple[int, int]:
         return (9, 5)  # pretend: upsert-capable, no MERGE
+
+    def bulk_append(self, conn, table: str, columns: list[str], rows: list) -> bool:
+        """Register the batch as a DataFrame and INSERT ... SELECT — the
+        DuckDB analog of COPY (~10x the multi-row-INSERT path)."""
+        import pandas as pd
+
+        batch = pd.DataFrame(rows, columns=columns)  # noqa: F841 — read by name below
+        collist = ", ".join(quote_ident(c) for c in columns)
+        conn.register("_apitap_batch", batch)
+        conn.execute(
+            f"INSERT INTO {quote_ident_path(table)} ({collist}) "
+            f"SELECT {collist} FROM _apitap_batch"
+        )
+        conn.unregister("_apitap_batch")
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -324,10 +369,25 @@ class JdbcMergeWriter:
             cur = conn.cursor()
             buf: list = []
 
+            use_bulk = self.mode in (WriteMode.APPEND, WriteMode.OVERWRITE)
+
             def flush():
-                nonlocal written
+                nonlocal written, use_bulk
                 if not buf:
                     return
+                if use_bulk:
+                    rendered = [
+                        tuple(
+                            _bind_value(r[i], dtypes[i], self.dialect)
+                            for i in range(len(columns))
+                        )
+                        for r in buf
+                    ]
+                    if self.dialect.bulk_append(conn, self.table, columns, rendered):
+                        written += len(buf)
+                        buf.clear()
+                        return
+                    use_bulk = False  # unsupported → INSERT from here on
                 sql = self._statement(len(columns), columns, version, len(buf))
                 params: list = []
                 for r in buf:

@@ -213,3 +213,48 @@ def test_write_rows_driver_side(duck_path):
     assert n == 2
     rows = duckdb.connect(duck_path).execute("SELECT id, name FROM target").fetchall()
     assert rows == [(1, "a2")]  # second statement upserted over the first
+
+
+def test_postgres_copy_bulk_append_shape():
+    """COPY path: SQL + CSV payload shape via a fake copy_expert cursor."""
+    captured = {}
+
+    class FakeCur:
+        def copy_expert(self, sql, buf):
+            captured["sql"] = sql
+            captured["csv"] = buf.read()
+
+        def execute(self, *a):
+            pass
+
+        def fetchone(self):
+            return ("PostgreSQL 15.1",)
+
+    class FakeConn:
+        def cursor(self):
+            return FakeCur()
+
+    d = PostgresDialect()
+    ok = d.bulk_append(
+        FakeConn(), "public.t", ["id", "name"], [(1, "a"), (2, None), (3, 'q"x')]
+    )
+    assert ok
+    assert captured["sql"].startswith('COPY "public"."t" ("id", "name") FROM STDIN')
+    assert "NULL ''" in captured["sql"]
+    lines = captured["csv"].strip().splitlines()
+    assert lines[0] == "1,a"
+    assert lines[1] == "2,"  # None → unquoted empty = NULL
+    assert lines[2] == '3,"q""x"'  # csv-escaped quote
+
+
+def test_duckdb_bulk_append_used_for_append(spark, duck_path):
+    """Append mode routes through the registered-DataFrame bulk path and
+    results match."""
+    w = _writer(duck_path, WriteMode.APPEND, batch_size=2)
+    w.prepare(SCHEMA)
+    n = w.write_rows([(i, f"n{i}", float(i), None) for i in range(7)], SCHEMA)
+    assert n == 7
+    got = duckdb.connect(duck_path).execute(
+        "SELECT count(*), sum(id) FROM target"
+    ).fetchone()
+    assert got == (7, 21)
