@@ -52,3 +52,26 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+sorted) managed table.
+
+    Bucketing pre-shuffles the data once at write time: two tables
+    bucketed on the same key with the same bucket count join WITHOUT a
+    shuffle (and without even a sort if ``sort=True``) — the pattern for
+    repeatedly-joined 100 TB fact tables where the per-query shuffle is
+    the dominant cost.
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)

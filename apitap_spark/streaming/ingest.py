@@ -89,3 +89,42 @@ def stream_merge_to_sink(stream_df: DataFrame, writer, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_user_totals(events: DataFrame, timeout_sec: int = 3600) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted every micro-batch.
+
+    The GroupState holds one (count, total) pair per user — O(users)
+    state, partitioned by the grouping key across executors; the timeout
+    reaps idle users so state stays bounded (the hand-rolled analog of
+    watermark eviction).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_sec * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -16,7 +16,12 @@ SF_SMOKE = os.environ.get("APITAP_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from apitap_spark.session import get_session
 
-    spark = get_session(app_name="apitap-tests")
+    import tempfile
+
+    spark = get_session(
+        app_name="apitap-tests",
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="apitap_wh_")},
+    )
     yield spark
 
 

@@ -255,3 +255,46 @@ def test_headers_sent(spark, api):
         assert rows[0]["key_seen"] == "sekrit"
     finally:
         srv.shutdown()
+
+
+def test_schema_drift_null_fills(spark):
+    """Rows after the sample that contradict the inferred schema null-fill
+    (PERMISSIVE) instead of erroring — documented improvement over the
+    reference's hard failure (SURVEY §7.4)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    data = [{"id": i, "v": i} for i in range(10)] + [{"id": 10, "v": "drift!"}]
+
+    class DriftHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            qs = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+            lim, off = int(qs.get("limit", 5)), int(qs.get("offset", 0))
+            body = _json.dumps(data[off : off + lim]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), DriftHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = HttpSource(
+            name="drift",
+            url=f"http://127.0.0.1:{srv.server_address[1]}/x",
+            pagination=LimitOffsetPagination(limit=5),
+            sample_size=5,  # drifted row arrives after the sample
+        )
+        df = src.load(spark)
+        assert dict(df.dtypes)["v"] == "bigint"  # schema fixed from sample
+        rows = {r["id"]: r["v"] for r in df.collect()}
+        assert rows[10] is None  # drifted value null-filled, run survives
+        assert rows[3] == 3
+    finally:
+        srv.shutdown()

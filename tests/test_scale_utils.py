@@ -101,3 +101,38 @@ def test_csv_inference_roundtrip(spark, tmp_path):
     df = read_files(spark, p, fmt="csv")
     assert dict(df.dtypes) == {"id": "int", "score": "double", "name": "string"}
     assert df.count() == 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two co-bucketed tables join with zero Exchange operators."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F2
+
+    from apitap_spark.sources.files import write_bucketed_table
+
+    facts = spark.range(10_000).select(
+        (F2.col("id") % 500).alias("k"), (F2.col("id") * 2).alias("v")
+    )
+    dims = spark.range(500).select(
+        F2.col("id").alias("k"), F2.concat(F2.lit("d"), F2.col("id")).alias("label")
+    )
+    write_bucketed_table(facts, "bj_facts", "k", n_buckets=8)
+    write_bucketed_table(dims, "bj_dims", "k", n_buckets=8)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = spark.table("bj_facts").join(spark.table("bj_dims"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bj_facts")
+        spark.sql("DROP TABLE IF EXISTS bj_dims")

@@ -108,3 +108,38 @@ def test_stream_merge_to_duckdb(spark, tmp_path):
         "SELECT event_id, value FROM events_sink ORDER BY event_id"
     ).fetchall()
     assert rows == [(1, 9.0), (2, 1.0)]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: state carries across micro-batches."""
+    from apitap_spark.streaming.ingest import running_user_totals
+
+    src = str(tmp_path / "events")
+    _write_events(
+        src,
+        "b1.json",
+        [_ev(1, "2024-01-01T00:01:00Z", user=1, value=2.0),
+         _ev(2, "2024-01-01T00:02:00Z", user=1, value=3.0),
+         _ev(3, "2024-01-01T00:03:00Z", user=2, value=5.0)],
+    )
+    _write_events(
+        src,
+        "b2.json",
+        [_ev(4, "2024-01-01T00:04:00Z", user=1, value=10.0)],
+    )
+    out = running_user_totals(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    # last emission per user wins (update mode): user 1 saw 3 events/15.0
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert last[1] == (3, 15.0)
+    assert last[2] == (1, 5.0)
