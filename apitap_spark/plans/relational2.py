@@ -584,3 +584,104 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 math scalar functions.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 1000.0) AS abs_diff,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+           ROUND(POWER(l_discount, 2), 10) AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_extendedprice - 2000.0) AS BIGINT) AS price_sign
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (SURVEY §2.2 Q12): abs/ceil/floor/sqrt/power/
+    mod/sign — IEEE-deterministic, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.pow("l_discount", F.lit(2)), 10).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.signum(F.col("l_extendedprice") - 2000.0).cast("bigint").alias("price_sign"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 explicit cross join (dimension × dimension).
+# ---------------------------------------------------------------------------
+@_register(
+    "q_cross_join_dims",
+    """
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    """,
+)
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (SURVEY §2.2 Q5) — legitimate only between
+    dimension-sized inputs; Catalyst plans BroadcastNestedLoopJoin."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 bag semantics: INTERSECT ALL / EXCEPT ALL.
+# ---------------------------------------------------------------------------
+@_register(
+    "q_setop_intersect_all",
+    """
+    SELECT CAST(o_custkey % 50 AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT CAST(o_custkey % 50 AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the sides)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        (F.col("o_custkey") % 50).cast("bigint").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        (F.col("o_custkey") % 50).cast("bigint").alias("k")
+    )
+    return a.intersectAll(b)
+
+
+@_register(
+    "q_setop_except_all",
+    """
+    SELECT CAST(o_custkey % 20 AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT CAST(o_custkey % 20 AS BIGINT) AS k FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity subtraction)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        (F.col("o_custkey") % 20).cast("bigint").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        (F.col("o_custkey") % 20).cast("bigint").alias("k")
+    )
+    return a.exceptAll(b)
