@@ -685,17 +685,18 @@ def q_cte_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_values_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inline VALUES lookup table join (SURVEY §2.2 Q11) — local relation,
-    always broadcast."""
-    orders = _t(spark, sf_dir, "orders")
-    pri = spark.createDataFrame(
-        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3), ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
-        "name string, pri_rank int",
-    )
-    return (
-        orders.join(F.broadcast(pri), orders.o_orderpriority == pri.name)
-        .groupBy("o_orderpriority", "pri_rank")
-        .agg(F.count("*").alias("n_orders"))
+    """Inline VALUES lookup table join (SURVEY §2.2 Q11) — a Catalyst
+    LocalRelation (no RDD round-trip), always broadcast."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_val_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, pri_rank, COUNT(*) AS n_orders
+        FROM _val_orders
+        JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) AS pri(name, pri_rank)
+          ON o_orderpriority = pri.name
+        GROUP BY o_orderpriority, pri_rank
+        """
     )
 
 
