@@ -185,3 +185,46 @@ def op_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp64")
     )
+
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a print)
+
+
+@_register("op_text_winnowing")  # engine-specific hash -> rows-only check
+def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    char k-gram rolling hashes -> minimum per sliding window -> distinct
+    fingerprint set per document.
+
+    All JVM-side: explode gram positions (each k-gram hashed exactly
+    once), then a ROWS-frame window minimum per document. The naive
+    nested-array formulation (array of grams sliced per window) makes
+    Catalyst's project-collapse re-evaluate the whole gram array per
+    window element — O(n²) hashing; the explode+window shape is O(n·w)
+    and shares the doc_id shuffle with any downstream per-doc work.
+    Output: distinct (doc_id, fingerprint) pairs — a join on fingerprint
+    is the plagiarism/near-dup candidate generator, resilient to local
+    edits (guarantee: any shared run of >= k+w-1 chars shares a print).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"),
+    ).filter(F.length("t") >= WINNOW_K)
+    grams = norm.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {WINNOW_K - 1}),"
+                f" i -> xxhash64(substr(t, i, {WINNOW_K})))"
+            )
+        ).alias("pos", "h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )

@@ -132,3 +132,33 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
         a = approx[flag]
         assert abs(a["approx_parts"] - e["nd"]) / e["nd"] < 0.1
         assert abs(a["approx_p50"] - e["p50"]) / e["p50"] < 0.05
+
+
+def test_winnowing_neardups_share_fingerprints(spark, sf_dir):
+    """Planted near-dup pairs must share most winnowing fingerprints;
+    random pairs must not."""
+    from apitap_spark.operators.dedup import _jaccard_pairs, _shingle_df
+    from apitap_spark.operators.textstats import op_text_winnowing
+
+    fps = {}
+    for r in op_text_winnowing(spark, sf_dir).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert len(fps) > 400  # nearly all docs fingerprinted
+
+    planted = [
+        (r["d1"], r["d2"])
+        for r in _jaccard_pairs(_shingle_df(spark, sf_dir), None, 0.95).collect()
+    ]
+    assert planted
+    for d1, d2 in planted:
+        inter = len(fps[d1] & fps[d2])
+        union = len(fps[d1] | fps[d2])
+        assert inter / union > 0.5, (d1, d2, inter, union)
+
+    import itertools
+
+    random_pairs = list(itertools.islice(
+        ((a, b) for a, b in itertools.combinations(sorted(fps), 2)
+         if (a, b) not in set(planted)), 50))
+    sims = [len(fps[a] & fps[b]) / len(fps[a] | fps[b]) for a, b in random_pairs]
+    assert max(sims) < 0.5
