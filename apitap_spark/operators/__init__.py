@@ -6,11 +6,18 @@ engine operators, each exposed through the driver contract
 (``queries()`` / ``oracle_sql()``).
 """
 
-from apitap_spark.operators import dedup, multimodal, similarity, textstats, udtf_ops
+from apitap_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+    udtf_ops,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _mod in (dedup, similarity, textstats, multimodal, udtf_ops):
+for _mod in (dedup, similarity, textstats, multimodal, udtf_ops, curation):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

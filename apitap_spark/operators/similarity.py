@@ -234,3 +234,42 @@ def op_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("q_id", "c_id", "cell", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@_register(
+    "op_dedup_embedding_cosine",
+    f"""
+    WITH pool AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+                * sqrt({_SQL_NORM2.format(a="b.embedding")})), 6) AS cosine
+    FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+            / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+               * sqrt({_SQL_NORM2.format(a="b.embedding")})) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4) — the semantic rung
+    of the dedup ladder (paraphrases that share no n-grams).
+
+    Exact all-pairs over a bounded pool (vec_id < 1000) as the oracle-able
+    baseline; the corpus-scale path replaces the cross join with the LSH
+    bucket join (op_ann_lsh_bucketed) exactly as MinHash replaces exact
+    Jaccard. Self-join dedupe by vec_id ordering; double-precision math
+    matches the DuckDB oracle bit-for-bit before the 6-dp round.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    cos = cosine_similarity("ea", "eb")
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+    )

@@ -153,11 +153,21 @@ def _fetch_raw(
     for delay in delays:
         try:
             resp = sess.get(url, params=params, headers=headers, timeout=timeout)
-            if resp.status_code >= 500:
-                raise requests.HTTPError(f"server error {resp.status_code}", response=resp)
-            resp.raise_for_status()
+            if 400 <= resp.status_code < 500 and resp.status_code != 429:
+                # Client errors are deterministic — retrying wastes the
+                # budget and hammers the API (429 excepted: that IS the
+                # API asking us to retry later).
+                raise RuntimeError(
+                    f"HTTP {resp.status_code} client error for {url} (not retried)"
+                )
+            if resp.status_code >= 500 or resp.status_code == 429:
+                raise requests.HTTPError(
+                    f"retryable status {resp.status_code}", response=resp
+                )
             return resp
-        except Exception as exc:  # noqa: BLE001 — any transport/HTTP error retries
+        except RuntimeError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — transport/5xx/429 retry
             last_exc = exc
             if delay is None:
                 break

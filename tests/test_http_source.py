@@ -298,3 +298,35 @@ def test_schema_drift_null_fills(spark):
         assert rows[3] == 3
     finally:
         srv.shutdown()
+
+
+def test_client_error_not_retried(spark):
+    """4xx (except 429) fails fast without burning the retry budget."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = {"n": 0}
+
+    class NotFound(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            hits["n"] += 1
+            self.send_response(404)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), NotFound)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        src = HttpSource(
+            name="nf",
+            url=f"http://127.0.0.1:{srv.server_address[1]}/x",
+            pagination=LimitOffsetPagination(limit=10),
+            retry=RetryPolicy(max_attempts=3, min_delay_sec=0.01, max_delay_sec=0.02),
+        )
+        with pytest.raises(RuntimeError, match="404 client error.*not retried"):
+            src.load(spark)
+        assert hits["n"] == 1  # exactly one request — no retries
+    finally:
+        srv.shutdown()
