@@ -39,7 +39,9 @@ def test_simhash_finds_planted_neardups(spark, sf_dir):
     found = _pairs(op_dedup_simhash(spark, sf_dir))
     assert planted, "expected planted >=0.95 jaccard pairs in testdata"
     missed = planted - found
-    assert len(missed) <= max(1, len(planted) // 5), f"simhash missed {missed}"
+    # 8x8-bit banding guarantees hamming<=7 detection; measured planted
+    # distances top out around 5 — a couple of outliers tolerated.
+    assert len(missed) <= max(1, len(planted) // 10), f"simhash missed {missed}"
 
 
 def test_lsh_ann_recall(spark, sf_dir):
