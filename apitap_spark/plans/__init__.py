@@ -8,9 +8,9 @@ DataFrame-API query with a DuckDB oracle, over the driver's TPC-H-ish
 testdata.
 """
 
-from apitap_spark.plans import relational, relational2
+from apitap_spark.plans import relational, relational2, relational3
 
-QUERIES = {**relational.QUERIES, **relational2.QUERIES}
-ORACLES = {**relational.ORACLES, **relational2.ORACLES}
+QUERIES = {**relational.QUERIES, **relational2.QUERIES, **relational3.QUERIES}
+ORACLES = {**relational.ORACLES, **relational2.ORACLES, **relational3.ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]
