@@ -86,6 +86,14 @@ def _pagination_from(d: dict | None):
 
 
 @dataclass
+class IncrementalConfig:
+    """High-watermark incremental sync (reference roadmap README.md:123,532)."""
+
+    cursor_field: str  # column in the fetched rows holding the watermark
+    cursor_param: str = "since"  # query param carrying the last watermark
+
+
+@dataclass
 class SourceConfig:
     name: str
     url: str
@@ -96,6 +104,7 @@ class SourceConfig:
     retry: RetryPolicy = field(default_factory=RetryPolicy)
     dest_table: str | None = None
     primary_key: str | None = None
+    incremental: IncrementalConfig | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> SourceConfig:
@@ -104,6 +113,17 @@ class SourceConfig:
         if not d.get("url"):
             raise ConfigError(f"source {d.get('name')!r} requires a url")
         retry = d.get("retry") or {}
+        inc = d.get("incremental")
+        incremental = None
+        if inc:
+            if not inc.get("cursor_field"):
+                raise ConfigError(
+                    f"source {d['name']!r}: incremental requires cursor_field"
+                )
+            incremental = IncrementalConfig(
+                cursor_field=inc["cursor_field"],
+                cursor_param=inc.get("cursor_param", "since"),
+            )
         return cls(
             name=d["name"],
             url=d["url"],
@@ -118,6 +138,7 @@ class SourceConfig:
             ),
             dest_table=d.get("dest_table"),
             primary_key=d.get("primary_key_in_dest") or d.get("primary_key"),
+            incremental=incremental,
         )
 
     def to_http_source(self) -> HttpSource:

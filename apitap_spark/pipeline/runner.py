@@ -58,7 +58,10 @@ def run_module(
     rel_path: str,
     target_name: str,
     mode: WriteMode = WriteMode.MERGE,
+    state=None,
 ) -> ModuleStats:
+    from pyspark.sql import functions as F
+
     t0 = time.perf_counter()
     rendered = render_module(modules_dir, rel_path)
     if not rendered.sources:
@@ -66,9 +69,21 @@ def run_module(
     # Register every referenced source under its unique view name.
     pk = None
     dest = rendered.sink
+    watermarks = []  # (source_name, cursor_field, new_value) after success
     for src_name, view in rendered.sources.items():
         sc = cfg.source(src_name)
-        sc.to_http_source().register(spark, view)
+        http_src = sc.to_http_source()
+        if sc.incremental and state is not None:
+            last = state.get(src_name)
+            if last is not None:
+                # high-watermark param: only rows past the last sync
+                http_src.extra_params = dict(http_src.extra_params)
+                http_src.extra_params[sc.incremental.cursor_param] = last
+        src_df = http_src.register(spark, view)
+        if sc.incremental and state is not None and sc.incremental.cursor_field in src_df.columns:
+            row = src_df.agg(F.max(sc.incremental.cursor_field).alias("m")).collect()
+            if row and row[0]["m"] is not None:
+                watermarks.append((src_name, sc.incremental.cursor_field, row[0]["m"]))
         pk = pk or sc.primary_key
         dest = dest or sc.dest_table
     if not dest:
@@ -80,6 +95,10 @@ def run_module(
     writer.write(result)
     n = result.count()
     result.unpersist()
+    # Advance watermarks only after the write committed (at-least-once +
+    # merge-by-PK ⇒ effectively-once increments).
+    for src_name, field, value in watermarks:
+        state.advance(src_name, field, value)
     stats = ModuleStats(rel_path, dest, n, round(time.perf_counter() - t0, 3))
     log.info("module done", extra={"stats": stats.__dict__})
     return stats
@@ -91,17 +110,23 @@ def run_pipeline(
     config_path: str,
     target_name: str | None = None,
     mode: WriteMode = WriteMode.MERGE,
+    state_path: str | None = None,
 ) -> list[ModuleStats]:
     """Sequential module loop (T7). ``target_name`` defaults to the config's
-    single target."""
+    single target; ``state_path`` enables incremental high-watermark sync."""
+    from apitap_spark.pipeline.state import PipelineState
+
     cfg = load_config_from_path(config_path)
     if target_name is None:
         if len(cfg.targets) != 1:
             raise ValueError("target_name required when config has multiple targets")
         target_name = next(iter(cfg.targets))
+    state = PipelineState(state_path) if state_path else None
     stats = []
     for rel in list_sql_templates(modules_dir):
-        stats.append(run_module(spark, cfg, modules_dir, rel, target_name, mode))
+        stats.append(
+            run_module(spark, cfg, modules_dir, rel, target_name, mode, state=state)
+        )
     total = sum(s.rows_written for s in stats)
     log.info("pipeline done: %d modules, %d rows", len(stats), total)
     return stats
@@ -140,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-y", "--yaml-config", required=True, help="pipelines YAML")
     ap.add_argument("-t", "--target", default=None, help="target name (default: sole target)")
     ap.add_argument("--write-mode", default="merge", choices=[m.value for m in WriteMode])
+    ap.add_argument(
+        "--state", default=None, help="JSON state file enabling incremental sync"
+    )
     ap.add_argument("--log-json", action="store_true")
     ap.add_argument("--log-level", default="info")
     args = ap.parse_args(argv)
@@ -154,6 +182,7 @@ def main(argv: list[str] | None = None) -> int:
         args.yaml_config,
         target_name=args.target,
         mode=WriteMode(args.write_mode),
+        state_path=args.state,
     )
     for s in stats:
         print(_json.dumps(s.__dict__))

@@ -97,6 +97,13 @@ class MockApi:
             chunk = self.rows[cur : cur + per]
             nxt = cur + per if cur + per < len(self.rows) else None
             return {"items": chunk, "next_cursor": nxt}, "application/json"
+        if route == "incr":
+            # incremental sync: rows with seq > since, limit/offset paged
+            since = int(qs.get("since", -1))
+            limit = int(qs.get("limit", 10))
+            offset = int(qs.get("offset", 0))
+            fresh = [r for r in self.rows if r["seq"] > since]
+            return fresh[offset : offset + limit], "application/json"
         if route == "ndjson":
             limit = int(qs.get("limit", 10))
             offset = int(qs.get("offset", 0))

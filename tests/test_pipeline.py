@@ -212,3 +212,53 @@ def test_cli_runs(tmp_path, api, modules_dir, capsys):
     con = duckdb.connect(duck_path)
     assert con.execute("SELECT count(*) FROM all_posts").fetchone()[0] == len(ROWS)
     con.close()
+
+
+def test_incremental_sync_high_watermark(spark, tmp_path):
+    """Second run fetches only rows past the watermark; warehouse converges
+    (reference roadmap: incremental sync state management)."""
+    import json as _json
+
+    rows = [{"id": i, "seq": i, "v": f"v{i}"} for i in range(20)]
+    api2 = MockApi(rows)
+    base = api2.start()
+    try:
+        duck_path = os.path.join(tmp_path, "incr.duckdb")
+        state_path = os.path.join(tmp_path, "state.json")
+        sql_dir = tmp_path / "isql"
+        sql_dir.mkdir()
+        (sql_dir / "sync.sql").write_text(
+            "{{ sink(name='incr_rows') }}SELECT id, seq, v FROM {{ use_source('incr') }}"
+        )
+        cfg = tmp_path / "incr.yaml"
+        cfg.write_text(
+            f"""
+sources:
+  - name: incr
+    url: {base}/incr
+    pagination: {{type: limit_offset, limit: 8}}
+    primary_key_in_dest: id
+    incremental: {{cursor_field: seq, cursor_param: since}}
+targets:
+  - name: wh
+    kind: duckdb
+    path: {duck_path}
+"""
+        )
+        run_pipeline(spark, str(sql_dir), str(cfg), state_path=state_path)
+        st = _json.load(open(state_path))
+        assert st["incr"]["last_value"] == 19
+
+        api2.rows.extend({"id": i, "seq": i, "v": f"v{i}"} for i in range(20, 27))
+        api2.request_count = 0
+        run_pipeline(spark, str(sql_dir), str(cfg), state_path=state_path)
+        assert _json.load(open(state_path))["incr"]["last_value"] == 26
+        # delta fetch: 7 fresh rows at limit 8 → page0(7 rows)+empty-check,
+        # far fewer requests than a full resync
+        assert api2.request_count <= 4
+
+        con = duckdb.connect(duck_path)
+        assert con.execute("SELECT count(*), max(seq) FROM incr_rows").fetchone() == (27, 26)
+        con.close()
+    finally:
+        api2.stop()
