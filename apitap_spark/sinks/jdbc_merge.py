@@ -99,16 +99,24 @@ def ddl_for_schema(
     schema: T.StructType,
     primary_key: str | list[str] | None = None,
     json_type: str = "JSONB",
+    dialect: "Dialect | None" = None,
 ) -> str:
-    """CREATE TABLE IF NOT EXISTS … (reference src/writer/postgres.rs:255-308)."""
+    """CREATE TABLE IF NOT EXISTS … (reference src/writer/postgres.rs:255-308).
+
+    With a ``dialect``, column types, PK inlining, and the engine suffix
+    (ReplacingMergeTree / CLUSTER BY) come from its hooks."""
     pks = [primary_key] if isinstance(primary_key, str) else list(primary_key or [])
-    cols = [
-        f"{quote_ident(f.name)} {pg_type_for(f.dataType, json_type)}"
-        for f in schema.fields
-    ]
-    if pks:
+    type_of = dialect.type_for if dialect else (lambda dt: pg_type_for(dt, json_type))
+    cols = [f"{quote_ident(f.name)} {type_of(f.dataType)}" for f in schema.fields]
+    if pks and (dialect is None or dialect.supports_inline_pk()):
         cols.append("PRIMARY KEY (" + ", ".join(quote_ident(p) for p in pks) + ")")
-    return f"CREATE TABLE IF NOT EXISTS {quote_ident_path(table)} (" + ", ".join(cols) + ")"
+    suffix = dialect.ddl_options(pks) if dialect else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {quote_ident_path(table)} ("
+        + ", ".join(cols)
+        + ")"
+        + suffix
+    )
 
 
 @dataclass
@@ -142,6 +150,22 @@ class Dialect:
         """Engine-native bulk load for APPEND mode (DuckDB: DataFrame
         registration; Postgres: COPY when the driver exposes it). Returns
         False when unsupported → caller falls back to multi-row INSERT."""
+        return False
+
+    # -- DDL hooks ---------------------------------------------------------
+    def type_for(self, dt: T.DataType) -> str:
+        return pg_type_for(dt, self.json_type)
+
+    def ddl_options(self, pks: list[str]) -> str:
+        """Engine-specific CREATE TABLE suffix (storage engine, clustering)."""
+        return ""
+
+    def supports_inline_pk(self) -> bool:
+        return True
+
+    def merge_as_insert(self) -> bool:
+        """True when upserts are modeled as plain INSERTs the engine
+        deduplicates itself (ClickHouse ReplacingMergeTree)."""
         return False
 
 
@@ -190,6 +214,89 @@ class PostgresDialect(Dialect):
             buf,
         )
         return True
+
+
+class BigQueryDialect(Dialect):
+    """BigQuery (generation-level: no live engine in this container; the
+    reference lists BigQuery as a planned connector, README.md:346).
+
+    Standard-SQL MERGE is always available; BigQuery has no enforced
+    primary keys, so DDL omits the PK clause and clusters by the merge
+    keys instead."""
+
+    def __init__(self):
+        super().__init__(name="bigquery", paramstyle="qmark", json_type="JSON")
+
+    def server_version(self, conn) -> tuple[int, int]:
+        return (999, 0)
+
+    def supports_merge(self, version: tuple[int, int]) -> bool:
+        return True
+
+    def supports_inline_pk(self) -> bool:
+        return False
+
+    def ddl_options(self, pks: list[str]) -> str:
+        if not pks:
+            return ""
+        return " CLUSTER BY " + ", ".join(quote_ident(p) for p in pks)
+
+    def type_for(self, dt: T.DataType) -> str:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "INT64"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "FLOAT64"
+        if isinstance(dt, T.BooleanType):
+            return "BOOL"
+        if isinstance(dt, T.StringType):
+            return "STRING"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "TIMESTAMP"
+        if isinstance(dt, T.DateType):
+            return "DATE"
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            return "JSON"
+        return "STRING"
+
+
+class ClickHouseDialect(Dialect):
+    """ClickHouse (generation-level; planned connector in the reference,
+    README.md:345). No MERGE / ON CONFLICT: upserts are modeled the
+    ClickHouse way — plain INSERTs into a ReplacingMergeTree ordered by
+    the key, which deduplicates at background merge time (last insert
+    wins). The writer therefore routes merge mode to INSERT for this
+    dialect."""
+
+    def __init__(self):
+        super().__init__(name="clickhouse", paramstyle="qmark", json_type="String")
+
+    def server_version(self, conn) -> tuple[int, int]:
+        return (0, 0)  # neither MERGE nor ON CONFLICT
+
+    def merge_as_insert(self) -> bool:
+        return True
+
+    def supports_inline_pk(self) -> bool:
+        return False
+
+    def ddl_options(self, pks: list[str]) -> str:
+        order = ", ".join(quote_ident(p) for p in pks) if pks else "tuple()"
+        return f" ENGINE = ReplacingMergeTree ORDER BY ({order})"
+
+    def type_for(self, dt: T.DataType) -> str:
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "Int64"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "Float64"
+        if isinstance(dt, T.BooleanType):
+            return "Bool"
+        if isinstance(dt, T.StringType):
+            return "String"
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return "DateTime64(6)"
+        if isinstance(dt, T.DateType):
+            return "Date32"
+        return "String"
 
 
 class DuckDbDialect(Dialect):
@@ -325,13 +432,25 @@ class JdbcMergeWriter:
 
     # -- setup (driver-side, once) ----------------------------------------
     def prepare(self, schema: T.StructType) -> None:
-        """ensure_table + optional truncate (S13/S18), one driver connection."""
+        """ensure_table + additive schema evolution + optional truncate
+        (S13/S18), one driver connection.
+
+        Evolution policy: columns present in the DataFrame but missing from
+        an existing target are added via ``ALTER TABLE ADD COLUMN``
+        (nullable, so historic rows stay valid). Dropped/renamed columns
+        are never destructive — the old columns simply stop receiving
+        values. (The reference has no schema evolution at all —
+        reference README.md:125 lists it as future work.)
+        """
         conn = self.conn_factory()
         try:
             cur = conn.cursor()
             cur.execute(
-                ddl_for_schema(self.table, schema, self.pks or None, self.dialect.json_type)
+                ddl_for_schema(
+                    self.table, schema, self.pks or None, dialect=self.dialect
+                )
             )
+            self._evolve_schema(cur, schema)
             if self.truncate_first or self.mode == WriteMode.OVERWRITE:
                 try:
                     cur.execute(f"TRUNCATE TABLE {quote_ident_path(self.table)}")
@@ -341,9 +460,40 @@ class JdbcMergeWriter:
         finally:
             conn.close()
 
+    def _evolve_schema(self, cur, schema: T.StructType) -> None:
+        """Add DataFrame columns missing from the live table (additive only)."""
+        existing = self._existing_columns(cur)
+        if existing is None:
+            return
+        for f in schema.fields:
+            if f.name.lower() in existing:
+                continue
+            cur.execute(
+                f"ALTER TABLE {quote_ident_path(self.table)} ADD COLUMN "
+                f"{quote_ident(f.name)} {self.dialect.type_for(f.dataType)}"
+            )
+
+    def _existing_columns(self, cur) -> set[str] | None:
+        """Lower-cased live column names, or None when undiscoverable."""
+        bare = self.table.split(".")[-1]
+        try:
+            cur.execute(
+                "SELECT column_name FROM information_schema.columns "
+                f"WHERE table_name = '{bare}'"
+            )
+            rows = cur.fetchall()
+        except Exception:  # noqa: BLE001 — engine without information_schema
+            return None
+        if not rows:
+            return None
+        return {r[0].lower() for r in rows}
+
     # -- statement routing -------------------------------------------------
     def _statement(self, n_cols: int, columns: list[str], version, n_rows: int) -> str:
         if self.mode in (WriteMode.APPEND, WriteMode.OVERWRITE):
+            return insert_sql(self.dialect, self.table, columns, n_rows)
+        if self.dialect.merge_as_insert():
+            # engine dedups by key itself (ClickHouse ReplacingMergeTree)
             return insert_sql(self.dialect, self.table, columns, n_rows)
         if self.dialect.supports_merge(version):
             return merge_sql(self.dialect, self.table, columns, self.pks, n_rows)

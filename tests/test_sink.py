@@ -258,3 +258,58 @@ def test_duckdb_bulk_append_used_for_append(spark, duck_path):
         "SELECT count(*), sum(id) FROM target"
     ).fetchone()
     assert got == (7, 21)
+
+
+def test_schema_evolution_adds_columns(spark, duck_path):
+    """New DataFrame columns evolve the live table additively; old rows
+    null-fill (reference has no schema evolution, README.md:125)."""
+    w1 = _writer(duck_path, WriteMode.MERGE, primary_key="id")
+    s1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    w1.prepare(s1)
+    w1.write_rows([(1, "a"), (2, "b")], s1)
+
+    s2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    w2 = _writer(duck_path, WriteMode.MERGE, primary_key="id")
+    w2.prepare(s2)  # evolves: ADD COLUMN score
+    w2.write_rows([(2, "B", 2.5), (3, "c", 3.5)], s2)
+
+    rows = duckdb.connect(duck_path).execute(
+        "SELECT id, name, score FROM target ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "a", None), (2, "B", 2.5), (3, "c", 3.5)]
+
+
+def test_clickhouse_dialect_shapes():
+    """ClickHouse: ReplacingMergeTree DDL, merge routed to plain INSERT."""
+    from apitap_spark.sinks.jdbc_merge import ClickHouseDialect
+
+    d = ClickHouseDialect()
+    ddl = ddl_for_schema("t", SCHEMA, "id", dialect=d)
+    assert '"id" Int64' in ddl and '"score" Float64' in ddl and '"name" String' in ddl
+    assert "PRIMARY KEY" not in ddl
+    assert ddl.endswith('ENGINE = ReplacingMergeTree ORDER BY ("id")')
+    w = JdbcMergeWriter(lambda: None, "t", dialect=d, mode=WriteMode.MERGE, primary_key="id")
+    sql = w._statement(2, ["id", "v"], (0, 0), 2)
+    assert sql.startswith('INSERT INTO "t"')  # engine dedups, not the writer
+
+
+def test_bigquery_dialect_shapes():
+    """BigQuery: standard-SQL MERGE, CLUSTER BY instead of PK."""
+    from apitap_spark.sinks.jdbc_merge import BigQueryDialect
+
+    d = BigQueryDialect()
+    ddl = ddl_for_schema("ds.t", SCHEMA, "id", dialect=d)
+    assert '"id" INT64' in ddl and '"tags" JSON' in ddl
+    assert "PRIMARY KEY" not in ddl
+    assert ddl.endswith('CLUSTER BY "id"')
+    w = JdbcMergeWriter(lambda: None, "ds.t", dialect=d, mode=WriteMode.MERGE, primary_key="id")
+    sql = w._statement(2, ["id", "v"], d.server_version(None), 1)
+    assert sql.startswith('MERGE INTO "ds"."t"')
