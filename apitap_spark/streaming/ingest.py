@@ -128,3 +128,53 @@ def running_user_totals(events: DataFrame, timeout_sec: int = 3600) -> DataFrame
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def click_purchase_attribution(
+    events: DataFrame, attribution_window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream join: each purchase attributed to the same
+    user's click within the attribution window.
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can expire join state — the requirement for an unbounded
+    stream-stream join to run with bounded memory.
+    """
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )

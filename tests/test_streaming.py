@@ -143,3 +143,33 @@ def test_stateful_running_totals(spark, tmp_path):
         last[r["user_id"]] = (r["n_events"], r["total_value"])
     assert last[1] == (3, 15.0)
     assert last[2] == (1, 5.0)
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Purchases join to clicks within the window; outside-window ones drop."""
+    from apitap_spark.streaming.ingest import click_purchase_attribution
+
+    src = str(tmp_path / "events")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            _ev(1, "2024-01-01T00:00:00Z", typ="click", user=1),
+            _ev(2, "2024-01-01T00:05:00Z", typ="purchase", user=1, value=9.99),
+            _ev(3, "2024-01-01T01:00:00Z", typ="click", user=2),
+            _ev(4, "2024-01-01T02:00:00Z", typ="purchase", user=2, value=5.0),  # too late
+        ],
+    )
+    out = click_purchase_attribution(read_event_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, click_id, purchase_id, amount FROM attribution").collect()
+    assert [(r["user_id"], r["click_id"], r["purchase_id"], r["amount"]) for r in rows] == [
+        (1, 1, 2, 9.99)
+    ]
