@@ -81,6 +81,10 @@ def run_module(
                 http_src.extra_params[sc.incremental.cursor_param] = last
         src_df = http_src.register(spark, view)
         if sc.incremental and state is not None and sc.incremental.cursor_field in src_df.columns:
+            # persist: the watermark agg and the module SQL both consume
+            # this view — without a cache each action re-runs the HTTP fetch
+            src_df.persist()
+            src_df.createOrReplaceTempView(view)
             row = src_df.agg(F.max(sc.incremental.cursor_field).alias("m")).collect()
             if row and row[0]["m"] is not None:
                 watermarks.append((src_name, sc.incremental.cursor_field, row[0]["m"]))

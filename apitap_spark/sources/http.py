@@ -329,20 +329,31 @@ class HttpSource:
                 F.from_json(F.col("value"), schema).alias("j")
             ).select("j.*")
 
-        first = self._fetch_page(0)
+        # ONE page-0 request yields rows, schema sample AND the total hint
+        # ("fetch page 1 once", SURVEY §7.4 — the reference fetches it
+        # twice on the data_path-miss path).
+        import requests
+
+        sess = requests.Session()
+        resp = _fetch_raw(
+            self.url, self._page_params(0), self.headers, self.retry, session=sess
+        )
+        ctype = resp.headers.get("Content-Type", "")
+        n_pages = None
+        if "ndjson" in ctype:
+            first: list = []
+            for line in resp.text.splitlines():
+                line = line.strip()
+                if line:
+                    first.extend(drill_data_path(json.loads(line), self.data_path))
+        else:
+            obj = resp.json()
+            first = drill_data_path(obj, self.data_path)
+            n_pages = self._total_from_hint(obj)
         if not first:
             return spark.createDataFrame([], "struct<>")
         schema = self.infer_schema(spark, first)
 
-        # Page count: hint-sized when available, probed otherwise.
-        import requests
-
-        sess = requests.Session()
-        resp = _fetch_raw(self.url, self._page_params(0), self.headers, self.retry, session=sess)
-        ctype = resp.headers.get("Content-Type", "")
-        n_pages = None
-        if "ndjson" not in ctype:
-            n_pages = self._total_from_hint(resp.json())
         if n_pages is None:
             if len(first) < self._page_size_guess():
                 n_pages = 1  # short first page ⇒ no further pages

@@ -65,8 +65,9 @@ def test_page_number_with_total_hint(spark, api):
         data_path="/data",
     )
     assert _ids(src.load(spark)) == ALL_IDS
-    # hint-sized: no probe requests beyond pages (plus driver page-1 fetches)
-    assert api.request_count <= 6 + 2
+    # hint-sized + page-0 fetched exactly once (SURVEY §7.4): 6 pages for
+    # 53 rows at per_page=10 → exactly 6 requests, zero probes
+    assert api.request_count == 6
 
 
 def test_page_number_without_hint_probes(spark, api):
