@@ -69,7 +69,7 @@ def run_module(
     # Register every referenced source under its unique view name.
     pk = None
     dest = rendered.sink
-    watermarks = []  # (source_name, cursor_field, new_value) after success
+    incr_sources = []  # (source_name, cursor_field, persisted src_df)
     for src_name, view in rendered.sources.items():
         sc = cfg.source(src_name)
         http_src = sc.to_http_source()
@@ -84,10 +84,7 @@ def run_module(
             # persist: the watermark agg and the module SQL both consume
             # this view — without a cache each action re-runs the HTTP fetch
             src_df.persist()
-            src_df.createOrReplaceTempView(view)
-            row = src_df.agg(F.max(sc.incremental.cursor_field).alias("m")).collect()
-            if row and row[0]["m"] is not None:
-                watermarks.append((src_name, sc.incremental.cursor_field, row[0]["m"]))
+            incr_sources.append((src_name, sc.incremental.cursor_field, src_df))
         pk = pk or sc.primary_key
         dest = dest or sc.dest_table
     if not dest:
@@ -96,13 +93,25 @@ def run_module(
     result = spark.sql(rendered.sql).persist()  # one execution: write + count
     mode = mode if pk else WriteMode.APPEND  # merge needs a PK
     writer = _writer_for(cfg, target_name, dest, pk, mode)
-    writer.write(result)
-    n = result.count()
-    result.unpersist()
-    # Advance watermarks only after the write committed (at-least-once +
-    # merge-by-PK ⇒ effectively-once increments).
-    for src_name, field, value in watermarks:
-        state.advance(src_name, field, value)
+    try:
+        writer.write(result)
+        n = result.count()
+        # Advance watermarks only after the write committed. Prefer the
+        # cursor max observed in the WRITTEN result (when the transform
+        # preserves the cursor column) — that ties the watermark to rows
+        # actually in the warehouse even if a cache block was lost and
+        # the source re-fetched mid-run; otherwise fall back to the
+        # persisted source view (best-effort: cache loss between agg and
+        # write could skip rows — see ARCHITECTURE.md).
+        for src_name, field, src_df in incr_sources:
+            probe = result if field in result.columns else src_df
+            row = probe.agg(F.max(field).alias("m")).collect()
+            if row and row[0]["m"] is not None:
+                state.advance(src_name, field, row[0]["m"])
+    finally:
+        result.unpersist()
+        for _, _, src_df in incr_sources:
+            src_df.unpersist()
     stats = ModuleStats(rel_path, dest, n, round(time.perf_counter() - t0, 3))
     log.info("module done", extra={"stats": stats.__dict__})
     return stats

@@ -108,17 +108,15 @@ class HttpJsonReader(DataSourceReader):
         src = _source_from_options(self._options)
         if isinstance(src.pagination, CursorPagination):
             return [CursorPartition()]
-        first = src._fetch_page(0)
+        # One page-0 request serves both the emptiness/page-size check and
+        # the total hint (same fetch-once discipline as HttpSource.load).
+        from apitap_spark.sources.http import _fetch_raw, parse_response
+
+        resp = _fetch_raw(src.url, src._page_params(0), src.headers, src.retry)
+        first, envelope = parse_response(resp, src.data_path)
         if not first:
             return [PagePartition(0)]
-        n_pages = None
-        if getattr(src.pagination, "total_hint", None) is not None:
-            from apitap_spark.sources.http import _fetch_raw
-
-            obj = _fetch_raw(
-                src.url, src._page_params(0), src.headers, src.retry
-            ).json()
-            n_pages = src._total_from_hint(obj)
+        n_pages = src._total_from_hint(envelope) if envelope is not None else None
         if n_pages is None:
             if len(first) < src._page_size_guess():
                 n_pages = 1

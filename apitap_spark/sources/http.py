@@ -175,21 +175,14 @@ def _fetch_raw(
     raise RuntimeError(f"HTTP fetch failed after {retry.max_attempts} attempts: {last_exc}")
 
 
-def fetch_page_rows(
-    url: str,
-    params: dict,
-    headers: dict,
-    data_path: str | None,
-    retry: RetryPolicy,
-    session=None,
-) -> list:
-    """Fetch one page and return its rows (S1+S2+S3).
+def parse_response(resp, data_path: str | None) -> tuple[list, object]:
+    """Decode one HTTP response into (rows, envelope) (S2+S3).
 
     NDJSON responses (Content-Type contains 'ndjson') parse line-by-line,
-    blank lines skipped, per-line data_path drill; JSON bodies parse whole
-    then drill.
+    blank lines skipped, per-line data_path drill, envelope None; JSON
+    bodies parse whole then drill, returning the envelope object so
+    callers can read total hints without a second request.
     """
-    resp = _fetch_raw(url, params, headers, retry, session=session)
     ctype = resp.headers.get("Content-Type", "")
     if "ndjson" in ctype:
         rows: list = []
@@ -198,8 +191,22 @@ def fetch_page_rows(
             if not line:
                 continue
             rows.extend(drill_data_path(json.loads(line), data_path))
-        return rows
-    return drill_data_path(resp.json(), data_path)
+        return rows, None
+    obj = resp.json()
+    return drill_data_path(obj, data_path), obj
+
+
+def fetch_page_rows(
+    url: str,
+    params: dict,
+    headers: dict,
+    data_path: str | None,
+    retry: RetryPolicy,
+    session=None,
+) -> list:
+    """Fetch one page and return its rows (S1+S2+S3)."""
+    resp = _fetch_raw(url, params, headers, retry, session=session)
+    return parse_response(resp, data_path)[0]
 
 
 @dataclass
@@ -338,18 +345,8 @@ class HttpSource:
         resp = _fetch_raw(
             self.url, self._page_params(0), self.headers, self.retry, session=sess
         )
-        ctype = resp.headers.get("Content-Type", "")
-        n_pages = None
-        if "ndjson" in ctype:
-            first: list = []
-            for line in resp.text.splitlines():
-                line = line.strip()
-                if line:
-                    first.extend(drill_data_path(json.loads(line), self.data_path))
-        else:
-            obj = resp.json()
-            first = drill_data_path(obj, self.data_path)
-            n_pages = self._total_from_hint(obj)
+        first, envelope = parse_response(resp, self.data_path)
+        n_pages = self._total_from_hint(envelope) if envelope is not None else None
         if not first:
             return spark.createDataFrame([], "struct<>")
         schema = self.infer_schema(spark, first)
