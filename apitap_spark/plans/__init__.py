@@ -8,9 +8,19 @@ DataFrame-API query with a DuckDB oracle, over the driver's TPC-H-ish
 testdata.
 """
 
-from apitap_spark.plans import relational, relational2, relational3
+from apitap_spark.plans import relational, relational2, relational3, relational4
 
-QUERIES = {**relational.QUERIES, **relational2.QUERIES, **relational3.QUERIES}
-ORACLES = {**relational.ORACLES, **relational2.ORACLES, **relational3.ORACLES}
+QUERIES = {
+    **relational.QUERIES,
+    **relational2.QUERIES,
+    **relational3.QUERIES,
+    **relational4.QUERIES,
+}
+ORACLES = {
+    **relational.ORACLES,
+    **relational2.ORACLES,
+    **relational3.ORACLES,
+    **relational4.ORACLES,
+}
 
 __all__ = ["QUERIES", "ORACLES"]
