@@ -9,15 +9,17 @@ engine operators, each exposed through the driver contract
 from apitap_spark.operators import (
     curation,
     dedup,
+    graph,
     multimodal,
     similarity,
+    temporal,
     textstats,
     udtf_ops,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _mod in (dedup, similarity, textstats, multimodal, udtf_ops, curation):
+for _mod in (dedup, similarity, textstats, multimodal, udtf_ops, curation, graph, temporal):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

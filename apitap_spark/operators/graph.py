@@ -1,0 +1,131 @@
+"""Distributed graph operators: connected components over an edge list.
+
+The scale path for near-dup clustering (op_dedup_clusters collects its
+pair list driver-side because dedup graphs are tiny relative to the
+corpus; THIS module is the swap-in when they are not): min-label
+propagation with pointer doubling, the DataFrame rendition of the
+large-star/small-star MapReduce family (Kiveris et al., "Connected
+Components in MapReduce and Beyond").
+
+Per round: one join+groupBy to pull each node's neighborhood minimum,
+then one self-join that short-circuits labels to their label's label
+(path compression). Doubling makes convergence O(log diameter) rounds,
+so even chain graphs (the worst case — e.g. session chains) settle in
+a handful of shuffles; each round's state is exactly one (node, label)
+row per node.
+
+Correctness gate: components of the "consecutive events within 30 min"
+graph are BY CONSTRUCTION the gap-based sessions of q_sessionization,
+so the iterative algorithm gets a real SQL oracle (window running-sum
+sessionization in DuckDB) — rare for graph code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected graph.
+
+    ``nodes``: one column ``v`` (long). ``edges``: columns ``src``,
+    ``dst`` (longs; direction ignored). Returns ``(v, component)`` where
+    component is the minimum node id of v's component.
+
+    Each iteration: label(v) <- min(label(v), min over neighbors u of
+    label(u)), then label(v) <- label(label(v)) (pointer doubling).
+    Convergence detected via the monotonically decreasing label sum —
+    one cheap action per round instead of a change-count join.
+    """
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # localCheckpoint each round: the doubling self-join would otherwise
+    # double the logical plan every iteration (exponential planner blowup);
+    # checkpointing truncates lineage AND materializes the round's labels.
+    lab = nodes.select(F.col("v"), F.col("v").alias("p")).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(lab, bidir.b == lab.v)
+            .groupBy("a")
+            .agg(F.min("p").alias("np"))
+        )
+        cand = lab.join(nbr_min, lab.v == nbr_min.a, "left").select(
+            lab.v, F.least(lab.p, F.coalesce("np", lab.p)).alias("p")
+        ).localCheckpoint()
+        x, y = cand.alias("x"), cand.alias("y")
+        lab = x.join(y, F.col("x.p") == F.col("y.v")).select(
+            F.col("x.v").alias("v"), F.least("x.p", "y.p").alias("p")
+        ).localCheckpoint()
+        cur_sum = lab.agg(F.sum("p")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select("v", F.col("p").alias("component"))
+
+
+SESSION_GAP_SEC = 30 * 60
+
+
+@_register(
+    "op_graph_session_components",
+    f"""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN date_diff('second', LAG(ts) OVER w, ts) <= {SESSION_GAP_SEC}
+                  THEN 0 ELSE 1 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT event_id, user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT event_id,
+           MIN(event_id) OVER (PARTITION BY user_id, sid) AS component
+    FROM sess
+    """,
+)
+def op_graph_session_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the event-proximity graph (edges between a
+    user's consecutive events <= 30 min apart); components equal
+    gap-based sessions, so the DuckDB oracle is window sessionization.
+
+    Chain graphs are the diameter worst case for label propagation —
+    pointer doubling keeps it to O(log chain) rounds (see
+    connected_components). Edge build is one window over (user_id, ts).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    edged = ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        gap.alias("gap"),
+    )
+    edges = edged.filter(
+        F.col("prev_id").isNotNull() & (F.col("gap") <= SESSION_GAP_SEC)
+    ).select(F.col("event_id").alias("src"), F.col("prev_id").alias("dst"))
+    nodes = ev.select(F.col("event_id").alias("v"))
+    cc = connected_components(nodes, edges)
+    return cc.select(F.col("v").alias("event_id"), "component")

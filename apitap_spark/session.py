@@ -80,7 +80,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div, not `/`: double division of ~1.7e18 nanos loses
+            # precision (53-bit mantissa) and can round the microsecond up,
+            # off-by-1µs vs DuckDB's truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
