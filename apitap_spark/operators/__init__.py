@@ -11,6 +11,7 @@ from apitap_spark.operators import (
     dedup,
     graph,
     multimodal,
+    sampling,
     similarity,
     temporal,
     textstats,
@@ -19,7 +20,17 @@ from apitap_spark.operators import (
 
 QUERIES = {}
 ORACLES = {}
-for _mod in (dedup, similarity, textstats, multimodal, udtf_ops, curation, graph, temporal):
+for _mod in (
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+    udtf_ops,
+    curation,
+    graph,
+    temporal,
+    sampling,
+):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 

@@ -1,0 +1,129 @@
+"""Deterministic (hash-based) sampling and dataset splitting.
+
+Training pipelines at corpus scale can't use RNG sampling: splits must
+be STABLE under reprocessing, growing corpora, and repartitioning
+(``df.sample`` draws per-task and changes membership when partitioning
+changes). The standard answer is content-keyed hashing: bucket =
+md5(salt || key), assignment by bucket range. Properties:
+
+* No shuffle, no state — a narrow projection decides membership, so the
+  sample composes with pushed-down filters and costs nothing at 100 TB.
+* Stable — a document keeps its split forever, across runs and engines.
+* Re-saltable — a new salt string is a fresh independent split.
+
+Buckets compare as the first two hex chars of the digest (256 buckets,
+lexicographic): hex strings order identically in every engine, which
+sidesteps hex→int conversion differences. Threshold "g0" sorts above
+"ff" and therefore means "keep all". md5 produces identical lowercase
+hex in Spark, DuckDB, and Python — these operators are fully
+oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SPLIT_SALT = "split-v1:"
+TRAIN_MAX = "cc"  # 204/256 ~ 79.7%
+VALID_MAX = "e6"  # +26/256 ~ 10.2%; rest ~ 10.2% test
+
+
+def bucket_of(key_col, salt: str = SPLIT_SALT):
+    """256-bucket deterministic assignment: first 2 hex chars of
+    md5(salt || key)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 2)
+
+
+@_register(
+    "op_split_train_valid_test",
+    f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < '{TRAIN_MAX}' THEN 'train'
+                WHEN bucket < '{VALID_MAX}' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    ) b
+    """,
+)
+def op_split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~80/10/10 train/valid/test assignment keyed on doc_id.
+    Pure projection — no shuffle, stable as the corpus grows, identical
+    across engines (the CORRECTNESS gate hash-matches every row)."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = bucket_of(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < TRAIN_MAX, "train")
+        .when(b < VALID_MAX, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# Per-language keep-rate thresholds: rebalance the corpus by
+# downsampling overrepresented languages. "g0" > "ff" = keep all.
+STRATA_RATES = [
+    ("en", "40"),  # 64/256 = 25%
+    ("fr", "80"),  # 50%
+    ("zh", "c0"),  # 75%
+    ("de", "g0"),  # 100%
+    ("es", "g0"),  # 100%
+]
+
+
+@_register(
+    "op_stratified_sample",
+    f"""
+    WITH rates(lang, keep_below) AS (
+      VALUES {", ".join(f"('{lang}', '{thr}')" for lang, thr in STRATA_RATES)}
+    )
+    SELECT d.doc_id, d.lang, d.bucket
+    FROM (
+      SELECT doc_id, lang,
+             substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+    ) d
+    JOIN rates r ON d.lang = r.lang
+    WHERE d.bucket < r.keep_below
+    """,
+)
+def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates from a
+    broadcast VALUES lookup (downsample overrepresented languages). The
+    scale shape of ``df.sampleBy`` without its RNG instability — the
+    rate table broadcasts, membership is a row-local predicate."""
+    docs = read_table(spark, sf_dir, "documents")
+    # inline VALUES → LocalRelation (createDataFrame's RDD path costs ~2s)
+    rates = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{lang}', '{thr}')" for lang, thr in STRATA_RATES)
+        + " AS t(lang, keep_below)"
+    )
+    b = bucket_of(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", b.alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("keep_below"))
+        .select("doc_id", "lang", "bucket")
+    )

@@ -266,21 +266,27 @@ def q_null_safe_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey, p_name, p_brand
     FROM part
-    WHERE p_type LIKE 'PROMO%'
-      AND p_name ILIKE '%GREEN%'
-      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')
-      AND p_size BETWEEN 1 AND 25
+    WHERE p_type LIKE 'P%'
+      AND p_name ILIKE '%E%'
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5',
+                      'Brand#10', 'Brand#11', 'Brand#12')
+      AND p_size BETWEEN 1 AND 40
     """,
 )
 def q_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / ILIKE / IN-list / BETWEEN (SURVEY §2.2 Q2/Q12) — all push
-    down (IN compiles to an In filter at the scan)."""
+    down (IN compiles to an In filter at the scan). Predicates chosen to
+    be selective but NON-empty at every SF (an empty result would make
+    the gate check vacuous)."""
     p = _t(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_type").like("PROMO%")
-        & F.col("p_name").ilike("%GREEN%")
-        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5")
-        & F.col("p_size").between(1, 25)
+        F.col("p_type").like("P%")
+        & F.col("p_name").ilike("%E%")
+        & F.col("p_brand").isin(
+            "Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5",
+            "Brand#10", "Brand#11", "Brand#12",
+        )
+        & F.col("p_size").between(1, 40)
     ).select("p_partkey", "p_name", "p_brand")
 
 

@@ -109,3 +109,56 @@ def test_whole_stage_codegen_present(spark, sf_dir, qname):
         assert "Found 0" not in buf.getvalue()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+def test_q8_dims_broadcast_no_cartesian(spark, sf_dir):
+    from apitap_spark.plans.relational4 import q8_market_share
+
+    p = _plan(q8_market_share(spark, sf_dir))
+    # 5 dimension joins broadcast; never a cartesian product
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+
+
+def test_q4_semi_join_with_date_pushdown(spark, sf_dir):
+    from apitap_spark.plans.relational4 import q4_order_priority
+
+    p = _plan(q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # window filter at the scan
+
+
+def test_q21_single_lineitem_shuffle_family(spark, sf_dir):
+    from apitap_spark.plans.relational4 import q21_waiting_supplier
+
+    p = _plan(q21_waiting_supplier(spark, sf_dir))
+    # the aggregate rewrite must not reintroduce a cartesian or
+    # nested-loop self-join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cosine_dedup_is_tiled_mapinpandas(spark, sf_dir):
+    from apitap_spark.operators.similarity import op_dedup_embedding_cosine
+
+    p = _plan(op_dedup_embedding_cosine(spark, sf_dir))
+    # blocked kernel: tiles scored in Python batches, not a per-pair join
+    assert "MapInPandas" in p or "PythonMapInArrow" in p
+
+
+def test_split_is_pure_projection(spark, sf_dir):
+    from apitap_spark.operators.sampling import op_split_train_valid_test
+
+    p = _plan(op_split_train_valid_test(spark, sf_dir))
+    assert "Exchange" not in p  # membership is row-local: no shuffle
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    import re
+
+    from apitap_spark.operators.temporal import op_asof_join_attribution
+
+    p = _plan(op_asof_join_attribution(spark, sf_dir))
+    # both sides co-partition on user_id: window + pre-agg reuse the
+    # same exchange; no join operator at all in the plan
+    assert "Join" not in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
