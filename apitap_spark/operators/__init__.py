@@ -10,6 +10,7 @@ from apitap_spark.operators import (
     curation,
     dedup,
     graph,
+    ml,
     multimodal,
     sampling,
     similarity,
@@ -30,6 +31,7 @@ for _mod in (
     graph,
     temporal,
     sampling,
+    ml,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
