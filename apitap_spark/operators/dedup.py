@@ -248,8 +248,13 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     if cluster_of:
-        mapping = spark.createDataFrame(
-            list(cluster_of.items()), "doc_id bigint, cluster_id bigint"
+        # inline VALUES → LocalRelation: instant vs createDataFrame's ~2s
+        # RDD path; the pair map is bounded by the duplicate rate so the
+        # SQL text stays small
+        vals = ", ".join(f"({a}, {b})" for a, b in cluster_of.items())
+        mapping = spark.sql(
+            "SELECT CAST(c1 AS BIGINT) AS doc_id, CAST(c2 AS BIGINT) AS cluster_id "
+            f"FROM VALUES {vals} AS t(c1, c2)"
         )
         out = docs.join(F.broadcast(mapping), "doc_id", "left").select(
             "doc_id",

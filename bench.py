@@ -33,8 +33,14 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warm the JVM + parquet footer cache so timings reflect steady state.
+    # Warm the JVM + parquet footer/page cache for EVERY table so per-query
+    # timings reflect steady state (alphabetically-first queries otherwise
+    # absorb all the cold-read cost), plus one query for codegen warmup.
     t0 = time.perf_counter()
+    from apitap_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
     next(iter(qs.values()))(spark, sf_dir).count()
     warmup = time.perf_counter() - t0
 
