@@ -43,6 +43,36 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation: partial-aggregate on (keys, salt), then
+    final-aggregate on keys. ``aggs`` maps output name → partial
+    aggregate expression; the final phase SUMs the partials, so pass
+    decomposable aggregates (sum/count — avg as sum+count).
+
+    A hot grouping key's rows split across ``salt`` reducers in phase 1;
+    phase 2 touches ``salt`` rows per key. With exact (decimal) sums the
+    result is bit-identical to the one-phase aggregate regardless of the
+    split. (Spark's own partial aggregation does this per-partition;
+    explicit salting adds protection when one KEY dominates entire
+    partitions post-shuffle.)
+    """
+    entropy = [F.col(c) for c in df.columns]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*entropy), F.lit(salt)).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in aggs]
+    )
+
+
 def partition_row_histogram(df: DataFrame) -> DataFrame:
     """Rows per partition (skew diagnostic): returns
     (partition_id, n_rows) — a straggler shows up as one huge row count."""

@@ -8,19 +8,27 @@ DataFrame-API query with a DuckDB oracle, over the driver's TPC-H-ish
 testdata.
 """
 
-from apitap_spark.plans import relational, relational2, relational3, relational4
+from apitap_spark.plans import (
+    relational,
+    relational2,
+    relational3,
+    relational4,
+    relational5,
+)
 
 QUERIES = {
     **relational.QUERIES,
     **relational2.QUERIES,
     **relational3.QUERIES,
     **relational4.QUERIES,
+    **relational5.QUERIES,
 }
 ORACLES = {
     **relational.ORACLES,
     **relational2.ORACLES,
     **relational3.ORACLES,
     **relational4.ORACLES,
+    **relational5.ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]

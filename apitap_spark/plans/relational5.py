@@ -1,0 +1,186 @@
+"""Fifth-wave SQL-surface depth: LATERAL correlated subqueries,
+time-RANGE window frames, deterministic mode/median, and the salted
+two-phase aggregation (skew-safe) with a plain-GROUP-BY oracle.
+
+Same contract as relational.py: DataFrame API / Spark SQL + DuckDB
+oracle, decimal-exact money aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.plans.relational import DEC, _dec, _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM {cust} c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM {orders}
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_custkey <= 100
+"""
+
+
+@_register(
+    "q_lateral_topn_orders",
+    _LATERAL_SQL.format(cust="customer", orders="orders"),
+)
+def q_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (top-2 orders per customer) —
+    SURVEY §2.2 Q10/Q11 depth. Catalyst decorrelates the per-row LIMIT
+    into a window group-limit over one join, so the lateral form costs
+    the same as the hand-written rank()<=2 plan at any scale."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_q5l_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q5l_orders")
+    return spark.sql(_LATERAL_SQL.format(cust="_q5l_customer", orders="_q5l_orders"))
+
+
+@_register(
+    "q_window_range_time",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+)
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time (rolling 1-hour sum per user) —
+    the value-based frame SURVEY Q7 lists alongside ROWS frames. Epoch
+    seconds truncate identically in both engines; the decimal cast keeps
+    the running sum order-insensitive. RANGE peers (equal seconds)
+    aggregate together, so ties are deterministic by construction."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("rolling_1h_value"),
+    )
+
+
+@_register(
+    "q_mode_median_price",
+    """
+    WITH counted AS (
+      SELECT o_orderpriority, o_totalprice, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderpriority, o_totalprice
+    ),
+    mode_pick AS (
+      SELECT o_orderpriority, o_totalprice AS mode_price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cnt DESC, o_totalprice) AS rk
+      FROM counted
+    ),
+    ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT m.o_orderpriority, m.mode_price, d.median_disc_price
+    FROM (SELECT o_orderpriority, mode_price FROM mode_pick WHERE rk = 1) m
+    JOIN (SELECT o_orderpriority, o_totalprice AS median_disc_price
+          FROM ranked WHERE rn = (n + 1) // 2) d
+      ON m.o_orderpriority = d.o_orderpriority
+    """,
+)
+def q_mode_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode and discrete median per group, written as
+    explicit count/rank plans: engine built-ins break ties and
+    interpolate differently, so the portable formulation IS the window
+    form (which is also what they compile to). Two shuffles on the
+    grouping key, shared by both branches."""
+    orders = _t(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count("*").alias("cnt")
+    )
+    mode_pick = (
+        counted.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.desc("cnt"), F.asc("o_totalprice")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_totalprice").alias("mode_price"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    median = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+    ).select("o_orderpriority", F.col("o_totalprice").alias("median_disc_price"))
+    return mode_pick.join(median, "o_orderpriority")
+
+
+@_register(
+    "q_salted_two_phase_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted aggregation: partial sums on (key, salt16) then
+    final sums on key — the mitigation when one grouping key dominates
+    whole partitions (l_returnflag has 3 values over 600K rows: exactly
+    that shape). Exact-decimal partials are associative, so the oracle
+    is the plain one-phase GROUP BY — the driver hash proves the salted
+    split changes nothing."""
+    from apitap_spark.functions.scale import salted_two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": F.sum(_dec("l_quantity")),
+            "sum_price": F.sum(_dec("l_extendedprice")),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
