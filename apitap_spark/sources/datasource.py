@@ -25,7 +25,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from apitap_spark.sources.http import (
     CursorPagination,
@@ -134,9 +139,76 @@ class HttpJsonReader(DataSourceReader):
             yield coerce_row(row, self._schema)
 
 
+class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming poll of a limit/offset API: offset = rows consumed.
+
+    The reference lists webhook/streaming ingestion as roadmap
+    (reference ``README.md:535``); this is the Structured Streaming
+    realization for APPEND-ONLY limit/offset endpoints: each micro-batch
+    resumes at the committed row offset, fetches up to
+    ``max_pages_per_batch`` pages, and stops early on a short page
+    (caught up — backpressure falls out of the page budget). Exactly-once
+    delivery comes from Spark's offset log: ``readBetweenOffsets``
+    re-fetches a committed [start, end) row range deterministically, the
+    same idempotent-replay contract as the batch incremental sync
+    (pipeline/state.py). Polling is driver-side by design (the `simple`
+    stream reader) — sequential page discovery is inherently serial;
+    downstream stages parallelize as usual.
+    """
+
+    def __init__(self, options: dict, schema):
+        self._options = dict(options)
+        self._schema = schema
+        self._max_pages = int(options.get("max_pages_per_batch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch_at(self, src: HttpSource, row_offset: int, limit: int) -> list:
+        from apitap_spark.sources.http import fetch_page_rows
+
+        pg = src.pagination
+        params = dict(src.extra_params)
+        params[pg.limit_param] = limit
+        params[pg.offset_param] = row_offset
+        return fetch_page_rows(src.url, params, src.headers, src.data_path, src.retry)
+
+    def read(self, start: dict):
+        src = _source_from_options(self._options)
+        if not isinstance(src.pagination, LimitOffsetPagination):
+            raise ValueError(
+                "streaming reads support pagination_type=limit_offset "
+                "(append-only row offsets are the replayable cursor)"
+            )
+        limit = src.pagination.limit
+        pos = int(start["offset"])
+        out: list = []
+        for _ in range(self._max_pages):
+            rows = self._fetch_at(src, pos + len(out), limit)
+            out.extend(rows)
+            if len(rows) < limit:
+                break
+        return (
+            iter([coerce_row(r, self._schema) for r in out]),
+            {"offset": pos + len(out)},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        src = _source_from_options(self._options)
+        limit = src.pagination.limit
+        pos, stop = int(start["offset"]), int(end["offset"])
+        while pos < stop:
+            rows = self._fetch_at(src, pos, min(limit, stop - pos))
+            if not rows:
+                break  # source shrank under a committed range: stop cleanly
+            for r in rows[: stop - pos]:
+                yield coerce_row(r, self._schema)
+            pos += len(rows)
+
+
 class HttpJsonDataSource(DataSource):
     """``format("apitap_http")`` — paginated HTTP JSON as a first-class
-    Spark data source."""
+    Spark data source (batch ``read`` and streaming ``readStream``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -152,6 +224,9 @@ class HttpJsonDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return HttpJsonReader(self.options, schema)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return HttpJsonSimpleStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

@@ -126,3 +126,39 @@ def test_simple_inference_sample_cutoff():
     rows = [{"v": 1}] * 100 + [{"v": "drift"}]
     schema = infer_schema_simple(rows, sample_size=100)
     assert schema.fields[0].dataType.simpleString() == "bigint"
+
+
+def test_stream_read_incremental_microbatches(registered, tmp_path):
+    """readStream polls the limit/offset API; rows appended between
+    micro-batches arrive exactly once (offset log + replayable ranges)."""
+    api = MockApi([{"id": i, "v": i * 1.0} for i in range(25)])
+    base = api.start()
+    try:
+        stream = (
+            registered.readStream.format("apitap_http")
+            .option("url", f"{base}/limit_offset")
+            .option("pagination_type", "limit_offset")
+            .option("limit", 10)
+            .option("max_pages_per_batch", 2)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("http_stream_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = registered.sql("SELECT id FROM http_stream_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(25))
+            api.rows.extend({"id": i, "v": i * 1.0} for i in range(25, 40))
+            q.processAllAvailable()
+            got = registered.sql("SELECT id FROM http_stream_sink").collect()
+            ids = sorted(r["id"] for r in got)
+            assert ids == list(range(40))  # no dupes, no gaps
+        finally:
+            q.stop()
+    finally:
+        api.stop()
