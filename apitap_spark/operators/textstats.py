@@ -127,6 +127,38 @@ def op_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, minus lookahead (RE2 has none): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# Same string compiles identically under Java regex (Spark) and RE2 (DuckDB).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE_SQL = BPE_PRETOKEN_RE.replace("'", "''")  # escape for the SQL literal
+
+
+@_register(
+    "op_text_bpe_tokens",
+    rf"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(LEN(list_distinct(regexp_extract_all(text, '{_BPE_RE_SQL}')))
+             AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def op_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pretokenizer regex (lookahead-free
+    variant) over each document — the pretokenization a real BPE encoder
+    runs before merges, and the standard train-token budget estimator.
+    Pure projection, O(len) per doc, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+    )
+
+
 def _lang_case_sql() -> str:
     counts = {
         lang: (
