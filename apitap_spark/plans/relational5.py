@@ -184,3 +184,53 @@ def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@_register(
+    "q_string_agg_nations",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nation_list
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): deterministic via
+    the explicit ORDER BY inside the aggregate — Spark side as
+    sort-then-join of the collected array (same plan listagg compiles
+    to)."""
+    nation = _t(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nation_list"
+        )
+    )
+
+
+@_register(
+    "q_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS quantity, l_discount AS discount, l_tax AS tax
+      FROM lineitem WHERE l_orderkey <= 100
+    ) UNPIVOT (val FOR measure IN (quantity, discount, tax))
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape) — the inverse of q_pivot_status.
+    Spark's DataFrame.unpivot == SQL UNPIVOT == a generate/stack: O(cols)
+    row expansion with no shuffle. NULL values drop in both engines'
+    UNPIVOT semantics (none exist in these measures)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        "measure",
+        "val",
+    )
