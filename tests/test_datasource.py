@@ -162,3 +162,32 @@ def test_stream_read_incremental_microbatches(registered, tmp_path):
             q.stop()
     finally:
         api.stop()
+
+
+def test_stream_read_between_offsets_replay():
+    """readBetweenOffsets re-fetches a committed range deterministically
+    (the exactly-once replay contract, exercised directly)."""
+    from pyspark.sql.types import StructType
+
+    from apitap_spark.sources.datasource import HttpJsonSimpleStreamReader
+    from apitap_spark.sources.schema import infer_schema_simple
+
+    api = MockApi([{"id": i, "v": i * 1.0} for i in range(30)])
+    base = api.start()
+    try:
+        opts = {
+            "url": f"{base}/limit_offset",
+            "pagination_type": "limit_offset",
+            "limit": "7",
+        }
+        schema = infer_schema_simple([{"id": 0, "v": 0.0}], 10)
+        r = HttpJsonSimpleStreamReader(opts, schema)
+        assert r.initialOffset() == {"offset": 0}
+        rows, end = r.read({"offset": 0})
+        ids = [t[0] for t in rows]
+        assert ids == list(range(30)) and end == {"offset": 30}
+        # replay a mid-range slice: same rows, same order
+        replay = [t[0] for t in r.readBetweenOffsets({"offset": 5}, {"offset": 19})]
+        assert replay == list(range(5, 19))
+    finally:
+        api.stop()
