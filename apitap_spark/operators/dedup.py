@@ -275,10 +275,12 @@ SIMHASH_MAX_HAMMING = 7  # planted 0.95-jaccard pairs measure up to ~5
 def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs with hamming distance <= 3.
 
-    Signature: per doc, per bit i, sum +count/-count of each distinct token
-    whose xxhash64 has bit i set/unset; bit i of the signature is the sign.
-    Computed as 64 partial-aggregated sums in ONE groupBy pass (map-side
-    combine; shuffle = one 64-column row per doc).
+    Signature: per doc, per bit i, sum +1/-1 over token OCCURRENCES whose
+    xxhash64 has bit i set/unset (identical to count-weighting distinct
+    tokens); bit i of the signature is the sign. Computed as 64
+    partial-aggregated sums in ONE groupBy pass directly on the exploded
+    tokens (map-side combine; shuffle = one 64-column row per doc — the
+    per-(doc, word) pre-count shuffle would be pure overhead).
 
     Pairing: 8 x 8-bit chunk banding (pigeonhole guarantee for d<=7 —
     measured planted-pair distances reach 5), verified with
@@ -289,17 +291,16 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted near-dups are found.
     """
     docs = read_table(spark, sf_dir, "documents")
-    words = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("word"))
-    )
+    # per-occurrence ±1 sums == count-weighted sums over distinct words,
+    # so the (doc_id, word) pre-aggregation shuffle is pure overhead —
+    # ONE partial-aggregated groupBy(doc_id) pass does it all
+    words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
     bit_sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
