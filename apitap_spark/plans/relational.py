@@ -250,7 +250,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey AS order_id,
            o_custkey AS customer_id,
-           CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS inflated_price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS inflated_price,
            UPPER(o_orderstatus) AS status_uc
     FROM orders
     WHERE o_orderkey <= 100
@@ -263,7 +263,9 @@ def q_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_orderkey") <= 100).select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
-        (_dec("o_totalprice") * F.lit(1.1).cast("decimal(3,1)")).alias("inflated_price"),
+        (_dec("o_totalprice") * F.lit(1.1).cast("decimal(3,1)"))
+        .cast("double")
+        .alias("inflated_price"),
         F.upper("o_orderstatus").alias("status_uc"),
     )
 
