@@ -12,8 +12,9 @@ Four rungs of the dedup ladder for a 100 TB corpus:
                  path: shuffle is O(docs x bands), candidate verification
                  touches only colliding pairs.
 * simhash      — 64-bit sign-random-projection over token counts,
-                 16-bit-chunk banding (pigeonhole: hamming<=3 implies a
-                 shared chunk), verified by popcount(xor).
+                 equal-width chunk banding (pigeonhole: hamming <=
+                 n_chunks-1 implies a shared chunk; 8x8-bit default,
+                 4x16-bit for corpus scale), verified by popcount(xor).
 
 All hashing is JVM-side (xxhash64 / md5); no Python in any hot path.
 """
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apitap_spark.functions.text import normalize_ws, shingles, tokens
+from apitap_spark.operators.graph import connected_components
 from apitap_spark.session import read_table
 
 QUERIES: dict = {}
@@ -91,11 +93,15 @@ _SQL_JACCARD_PAIRS = rf"""
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """Explode a documents frame into (doc_id, shingle) rows (3-gram)."""
     return docs.select(
         "doc_id", F.explode(shingles("text", 3)).alias("shingle")
     )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows(read_table(spark, sf_dir, "documents"))
 
 
 def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None, thr: float) -> DataFrame:
@@ -138,19 +144,77 @@ def _jaccard_pairs(sh: DataFrame, candidates: DataFrame | None, thr: float) -> D
     )
 
 
-@_register("op_dedup_ngram_jaccard", _SQL_JACCARD_PAIRS.format(thr=0.2))
-def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2).
+# Boilerplate guard: shingles present in more than this fraction of the
+# corpus are dropped from BOTH sets before Jaccard (mirrored in the oracle
+# below, so the gate compares identical semantics).
+DF_CAP_FRACTION = 0.1
 
-    Shuffle profile: one explode (no shuffle), one hash join on shingle.
-    Skew hazard at corpus scale: ultra-common shingles create quadratic
-    bucket blowup — the production rung is op_dedup_minhash_lsh below;
+_SQL_JACCARD_PAIRS_CAPPED = rf"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= CAST(FLOOR({DF_CAP_FRACTION} *
+               (SELECT COUNT(*) FROM documents)) AS BIGINT)
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.2
+"""
+
+
+def cap_shingles_by_df(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    Skew guard for the shingle self-join: a shingle shared by f docs
+    contributes O(f^2) join rows, so one boilerplate trigram in 1% of a
+    10B-doc corpus alone yields 1e16 pairs. Capping df bounds every
+    bucket at max_df^2.
+
+    Threshold preservation: dropping k shared shingles from a pair with
+    intersection i and union u moves Jaccard from i/u to (i-k)/(u-k),
+    a change of at most k/u — and only boilerplate (by definition
+    near-universal, hence low-signal) shingles are affected, so
+    genuine near-dups above a 0.2 threshold stay above it for any
+    k << u. The cap is mirrored in the DuckDB oracle, so the driver
+    gate compares identical capped semantics exactly.
+    """
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle")
+
+
+@_register("op_dedup_ngram_jaccard", _SQL_JACCARD_PAIRS_CAPPED)
+def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) over the
+    df-capped shingle vocabulary (df <= 10% of corpus; see
+    cap_shingles_by_df for the skew rationale and threshold bound —
+    testdata's max shingle df is ~1.4%, so the cap is pure protection
+    there).
+
+    Shuffle profile: one explode (no shuffle), one df groupBy, one hash
+    join on shingle — now with every join bucket bounded by the cap.
+    The production rung at corpus scale is op_dedup_minhash_lsh below;
     this exact variant doubles as its correctness oracle.
 
     The shingle set feeds three plan branches (sizes + both join sides) —
     persisted so the tokenize/explode runs once (measured 2.4x at sf0.1).
     """
-    sh = _shingle_df(spark, sf_dir).persist()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    max_df = int(DF_CAP_FRACTION * n_docs)
+    sh = cap_shingles_by_df(_shingle_df(spark, sf_dir), max_df).persist()
     return _jaccard_pairs(sh, None, 0.2)
 
 
@@ -216,64 +280,54 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh, candidates, 0.8)
 
 
-@_register("op_dedup_clusters")  # iterative union-find → rows-only check
+@_register("op_dedup_clusters")  # iterative label propagation → rows-only check
 def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the LSH pair graph,
     keep-smallest-doc_id per cluster — the deliverable of a dedup pipeline
     (which rows to drop).
 
-    Scale shape: the pair list is bounded by the duplicate rate (orders of
-    magnitude smaller than the corpus), so union-find runs driver-side on
-    the collected pairs; the cluster map then broadcasts back for the
-    final join. At 100 TB with a pathological dup rate, swap the driver
-    union-find for iterative large-star/small-star joins — the surrounding
-    plan is unchanged.
+    Scale shape: fully distributed end to end. The CC runs only over
+    nodes that appear in some duplicate pair (the corpus-sized table
+    never enters the iteration), via min-label propagation with pointer
+    doubling (apitap_spark.operators.graph.connected_components —
+    O(log diameter) rounds, one (node, label) row per node per round).
+    Web-scale boilerplate clusters can contribute billions of edges, so
+    no edge list or cluster map is ever collect()ed to the driver; the
+    final cluster assignment is a plain hash join on doc_id that AQE can
+    downgrade to broadcast when the dup graph happens to be small.
     """
     pairs_df = op_dedup_minhash_lsh(spark, sf_dir)
-    edges = [(r["d1"], r["d2"]) for r in pairs_df.collect()]
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    cluster_of = {x: find(x) for x in parent}
-
+    edges = pairs_df.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    mapping = connected_components(nodes, edges).select(
+        F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    if cluster_of:
-        # inline VALUES → LocalRelation: instant vs createDataFrame's ~2s
-        # RDD path; the pair map is bounded by the duplicate rate so the
-        # SQL text stays small
-        vals = ", ".join(f"({a}, {b})" for a, b in cluster_of.items())
-        mapping = spark.sql(
-            "SELECT CAST(c1 AS BIGINT) AS doc_id, CAST(c2 AS BIGINT) AS cluster_id "
-            f"FROM VALUES {vals} AS t(c1, c2)"
-        )
-        out = docs.join(F.broadcast(mapping), "doc_id", "left").select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        )
-    else:
-        out = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    out = docs.join(mapping, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
     return out.withColumn("is_kept", (F.col("doc_id") == F.col("cluster_id")))
 
 
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 8  # 8-bit chunks; hamming<=7 => >=1 identical chunk
-SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 SIMHASH_MAX_HAMMING = 7  # planted 0.95-jaccard pairs measure up to ~5
 
 
 @_register("op_dedup_simhash")  # rows-only: xxhash64 seeds are engine-specific
-def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs with hamming distance <= 3.
+def op_dedup_simhash(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = SIMHASH_CHUNKS,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs with hamming distance <= max_hamming
+    (default ``n_chunks - 1``, i.e. <= 7 for the 8x8-bit default).
 
     Signature: per doc, per bit i, sum +1/-1 over token OCCURRENCES whose
     xxhash64 has bit i set/unset (identical to count-weighting distinct
@@ -282,14 +336,24 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (map-side combine; shuffle = one 64-column row per doc — the
     per-(doc, word) pre-count shuffle would be pure overhead).
 
-    Pairing: 8 x 8-bit chunk banding (pigeonhole guarantee for d<=7 —
-    measured planted-pair distances reach 5), verified with
-    popcount(xor). Chunk width trades candidate volume against the
-    hamming guarantee: widen the chunks (fewer, longer) as the corpus
-    grows to keep per-bucket collision counts bounded. Not SQL-portable
-    (hash differs per engine) → rows-only driver check; tests assert
-    planted near-dups are found.
+    Pairing: ``n_chunks`` equal-width chunk banding. Pigeonhole: hamming
+    <= n_chunks-1 implies at least one identical chunk, so candidate
+    generation is COMPLETE for that distance; candidates are verified
+    with popcount(xor). Chunk width trades candidate volume against the
+    hamming guarantee: a chunk of w bits has 2^w bucket values, so at
+    billions of docs the 8-bit default (256 buckets/chunk) collides
+    everything — use n_chunks=4 (16-bit chunks, 65536 buckets, d<=3
+    guarantee) or fewer, wider chunks at corpus scale. The 8x8 default
+    fits the dense testdata, whose planted pairs measure hamming up to
+    ~5. Not SQL-portable (hash differs per engine) → rows-only driver
+    check; tests assert planted near-dups are found at BOTH band
+    configurations.
     """
+    if SIMHASH_BITS % n_chunks:
+        raise ValueError(f"n_chunks must divide {SIMHASH_BITS}")
+    chunk_bits = SIMHASH_BITS // n_chunks
+    if max_hamming is None:
+        max_hamming = n_chunks - 1
     docs = read_table(spark, sf_dir, "documents")
     # per-occurrence ±1 sums == count-weighted sums over distinct words,
     # so the (doc_id, word) pre-aggregation shuffle is pure overhead —
@@ -322,11 +386,11 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright("simhash", SIMHASH_CHUNK_BITS * c)
-                        .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+                        F.shiftright("simhash", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("chunk"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
@@ -348,5 +412,5 @@ def op_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .filter(F.col("hamming") <= max_hamming)
     )

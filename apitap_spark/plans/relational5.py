@@ -117,12 +117,23 @@ def q_mode_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mode and discrete median per group, written as
     explicit count/rank plans: engine built-ins break ties and
     interpolate differently, so the portable formulation IS the window
-    form (which is also what they compile to). Two shuffles on the
-    grouping key, shared by both branches."""
+    form (which is also what they compile to).
+
+    Scale shape: BOTH branches window the pre-aggregated ``counted``
+    relation (one row per distinct (priority, price)), never the raw
+    table — with only 5 distinct priorities a row-level window would be
+    5 whale tasks each sorting ~N/5 rows, a straggler by construction at
+    100x. The discrete median comes from a cumulative-count window over
+    distinct prices: the price whose cumulative count first covers rank
+    (n+1)/2 IS the row-level median, so semantics are unchanged while
+    window input shrinks from N rows to distinct values. (At corpus
+    scale with near-all-distinct values, switch to percentile_approx.)
+    ``counted`` is persisted so the full-table aggregation runs once.
+    """
     orders = _t(spark, sf_dir, "orders")
     counted = orders.groupBy("o_orderpriority", "o_totalprice").agg(
         F.count("*").alias("cnt")
-    )
+    ).persist()
     mode_pick = (
         counted.withColumn(
             "rk",
@@ -136,16 +147,22 @@ def q_mode_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", F.col("o_totalprice").alias("mode_price"))
     )
     wp = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
+    cum = counted.select(
         "o_orderpriority",
         "o_totalprice",
-        F.row_number()
-        .over(wp.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-        F.count("*").over(wp).alias("n"),
-    )
-    median = ranked.filter(
-        F.col("rn") == ((F.col("n") + 1) / 2).cast("long")
+        "cnt",
+        F.sum("cnt")
+        .over(
+            wp.orderBy("o_totalprice").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    ).withColumn("target", F.expr("(n + 1) div 2"))
+    median = cum.filter(
+        (F.col("cum") >= F.col("target"))
+        & (F.col("cum") - F.col("cnt") < F.col("target"))
     ).select("o_orderpriority", F.col("o_totalprice").alias("median_disc_price"))
     return mode_pick.join(median, "o_orderpriority")
 

@@ -474,13 +474,32 @@ class JdbcMergeWriter:
             )
 
     def _existing_columns(self, cur) -> set[str] | None:
-        """Lower-cased live column names, or None when undiscoverable."""
-        bare = self.table.split(".")[-1]
+        """Lower-cased live column names, or None when undiscoverable.
+
+        Schema-qualified and parameterized: a same-named table in another
+        schema must not satisfy (or poison) the lookup, and the
+        config-supplied table name never reaches the SQL text.
+        """
+        parts = self.table.split(".")
+        bare = parts[-1]
+        schema = parts[-2] if len(parts) > 1 else None
+        ph = self.dialect.placeholder(0)
         try:
-            cur.execute(
-                "SELECT column_name FROM information_schema.columns "
-                f"WHERE table_name = '{bare}'"
-            )
+            if schema is not None:
+                cur.execute(
+                    "SELECT column_name FROM information_schema.columns "
+                    f"WHERE table_name = {ph} AND table_schema = {ph}",
+                    (bare, schema),
+                )
+            else:
+                # unqualified name: restrict to the connection's current
+                # schema so other schemas can't shadow the target
+                cur.execute(
+                    "SELECT column_name FROM information_schema.columns "
+                    f"WHERE table_name = {ph} "
+                    "AND table_schema = current_schema()",
+                    (bare,),
+                )
             rows = cur.fetchall()
         except Exception:  # noqa: BLE001 — engine without information_schema
             return None
@@ -521,8 +540,26 @@ class JdbcMergeWriter:
 
             use_bulk = self.mode in (WriteMode.APPEND, WriteMode.OVERWRITE)
 
+            merge_dedup = (
+                self.mode == WriteMode.MERGE
+                and self.pks
+                and not self.dialect.merge_as_insert()
+            )
+            pk_idx = (
+                [columns.index(p) for p in self.pks] if merge_dedup else []
+            )
+
             def flush():
                 nonlocal written, use_bulk
+                if merge_dedup and len(buf) > 1:
+                    # Postgres rejects duplicate keys inside one INSERT..ON
+                    # CONFLICT DO UPDATE / MERGE statement ("command cannot
+                    # affect row a second time"); CDC increments routinely
+                    # repeat a PK. Last-wins within the statement — the same
+                    # outcome the rows would produce applied sequentially.
+                    last = {tuple(r[i] for i in pk_idx): r for r in buf}
+                    if len(last) < len(buf):
+                        buf[:] = list(last.values())
                 if not buf:
                     return
                 if use_bulk:

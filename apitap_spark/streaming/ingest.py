@@ -100,14 +100,37 @@ def running_user_totals(events: DataFrame, timeout_sec: int = 3600) -> DataFrame
     reaps idle users so state stays bounded (the hand-rolled analog of
     watermark eviction).
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
 
-    def update(key, pdfs, state: GroupState):
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_update(timeout_sec),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _totals_update(timeout_sec: int):
+    """Build the applyInPandasWithState update fn for running_user_totals
+    (module-level so the timeout branch is unit-testable with a stub
+    GroupState)."""
+
+    def update(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle past the timeout: evict the user's state entirely and
+            # emit nothing (re-updating here would both leak state forever
+            # and emit a spurious duplicate row per timeout)
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
@@ -118,16 +141,7 @@ def running_user_totals(events: DataFrame, timeout_sec: int = 3600) -> DataFrame
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
         )
 
-    return (
-        events.groupBy("user_id")
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-        )
-    )
+    return update
 
 
 def click_purchase_attribution(

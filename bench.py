@@ -95,8 +95,7 @@ def main() -> None:
     sink_rows_per_sec = round(sink_rows / sink_sec)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "core_transform_seconds_sf" + sf,
                 "value": core_sec,
@@ -112,8 +111,18 @@ def main() -> None:
                 "sink_rows": sink_rows,
                 "cpus": cpus,
             }
-        )
     )
+    # The driver keeps only a tail of stdout — persist the complete
+    # per-query JSON in-repo so every round's timings stay recoverable.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full.json"), "w"
+        ) as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass
+    print(payload)
 
 
 if __name__ == "__main__":

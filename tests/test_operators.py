@@ -164,3 +164,61 @@ def test_winnowing_neardups_share_fingerprints(spark, sf_dir):
          if (a, b) not in set(planted)), 50))
     sims = [len(fps[a] & fps[b]) / len(fps[a] | fps[b]) for a, b in random_pairs]
     assert max(sims) < 0.5
+
+
+def test_shingle_df_cap_drops_planted_boilerplate(spark):
+    """A shingle planted in EVERY doc (boilerplate) must be dropped by the
+    df cap, and the Jaccard of a genuine near-dup pair must survive the
+    drop (threshold preservation: |J - J'| <= k/union)."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.dedup import (
+        _jaccard_pairs,
+        cap_shingles_by_df,
+        shingle_rows,
+    )
+
+    boiler = "terms of service apply"
+    texts = [
+        f"alpha beta gamma delta epsilon zeta {boiler}",
+        f"alpha beta gamma delta epsilon eta {boiler}",  # near-dup of doc 0
+        f"one two three four five six {boiler}",
+        f"seven eight nine ten eleven twelve {boiler}",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = shingle_rows(docs)
+    capped = cap_shingles_by_df(sh, max_df=2)
+    kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    # the shingles fully inside the boilerplate occur in all 4 docs (df=4>2)
+    assert "terms of service" not in kept and "of service apply" not in kept
+    # boundary shingles (df=1) survive — the cap is df-based, not substring
+    pairs = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in _jaccard_pairs(capped, None, 0.2).collect()
+    }
+    # docs 0/1 share 3 of their 6 surviving shingles → J = 3/9 >= 0.2
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.2
+    # unrelated docs share nothing once boilerplate is gone
+    assert not any(k for k in pairs if k != (0, 1))
+
+
+def test_simhash_wide_chunk_banding_complete_for_d3(spark, sf_dir):
+    """Corpus-scale banding (4 x 16-bit chunks, d<=3 pigeonhole): every
+    pair the default config reports at hamming <= 3 must also be found —
+    candidate generation is complete for d <= n_chunks-1 — and nothing
+    above the tighter threshold may be emitted."""
+    from apitap_spark.operators.dedup import op_dedup_simhash
+
+    default_pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in op_dedup_simhash(spark, sf_dir).collect()
+    }
+    wide = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in op_dedup_simhash(spark, sf_dir, n_chunks=4).collect()
+    }
+    assert all(h <= 3 for h in wide.values())
+    expected = {k for k, h in default_pairs.items() if h <= 3}
+    assert expected <= set(wide), "pigeonhole completeness for d<=3 violated"

@@ -162,3 +162,28 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     # same exchange; no join operator at all in the plan
     assert "Join" not in p
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
+
+
+def test_mode_median_windows_only_aggregated_input(spark, sf_dir):
+    from apitap_spark.plans.relational5 import q_mode_median_price
+
+    p = _plan(q_mode_median_price(spark, sf_dir))
+    # both the mode rank and the median cumulative count must window the
+    # pre-aggregated (priority, price, cnt) relation, never the raw
+    # 5-partition orders rows; the old row-level formulation tie-broke on
+    # o_orderkey, so its presence means a full-table window crept back
+    assert "o_orderkey" not in p
+    # every Window sits above a HashAggregate output (cnt column present)
+    assert "Window" in p
+
+
+def test_dedup_clusters_distributed_no_collect(spark, sf_dir):
+    """op_dedup_clusters must assign every doc a cluster and keep exactly
+    one doc per cluster, using the distributed CC (no driver union-find)."""
+    import inspect
+
+    from apitap_spark.operators import dedup
+
+    src = inspect.getsource(dedup.op_dedup_clusters)
+    assert ".collect()" not in src  # unbounded pair list never hits the driver
+    assert "connected_components" in src

@@ -313,3 +313,43 @@ def test_bigquery_dialect_shapes():
     w = JdbcMergeWriter(lambda: None, "ds.t", dialect=d, mode=WriteMode.MERGE, primary_key="id")
     sql = w._statement(2, ["id", "v"], d.server_version(None), 1)
     assert sql.startswith('MERGE INTO "ds"."t"')
+
+
+def test_merge_dedups_pks_within_statement(spark, duck_path):
+    """Repeated PKs inside one merge statement must not crash the engine
+    ("command cannot affect row a second time"); last row wins — the same
+    outcome the rows would produce applied one by one (CDC increments)."""
+    w = _writer(duck_path, WriteMode.MERGE, primary_key="id")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, None), (2, "b", 2.0, None), (1, "a2", 10.0, None)],
+        SCHEMA,
+    ).coalesce(1)
+    w.write(df)
+    rows = duckdb.connect(duck_path).execute(
+        "SELECT id, name, score FROM target ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "a2", 10.0), (2, "b", 2.0)]
+
+
+def test_existing_columns_schema_qualified(duck_path):
+    """Schema evolution must look only at the target's own schema — a
+    same-named table elsewhere must not mask missing columns."""
+    con = duckdb.connect(duck_path)
+    con.execute("CREATE SCHEMA other")
+    # decoy with the full column set in ANOTHER schema
+    con.execute("CREATE TABLE other.target (id BIGINT, name TEXT, score DOUBLE, tags JSON, extra TEXT)")
+    con.close()
+    w = _writer(duck_path, WriteMode.MERGE, primary_key="id")
+    w.prepare(SCHEMA)  # creates main.target without "extra"
+    import pyspark.sql.types as T
+
+    wider = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType())])
+    w.prepare(wider)  # must ALTER main.target despite the decoy
+    cols = {
+        r[0]
+        for r in duckdb.connect(duck_path).execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name='target' AND table_schema='main'"
+        ).fetchall()
+    }
+    assert "extra" in cols

@@ -173,3 +173,51 @@ def test_stream_stream_join_attribution(spark, tmp_path):
     assert [(r["user_id"], r["click_id"], r["purchase_id"], r["amount"]) for r in rows] == [
         (1, 1, 2, 9.99)
     ]
+
+
+def test_stateful_timeout_evicts_state():
+    """When the ProcessingTimeTimeout fires (no input rows), the update fn
+    must remove the user's state and emit nothing — not re-arm the timer
+    with a spurious duplicate output row (unbounded idle-user state)."""
+    from apitap_spark.streaming.ingest import _totals_update
+
+    class StubState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = (3, 7.5)
+            self.removed = False
+            self.updates = []
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updates.append(v)
+
+        def setTimeoutDuration(self, ms):
+            raise AssertionError("must not re-arm the timer on timeout")
+
+    st = StubState()
+    out = list(_totals_update(60)((42,), iter(()), st))
+    assert out == []
+    assert st.removed and not st.updates
+
+    # normal path still aggregates and re-arms
+    import pandas as pd
+
+    class LiveState(StubState):
+        def __init__(self):
+            super().__init__()
+            self.hasTimedOut = False
+            self.armed = None
+
+        def setTimeoutDuration(self, ms):
+            self.armed = ms
+
+    live = LiveState()
+    out = list(
+        _totals_update(60)((42,), iter([pd.DataFrame({"value": [1.0, 2.0]})]), live)
+    )
+    assert live.updates == [(5, 10.5)] and live.armed == 60000
+    assert out[0]["n_events"][0] == 5
