@@ -105,6 +105,8 @@ class SourceConfig:
     dest_table: str | None = None
     primary_key: str | None = None
     incremental: IncrementalConfig | None = None
+    max_concurrency: int = 5  # reference src/cmd/mod.rs:18 CONCURRENT_REQUESTS
+    min_request_interval_sec: float = 0.0
 
     @classmethod
     def from_dict(cls, d: dict) -> SourceConfig:
@@ -139,6 +141,8 @@ class SourceConfig:
             dest_table=d.get("dest_table"),
             primary_key=d.get("primary_key_in_dest") or d.get("primary_key"),
             incremental=incremental,
+            max_concurrency=int(d.get("max_concurrency", 5)),
+            min_request_interval_sec=float(d.get("min_request_interval_sec", 0.0)),
         )
 
     def to_http_source(self) -> HttpSource:
@@ -152,6 +156,8 @@ class SourceConfig:
             retry=self.retry,
             dest_table=self.dest_table,
             primary_key=self.primary_key,
+            max_concurrency=self.max_concurrency,
+            min_request_interval_sec=self.min_request_interval_sec,
         )
 
 

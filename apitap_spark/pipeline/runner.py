@@ -36,6 +36,9 @@ class ModuleStats:
     sink_table: str
     rows_written: int
     duration_sec: float
+    # per-source fetch telemetry {source_name: {pages, rows, retries}} —
+    # the reference's FetchStats observability (src/http/fetcher.rs:345-533)
+    fetch_stats: dict = None
 
 
 def _writer_for(cfg: Config, target_name: str, dest_table: str, primary_key, mode):
@@ -70,9 +73,11 @@ def run_module(
     pk = None
     dest = rendered.sink
     incr_sources = []  # (source_name, cursor_field, persisted src_df)
+    http_sources = []  # (source_name, HttpSource) for fetch telemetry
     for src_name, view in rendered.sources.items():
         sc = cfg.source(src_name)
         http_src = sc.to_http_source()
+        http_sources.append((src_name, http_src))
         if sc.incremental and state is not None:
             last = state.get(src_name)
             if last is not None:
@@ -112,7 +117,12 @@ def run_module(
         result.unpersist()
         for _, _, src_df in incr_sources:
             src_df.unpersist()
-    stats = ModuleStats(rel_path, dest, n, round(time.perf_counter() - t0, 3))
+    # Accumulator-backed fetch counts are complete here: the write/count
+    # actions above consumed every source partition.
+    fetch = {name: src.stats().as_dict() for name, src in http_sources}
+    stats = ModuleStats(
+        rel_path, dest, n, round(time.perf_counter() - t0, 3), fetch_stats=fetch
+    )
     log.info("module done", extra={"stats": stats.__dict__})
     return stats
 

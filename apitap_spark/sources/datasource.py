@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
 )
 
 from apitap_spark.sources.http import (
+    DEFAULT_CONCURRENCY,
     CursorPagination,
     HttpSource,
     LimitOffsetPagination,
@@ -90,13 +91,20 @@ def _source_from_options(options: dict) -> HttpSource:
             max_delay_sec=float(options.get("retry_max_delay_sec", 5.0)),
         ),
         sample_size=int(options.get("sample_size", 100)),
+        max_concurrency=int(options.get("max_concurrency", DEFAULT_CONCURRENCY)),
+        min_request_interval_sec=float(options.get("min_request_interval_sec", 0.0)),
     )
 
 
 class PagePartition(InputPartition):
-    def __init__(self, page_idx: int):
-        super().__init__(page_idx)
-        self.page_idx = page_idx
+    """A strided slice of page indices. One partition = one Spark task =
+    one sequential fetch loop, so the partition count (≤ max_concurrency)
+    bounds in-flight requests — the reference's buffer_unordered(5)
+    politeness (src/cmd/mod.rs:18) expressed as partition planning."""
+
+    def __init__(self, pages: tuple):
+        super().__init__(pages)
+        self.pages = pages
 
 
 class CursorPartition(InputPartition):
@@ -120,23 +128,31 @@ class HttpJsonReader(DataSourceReader):
         resp = _fetch_raw(src.url, src._page_params(0), src.headers, src.retry)
         first, envelope = parse_response(resp, src.data_path)
         if not first:
-            return [PagePartition(0)]
+            return [PagePartition((0,))]
         n_pages = src._total_from_hint(envelope) if envelope is not None else None
         if n_pages is None:
             if len(first) < src._page_size_guess():
                 n_pages = 1
             else:
                 n_pages = src._probe_page_count()
-        return [PagePartition(i) for i in range(n_pages)]
+        k = max(1, min(n_pages, src.max_concurrency))
+        return [
+            PagePartition(tuple(range(start, n_pages, k))) for start in range(k)
+        ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import requests
+
         src = _source_from_options(self._options)
         if isinstance(partition, CursorPartition):
             rows = src._cursor_rows()
-        else:
-            rows = src._fetch_page(partition.page_idx)
-        for row in rows:
-            yield coerce_row(row, self._schema)
+            for row in rows:
+                yield coerce_row(row, self._schema)
+            return
+        sess = requests.Session()
+        for page_idx in partition.pages:
+            for row in src._fetch_page(page_idx, session=sess):
+                yield coerce_row(row, self._schema)
 
 
 class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):

@@ -56,6 +56,25 @@ MAX_PROBE_PAGES = 1 << 20
 
 
 @dataclass
+class FetchStats:
+    """Per-load fetch telemetry (reference ``src/http/fetcher.rs:345-533``
+    FetchStats: pages fetched / rows decoded / retried requests).
+
+    Driver-side requests (page 0, probe, cursor walk) count immediately;
+    executor-side page fetches flow back through Spark accumulators, so
+    the numbers are complete once the action that consumed the DataFrame
+    finishes.
+    """
+
+    pages: int = 0
+    rows: int = 0
+    retries: int = 0
+
+    def as_dict(self) -> dict:
+        return {"pages": self.pages, "rows": self.rows, "retries": self.retries}
+
+
+@dataclass
 class RetryPolicy:
     """Exponential backoff bounds (reference src/utils/http_retry.rs:96-114)."""
 
@@ -142,9 +161,11 @@ def _fetch_raw(
     retry: RetryPolicy,
     timeout: float = 30.0,
     session=None,
+    on_retry=None,
 ):
     """One GET with bounded exponential-backoff retry (S1). Returns the
-    ``requests`` response. Raises after max_attempts."""
+    ``requests`` response. Raises after max_attempts. ``on_retry`` (if
+    given) is called once per retried attempt — the FetchStats hook."""
     import requests
 
     sess = session or requests.Session()
@@ -171,6 +192,8 @@ def _fetch_raw(
             last_exc = exc
             if delay is None:
                 break
+            if on_retry is not None:
+                on_retry()
             time.sleep(delay)
     raise RuntimeError(f"HTTP fetch failed after {retry.max_attempts} attempts: {last_exc}")
 
@@ -203,9 +226,10 @@ def fetch_page_rows(
     data_path: str | None,
     retry: RetryPolicy,
     session=None,
+    on_retry=None,
 ) -> list:
     """Fetch one page and return its rows (S1+S2+S3)."""
-    resp = _fetch_raw(url, params, headers, retry, session=session)
+    resp = _fetch_raw(url, params, headers, retry, session=session, on_retry=on_retry)
     return parse_response(resp, data_path)[0]
 
 
@@ -223,6 +247,30 @@ class HttpSource:
     sample_size: int = DEFAULT_SAMPLE_SIZE
     dest_table: str | None = None
     primary_key: str | None = None
+    # Politeness controls (reference caps concurrent page fetches at 5:
+    # src/cmd/mod.rs:18 CONCURRENT_REQUESTS, buffer_unordered at
+    # src/http/fetcher.rs:434-497). max_concurrency bounds the number of
+    # Spark tasks fetching at once — pages beyond it are fetched
+    # sequentially *within* each task, so in-flight requests never exceed
+    # the cap no matter how many executors the cluster has.
+    # min_request_interval_sec additionally rate-limits each task.
+    max_concurrency: int = DEFAULT_CONCURRENCY
+    min_request_interval_sec: float = 0.0
+
+    def __post_init__(self):
+        self._driver_stats = FetchStats()
+        self._accs = None  # (pages, rows, retries) accumulators after load()
+
+    def stats(self) -> FetchStats:
+        """Fetch telemetry for the last ``load()``. Executor-side counts
+        arrive via accumulators, i.e. after an action consumed the frame."""
+        s = FetchStats(**self._driver_stats.as_dict())
+        if self._accs is not None:
+            pages, rows, retries = self._accs
+            s.pages += pages.value
+            s.rows += rows.value
+            s.retries += retries.value
+        return s
 
     # ---- page parameterization ------------------------------------------
     def _page_params(self, page_idx: int) -> dict:
@@ -241,7 +289,9 @@ class HttpSource:
             raise ValueError("cursor pagination has no random page access")
         return p
 
-    def _fetch_page(self, page_idx: int, session=None) -> list:
+    def _fetch_page(self, page_idx: int, session=None, on_retry=None) -> list:
+        if self.min_request_interval_sec > 0:
+            time.sleep(self.min_request_interval_sec)
         return fetch_page_rows(
             self.url,
             self._page_params(page_idx),
@@ -249,6 +299,7 @@ class HttpSource:
             self.data_path,
             self.retry,
             session=session,
+            on_retry=on_retry,
         )
 
     # ---- total discovery -------------------------------------------------
@@ -272,15 +323,26 @@ class HttpSource:
         sequential walk so the body fetch can then run parallel."""
         lo = 0  # highest known non-empty page index
         hi = 1  # candidate empty page index
-        while hi < MAX_PROBE_PAGES and self._fetch_page(hi, session=session):
+        probe = lambda i: self._probe_fetch(i, session)  # noqa: E731
+        while hi < MAX_PROBE_PAGES and probe(hi):
             lo, hi = hi, hi * 2
         while hi - lo > 1:
             mid = (lo + hi) // 2
-            if self._fetch_page(mid, session=session):
+            if probe(mid):
                 lo = mid
             else:
                 hi = mid
         return lo + 1  # pages 0..lo are non-empty
+
+    def _probe_fetch(self, page_idx: int, session) -> list:
+        self._driver_stats.pages += 1
+        return self._fetch_page(
+            page_idx,
+            session=session,
+            on_retry=lambda: setattr(
+                self._driver_stats, "retries", self._driver_stats.retries + 1
+            ),
+        )
 
     # ---- cursor (inherently sequential, driver-side) ---------------------
     def _cursor_rows(self) -> list:
@@ -291,18 +353,28 @@ class HttpSource:
         sess = requests.Session()
         rows: list = []
         cursor = None
+        count_retry = lambda: setattr(  # noqa: E731
+            self._driver_stats, "retries", self._driver_stats.retries + 1
+        )
         while True:
             params = dict(self.extra_params)
             if cursor is not None:
                 params[pg.cursor_param] = cursor
             if pg.page_size_param and pg.page_size:
                 params[pg.page_size_param] = pg.page_size
-            resp = _fetch_raw(self.url, params, self.headers, self.retry, session=sess)
+            if self.min_request_interval_sec > 0:
+                time.sleep(self.min_request_interval_sec)
+            resp = _fetch_raw(
+                self.url, params, self.headers, self.retry,
+                session=sess, on_retry=count_retry,
+            )
             obj = resp.json()
+            self._driver_stats.pages += 1
             page = drill_data_path(obj, self.data_path)
             if not page:
                 break
             rows.extend(page)
+            self._driver_stats.rows += len(page)
             nxt = drill_data_path(obj, pg.next_cursor_pointer)
             cursor = nxt[0] if nxt else None
             if cursor is None:
@@ -323,6 +395,8 @@ class HttpSource:
         first page's ≤100-row sample; later drift null-fills via PERMISSIVE
         parsing — documented improvement over the reference's hard error,
         SURVEY §7.4)."""
+        self._driver_stats = FetchStats()
+        self._accs = None
         pg = self.pagination
         if isinstance(pg, CursorPagination):
             rows = self._cursor_rows()
@@ -342,10 +416,16 @@ class HttpSource:
         import requests
 
         sess = requests.Session()
+        count_retry = lambda: setattr(  # noqa: E731
+            self._driver_stats, "retries", self._driver_stats.retries + 1
+        )
         resp = _fetch_raw(
-            self.url, self._page_params(0), self.headers, self.retry, session=sess
+            self.url, self._page_params(0), self.headers, self.retry,
+            session=sess, on_retry=count_retry,
         )
         first, envelope = parse_response(resp, self.data_path)
+        self._driver_stats.pages += 1
+        self._driver_stats.rows += len(first)
         n_pages = self._total_from_hint(envelope) if envelope is not None else None
         if not first:
             return spark.createDataFrame([], "struct<>")
@@ -358,8 +438,17 @@ class HttpSource:
                 n_pages = self._probe_page_count(session=sess)
 
         # Distributed fetch of pages 1..n-1 (page 0 ships from the driver —
-        # "fetch once", SURVEY §7.4); one task per page, executor-side
-        # requests.Session per partition.
+        # "fetch once", SURVEY §7.4); executor-side requests.Session per
+        # partition. Partition count is capped at max_concurrency (the
+        # reference's buffer_unordered(5) politeness, src/http/fetcher.rs:
+        # 434-497): each task walks its pages sequentially, so at most
+        # max_concurrency requests are ever in flight — on local[32] and
+        # on a 1000-executor cluster alike.
+        sc = spark.sparkContext
+        acc_pages, acc_rows, acc_retries = (
+            sc.accumulator(0), sc.accumulator(0), sc.accumulator(0)
+        )
+        self._accs = (acc_pages, acc_rows, acc_retries)
         src = self  # capture for closure; dataclass pickles cleanly
 
         def fetch_partition(batches: Iterator) -> Iterator:
@@ -369,9 +458,19 @@ class HttpSource:
             sess = rq.Session()
             for pdf in batches:
                 out = []
+                retries = [0]
+
+                def _on_retry():
+                    retries[0] += 1
+
                 for page_idx in pdf["id"]:
-                    for row in src._fetch_page(int(page_idx), session=sess):
+                    for row in src._fetch_page(
+                        int(page_idx), session=sess, on_retry=_on_retry
+                    ):
                         out.append(json.dumps(row))
+                acc_pages.add(len(pdf))
+                acc_rows.add(len(out))
+                acc_retries.add(retries[0])
                 yield pd.DataFrame({"value": out})
 
         parts = [
@@ -381,7 +480,7 @@ class HttpSource:
         ]
         if n_pages > 1:
             pages = spark.range(1, n_pages).repartition(
-                min(n_pages - 1, spark.sparkContext.defaultParallelism * 2)
+                min(n_pages - 1, max(1, self.max_concurrency))
             )
             parts.append(pages.mapInPandas(fetch_partition, schema="value string"))
         raw = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -18,6 +19,9 @@ class MockApi:
         self.rows = rows
         self.fail_next = 0  # number of requests to 500 before succeeding
         self.request_count = 0
+        self.inflight = 0  # concurrent in-flight requests right now
+        self.max_inflight = 0  # high-water mark (politeness-cap assertions)
+        self.delay_sec = 0.0  # per-request hold, makes overlap observable
         self.lock = threading.Lock()
         self.server: ThreadingHTTPServer | None = None
 
@@ -31,28 +35,40 @@ class MockApi:
             def do_GET(self):
                 with api.lock:
                     api.request_count += 1
-                    if api.fail_next > 0:
+                    api.inflight += 1
+                    api.max_inflight = max(api.max_inflight, api.inflight)
+                    fail = api.fail_next > 0
+                    if fail:
                         api.fail_next -= 1
+                try:
+                    if api.delay_sec > 0:
+                        time.sleep(api.delay_sec)
+                    if fail:
                         self.send_response(503)
                         self.end_headers()
                         self.wfile.write(b"boom")
                         return
-                parsed = urlparse(self.path)
-                qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
-                route = parsed.path.strip("/")
-                try:
-                    body, ctype = api.handle(route, qs)
-                except Exception as exc:  # noqa: BLE001
-                    self.send_response(400)
+                    parsed = urlparse(self.path)
+                    qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                    route = parsed.path.strip("/")
+                    try:
+                        body, ctype = api.handle(route, qs)
+                    except Exception as exc:  # noqa: BLE001
+                        self.send_response(400)
+                        self.end_headers()
+                        self.wfile.write(str(exc).encode())
+                        return
+                    data = (
+                        body if isinstance(body, bytes) else json.dumps(body).encode()
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
                     self.end_headers()
-                    self.wfile.write(str(exc).encode())
-                    return
-                data = body if isinstance(body, bytes) else json.dumps(body).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(data)))
-                self.end_headers()
-                self.wfile.write(data)
+                    self.wfile.write(data)
+                finally:
+                    with api.lock:
+                        api.inflight -= 1
 
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         threading.Thread(target=self.server.serve_forever, daemon=True).start()

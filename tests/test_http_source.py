@@ -331,3 +331,100 @@ def test_client_error_not_retried(spark):
         assert hits["n"] == 1  # exactly one request — no retries
     finally:
         srv.shutdown()
+
+
+# ---- politeness: bounded request concurrency + fetch telemetry ----------
+# The reference caps concurrent page fetches at 5 (src/cmd/mod.rs:18
+# CONCURRENT_REQUESTS, buffer_unordered at src/http/fetcher.rs:434-497).
+# Our cap is the fetch-partition count: each task walks its pages
+# sequentially, so in-flight requests never exceed max_concurrency.
+
+BIG_ROWS = [{"id": i, "v": i * 2} for i in range(400)]
+
+
+@pytest.fixture()
+def big_api():
+    api = MockApi(BIG_ROWS)
+    api.base = api.start()
+    yield api
+    api.stop()
+
+
+def test_concurrency_cap_respected(spark, big_api):
+    big_api.delay_sec = 0.05  # hold each request so overlap is observable
+    src = HttpSource(
+        name="cap",
+        url=f"{big_api.base}/page_number",
+        data_path="/data",
+        pagination=PageNumberPagination(
+            per_page=10, total_hint=TotalHint("items", "/meta/total")
+        ),
+        max_concurrency=4,
+    )
+    df = src.load(spark)
+    assert sorted(r["id"] for r in df.select("id").collect()) == [
+        r["id"] for r in BIG_ROWS
+    ]
+    # 40 pages through a 4-task fan-out: parallel, but never more than 4
+    # requests in flight at once.
+    assert big_api.max_inflight <= 4, big_api.max_inflight
+    assert big_api.max_inflight >= 2, "expected overlapping requests"
+
+
+def test_concurrency_cap_datasource(spark, big_api):
+    from apitap_spark.sources.datasource import register
+
+    register(spark)
+    big_api.delay_sec = 0.05
+    df = (
+        spark.read.format("apitap_http")
+        .option("url", f"{big_api.base}/page_number")
+        .option("pagination_type", "page_number")
+        .option("per_page", 10)
+        .option("data_path", "/data")
+        .option("total_items_pointer", "/meta/total")
+        .option("max_concurrency", 3)
+        .load()
+    )
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == [r["id"] for r in BIG_ROWS]
+    assert big_api.max_inflight <= 3, big_api.max_inflight
+    assert big_api.max_inflight >= 2, "expected overlapping requests"
+
+
+def test_fetch_stats_counts(spark, big_api):
+    src = HttpSource(
+        name="stats",
+        url=f"{big_api.base}/page_number",
+        data_path="/data",
+        pagination=PageNumberPagination(
+            per_page=10, total_hint=TotalHint("items", "/meta/total")
+        ),
+        retry=RetryPolicy(max_attempts=3, min_delay_sec=0.01, max_delay_sec=0.02),
+    )
+    big_api.fail_next = 2  # two transient 503s somewhere in the fetch
+    df = src.load(spark)
+    assert df.count() == len(BIG_ROWS)
+    s = src.stats()
+    assert s.pages == 40  # page 0 driver-side + 39 executor-side
+    assert s.rows == len(BIG_ROWS)
+    assert s.retries == 2
+
+
+def test_min_request_interval_throttles(spark, big_api):
+    import time as _t
+
+    src = HttpSource(
+        name="throttle",
+        url=f"{big_api.base}/page_number",
+        data_path="/data",
+        pagination=PageNumberPagination(
+            per_page=100, total_hint=TotalHint("items", "/meta/total")
+        ),
+        max_concurrency=1,
+        min_request_interval_sec=0.1,
+    )
+    t0 = _t.perf_counter()
+    assert src.load(spark).count() == len(BIG_ROWS)
+    # 4 pages, 3 of them throttled executor-side at >=0.1s spacing
+    assert _t.perf_counter() - t0 >= 0.3
