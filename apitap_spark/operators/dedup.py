@@ -286,17 +286,35 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-smallest-doc_id per cluster — the deliverable of a dedup pipeline
     (which rows to drop).
 
-    Scale shape: fully distributed end to end. The CC runs only over
-    nodes that appear in some duplicate pair (the corpus-sized table
-    never enters the iteration), via min-label propagation with pointer
-    doubling (apitap_spark.operators.graph.connected_components —
-    O(log diameter) rounds, one (node, label) row per node per round).
-    Web-scale boilerplate clusters can contribute billions of edges, so
-    no edge list or cluster map is ever collect()ed to the driver; the
-    final cluster assignment is a plain hash join on doc_id that AQE can
-    downgrade to broadcast when the dup graph happens to be small.
+    Scale shape: the CC runs only over nodes that appear in some
+    duplicate pair (the corpus-sized table never enters the iteration).
+    The pair list is counted first — a COUNT-GATED dispatch, never an
+    unbounded collect:
+
+    - <= SMALL_GRAPH_EDGE_CAP edges (known-bounded): driver union-find +
+      broadcast mapping join. One action, zero iterative rounds — the
+      dup graph of a clean corpus is orders of magnitude smaller than
+      the corpus, so this is the common case and saves O(log n) rounds
+      of shuffle latency.
+    - above the cap (web-scale boilerplate clusters can contribute
+      billions of edges): min-label propagation with pointer doubling
+      (apitap_spark.operators.graph.connected_components — O(log
+      diameter) rounds, one (node, label) row per node per round),
+      fully distributed; nothing unbounded ever reaches the driver.
     """
-    pairs_df = op_dedup_minhash_lsh(spark, sf_dir)
+    pairs_df = op_dedup_minhash_lsh(spark, sf_dir).persist()
+    n_edges = pairs_df.count()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    if n_edges <= SMALL_GRAPH_EDGE_CAP:
+        mapping = _union_find_mapping(spark, pairs_df)
+        if mapping is None:
+            out = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        else:
+            out = docs.join(F.broadcast(mapping), "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        return out.withColumn("is_kept", (F.col("doc_id") == F.col("cluster_id")))
     edges = pairs_df.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     nodes = (
         edges.select(F.col("src").alias("v"))
@@ -306,12 +324,47 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = connected_components(nodes, edges).select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
     out = docs.join(mapping, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
     return out.withColumn("is_kept", (F.col("doc_id") == F.col("cluster_id")))
+
+
+# Driver union-find is only legal under this bound (checked by count()
+# BEFORE any collect): 1M edges ≈ 16 MB of longs — trivially driver-safe,
+# while the distributed CC path covers everything above it.
+SMALL_GRAPH_EDGE_CAP = 1_000_000
+
+
+def _union_find_mapping(spark: SparkSession, pairs_df: DataFrame):
+    """Union-find over a count-bounded pair list; returns a
+    (doc_id, cluster_id) mapping DataFrame or None for an empty graph.
+
+    The mapping ships back as an inline VALUES LocalRelation (instant vs
+    createDataFrame's RDD path) and broadcasts into the corpus join.
+    """
+    edges = [(r["d1"], r["d2"]) for r in pairs_df.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster_of = {x: find(x) for x in parent}
+    if not cluster_of:
+        return None
+    vals = ", ".join(f"({a}, {b})" for a, b in cluster_of.items())
+    return spark.sql(
+        "SELECT CAST(c1 AS BIGINT) AS doc_id, CAST(c2 AS BIGINT) AS cluster_id "
+        f"FROM VALUES {vals} AS t(c1, c2)"
+    )
 
 
 SIMHASH_BITS = 64

@@ -56,7 +56,13 @@ def connected_components(
     one cheap action per round instead of a change-count join.
     """
     e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bidir = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the (bidirectional) edge list ONCE. Without this, every
+    # round's neighborhood join re-executes the edge list's full upstream
+    # plan — for op_dedup_clusters that upstream is the entire MinHash-LSH
+    # pipeline, turning O(log n) cheap rounds into O(log n) corpus scans.
+    bidir = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
     # localCheckpoint each round: the doubling self-join would otherwise
     # double the logical plan every iteration (exponential planner blowup);
     # checkpointing truncates lineage AND materializes the round's labels.

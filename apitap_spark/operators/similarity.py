@@ -303,10 +303,15 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             for va, vb in zip(pdf["va"], pdf["vb"]):
                 ia, A = unpack(va)
                 ib, B = unpack(vb)
-                # cumsum = the oracle's left fold, element for element
+                # accumulate one dimension at a time = the oracle's left
+                # fold, element for element (identical addition order to
+                # cumsum) — but the tile temp is na x nb, not na x nb x d:
+                # the 256x256 tile drops from ~33 MB to ~0.5 MB of traffic
                 na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
                 nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-                dots = np.cumsum(A[:, None, :] * B[None, :, :], axis=2)[:, :, -1]
+                dots = np.zeros((len(ia), len(ib)))
+                for k in range(A.shape[1]):
+                    dots += A[:, k, None] * B[None, :, k]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dots / (na[:, None] * nb[None, :])
                 m1, m2 = np.meshgrid(ia, ib, indexing="ij")
