@@ -10,6 +10,7 @@ from apitap_spark.operators import (
     curation,
     dedup,
     graph,
+    incremental,
     ml,
     multimodal,
     sampling,
@@ -32,6 +33,7 @@ for _mod in (
     temporal,
     sampling,
     ml,
+    incremental,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apitap_spark.functions.text import normalize_ws, shingles, tokens
@@ -211,16 +211,72 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shingle set feeds three plan branches (sizes + both join sides) —
     persisted so the tokenize/explode runs once (measured 2.4x at sf0.1).
+    The cache is hash-partitioned on shingle at defaultParallelism: the
+    df-cap join leaves the cache at spark.sql.shuffle.partitions (AQE
+    cannot re-partition cached plans), and under a default-conf session
+    that meant 200-task map stages for every one of the plan's ~6
+    downstream stages — pure scheduling overhead at small SF (measured
+    18.6s -> 4s at sf0.01 on local[8]). Partitioning BY shingle also
+    co-locates the self-join: both sides read the same cache layout, so
+    the join needs no exchange. defaultParallelism grows with the
+    cluster, so the choice holds at 100 TB.
     """
     n_docs = read_table(spark, sf_dir, "documents").count()
     max_df = int(DF_CAP_FRACTION * n_docs)
-    sh = cap_shingles_by_df(_shingle_df(spark, sf_dir), max_df).persist()
+    n_par = max(1, spark.sparkContext.defaultParallelism)
+    # df-cap via a COUNT window over the shingle-partitioned layout: the
+    # window's required distribution is already satisfied, so the whole
+    # cap costs zero extra exchanges (vs groupBy-df + join = two more).
+    # The hot-shingle rows land on one task either way — here they are
+    # dropped immediately after counting, before the self-join.
+    w = Window.partitionBy("shingle")
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .repartition(n_par, "shingle")
+        .withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
+    )
     return _jaccard_pairs(sh, None, 0.2)
 
 
 N_HASHES = 128
 N_BANDS = 32
 ROWS_PER_BAND = N_HASHES // N_BANDS  # 4
+
+
+def minhash_band_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band-bucket rows from (doc_id, shingle).
+
+    The reusable core of MinHash-LSH: 128 minhashes as one partial-
+    aggregated groupBy (one row per doc crosses the shuffle), then 32
+    band signatures of 4 minhashes each. Shared by the batch dedup
+    (op_dedup_minhash_lsh) and the incremental new-vs-corpus dedup
+    (operators.incremental), so both rungs bucket identically — an
+    incremental signature store stays join-compatible with a full run.
+    """
+    sig = sh.withColumn("hkey", F.xxhash64("shingle")).groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("hkey"))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 @_register("op_dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(thr=0.8))
@@ -243,28 +299,7 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes per permutation instead of re-hashing the ~25-byte string 128
     # times (measured ~2x on the signature stage; at corpus scale the
     # signature aggregate dominates the whole dedup job).
-    sig = sh.withColumn("hkey", F.xxhash64("shingle")).groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(j), F.col("hkey"))).alias(f"h{j}")
-            for j in range(N_HASHES)
-        ]
-    )
-    # Band signatures: hash the 4 minhashes of each band into one value.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    buckets = minhash_band_buckets(sh)
     x = buckets.alias("x")
     y = buckets.alias("y")
     candidates = (

@@ -15,7 +15,11 @@ from a layout that kills its dominant costs:
   tests/test_dataset_sink.py by plan shape); repeated joins and
   groupBys on the bucket key skip their shuffle forever after. This is
   Spark's rendition of co-located placement — the ``repartition()`` /
-  bucketing advice every large-join playbook gives.
+  bucketing advice every large-join playbook gives. Pick N to match
+  the ``spark.sql.shuffle.partitions`` the consuming jobs run with:
+  a ONE-sided bucketed join only skips the bucketed side's shuffle
+  when bucket count equals the join's partition count (see
+  tests/test_incremental.py for the signature-store case).
 * ``sort_by`` / ``sort_within_partitions`` — clustered rows give
   parquet min/max row-group statistics real selectivity (predicate
   skipping within files) and better dictionary/RLE compression.
