@@ -28,70 +28,54 @@ if _REPO_DIR not in sys.path:
 
 _SHIPPED: set[int] = set()
 
-# The driver writes CORRECTNESS rows for the first 50 entries of queries()
-# in registration order. Round 1 verified the first 50 registered gates
-# green (CORRECTNESS_r01.json); these 49 got no driver row. Rotate them to
-# the front — plus q_projection_alias (round 1's one red row, now fixed) as
-# slot 50 — so that rounds 1+2 together give every gate a driver verdict.
-_GATE_PRIORITY = [
-    "q_setop_except_all",
-    "q2_cheapest_part_per_size",
-    "q11_nation_balance_share",
-    "q13_order_count_distribution",
-    "q22_dormant_rich_customers",
-    "q_retention_cohorts",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_line_priority",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promo_shippers",
-    "q21_waiting_supplier",
-    "q_lateral_topn_orders",
-    "q_window_range_time",
-    "q_mode_median_price",
-    "q_salted_two_phase_agg",
-    "q_string_agg_nations",
-    "q_unpivot_measures",
-    "op_dedup_exact",
-    "op_dedup_ngram_jaccard",
-    "op_dedup_minhash_lsh",
-    "op_dedup_clusters",
-    "op_dedup_simhash",
-    "op_ann_cosine_topk",
-    "op_embedding_norms",
-    "op_ann_lsh_bucketed",
-    "op_ann_ivf_label",
-    "op_dedup_embedding_cosine",
-    "op_text_token_stats",
-    "op_text_quality_score",
-    "op_text_bpe_tokens",
-    "op_text_lang_id",
-    "op_text_fingerprint",
-    "op_text_winnowing",
-    "op_multimodal_features",
-    "op_multimodal_metadata",
-    "op_udtf_shingles",
-    "op_pandas_udf_zscore",
-    "op_approx_aggregates",
-    "op_corpus_curation",
-    "op_graph_session_components",
-    "op_asof_join_attribution",
-    "op_split_train_valid_test",
-    "op_stratified_sample",
-    "op_kmeans_refine",
-    "q_projection_alias",
-]
+
+def _gate_priority(names: list[str]) -> list[str]:
+    """Order gates so the driver's 50-row CORRECTNESS window hits the gates
+    that most need a verdict.
+
+    The driver only writes CORRECTNESS rows for the first 50 entries of
+    ``queries()``.  We read every prior round's ``CORRECTNESS_r*.json`` and
+    sort gates into three tiers, each preserving registration order:
+
+    1. gates whose most recent driver row is red (must be re-proven),
+    2. gates that have never received a driver row,
+    3. gates whose most recent driver row is green (rotate to the back).
+
+    Across rounds this guarantees every gate — including ones added later —
+    eventually gets a green driver row, without hand-maintaining a list.
+    """
+    import glob
+    import json
+
+    verdict: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") in (None, "")
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            verdict[name] = ok  # later rounds overwrite earlier ones
+
+    def tier(name: str) -> int:
+        if name not in verdict:
+            return 1
+        return 2 if verdict[name] else 0
+
+    return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
 
 
 def _prioritized(mapping: dict) -> dict:
-    """Reorder a gate mapping so _GATE_PRIORITY names come first."""
-    out = {n: mapping[n] for n in _GATE_PRIORITY if n in mapping}
-    out.update({n: v for n, v in mapping.items() if n not in out})
-    return out
+    """Reorder a gate mapping so unverified/red gates come first."""
+    return {n: mapping[n] for n in _gate_priority(list(mapping))}
 
 
 def _ensure_workers_can_import(spark: SparkSession) -> None:

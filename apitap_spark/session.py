@@ -66,16 +66,21 @@ def get_session(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing engine quirks.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects; we read nanos as long (runtime-settable legacy
-    conf) and truncate to microsecond TimestampType — the same value DuckDB
-    surfaces, so oracles agree.
+    ``events.parquet`` has carried TIMESTAMP(NANOS) (rejected by Spark's
+    vectorized reader; read as long + truncated to micros) and plain
+    micros-no-tz (which Spark 4 infers as TIMESTAMP_NTZ, breaking
+    ``cast(ts as long)`` epoch arithmetic). Both are normalized here to
+    session-UTC TimestampType — the same instant DuckDB surfaces, so
+    oracles agree across data generations.
     """
     import os as _os
 
     from pyspark.sql import functions as F
 
     path = _os.path.join(sf_dir, f"{name}.parquet")
+    # Read no-tz parquet timestamps as TimestampType (LTZ) — the session
+    # timezone is pinned to UTC so the wall-clock values are unchanged.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -84,8 +89,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             # precision (53-bit mantissa) and can round the microsecond up,
             # off-by-1µs vs DuckDB's truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":  # defensive: pre-conf cached reads
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
