@@ -7,6 +7,7 @@ engine operators, each exposed through the driver contract
 """
 
 from apitap_spark.operators import (
+    corpus,
     curation,
     dedup,
     graph,
@@ -16,6 +17,7 @@ from apitap_spark.operators import (
     sampling,
     similarity,
     temporal,
+    textclean,
     textstats,
     udtf_ops,
 )
@@ -34,6 +36,8 @@ for _mod in (
     sampling,
     ml,
     incremental,
+    textclean,
+    corpus,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,343 @@
+"""Corpus-level training-data operators: benchmark-contamination checks,
+source mixing weights, concat-and-chunk sequence packing, length
+histograms, and embedding quantization.
+
+These are the planning/bookkeeping passes of a pretraining-data build:
+after per-document filters (textstats/textclean) and dedup (dedup.py),
+a run decides WHAT to train on (mixing weights, contamination holdout)
+and HOW to batch it (packing, length buckets, quantized embedding
+store). Each oracle is exact: integer arithmetic throughout, or IEEE
+double ops (+,*,/,abs,max) with identical evaluation shape both engines.
+
+Beyond-reference operators sanctioned by the build brief; no counterpart
+in /root/reference (SQL-only transform surface, src/pipeline/mod.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import token_count, tokens
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Word n-gram length for the contamination check. Real evals use 8-13
+# word grams; the synthetic corpus draws from a ~40-word vocabulary, so
+# 3-grams give the non-degenerate overlap distribution the gate needs.
+CONTAM_N = 3
+# Every doc_id ≡ 0 (mod 97) plays the held-out benchmark set.
+CONTAM_BENCH_MOD = 97
+
+
+@_register(
+    "op_contamination_ngram",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(LEN(t) - {CONTAM_N - 1}, 0) + 1),
+                           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM tok
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+      WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_shared
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    WHERE g.doc_id % {CONTAM_BENCH_MOD} <> 0
+    """,
+)
+def op_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: count each training document's distinct
+    word n-grams that also occur in the held-out benchmark set.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (evals are MBs, corpora are TBs) → broadcast it; the corpus side is
+    one explode + one broadcast-hash semi-ish join + one groupBy on
+    doc_id. No corpus-side self-shuffle. Grams are distinct per doc, so
+    n_shared counts distinct shared grams.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (CONTAM_N - 1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.when(F.size(t) >= CONTAM_N, F.array_distinct(make))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    )
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (
+        grams.filter(is_bench)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.filter(~is_bench)
+    hits = (
+        corpus.select("doc_id", F.explode("g").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@_register(
+    "op_mixing_weights",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS token_share,
+           (1.0 / t.n_sources) / (CAST(p.n_tokens AS DOUBLE) / t.total_tokens)
+             AS sample_weight
+    FROM per_source p CROSS JOIN tot t
+    """,
+)
+def op_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing weights: per-source token shares and the sampling
+    weight that re-balances the corpus to a uniform target mix
+    (weight = target_share / actual_share; >1 upsamples, <1 downsamples).
+
+    One partial-agg groupBy on source (source cardinality is tiny) plus
+    a scalar cross join — the whole pass is map-side at 100 TB.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        ((1.0 / F.col("n_sources")) / share).alias("sample_weight"),
+    )
+
+
+PACK_CONTEXT = 1024  # tokens per packed training sequence
+
+
+@_register(
+    "op_pack_sequences",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(string_split_regex(TRIM(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM tok
+    )
+    SELECT doc_id, lang, n_tokens,
+           start_offset // {PACK_CONTEXT} AS chunk_id,
+           start_offset % {PACK_CONTEXT} AS chunk_offset
+    FROM packed
+    """,
+)
+def op_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard (lang),
+    documents are concatenated in doc_id order and split into
+    fixed-length training sequences; each document is assigned the chunk
+    containing its first token.
+
+    This is the standard pretraining packing layout. The shard key keeps
+    the running-sum window partitioned (one shuffle, no global sort) —
+    at 100 TB the shard would be (source, file-split) with thousands of
+    partitions; the semantics are per-shard and unchanged.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    packed = d.select("doc_id", "lang", "n_tokens", start)
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("start_offset") / PACK_CONTEXT).alias("chunk_id"),
+        (F.col("start_offset") % PACK_CONTEXT).alias("chunk_offset"),
+    )
+
+
+# Power-of-two token-count bucket ladder (CASE, not floor(log2): float
+# log at exact powers of two is engine-dependent; integer compares are not).
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512]
+
+
+def _bucket_sql() -> str:
+    whens = " ".join(
+        f"WHEN n_tokens < {b} THEN '<{b}'" for b in LENGTH_BUCKETS
+    )
+    return f"CASE {whens} ELSE '>={LENGTH_BUCKETS[-1]}' END"
+
+
+@_register(
+    "op_length_histogram",
+    rf"""
+    WITH tok AS (
+      SELECT CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(string_split_regex(TRIM(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT {_bucket_sql()} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM tok GROUP BY 1
+    """,
+)
+def op_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over power-of-two buckets — the input to
+    packing-efficiency and truncation-loss estimates before a training
+    run. Pure partial-agg groupBy on a derived label: map-side at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    bucket = F.when(n_tok < LENGTH_BUCKETS[0], f"<{LENGTH_BUCKETS[0]}")
+    for b in LENGTH_BUCKETS[1:]:
+        bucket = bucket.when(n_tok < b, f"<{b}")
+    bucket = bucket.otherwise(f">={LENGTH_BUCKETS[-1]}")
+    return (
+        docs.select(bucket.alias("bucket"), n_tok.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+QUANT_BITS_MAX = 127  # int8 symmetric range
+
+
+@_register(
+    "op_embedding_quantize",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / {QUANT_BITS_MAX} AS scale
+      FROM v
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 0.0
+                ELSE list_max(list_transform(e,
+                       x -> abs(floor(x / scale + 0.5) * scale - x)))
+           END AS max_abs_err,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE LEN(list_filter(e, x -> floor(x / scale + 0.5) <> 0))
+           END AS BIGINT) AS n_nonzero
+    FROM scaled
+    """,
+)
+def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization audit: per-vector scale
+    (max|x|/127), worst-case dequantization error, and nonzero-code
+    count — the storage-planning pass for a quantized ANN index.
+
+    Rounding is floor(x/scale + 0.5) (round-half-up): bit-identical in
+    IEEE doubles on both engines, unlike round() whose half-even vs
+    half-away tie rule differs. max() is order-independent, so the
+    oracle is exact with no sum-ordering caveats. Pure projection —
+    map-side at any scale.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", e.alias("e"))
+    scale = (
+        F.array_max(F.transform("e", lambda x: F.abs(x))) / QUANT_BITS_MAX
+    ).alias("scale")
+    scaled = d.select("vec_id", "e", scale)
+    err = F.array_max(
+        F.transform(
+            "e", lambda x: F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x)
+        )
+    )
+    nz = F.size(
+        F.filter("e", lambda x: F.floor(x / F.col("scale") + 0.5) != 0)
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(err).alias("max_abs_err"),
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(nz)
+        .cast("bigint")
+        .alias("n_nonzero"),
+    )

@@ -1,0 +1,146 @@
+"""Planted-input tests for textclean/corpus operators (edge cases the
+synthetic word-salad documents never exercise: real PII strings, HTML
+markup, pathological repetition, packing boundaries, zero vectors)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import token_count
+from apitap_spark.operators.corpus import PACK_CONTEXT
+from apitap_spark.operators.textclean import scrub_pii
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail alice.smith+x@example.co.uk or 10.0.255.3 "
+                "or call +1 (415) 555-0199 now",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    row = _one(df.select(scrub_pii("text").alias("r")))
+    assert "<EMAIL>" in row["r"]
+    assert "<IP>" in row["r"]
+    assert "<PHONE>" in row["r"]
+    assert "example" not in row["r"]
+    assert "415" not in row["r"]
+    assert "10.0.255.3" not in row["r"]
+
+
+def test_pii_scrub_email_digits_not_phone(spark):
+    """Digit runs inside an email local part must redact as EMAIL, not
+    PHONE (order of replacement)."""
+    df = spark.createDataFrame(
+        [(1, "reach 123456789@mail.org today")], "doc_id long, text string"
+    )
+    row = _one(df.select(scrub_pii("text").alias("r")))
+    assert row["r"] == "reach <EMAIL> today"
+
+
+def test_strip_markup_planted(spark):
+    from apitap_spark.operators.textclean import ENTITIES, TAG_RE
+
+    c = F.regexp_replace(F.col("text"), TAG_RE, " ")
+    for ent, ch in ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(c, r"\s+", " "))
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;&lt;tag&gt; b</p><br/>c &quot;q&quot;")],
+        "doc_id long, text string",
+    )
+    row = _one(df.select(clean.alias("r")))
+    # &amp; decodes last: '&lt;' born from '&amp;lt;' stays literal '<'
+    assert row["r"] == 'a &<tag> b c "q"'
+
+
+def test_repetition_extremes(spark, tmp_path):
+    """One-word-repeated doc → high dup fraction, shares = 1; all-distinct
+    doc → 0; single-token doc → empty bigram array, share 0 (no backwards
+    sequence)."""
+    from apitap_spark.operators.textclean import op_text_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "alpha beta gamma delta"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "repdocs")
+    df.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    got = {r["doc_id"]: r for r in op_text_repetition(spark, path).collect()}
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_word_share"] == 1.0
+    assert got[1]["top_bigram_share"] == 1.0
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_share"] == 0.25
+    assert got[3]["top_bigram_share"] == 0.0
+    assert got[3]["n_tokens"] == 1
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Chunk offsets stay inside the context window; chunk ids are
+    per-lang non-decreasing in doc order; token totals are conserved."""
+    from apitap_spark.operators.corpus import op_pack_sequences
+
+    p = op_pack_sequences(spark, sf_dir)
+    bad = p.filter(
+        (F.col("chunk_offset") < 0) | (F.col("chunk_offset") >= PACK_CONTEXT)
+    ).count()
+    assert bad == 0
+    rows = p.orderBy("lang", "doc_id").collect()
+    last = {}
+    for r in rows:
+        assert last.get(r["lang"], -1) <= r["chunk_id"]
+        last[r["lang"]] = r["chunk_id"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = docs.select(F.sum(token_count("text"))).collect()[0][0]
+    assert p.agg(F.sum("n_tokens")).collect()[0][0] == expected
+
+
+def test_embedding_quantize_zero_vector(spark):
+    """A zero vector must produce scale 0, zero error, zero nonzero codes
+    (no div-by-zero NaNs)."""
+    import apitap_spark.operators.corpus as corpus_mod
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    path = "/tmp/_quant_test_embeddings"
+    df.write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    out = {
+        r["vec_id"]: r
+        for r in corpus_mod.op_embedding_quantize(spark, path).collect()
+    }
+    assert out[1]["scale"] == 0.0
+    assert out[1]["max_abs_err"] == 0.0
+    assert out[1]["n_nonzero"] == 0
+    assert out[2]["scale"] == 2.0 / 127
+    assert out[2]["n_nonzero"] == 3
+    assert out[2]["max_abs_err"] <= out[2]["scale"] / 2 + 1e-12
+
+
+def test_contamination_benchmark_excluded(spark, sf_dir):
+    """Benchmark docs themselves never appear in the output, and a doc
+    sharing no grams with the benchmark reports 0/false."""
+    from apitap_spark.operators.corpus import (
+        CONTAM_BENCH_MOD,
+        op_contamination_ngram,
+    )
+
+    out = op_contamination_ngram(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
+    zeros = out.filter(~F.col("contaminated"))
+    assert zeros.filter(F.col("n_shared_ngrams") != 0).count() == 0
