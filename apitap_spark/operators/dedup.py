@@ -100,6 +100,46 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     )
 
 
+def gram_hash_rows(docs: DataFrame) -> DataFrame:
+    """Explode a documents frame into (doc_id, hkey) rows: the 64-bit
+    xxhash of each distinct 3-token slice.
+
+    The MinHash signature path never needs shingle STRINGS — any stable
+    64-bit key of the token triple is a valid permutation input — so the
+    hot path hashes the sliced token array directly and the corpus-wide
+    shingle-string materialization disappears from the minhash rungs
+    (strings are rebuilt only for the candidate docs at verify time,
+    a vanishingly small subset at any scale). Zero shuffle: per-doc
+    array expressions, then explode.
+    """
+    t = tokens("text")
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.xxhash64(F.slice(t, i, 3)),
+    )
+    grams = F.when(F.size(t) >= 3, F.array_distinct(make)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return docs.select("doc_id", F.explode(grams).alias("hkey"))
+
+
+def _candidate_doc_shingles(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame
+) -> DataFrame:
+    """String (doc_id, shingle) rows for ONLY the docs named in a
+    (d1, d2) candidate pair list — the verify-time working set. The
+    candidate list is orders of magnitude smaller than the corpus, so
+    the semi-join prunes the expensive string-shingle build to a sliver
+    regardless of corpus size."""
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .union(candidates.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    return shingle_rows(docs.join(F.broadcast(cand_docs), "doc_id", "semi"))
+
+
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_rows(read_table(spark, sf_dir, "documents"))
 
@@ -246,8 +286,9 @@ N_BANDS = 32
 ROWS_PER_BAND = N_HASHES // N_BANDS  # 4
 
 
-def minhash_band_buckets(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) LSH band-bucket rows from (doc_id, shingle).
+def minhash_band_buckets(hrows: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band-bucket rows from (doc_id, hkey)
+    gram-hash rows (see gram_hash_rows).
 
     The reusable core of MinHash-LSH: 128 minhashes as one partial-
     aggregated groupBy (one row per doc crosses the shuffle), then 32
@@ -256,7 +297,7 @@ def minhash_band_buckets(sh: DataFrame) -> DataFrame:
     (operators.incremental), so both rungs bucket identically — an
     incremental signature store stays join-compatible with a full run.
     """
-    sig = sh.withColumn("hkey", F.xxhash64("shingle")).groupBy("doc_id").agg(
+    sig = hrows.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("hkey"))).alias(f"h{j}")
             for j in range(N_HASHES)
@@ -291,15 +332,19 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: minhash signatures are a single groupBy(doc_id) with 128
     partial-aggregated min()s (map-side combine — shuffle is one row per
     doc); banding explodes to 32 rows/doc; the bucket self-join touches
-    only colliding buckets. This is the 100 TB dedup path.
+    only colliding buckets. Shingle STRINGS are never materialized for
+    the corpus — signatures run on 64-bit gram hashes (gram_hash_rows),
+    and exact string verification is pruned to candidate docs only.
+    This is the 100 TB dedup path.
     """
-    sh = _shingle_df(spark, sf_dir).persist()  # reused: signatures + verify
-    # 128 minhashes: hash each shingle STRING once to a 64-bit key, then
-    # derive the j-th permutation as xxhash64(seed_j, key) — hashing 12
-    # bytes per permutation instead of re-hashing the ~25-byte string 128
-    # times (measured ~2x on the signature stage; at corpus scale the
-    # signature aggregate dominates the whole dedup job).
-    buckets = minhash_band_buckets(sh)
+    docs = read_table(spark, sf_dir, "documents")
+    # Eager checkpoint: the bucket rows feed both sides of the self-join
+    # as a shuffle side and a broadcast side — different exchange kinds,
+    # so ReuseExchange never fires and the signature aggregate would run
+    # twice. Bucket rows are 32/doc (linear, tiny next to the corpus);
+    # production materializes them anyway as the incremental signature
+    # store (operators.incremental).
+    buckets = minhash_band_buckets(gram_hash_rows(docs)).localCheckpoint()
     x = buckets.alias("x")
     y = buckets.alias("y")
     candidates = (
@@ -311,8 +356,16 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
+        # Eager localCheckpoint: the signature aggregate feeds BOTH sides
+        # of the bucket self-join and would otherwise re-execute once per
+        # side and again per verification join reference (~4x the most
+        # expensive stage). Checkpointing the tiny candidate list runs it
+        # exactly once and truncates the lineage; blocks are freed when
+        # the frame is GC'd, unlike a persist() left behind.
+        .localCheckpoint()
     )
-    return _jaccard_pairs(sh, candidates, 0.8)
+    sh_cand = _candidate_doc_shingles(spark, sf_dir, candidates)
+    return _jaccard_pairs(sh_cand, candidates, 0.8)
 
 
 @_register("op_dedup_clusters")  # iterative label propagation → rows-only check
@@ -342,6 +395,9 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     if n_edges <= SMALL_GRAPH_EDGE_CAP:
         mapping = _union_find_mapping(spark, pairs_df)
+        # mapping is driver-side data (LocalRelation) — the persisted pair
+        # list is fully consumed; release its cached blocks now.
+        pairs_df.unpersist()
         if mapping is None:
             out = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
         else:
@@ -359,6 +415,9 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = connected_components(nodes, edges).select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+    # connected_components localCheckpoints its result each round, so the
+    # mapping's lineage no longer references the persisted pair list.
+    pairs_df.unpersist()
     out = docs.join(mapping, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),

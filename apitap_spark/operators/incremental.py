@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 from apitap_spark.functions.text import normalize_ws
 from apitap_spark.operators.dedup import (
     _SQL_SHINGLES,
+    _candidate_doc_shingles,
     _jaccard_pairs,
-    _shingle_df,
+    gram_hash_rows,
     minhash_band_buckets,
 )
 from apitap_spark.session import read_table
@@ -186,8 +187,10 @@ def op_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate hash-matching proves the candidate set loses nothing at
     the 0.8 threshold (miss probability < 1e-7).
     """
-    sh = _shingle_df(spark, sf_dir).persist()
-    buckets = minhash_band_buckets(sh)
+    docs = read_table(spark, sf_dir, "documents")
+    # checkpoint: store and batch sides would otherwise each re-run the
+    # signature aggregate (see op_dedup_minhash_lsh)
+    buckets = minhash_band_buckets(gram_hash_rows(docs)).localCheckpoint()
     is_old = F.col("doc_id") % 10 < 8
     store = buckets.filter(is_old)  # production: read bucketed dataset
     batch = buckets.filter(~is_old)
@@ -202,8 +205,12 @@ def op_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
         )
         .distinct()
+        # run the (bucket-join side of the) signature aggregate once —
+        # see op_dedup_minhash_lsh
+        .localCheckpoint()
     )
-    return _jaccard_pairs(sh, candidates, 0.8).select(
+    sh_cand = _candidate_doc_shingles(spark, sf_dir, candidates)
+    return _jaccard_pairs(sh_cand, candidates, 0.8).select(
         F.col("d1").alias("corpus_doc_id"),
         F.col("d2").alias("batch_doc_id"),
         "jaccard",

@@ -14,6 +14,7 @@ from apitap_spark.plans import (
     relational3,
     relational4,
     relational5,
+    timeseries,
 )
 
 QUERIES = {
@@ -22,6 +23,7 @@ QUERIES = {
     **relational3.QUERIES,
     **relational4.QUERIES,
     **relational5.QUERIES,
+    **timeseries.QUERIES,
 }
 ORACLES = {
     **relational.ORACLES,
@@ -29,6 +31,7 @@ ORACLES = {
     **relational3.ORACLES,
     **relational4.ORACLES,
     **relational5.ORACLES,
+    **timeseries.ORACLES,
 }
 
 __all__ = ["QUERIES", "ORACLES"]

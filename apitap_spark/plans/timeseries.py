@@ -1,0 +1,244 @@
+"""Time-series SQL surface: gap-filled resampling and time-bucket OHLC
+rollups over the events stream — the hypertable-style operator family
+(continuous-aggregate shapes) on top of plain DataFrame ops.
+
+Same contract as relational.py: DataFrame API + DuckDB oracle. Hours are
+integer epoch-hours (floor(epoch/3600)) so bucketing is pure integer
+arithmetic — no timezone or calendar semantics to diverge between
+engines; value sums go through DECIMAL(18,6) so aggregation order cannot
+perturb the double result (see plans/relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.session import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _epoch_hour(col: str = "ts") -> "F.Column":
+    return F.floor(F.col(col).cast("long") / 3600).cast("bigint")
+
+
+@_register(
+    "q_resample_hourly_gapfill",
+    """
+    WITH bucketed AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour_epoch,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM bucketed
+    ),
+    grid AS (
+      SELECT t.event_type, g.h AS hour_epoch
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+    )
+    SELECT g.event_type, CAST(g.hour_epoch AS BIGINT) AS hour_epoch,
+           CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(b.v, 0) AS DOUBLE) AS total_value
+    FROM grid g LEFT JOIN bucketed b
+      ON g.event_type = b.event_type AND g.hour_epoch = b.hour_epoch
+    """,
+)
+def q_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap filling: per event type, every hour between
+    the corpus min and max gets a row; silent hours are zero-filled.
+
+    Scale shape: one partial-agg groupBy on (type, hour) — cardinality is
+    types × hours, tiny relative to events — then the dense grid is built
+    from a broadcast scalar bounds row and a broadcast distinct-type list;
+    the final join is broadcast-left onto the aggregated (not raw) side.
+    The raw events table is scanned exactly once.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucketed = (
+        ev.select(
+            "event_type",
+            _epoch_hour().alias("hour_epoch"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("v"))
+    )
+    bounds = bucketed.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_epoch")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(types).crossJoin(F.broadcast(hours))
+    return grid.join(bucketed, ["event_type", "hour_epoch"], "left").select(
+        "event_type",
+        F.col("hour_epoch").cast("bigint").alias("hour_epoch"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("v", F.lit(0)).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "q_time_bucket_ohlc",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) // 6 AS bucket,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) // 6
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+                                datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) // 6
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-hour-bucket OHLC rollup per event type: first/last value by
+    (ts, event_id) order plus min/max — the candlestick/continuous-
+    aggregate shape.
+
+    open/close use ROW_NUMBER over a deterministic composite order (ties
+    on ts broken by event_id) rather than min_by/max_by, whose tie rule
+    is engine-dependent. One window + one groupBy, both partitioned by
+    the same (type, bucket) key — a single shuffle at scale.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.floor(_epoch_hour() / 6).cast("bigint")
+    base = ev.select(
+        "event_type", bucket.alias("bucket"), "value", "ts", "event_id"
+    )
+    w_open = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value")))
+        .cast("double")
+        .alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value")))
+        .cast("double")
+        .alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+@_register(
+    "q_interpolate_locf",
+    """
+    WITH bucketed AS (
+      SELECT user_id,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour_epoch,
+             MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+      FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id,
+                              datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id <= 50
+      ) GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM bucketed
+    ),
+    grid AS (
+      SELECT u.user_id, g.h AS hour_epoch
+      FROM (SELECT DISTINCT user_id FROM bucketed) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) g
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour_epoch, b.last_value
+      FROM grid g LEFT JOIN bucketed b
+        ON g.user_id = b.user_id AND g.hour_epoch = b.hour_epoch
+    )
+    SELECT user_id, CAST(hour_epoch AS BIGINT) AS hour_epoch,
+           CAST(LAST_VALUE(last_value IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY hour_epoch
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS locf_value
+    FROM joined
+    """,
+)
+def q_interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation onto a dense hourly
+    grid (users ≤ 50): hours with no reading inherit the most recent
+    value; leading hours before a user's first reading stay NULL.
+
+    The forward fill is ``last(..., ignorenulls)`` over a running frame —
+    one window sharing the user partition with the grid join. At scale
+    the grid is hours × users; the window partitions by user so no
+    global sort exists.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w_rank = Window.partitionBy("user_id", "hour_epoch").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bucketed = (
+        ev.select(
+            "user_id",
+            _epoch_hour().alias("hour_epoch"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .groupBy("user_id", "hour_epoch")
+        .agg(F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("last_value"))
+    )
+    bounds = bucketed.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    hours = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hour_epoch"))
+    users = bucketed.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(hours))
+    joined = grid.join(bucketed, ["user_id", "hour_epoch"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("hour_epoch").cast("bigint").alias("hour_epoch"),
+        F.last("last_value", ignorenulls=True)
+        .over(w_fill)
+        .cast("double")
+        .alias("locf_value"),
+    )

@@ -53,6 +53,10 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
+        # Ops persist() intermediates for intra-plan reuse; release them so
+        # later queries aren't timed under accumulated storage-memory
+        # pressure (each op is an independent job in production).
+        spark.catalog.clearCache()
 
     # Headline metric: the BASELINE-comparable "transform & load, complex
     # SQL" scenario (reference: ~5-6 s for ~100K rows, BASELINE.md) — the
