@@ -14,6 +14,7 @@ from apitap_spark.operators import (
     incremental,
     ml,
     multimodal,
+    quality,
     sampling,
     similarity,
     temporal,
@@ -38,6 +39,7 @@ for _mod in (
     incremental,
     textclean,
     corpus,
+    quality,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

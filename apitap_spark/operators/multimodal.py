@@ -106,6 +106,143 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract_features, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 256  # fake frame size for the frame-sample plumbing
+FRAME_STEP = 4  # sample every 4th frame (fps-style decimation)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling over (doc_id, payload): chop the
+    payload into FRAME_BYTES frames, keep every FRAME_STEP-th, emit one
+    row per sampled frame with its offset/length and an md5 of the frame
+    bytes. A real video path replaces the chopper with an ffmpeg seek —
+    the batching, fan-out schema, and per-frame hashing are the same.
+    """
+    import hashlib
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "frame_idx": [],
+            "frame_offset": [],
+            "frame_len": [],
+            "frame_md5": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STEP):
+                off = idx * FRAME_BYTES
+                chunk = payload[off : off + FRAME_BYTES]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(idx)
+                out["frame_offset"].append(off)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@_register(
+    "op_multimodal_frame_sample",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, text, n,
+             unnest(range(0, CAST((n + {FRAME_BYTES - 1}) // {FRAME_BYTES} AS BIGINT),
+                          {FRAME_STEP})) AS frame_idx
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+           CAST(LEAST({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS BIGINT)
+             AS frame_len,
+           md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                      {FRAME_BYTES})) AS frame_md5
+    FROM frames
+    """,
+)
+def op_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: payload → fixed-size frames → every k-th
+    frame, one output row per sampled frame (offset, length, content
+    hash) via mapInPandas.
+
+    The oracle replays the chop arithmetic and per-frame md5 in SQL —
+    byte-exact because the stand-in payloads are ASCII (1 byte/char);
+    a real video corpus has no SQL oracle, which is exactly why the
+    plumbing is proven on one that does. Narrow transformation, no
+    shuffle; fan-out is rows-per-frame, so partition sizing bounds the
+    Arrow batch growth.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        _sample_frames,
+        schema=(
+            "doc_id bigint, frame_idx bigint, frame_offset bigint, "
+            "frame_len bigint, frame_md5 string"
+        ),
+    )
+
+
+RESIZE_STRIDE = 8  # keep every 8th byte — the downsample stub
+
+
+def _resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'resize': stride-decimate the payload bytes — the
+    deterministic stand-in for an image thumbnailer (same signature:
+    binary in, smaller binary + new dims out)."""
+    import hashlib
+
+    for pdf in batches:
+        small = pdf["payload"].map(lambda b: bytes(b[:: RESIZE_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "orig_bytes": pdf["payload"].str.len().astype("int64"),
+                "resized_bytes": small.str.len().astype("int64"),
+                "resized_md5": small.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+@_register(
+    "op_multimodal_resize",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS orig_bytes,
+           CAST((n + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS BIGINT)
+             AS resized_bytes,
+           md5(list_aggregate(list_transform(
+                 range(1, CAST(n AS BIGINT) + 1, {RESIZE_STRIDE}),
+                 i -> substr(text, CAST(i AS BIGINT), 1)), 'string_agg', ''))
+             AS resized_md5
+    FROM sized
+    """,
+)
+def op_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary in → decimated binary out (every 8th
+    byte), with old/new sizes and a content hash of the result. A real
+    deployment swaps the stride for Pillow's resampler; the Arrow
+    batch shape, schema, and no-shuffle plan are identical. ASCII
+    stand-in payloads make the SQL oracle byte-exact.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        _resize_payloads,
+        schema=(
+            "doc_id bigint, orig_bytes bigint, resized_bytes bigint, "
+            "resized_md5 string"
+        ),
+    )
+
+
 @_register(
     "op_multimodal_metadata",
     """

