@@ -28,6 +28,30 @@ if _REPO_DIR not in sys.path:
 
 _SHIPPED: set[int] = set()
 
+# The 49 gates registered in round 1 that the round-1 driver window never
+# reached (verdict: give every one a CORRECTNESS row in round 2). They
+# outrank gates added in round 2+, which wait their turn.
+_ROUND1_BACKLOG = {
+    "q_setop_except_all", "q2_cheapest_part_per_size",
+    "q11_nation_balance_share", "q13_order_count_distribution",
+    "q22_dormant_rich_customers", "q_retention_cohorts", "q4_order_priority",
+    "q8_market_share", "q9_product_profit", "q12_late_line_priority",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_promo_shippers", "q21_waiting_supplier",
+    "q_lateral_topn_orders", "q_window_range_time", "q_mode_median_price",
+    "q_salted_two_phase_agg", "q_string_agg_nations", "q_unpivot_measures",
+    "op_dedup_exact", "op_dedup_ngram_jaccard", "op_dedup_minhash_lsh",
+    "op_dedup_clusters", "op_dedup_simhash", "op_ann_cosine_topk",
+    "op_embedding_norms", "op_ann_lsh_bucketed", "op_ann_ivf_label",
+    "op_dedup_embedding_cosine", "op_text_token_stats",
+    "op_text_quality_score", "op_text_bpe_tokens", "op_text_lang_id",
+    "op_text_fingerprint", "op_text_winnowing", "op_multimodal_features",
+    "op_multimodal_metadata", "op_udtf_shingles", "op_pandas_udf_zscore",
+    "op_approx_aggregates", "op_corpus_curation",
+    "op_graph_session_components", "op_asof_join_attribution",
+    "op_split_train_valid_test", "op_stratified_sample", "op_kmeans_refine",
+}
+
 
 def _gate_priority(names: list[str]) -> list[str]:
     """Order gates so the driver's 50-row CORRECTNESS window hits the gates
@@ -35,14 +59,15 @@ def _gate_priority(names: list[str]) -> list[str]:
 
     The driver only writes CORRECTNESS rows for the first 50 entries of
     ``queries()``.  We read every prior round's ``CORRECTNESS_r*.json`` and
-    sort gates into three tiers, each preserving registration order:
+    sort gates into tiers, each preserving registration order:
 
     1. gates whose most recent driver row is red (must be re-proven),
-    2. gates that have never received a driver row,
-    3. gates whose most recent driver row is green (rotate to the back).
+    2. round-1 backlog gates with no driver row yet (_ROUND1_BACKLOG),
+    3. newer gates with no driver row yet,
+    4. gates whose most recent driver row is green (rotate to the back).
 
     Across rounds this guarantees every gate — including ones added later —
-    eventually gets a green driver row, without hand-maintaining a list.
+    eventually gets a green driver row, without further list maintenance.
     """
     import glob
     import json
@@ -67,8 +92,8 @@ def _gate_priority(names: list[str]) -> list[str]:
 
     def tier(name: str) -> int:
         if name not in verdict:
-            return 1
-        return 2 if verdict[name] else 0
+            return 1 if name in _ROUND1_BACKLOG else 2
+        return 3 if verdict[name] else 0
 
     return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
 
