@@ -57,29 +57,40 @@ def op_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of the orders table: row/null/distinct counts and
     min/max (stringified for a uniform schema) per profiled column.
 
-    One aggregation pass per column over the same scan; Catalyst fuses
-    the branches of the union into shared-scan stages, and every
-    aggregate is partial — the profile of a 100 TB table shuffles a few
-    hundred bytes. min/max stringification matches DuckDB's CAST AS
-    VARCHAR for bigints/decimals/strings (no float formatting involved).
+    One scan, one aggregation (plan-asserted): all 17 aggregates ride a
+    single pass, and the wide result row unpivots to long form with an
+    explode — the profile of a 100 TB table costs exactly the scan.
+    min/max stringification matches DuckDB's CAST AS VARCHAR for
+    bigints/doubles-in-range/strings (no scientific notation involved).
     """
     orders = read_table(spark, sf_dir, "orders")
-    parts = []
+    # ONE aggregation over ONE scan (at 100 TB the scan IS the cost; a
+    # union of per-column aggregates reads the table once per column).
+    # The multi-column count(distinct) compiles to a single Expand +
+    # aggregate; the wide result row then unpivots driver-free.
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c in _PROFILE_COLS:
-        parts.append(
-            orders.agg(
+        aggs += [
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column_name"),
-                F.count("*").cast("bigint").alias("n_rows"),
-                (F.count("*") - F.count(c)).cast("bigint").alias("n_nulls"),
-                F.countDistinct(c).cast("bigint").alias("n_distinct"),
-                F.min(c).cast("string").alias("min_value"),
-                F.max(c).cast("string").alias("max_value"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
 
 
 @_register(

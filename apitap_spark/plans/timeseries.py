@@ -80,6 +80,10 @@ def q_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "hour_epoch")
         .agg(F.count("*").alias("n_events"), F.sum("v").alias("v"))
+        # types × hours rows — tiny at any scale. Checkpointing it lets
+        # bounds, the type list, AND the grid join all read the aggregate
+        # instead of re-scanning raw events (one corpus scan total).
+        .localCheckpoint()
     )
     bounds = bucketed.agg(
         F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
@@ -87,7 +91,7 @@ def q_resample_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("hour_epoch")
     )
-    types = ev.select("event_type").distinct()
+    types = bucketed.select("event_type").distinct()
     grid = F.broadcast(types).crossJoin(F.broadcast(hours))
     return grid.join(bucketed, ["event_type", "hour_epoch"], "left").select(
         "event_type",
@@ -221,6 +225,7 @@ def q_interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_rank))
         .groupBy("user_id", "hour_epoch")
         .agg(F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("last_value"))
+        .localCheckpoint()  # bounds + user list + grid join: one raw scan
     )
     bounds = bucketed.agg(
         F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")

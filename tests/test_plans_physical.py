@@ -187,3 +187,55 @@ def test_dedup_clusters_distributed_no_collect(spark, sf_dir):
     src = inspect.getsource(dedup.op_dedup_clusters)
     assert ".collect()" not in src  # unbounded pair list never hits the driver
     assert "connected_components" in src
+
+
+def test_data_profile_single_scan(spark, sf_dir):
+    """The column profile must cost exactly one scan + one aggregation —
+    a per-column union would read a 100 TB table once per column."""
+    from apitap_spark.operators.quality import op_data_profile
+
+    p = _plan(op_data_profile(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1  # detail section: one real scan
+    assert "partial" in p  # map-side combine before the single shuffle
+
+
+def test_resample_single_raw_scan(spark, sf_dir):
+    """Gap-fill grid (bounds + type list) derives from the checkpointed
+    aggregate, so raw events are scanned exactly once."""
+    from apitap_spark.plans.timeseries import q_resample_hourly_gapfill
+
+    p = _plan(q_resample_hourly_gapfill(spark, sf_dir))
+    # raw events were scanned once, at checkpoint time: the final plan
+    # reads only the checkpointed aggregate (types x hours rows)
+    assert ") Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p  # grid joins the aggregate broadcast-side
+
+
+def test_pack_sequences_partitioned_window(spark, sf_dir):
+    """Packing must sort within shard partitions only — a global sort
+    would serialize the corpus through one reducer."""
+    from apitap_spark.operators.corpus import op_pack_sequences
+
+    p = _plan(op_pack_sequences(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "hashpartitioning(lang" in p  # shard-keyed shuffle
+    assert "rangepartitioning" not in p  # no global ordering
+
+
+def test_repetition_zero_shuffle(spark, sf_dir):
+    """Repetition signals are per-doc array math — any Exchange means the
+    corpus is being shuffled for a map-side computation."""
+    from apitap_spark.operators.textclean import op_text_repetition
+
+    p = _plan(op_text_repetition(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast — shuffling the corpus side
+    against a benchmark of eval-set size is never right."""
+    from apitap_spark.operators.corpus import op_contamination_ngram
+
+    p = _plan(op_contamination_ngram(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
