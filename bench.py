@@ -98,6 +98,13 @@ def main() -> None:
         sink_sec = time.perf_counter() - t0
     sink_rows_per_sec = round(sink_rows / sink_sec)
 
+    # Training-data pipeline throughput: docs/sec through the composed
+    # curation pass (quality + lang-id + exact dedup -> keep/drop) — the
+    # operator a pretraining-data run actually executes per corpus pass.
+    doc_rows = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    cur_time = timings.get("op_corpus_curation")
+    curation_docs_per_sec = round(doc_rows / cur_time) if cur_time else None
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = json.dumps(
             {
@@ -113,6 +120,8 @@ def main() -> None:
                 "q1_rows_per_sec": rows_per_sec,
                 "sink_rows_per_sec": sink_rows_per_sec,
                 "sink_rows": sink_rows,
+                "curation_docs_per_sec": curation_docs_per_sec,
+                "document_rows": doc_rows,
                 "cpus": cpus,
             }
     )
