@@ -368,7 +368,26 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh_cand, candidates, 0.8)
 
 
-@_register("op_dedup_clusters")  # iterative label propagation → rows-only check
+_SQL_CLUSTERS = rf"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS.format(thr=0.8)}),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS doc_id,
+           MIN(lab) AS cluster_id,
+           (MIN(lab) = v) AS is_kept
+    FROM reach GROUP BY v
+"""
+
+
+@_register("op_dedup_clusters", _SQL_CLUSTERS)
 def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the LSH pair graph,
     keep-smallest-doc_id per cluster — the deliverable of a dedup pipeline

@@ -247,3 +247,47 @@ def q_interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("locf_value"),
     )
+
+
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS BIGINT) AS lo,
+             CAST(MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS BIGINT) AS hi
+      FROM {orders}
+    ),
+    months(m) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m < (SELECT hi FROM bounds)
+    ),
+    per_month AS (
+      SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+             COUNT(*) AS n_orders
+      FROM {orders} GROUP BY 1
+    )
+    SELECT CAST(FLOOR(months.m / 12.0) AS BIGINT) AS yr,
+           CAST(months.m % 12 + 1 AS BIGINT) AS mon,
+           CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN per_month p ON months.m = p.m
+"""
+
+
+@_register(
+    "q_recursive_cte_months",
+    _RECURSIVE_MONTHS_SQL.format(orders="orders"),
+)
+def q_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4 UnionLoop): generate the
+    dense month series between the first and last order date, zero-fill
+    silent months — SURVEY §2.2 Q11 depth the reference's DataFusion 47
+    cannot express (no recursive CTEs).
+
+    The identical SQL text runs on both engines (the dialect-neutral
+    epoch-month arithmetic avoids date-function skew). The recursion
+    depth is bounded by the month span — driver-side loop unrolling in
+    Spark, each step a LocalRelation-sized increment; the corpus-sized
+    table is touched only by the plain aggregate.
+    """
+    ev = read_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("_rc_orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL.format(orders="_rc_orders"))
