@@ -58,6 +58,14 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     emit fixed-schema frames. Deterministic byte statistics stand in for
     decoded features (see decode_image stub).
     """
+    def mean_byte(b: bytes) -> float:
+        if not b:
+            return 0.0
+        # integer round-half-up at 6dp, then one IEEE double division —
+        # reproducible in SQL; Python round() is half-EVEN and DuckDB
+        # ROUND half-away, so neither survives an exact oracle at ties
+        return ((sum(b) * 2_000_000 + len(b)) // (2 * len(b))) / 1e6
+
     for pdf in batches:
         payloads = pdf["payload"]
         n = payloads.str.len().astype("int64")
@@ -67,9 +75,7 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "n_bytes": n,
                 "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int64"),
                 "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int64"),
-                "mean_byte": payloads.map(
-                    lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
-                ).astype("float64"),
+                "mean_byte": payloads.map(mean_byte).astype("float64"),
                 "modality": "binary/text-stub",
             }
         )
@@ -92,7 +98,28 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-@_register("op_multimodal_features")  # Pandas-UDF path → rows-only driver check
+@_register(
+    "op_multimodal_features",
+    """
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END
+                AS BIGINT) AS head_byte,
+           CAST(CASE WHEN n = 0 THEN -1 ELSE ascii(substr(text, n, 1)) END
+                AS BIGINT) AS tail_byte,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST((list_aggregate(list_transform(
+                             range(1, CAST(n AS BIGINT) + 1),
+                             i -> ascii(substr(text, CAST(i AS BIGINT), 1))),
+                           'sum') * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
+           END AS mean_byte,
+           'binary/text-stub' AS modality
+    FROM sized
+    """,
+)
 def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction via mapInPandas (Arrow batches).
 
@@ -100,6 +127,11 @@ def op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor streams Arrow batches through the Python worker. Partition
     sizing governs Python memory: repartition upstream if payloads are
     large (images), never collect.
+
+    Oracle-able because the stand-in payloads are ASCII: the SQL replays
+    the byte stats (integer half-up mean, one IEEE double division) —
+    proving the Arrow plumbing end-to-end against an engine that never
+    saw a Python worker.
     """
     docs = read_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs).select("doc_id", "payload")

@@ -91,6 +91,58 @@ def stream_merge_to_sink(stream_df: DataFrame, writer, checkpoint_dir: str):
     )
 
 
+def stream_incremental_dedup(
+    docs_stream: DataFrame, store_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Streaming ingestion dedup: classify each document micro-batch
+    against the persistent corpus signature store, then fold the batch's
+    genuinely-new signatures into the store.
+
+    Per micro-batch (foreachBatch):
+      1. read the store (text_hash → canonical_doc_id; empty on first
+         batch),
+      2. classify the batch via operators.incremental.incremental_exact
+         ('corpus_dup' / 'batch_dup' / 'unique'),
+      3. append classifications to ``out_dir``,
+      4. append the batch canonicals whose hash is NOT yet stored
+         (anti-join) to the store.
+
+    Work per batch is proportional to the BATCH — the corpus appears
+    only through its signature store, exactly like the batch-mode
+    incremental operator. Production hardening: route both appends
+    through the merge sink (sinks.jdbc_merge) or a transactional table
+    format so a retried batch stays idempotent; plain parquet append is
+    used here to keep the example self-contained.
+    """
+    from apitap_spark.operators.incremental import (
+        build_signature_store,
+        incremental_exact,
+    )
+
+    store_schema = "text_hash string, canonical_doc_id bigint"
+
+    def per_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.schema(store_schema).parquet(store_dir)
+            store.first()  # force existence check
+        except Exception:
+            store = spark.createDataFrame([], store_schema)
+        store = store.localCheckpoint()  # one stable read per batch
+        classified = incremental_exact(batch_df, store).localCheckpoint()
+        classified.write.mode("append").parquet(out_dir)
+        new_sigs = build_signature_store(batch_df).join(
+            store.select("text_hash"), "text_hash", "anti"
+        )
+        new_sigs.write.mode("append").parquet(store_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def running_user_totals(events: DataFrame, timeout_sec: int = 3600) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count + value total, emitted every micro-batch.

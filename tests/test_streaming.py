@@ -221,3 +221,43 @@ def test_stateful_timeout_evicts_state():
     )
     assert live.updates == [(5, 10.5)] and live.armed == 60000
     assert out[0]["n_events"][0] == 5
+
+
+def test_stream_incremental_dedup_store_lifecycle(spark, tmp_path):
+    """Micro-batch 1 seeds the signature store; batch 2's repeat of an
+    earlier text classifies as corpus_dup, and only new hashes join the
+    store."""
+    from apitap_spark.streaming.ingest import stream_incremental_dedup
+
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "classified")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text}
+
+    _write_events(src, "b1.json", [doc(1, "alpha beta"), doc(2, "alpha beta"), doc(3, "gamma")])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    stream_incremental_dedup(stream, store, out, ckpt).start().awaitTermination(120)
+
+    _write_events(src, "b2.json", [doc(4, "alpha beta"), doc(5, "delta")])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    stream_incremental_dedup(stream2, store, out, ckpt).start().awaitTermination(120)
+
+    got = {r["doc_id"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert got[1] == "unique"
+    assert got[2] == "batch_dup"
+    assert got[3] == "unique"
+    assert got[4] == "corpus_dup"  # seen in batch 1's corpus now
+    assert got[5] == "unique"
+    sigs = spark.read.parquet(store)
+    assert sigs.count() == 3  # alpha-beta, gamma, delta — no duplicate hashes

@@ -180,3 +180,28 @@ def test_data_validate_fires_on_planted_violations(spark, tmp_path):
         "orders_custkey_fk_customer": 1,
         "lineitem_orderkey_fk_orders": 1,
     }
+
+
+def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation example writes a partitioned curated corpus
+    whose rows are exactly the keep=true decisions."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "curated")
+    mod.curate(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    from apitap_spark.operators.curation import op_corpus_curation
+
+    expected = op_corpus_curation(spark, sf_dir).filter("keep").count()
+    assert back.count() == expected
+    assert set(back.columns) == {"doc_id", "source", "lang", "sample_weight", "text"}
+    # partitioned layout: lang directories exist
+    assert any(d.startswith("lang=") for d in os.listdir(out))
