@@ -116,22 +116,34 @@ def op_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_TABLES = 4
 N_PLANES = 6  # per table → 64 buckets/table; tune both for corpus density
+LSH_DIM = 64  # embedding dimensionality of the corpus
+
+# Hyperplane weights as fixed rational literals (k/1000 ∈ [-1, 1]), drawn
+# once from a seeded generator at import. Literals instead of per-element
+# hashing buy two things: the JVM expression is a plain multiply (no
+# xxhash64 per dimension), and the IDENTICAL constants embed into the
+# DuckDB oracle — making the whole approximate index SQL-checkable.
+import random as _random
+
+_rng = _random.Random(0x5EED)
+PLANE_WEIGHTS = [
+    [[_rng.randint(-1000, 1000) / 1000.0 for _ in range(LSH_DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
+]
 
 
 def _lsh_buckets(vec_col: str):
     """Array of (table, bucket) sign-random-projection assignments.
 
-    Plane weights derive from xxhash64(table, plane, dim) — deterministic
-    across runs/executors, pure JVM. Multiple independent tables trade
-    compute for recall the standard LSH way: a neighbor lost to one
-    table's boundary is usually kept by another."""
+    Multiple independent tables trade compute for recall the standard
+    LSH way: a neighbor lost to one table's boundary is usually kept by
+    another. The per-plane dot is a left fold in index order — the same
+    addition order the SQL oracle's list_aggregate uses, so the sign
+    test agrees bit-for-bit across engines."""
     def plane_dot(t: int, p: int):
-        idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+        w = F.array(*[F.lit(v) for v in PLANE_WEIGHTS[t][p]])
         prods = F.zip_with(
-            F.col(vec_col),
-            idx,
-            lambda x, i: x.cast("double")
-            * ((F.pmod(F.xxhash64(F.lit(t), F.lit(p), i), F.lit(2001)) - 1000) / 1000.0),
+            F.col(vec_col), w, lambda x, wv: x.cast("double") * wv
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -146,14 +158,67 @@ def _lsh_buckets(vec_col: str):
     return F.array(*entries)
 
 
-@_register("op_ann_lsh_bucketed")  # approximate → rows-only driver check
+def _sql_plane_dot(t: int, p: int, vec: str = "embedding") -> str:
+    w = "[" + ", ".join(repr(v) for v in PLANE_WEIGHTS[t][p]) + "]"
+    return (
+        f"list_aggregate(list_transform(range(1, {LSH_DIM} + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({w})[i]), 'sum')"
+    )
+
+
+def _sql_lsh_bucketed() -> str:
+    per_table = []
+    for t in range(N_TABLES):
+        bucket = " + ".join(
+            f"(CASE WHEN {_sql_plane_dot(t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(N_PLANES)
+        )
+        per_table.append(
+            f"SELECT vec_id, embedding, {t} AS t, {bucket} AS b FROM embeddings"
+        )
+    bucketed = "\nUNION ALL\n".join(per_table)
+    cos = (
+        f"{_SQL_DOT.format(a='q.qe', b='c.ce')}"
+        f" / (sqrt({_SQL_NORM2.format(a='q.qe')})"
+        f" * sqrt({_SQL_NORM2.format(a='c.ce')}))"
+    )
+    return f"""
+    WITH bucketed AS ({bucketed}),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM bucketed q JOIN bucketed c ON q.t = c.t AND q.b = c.b
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT p.q_id, p.c_id, {cos} AS cos
+      FROM pairs p
+      JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = p.q_id
+      JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c ON c.vec_id = p.c_id
+    )
+    SELECT q_id, c_id, ROUND(cos, 6) AS cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT q_id, c_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """
+
+
+@_register("op_ann_lsh_bucketed", _sql_lsh_bucketed())
 def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: score only candidates sharing a (table, bucket)
     cell with the query in any of the N_TABLES hash tables. The scale path
     when Q x N is infeasible — the bucket equi-join replaces the cross
     join and the shuffle key (table, bucket) spreads uniformly by
-    construction. Approximate → no SQL oracle; tests measure recall
-    against op_ann_cosine_topk."""
+    construction.
+
+    Fully SQL-oracled despite being an approximate index: the hyperplane
+    constants are literals shared with the DuckDB oracle, every dot is a
+    left fold in index order, and the final cosine re-rank reuses the
+    exact-cosine oracle fragments — so bucket assignment, candidate set,
+    and ranking are all checked bit-for-bit. Recall vs brute force is
+    asserted separately in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id",
