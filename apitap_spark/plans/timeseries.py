@@ -249,45 +249,38 @@ def q_interpolate_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECURSIVE_MONTHS_SQL = """
-    WITH RECURSIVE bounds AS (
-      SELECT CAST(MIN(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS BIGINT) AS lo,
-             CAST(MAX(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1) AS BIGINT) AS hi
-      FROM {orders}
-    ),
-    months(m) AS (
-      SELECT lo FROM bounds
+_RECURSIVE_BOM_SQL = """
+    WITH RECURSIVE anc(part, ancestor, level) AS (
+      SELECT p_partkey, p_partkey, 0 FROM {part} WHERE p_partkey <= 100
       UNION ALL
-      SELECT m + 1 FROM months WHERE m < (SELECT hi FROM bounds)
-    ),
-    per_month AS (
-      SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
-             COUNT(*) AS n_orders
-      FROM {orders} GROUP BY 1
+      SELECT a.part, CAST(FLOOR(a.ancestor / 2.0) AS BIGINT), a.level + 1
+      FROM anc a WHERE a.ancestor > 1
     )
-    SELECT CAST(FLOOR(months.m / 12.0) AS BIGINT) AS yr,
-           CAST(months.m % 12 + 1 AS BIGINT) AS mon,
-           CAST(COALESCE(p.n_orders, 0) AS BIGINT) AS n_orders
-    FROM months LEFT JOIN per_month p ON months.m = p.m
+    SELECT a.part, a.ancestor, CAST(a.level AS BIGINT) AS level,
+           p.p_brand AS ancestor_brand
+    FROM anc a JOIN {part} p ON p.p_partkey = a.ancestor
 """
 
 
 @_register(
-    "q_recursive_cte_months",
-    _RECURSIVE_MONTHS_SQL.format(orders="orders"),
+    "q_recursive_cte_bom",
+    _RECURSIVE_BOM_SQL.format(part="part"),
 )
-def q_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE (WITH RECURSIVE, Spark 4 UnionLoop): generate the
-    dense month series between the first and last order date, zero-fill
-    silent months — SURVEY §2.2 Q11 depth the reference's DataFusion 47
-    cannot express (no recursive CTEs).
+def q_recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4 UnionLoop): bill-of-
+    materials-style ancestor walk — each part's assembly chain under the
+    synthetic hierarchy parent(p) = floor(p/2), annotated with the
+    ancestor's brand. SURVEY §2.2 Q11 depth the reference's DataFusion
+    47 cannot express (no recursive CTEs).
 
-    The identical SQL text runs on both engines (the dialect-neutral
-    epoch-month arithmetic avoids date-function skew). The recursion
-    depth is bounded by the month span — driver-side loop unrolling in
-    Spark, each step a LocalRelation-sized increment; the corpus-sized
-    table is touched only by the plain aggregate.
+    The identical SQL text runs on both engines. The recursive STEP
+    touches no table at all (pure arithmetic on the frontier — the
+    halving walk needs ~log2(maxkey) iterations); a step that re-scanned
+    a corpus-sized table per iteration would multiply the scan by the
+    recursion depth (an 80-iteration month-series variant measured 7x
+    slower than its own aggregate for exactly that reason). The one
+    corpus join happens once, after the recursion closes.
     """
-    ev = read_table(spark, sf_dir, "orders")
-    ev.createOrReplaceTempView("_rc_orders")
-    return spark.sql(_RECURSIVE_MONTHS_SQL.format(orders="_rc_orders"))
+    part = read_table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("_rc_part")
+    return spark.sql(_RECURSIVE_BOM_SQL.format(part="_rc_part"))
