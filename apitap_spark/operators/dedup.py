@@ -580,3 +580,75 @@ def op_dedup_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+PASSAGE_WINDOW = 8  # tokens per passage window (real runs use 50; the
+# synthetic 40-word vocabulary needs a shorter window to exercise overlap)
+
+
+@_register(
+    "op_dedup_passages",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, GREATEST(len(t) - {PASSAGE_WINDOW - 1}, 0) + 1),
+                    i -> md5(array_to_string(t[i:i+{PASSAGE_WINDOW - 1}], ' ')))) AS wh
+      FROM toks
+    ),
+    df AS (
+      SELECT wh, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY wh
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_windows,
+           CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_fraction
+    FROM wins w JOIN df d ON w.wh = d.wh
+    GROUP BY w.doc_id
+    """,
+)
+def op_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage detection (substring-level dedup signal): the
+    fraction of each document's 8-token sliding windows that also occur
+    in ANOTHER document — the per-doc filter statistic of
+    suffix-array-style substring dedup, computed with hashes instead of
+    suffix arrays.
+
+    Shuffle profile: one explode (no shuffle), one groupBy on the window
+    hash (document frequency), one hash join back, one groupBy on
+    doc_id. All counts integer-exact; the md5 window key reproduces
+    byte-identically in the oracle. At corpus scale the window-hash
+    groupBy is the same shape as exact dedup — linear, partial-
+    aggregated — where a true suffix array would need a global sort.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (PASSAGE_WINDOW - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, PASSAGE_WINDOW))),
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(t) >= PASSAGE_WINDOW, make).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("wh"),
+    )
+    dfreq = wins.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    shared = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+    return (
+        wins.join(dfreq, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            shared.cast("bigint").alias("n_shared_windows"),
+            (shared.cast("double") / F.count("*")).alias("shared_fraction"),
+        )
+    )
