@@ -205,3 +205,28 @@ def test_curation_example_end_to_end(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"doc_id", "source", "lang", "sample_weight", "text"}
     # partitioned layout: lang directories exist
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_dedup_passages_planted(spark, tmp_path):
+    """An exact copy shares every window (fraction 1.0); a doc sharing
+    only its first half shares exactly the half's windows; a unique doc
+    shares none."""
+    from apitap_spark.operators.dedup import PASSAGE_WINDOW, op_dedup_passages
+
+    base = " ".join(f"w{i}" for i in range(16))          # 16 tokens → 9 windows
+    half = " ".join(f"w{i}" for i in range(8)) + " " + " ".join(
+        f"x{i}" for i in range(8)
+    )  # first 8 tokens shared → exactly 1 shared window (w0..w7)
+    uniq = " ".join(f"z{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, half), (4, uniq)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "p")
+    df.write.parquet(f"{path}/documents.parquet")
+    got = {r["doc_id"]: r for r in op_dedup_passages(spark, path).collect()}
+    n_win = 16 - PASSAGE_WINDOW + 1
+    assert got[1]["n_windows"] == n_win and got[1]["shared_fraction"] == 1.0
+    assert got[2]["shared_fraction"] == 1.0
+    assert got[3]["n_shared_windows"] == 1  # only the w0..w7 window
+    assert got[4]["n_shared_windows"] == 0
