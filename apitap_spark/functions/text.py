@@ -36,17 +36,33 @@ def normalize_ws(col: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), WS_PATTERN, " ")
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles ('w1 w2 w3') of a text column.
+def shingle_grams(col: Column | str, n: int = 3) -> Column:
+    """Raw (position-ordered, non-distinct) n-word shingle array.
+
+    Built as a zip_with chain over n equal-length shifted slices rather
+    than transform(sequence, i -> slice(t, i, n)): higher-order lambdas
+    are interpreted per element, and the per-gram slice allocation makes
+    the sequence form ~4x slower (measured at sf0.1). The slices must
+    share EXACTLY length size-n+1 — zip_with pads the shorter array with
+    nulls and concat_ws silently drops them, which would fabricate a
+    trailing (n-1)-gram.
 
     Texts with fewer than ``n`` tokens yield an empty array (guarded —
-    Spark's ``sequence`` would otherwise count backwards).
+    a negative slice length would otherwise error).
     """
     t = tokens(col)
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.when(F.size(t) >= n, F.array_distinct(make)).otherwise(
+    length = F.size(t) - (n - 1)
+    acc = F.slice(t, 1, length)
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(t, k, length), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(F.size(t) >= n, acc).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles ('w1 w2 w3') of a text column."""
+    made = shingle_grams(col, n)
+    return F.when(F.size(made) > 0, F.array_distinct(made)).otherwise(made)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apitap_spark.functions.text import token_count, tokens
+from apitap_spark.functions.text import shingles, token_count, tokens
 from apitap_spark.session import read_table
 
 QUERIES: dict = {}
@@ -89,19 +89,7 @@ def op_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    t = tokens("text")
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (CONTAM_N - 1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    grams = docs.select(
-        "doc_id",
-        F.when(F.size(t) >= CONTAM_N, F.array_distinct(make))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("g"),
-    )
+    grams = docs.select("doc_id", shingles("text", CONTAM_N).alias("g"))
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = (
         grams.filter(is_bench)

@@ -26,7 +26,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apitap_spark.functions.text import normalize_ws, shingles, tokens
+from apitap_spark.functions.text import (
+    normalize_ws,
+    shingle_grams,
+    shingles,
+    tokens,
+)
 from apitap_spark.operators.graph import connected_components
 from apitap_spark.session import read_table
 
@@ -104,21 +109,16 @@ def gram_hash_rows(docs: DataFrame) -> DataFrame:
     """Explode a documents frame into (doc_id, hkey) rows: the 64-bit
     xxhash of each distinct 3-token slice.
 
-    The MinHash signature path never needs shingle STRINGS — any stable
-    64-bit key of the token triple is a valid permutation input — so the
-    hot path hashes the sliced token array directly and the corpus-wide
-    shingle-string materialization disappears from the minhash rungs
-    (strings are rebuilt only for the candidate docs at verify time,
-    a vanishingly small subset at any scale). Zero shuffle: per-doc
-    array expressions, then explode.
+    The MinHash signature path never needs shingle STRINGS downstream —
+    any stable 64-bit key of the token triple is a valid permutation
+    input — so the explode carries only the hash and the corpus-wide
+    shingle-string rows disappear from the minhash rungs (strings are
+    rebuilt only for the candidate docs at verify time, a vanishingly
+    small subset at any scale). Zero shuffle: per-doc array expressions
+    (the zip_with chain of functions.text.shingle_grams), then explode.
     """
-    t = tokens("text")
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 2),
-        lambda i: F.xxhash64(F.slice(t, i, 3)),
-    )
-    grams = F.when(F.size(t) >= 3, F.array_distinct(make)).otherwise(
-        F.array().cast("array<bigint>")
+    grams = F.transform(
+        F.array_distinct(shingle_grams("text", 3)), lambda s: F.xxhash64(s)
     )
     return docs.select("doc_id", F.explode(grams).alias("hkey"))
 
@@ -626,16 +626,11 @@ def op_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated — where a true suffix array would need a global sort.
     """
     docs = read_table(spark, sf_dir, "documents")
-    t = tokens("text")
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (PASSAGE_WINDOW - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, PASSAGE_WINDOW))),
-    )
     wins = docs.select(
         "doc_id",
         F.explode(
-            F.when(F.size(t) >= PASSAGE_WINDOW, make).otherwise(
-                F.array().cast("array<string>")
+            F.transform(
+                shingle_grams("text", PASSAGE_WINDOW), lambda s: F.md5(s)
             )
         ).alias("wh"),
     )

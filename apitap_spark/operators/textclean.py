@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apitap_spark.functions.text import tokens
+from apitap_spark.functions.text import shingle_grams, tokens
 from apitap_spark.session import read_table
 
 QUERIES: dict = {}
@@ -172,15 +172,9 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim("text")) > 0
     )
     t = tokens("text")
-    make_bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    d = docs.select(
+        "doc_id", t.alias("t"), shingle_grams("text", 2).alias("b")
     )
-    # guard: sequence(1, 0) would count backwards for 1-token docs
-    bigrams = F.when(F.size(t) >= 2, make_bigrams).otherwise(
-        F.array().cast("array<string>")
-    )
-    d = docs.select("doc_id", t.alias("t"), bigrams.alias("b"))
 
     def top_share(arr):
         counts = F.transform(
