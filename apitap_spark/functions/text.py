@@ -13,7 +13,14 @@ WS_PATTERN = r"\s+"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of a text column (leading/trailing ws trimmed)."""
+    """Whitespace tokens of a text column (leading/trailing ws trimmed).
+
+    Contract note: ``trim`` strips ASCII SPACES only (identically in
+    Spark and DuckDB — the oracle parity relies on this), so text whose
+    leading/trailing whitespace is tabs/newlines yields empty-string
+    edge tokens. Corpora with significant tab indentation should pass
+    through ``normalize_ws`` first (as the dedup/fingerprint paths do).
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), WS_PATTERN)
 

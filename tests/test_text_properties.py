@@ -1,0 +1,110 @@
+"""Property-style batch tests for the text column functions: one Spark
+job over a seeded adversarial corpus, each row compared against an
+independent pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import (
+    normalize_ws,
+    shingle_grams,
+    shingles,
+    token_count,
+)
+from apitap_spark.operators.textclean import scrub_pii
+
+_WORDS = ["a", "bb", "ccc", "Δδ", "x-y", "a.b@c.de", "1.2.3.4", "()", "+1"]
+_WS = [" ", "  ", "\t", "\n", " \t "]
+
+
+def _corpus(n: int = 300) -> list[tuple[int, str]]:
+    rng = random.Random(0xC0FFEE)
+    rows = [(0, ""), (1, " "), (2, "solo"), (3, "a b"), (4, "\t\n ")]
+    for i in range(5, n):
+        k = rng.randint(0, 12)
+        text = "".join(
+            rng.choice(_WORDS) + rng.choice(_WS) for _ in range(k)
+        ).rstrip()
+        rows.append((i, text))
+    return rows
+
+
+# Reference matches the documented contract: trim strips SPACES only
+# (engine-consistent across Spark and DuckDB; see functions.text.tokens).
+def _py_trim(text: str) -> str:
+    return text.strip(" ")
+
+
+def _py_tokens(text: str) -> list[str]:
+    t = _py_trim(text)
+    return re.split(r"\s+", t) if t else [""]
+
+
+def _py_token_count(text: str) -> int:
+    return 0 if not _py_trim(text) else len(_py_tokens(text))
+
+
+def _py_grams(text: str, n: int) -> list[str]:
+    t = _py_tokens(text)
+    if not _py_trim(text) or len(t) < n:
+        return []
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+
+def _dedupe_keep_order(xs: list[str]) -> list[str]:
+    seen: set[str] = set()
+    return [x for x in xs if not (x in seen or seen.add(x))]
+
+
+def test_text_functions_match_python_reference(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("tc"),
+            shingle_grams("text", 3).alias("g3"),
+            shingles("text", 3).alias("s3"),
+            shingle_grams("text", 2).alias("g2"),
+            normalize_ws("text").alias("nw"),
+        ).collect()
+    }
+    for doc_id, text in rows:
+        r = got[doc_id]
+        assert r["tc"] == _py_token_count(text), (doc_id, text)
+        assert r["g3"] == _py_grams(text, 3), (doc_id, text)
+        assert r["s3"] == _dedupe_keep_order(_py_grams(text, 3)), (doc_id, text)
+        assert r["g2"] == _py_grams(text, 2), (doc_id, text)
+        assert r["nw"] == re.sub(r"\s+", " ", _py_trim(text).lower()), (
+            doc_id,
+            text,
+        )
+
+
+def test_scrub_pii_idempotent_and_complete(spark):
+    rng = random.Random(7)
+    pii = [
+        "bob@ex.org",
+        "10.0.0.1",
+        "+1 (415) 555-0199",
+        "a.b+c@d-e.info",
+        "255.255.255.255",
+    ]
+    rows = []
+    for i in range(120):
+        parts = [rng.choice(_WORDS + pii) for _ in range(rng.randint(0, 8))]
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", scrub_pii("text").alias("r1"))
+    twice = once.select("doc_id", scrub_pii("r1").alias("r2"), "r1")
+    for r in twice.collect():
+        assert r["r1"] == r["r2"], r  # idempotent: placeholders never re-match
+    leftovers = once.filter(
+        F.col("r1").rlike(r"@[A-Za-z]") | F.col("r1").rlike(r"\d+\.\d+\.\d+\.\d+")
+    )
+    assert leftovers.count() == 0
