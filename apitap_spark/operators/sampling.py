@@ -127,3 +127,58 @@ def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("keep_below"))
         .select("doc_id", "lang", "bucket")
     )
+
+
+BALANCE_SALT = "balance-v1:"
+
+
+@_register(
+    "op_cluster_balanced_sample",
+    f"""
+    WITH sized AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    target AS (SELECT MIN(n) AS t FROM sized),
+    ranked AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5('{BALANCE_SALT}' || CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+    FROM ranked CROSS JOIN target WHERE rk <= t
+    """,
+)
+def op_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling: keep exactly min-stratum-size rows
+    per cluster label — the topic-rebalance step before training-set
+    assembly (labels stand in for k-means cluster ids; op_kmeans_refine
+    produces real ones).
+
+    Selection ranks by a salted content hash, so membership is stable
+    under reprocessing and corpus repartitioning (same invariance
+    argument as the md5 split above, but exact per-stratum counts via
+    ROW_NUMBER instead of approximate bucket-threshold rates — hex
+    thresholds cannot hit data-dependent rates exactly). One window
+    partitioned by label + one broadcast scalar: the per-label sort is
+    the only cost beyond a scan, and it partitions by the stratum key.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    sized = emb.groupBy("label").agg(F.count("*").alias("n"))
+    target = sized.agg(F.min("n").alias("t"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit(BALANCE_SALT), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    ranked = emb.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    return ranked.crossJoin(F.broadcast(target)).filter(
+        F.col("rk") <= F.col("t")
+    ).select("vec_id", "label", "rk")
