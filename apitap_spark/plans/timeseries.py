@@ -284,3 +284,50 @@ def q_recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     part.createOrReplaceTempView("_rc_part")
     return spark.sql(_RECURSIVE_BOM_SQL.format(part="_rc_part"))
+
+
+@_register(
+    "q_session_window_native",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN datediff('second', LAG(ts) OVER w, ts) <= {30 * 60}
+                  THEN 0 ELSE 1 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) aggregation per user —
+    the engine primitive behind streaming sessionization (the same call
+    works under readStream with a watermark; see test_streaming).
+
+    The oracle derives identical sessions from the gap-based window
+    formulation — proving Spark's built-in session merge equals the
+    textbook LAG/running-sum construction. One shuffle on user_id; the
+    session merge is per-key state, no global sort.
+
+    The window's half-open [start, end) end-bound is engine-defined
+    (start of a hypothetical next event + gap), so the gate projects
+    the deterministic pair (session_start, n_events).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )

@@ -261,3 +261,52 @@ def test_stream_incremental_dedup_store_lifecycle(spark, tmp_path):
     assert got[5] == "unique"
     sigs = spark.read.parquet(store)
     assert sigs.count() == 3  # alpha-beta, gamma, delta — no duplicate hashes
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window under readStream: events within the gap
+    merge into one session; a beyond-gap event opens a new one."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_events")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            _ev(1, "2024-01-01T10:00:00", user=1),
+            _ev(2, "2024-01-01T10:10:00", user=1),
+            _ev(3, "2024-01-01T12:00:00", user=1),  # >30min gap → new session
+            _ev(4, "2024-01-01T10:05:00", user=2),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).json(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("start"), "n_events")
+    )
+    out = str(tmp_path / "sess_out")
+    (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+        .awaitTermination(120)
+    )
+    rows = {
+        (r["user_id"], r["start"].isoformat()): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    assert rows == {
+        (1, "2024-01-01T10:00:00"): 2,
+        (1, "2024-01-01T12:00:00"): 1,
+        (2, "2024-01-01T10:05:00"): 1,
+    }
