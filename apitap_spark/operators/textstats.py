@@ -260,3 +260,61 @@ def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.select("doc_id", F.min("h").over(w).alias("fingerprint"))
         .distinct()
     )
+
+
+HASH_DIM = 64  # feature-hashing buckets
+
+
+@_register(
+    "op_text_hashed_tf",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+               % {HASH_DIM} AS bucket,
+             w
+      FROM tok
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_terms
+    FROM bucketed GROUP BY doc_id, bucket
+    """,
+)
+def op_text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (hashing trick): sparse hashed term-frequency
+    vectors, one (doc, bucket, tf) row per nonzero coordinate — the
+    vocabulary-free text-featurization primitive (TF-IDF / linear
+    probes / n-gram classifiers) that needs no global dictionary build.
+
+    The bucket is two md5 hex digits re-read as an integer — md5 hex is
+    byte-identical across Spark/DuckDB/Python, and the digit-position
+    arithmetic sidesteps engine hex-cast differences, so even the HASH
+    FUNCTION is oracle-checked. Integer counts only: no float sum order
+    to diverge. One explode + one (doc, bucket) groupBy — the same
+    shuffle shape as exact dedup, linear at any scale.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    hexd = "0123456789abcdef"
+    h = F.md5("w")
+    bucket = (
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit(hexd), F.substring(h, 2, 1))
+        - 1
+    ) % HASH_DIM
+    return (
+        tok.select("doc_id", bucket.cast("bigint").alias("bucket"), "w")
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.countDistinct("w").cast("bigint").alias("n_terms"),
+        )
+    )
