@@ -318,3 +318,44 @@ def op_text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("w").cast("bigint").alias("n_terms"),
         )
     )
+
+
+POSTINGS_MIN_DF = 5  # index only terms seen in >= 5 docs (noise floor)
+
+
+@_register(
+    "op_text_inverted_index",
+    rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT w AS term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tok GROUP BY w HAVING COUNT(*) >= {POSTINGS_MIN_DF}
+    """,
+)
+def op_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency + sorted posting
+    list — the retrieval-side primitive (keyword search, candidate
+    generation for RAG corpora) built as one explode + one term groupBy.
+
+    Posting lists are sorted arrays, so the gate hash-checks postings
+    order-exactly. At 100 TB the term groupBy is the classic indexing
+    shuffle; ultra-common terms make long postings (the df floor trims
+    the noise tail) — production would cap or shard postings per term,
+    the same df-cap playbook as the shingle join.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).distinct()
+    return (
+        tok.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= POSTINGS_MIN_DF)
+    )
