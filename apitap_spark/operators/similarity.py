@@ -396,3 +396,129 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return tiles.mapInPandas(score_tiles, "v1 bigint, v2 bigint, cosine double")
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant
+RRF_DEPTH = 20  # per-modality candidate depth
+RRF_TOPK = 10
+RRF_QUERIES = 5  # query ids < 5
+
+
+def _sql_rrf() -> str:
+    cos = (
+        f"{_SQL_DOT.format(a='q.qe', b='c.ce')}"
+        f" / (sqrt({_SQL_NORM2.format(a='q.qe')})"
+        f" * sqrt({_SQL_NORM2.format(a='c.ce')}))"
+    )
+    return rf"""
+    WITH dense AS (
+      SELECT q_id, c_id, rk FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rk
+        FROM (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < {RRF_QUERIES}) q
+        JOIN (SELECT vec_id, embedding AS ce FROM embeddings) c ON c.vec_id <> q.vec_id
+      ) WHERE rk <= {RRF_DEPTH}
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    sparse AS (
+      SELECT q_id, c_id, rk FROM (
+        SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.doc_id
+                                  ORDER BY COUNT(*) DESC, c.doc_id) AS rk
+        FROM tok q JOIN tok c ON q.w = c.w AND c.doc_id <> q.doc_id
+        WHERE q.doc_id < {RRF_QUERIES}
+        GROUP BY q.doc_id, c.doc_id
+      ) WHERE rk <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(d.q_id, s.q_id) AS q_id,
+             COALESCE(d.c_id, s.c_id) AS doc_id,
+             COALESCE(1.0 / ({RRF_K} + d.rk), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + s.rk), 0.0) AS score
+      FROM dense d FULL OUTER JOIN sparse s
+        ON d.q_id = s.q_id AND d.c_id = s.c_id
+    )
+    SELECT q_id, doc_id, ROUND(score, 6) AS rrf_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT q_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {RRF_TOPK}
+    """
+
+
+@_register("op_hybrid_retrieval_rrf", _sql_rrf())
+def op_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: dense candidates
+    (brute-force cosine rank over embeddings) and sparse candidates
+    (shared-token count rank over documents) merge via
+    RRF = Σ 1/(60 + rank) — the standard fusion rule for RAG corpora.
+
+    Oracle-exact despite float scores: every RRF term has an integer
+    denominator, the two-term sum has one fixed evaluation order, and
+    ranks re-sort on those identical doubles. Scale shape: queries
+    broadcast on both modalities (query sets are small by definition);
+    the sparse side's token join is the inverted-index probe; dense side
+    swaps to the LSH/IVF rung at corpus scale.
+    """
+    from apitap_spark.functions.text import tokens as _tokens
+    from apitap_spark.session import read_table as _read
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    w_d = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("c_id")
+    )
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine_similarity("qe", "ce").alias("cos"))
+        .withColumn("rk", F.row_number().over(w_d))
+        .filter(F.col("rk") <= RRF_DEPTH)
+        .select("q_id", "c_id", F.col("rk").alias("d_rk"))
+    )
+    docs = _read(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select("doc_id", F.explode(_tokens("text")).alias("w")).distinct()
+    qtok = tok.filter(F.col("doc_id") < RRF_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "w"
+    )
+    w_s = Window.partitionBy("q_id").orderBy(F.desc("overlap"), F.asc("c_id"))
+    sparse = (
+        tok.withColumnRenamed("doc_id", "c_id")
+        .join(F.broadcast(qtok), "w")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("overlap"))
+        .withColumn("rk", F.row_number().over(w_s))
+        .filter(F.col("rk") <= RRF_DEPTH)
+        .select("q_id", "c_id", F.col("rk").alias("s_rk"))
+    )
+    fused = (
+        dense.join(sparse, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            F.col("c_id").alias("doc_id"),
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("d_rk")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("s_rk")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= RRF_TOPK)
+        .select(
+            "q_id",
+            "doc_id",
+            F.round("score", 6).alias("rrf_score"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
