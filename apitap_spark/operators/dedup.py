@@ -647,3 +647,75 @@ def op_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shared.cast("double") / F.count("*")).alias("shared_fraction"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@_register(
+    "op_dedup_containment",
+    rf"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= CAST(FLOOR({DF_CAP_FRACTION} *
+               (SELECT COUNT(*) FROM documents)) AS BIGINT)
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1 AS contained_doc, d2 AS container_doc,
+           ROUND(CAST(i AS DOUBLE) / s1.n, 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = d1
+    WHERE CAST(i AS DOUBLE) / s1.n >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / |A| >= 0.6 — the ASYMMETRIC
+    companion to Jaccard, catching a short document quoted or embedded
+    inside a longer one (Jaccard punishes the size mismatch; containment
+    doesn't). Quote/boilerplate-inclusion detection for corpus audits.
+
+    Same df-capped shingle join shape as the exact Jaccard rung — and
+    the same caveat: this is the exact/oracle rung; at corpus scale
+    candidates come from the MinHash buckets first (a containment-LSH
+    would band over the contained side's signature only).
+    """
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    max_df = int(DF_CAP_FRACTION * n_docs)
+    n_par = max(1, spark.sparkContext.defaultParallelism)
+    w = Window.partitionBy("shingle")
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .repartition(n_par, "shingle")
+        .withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    cont = F.col("i").cast("double") / F.col("n")
+    return (
+        inter.join(sizes, F.col("doc_id") == F.col("d1"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.col("d1").alias("contained_doc"),
+            F.col("d2").alias("container_doc"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
