@@ -541,9 +541,12 @@ def op_dedup_simhash(
         )
         for i in range(SIMHASH_BITS)
     ]
+    # eager checkpoint: the chunk self-join references the signature from
+    # both sides — without it the 64-aggregate pass runs twice (same
+    # exchange-kind mismatch as op_dedup_minhash_lsh). One row per doc.
     sig = bit_sums.select(
         "doc_id", reduce(lambda a, b: a.bitwiseOR(b), bit_terms).alias("simhash")
-    )
+    ).localCheckpoint()
     chunks = sig.select(
         "doc_id",
         "simhash",
