@@ -261,16 +261,30 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join needs no exchange. defaultParallelism grows with the
     cluster, so the choice holds at 100 TB.
     """
+    sh = _df_capped_shingles(spark, sf_dir)
+    return _jaccard_pairs(sh, None, 0.2)
+
+
+def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted, shingle-partitioned (doc_id, shingle) rows with
+    hot shingles (df > DF_CAP_FRACTION of the corpus) dropped.
+
+    The df-cap uses a COUNT window over the shingle-partitioned layout:
+    the window's required distribution is already satisfied, so the cap
+    costs zero extra exchanges (vs groupBy-df + join = two more). The
+    hot-shingle rows land on one task either way — here they are
+    dropped immediately after counting, before any self-join. Both
+    exact rungs (Jaccard and containment) read this shared shape;
+    partitioning BY shingle co-locates their self-joins, and the window
+    leaves the cache at defaultParallelism (an anti-join formulation
+    measured 1.5x slower because the self-join then re-shuffles both
+    sides).
+    """
     n_docs = read_table(spark, sf_dir, "documents").count()
     max_df = int(DF_CAP_FRACTION * n_docs)
     n_par = max(1, spark.sparkContext.defaultParallelism)
-    # df-cap via a COUNT window over the shingle-partitioned layout: the
-    # window's required distribution is already satisfied, so the whole
-    # cap costs zero extra exchanges (vs groupBy-df + join = two more).
-    # The hot-shingle rows land on one task either way — here they are
-    # dropped immediately after counting, before the self-join.
     w = Window.partitionBy("shingle")
-    sh = (
+    return (
         _shingle_df(spark, sf_dir)
         .repartition(n_par, "shingle")
         .withColumn("df", F.count("*").over(w))
@@ -278,7 +292,6 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("df")
         .persist()
     )
-    return _jaccard_pairs(sh, None, 0.2)
 
 
 N_HASHES = 128
@@ -689,18 +702,7 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from the MinHash buckets first (a containment-LSH
     would band over the contained side's signature only).
     """
-    n_docs = read_table(spark, sf_dir, "documents").count()
-    max_df = int(DF_CAP_FRACTION * n_docs)
-    n_par = max(1, spark.sparkContext.defaultParallelism)
-    w = Window.partitionBy("shingle")
-    sh = (
-        _shingle_df(spark, sf_dir)
-        .repartition(n_par, "shingle")
-        .withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
-        .persist()
-    )
+    sh = _df_capped_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
