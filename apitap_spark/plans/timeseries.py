@@ -364,3 +364,29 @@ def q_window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w_full).alias("last_val"),
         F.nth_value("value", 3).over(w_full).alias("third_val"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM {orders}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@_register(
+    "q_group_by_all",
+    _GROUP_BY_ALL_SQL.format(orders="orders"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand Spark
+    4 adopted): every non-aggregate select item becomes a grouping key,
+    and the result orders by all columns left-to-right. The identical
+    SQL text runs on both engines — syntax-surface parity the
+    reference's DataFusion 47 lacks. Plain partial-agg groupBy plan.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gba_orders")
+    return spark.sql(_GROUP_BY_ALL_SQL.format(orders="_gba_orders"))

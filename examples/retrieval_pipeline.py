@@ -1,0 +1,53 @@
+"""End-to-end retrieval-index example.
+
+Builds the search-side artifacts for a document corpus and runs a
+hybrid query, using only this repo's operators:
+
+  documents + embeddings
+    → inverted index (term → sorted postings)      (operators.textstats)
+    → hashed TF vectors (feature hashing)           (operators.textstats)
+    → hybrid dense⊕sparse candidates via RRF        (operators.similarity)
+    → top-k per query, written as one parquet dataset
+
+Run:  python examples/retrieval_pipeline.py [sf_dir] [out_dir]
+Defaults: sf_dir=/root/testdata/sf0.001, out_dir=/tmp/retrieval_index.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from apitap_spark.operators.similarity import op_hybrid_retrieval_rrf  # noqa: E402
+from apitap_spark.operators.textstats import (  # noqa: E402
+    op_text_hashed_tf,
+    op_text_inverted_index,
+)
+from apitap_spark.session import get_session  # noqa: E402
+
+
+def build(spark, sf_dir: str, out_dir: str):
+    index = op_text_inverted_index(spark, sf_dir)
+    vectors = op_text_hashed_tf(spark, sf_dir)
+    results = op_hybrid_retrieval_rrf(spark, sf_dir)
+    index.write.mode("overwrite").parquet(f"{out_dir}/inverted_index")
+    vectors.write.mode("overwrite").parquet(f"{out_dir}/hashed_tf")
+    results.write.mode("overwrite").parquet(f"{out_dir}/hybrid_topk")
+    return index, vectors, results
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/retrieval_index"
+    spark = get_session(app_name="retrieval-example")
+    index, vectors, results = build(spark, sf_dir, out_dir)
+    print(
+        f"indexed {index.count()} terms, {vectors.count()} tf entries; "
+        f"hybrid top-k rows: {results.count()} -> {out_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()
