@@ -321,6 +321,7 @@ def op_text_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 POSTINGS_MIN_DF = 5  # index only terms seen in >= 5 docs (noise floor)
+POSTINGS_CAP = 200  # max doc ids stored per term (stopword row-size guard)
 
 
 @_register(
@@ -332,7 +333,8 @@ POSTINGS_MIN_DF = 5  # index only terms seen in >= 5 docs (noise floor)
     )
     SELECT w AS term,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           list(doc_id ORDER BY doc_id)[1:{POSTINGS_CAP}] AS postings,
+           COUNT(*) > {POSTINGS_CAP} AS truncated
     FROM tok GROUP BY w HAVING COUNT(*) >= {POSTINGS_MIN_DF}
     """,
 )
@@ -343,19 +345,35 @@ def op_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Posting lists are sorted arrays, so the gate hash-checks postings
     order-exactly. At 100 TB the term groupBy is the classic indexing
-    shuffle; ultra-common terms make long postings (the df floor trims
-    the noise tail) — production would cap or shard postings per term,
-    the same df-cap playbook as the shingle join.
+    shuffle, and an uncapped stopword posting would concentrate billions
+    of ids into ONE row (past Spark's 2 GB row limit) — so lists are
+    hard-capped at POSTINGS_CAP ids with a ``truncated`` marker (df
+    still reports the true count); production shards truncated terms
+    into (term, shard) rows. The df floor trims the noise tail.
     """
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w")).distinct()
+    # Cap BEFORE the list aggregate: rank within term (ordered by doc_id)
+    # and count the true df with windows sharing the same term partition
+    # — one exchange total — then collect at most POSTINGS_CAP ids, so
+    # the aggregation state (not just the output row) is bounded even
+    # for stopwords.
+    w_rank = Window.partitionBy("w").orderBy("doc_id")
+    w_term = Window.partitionBy("w")
+    ranked = tok.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "dfull", F.count("*").over(w_term)
+    )
     return (
-        tok.groupBy(F.col("w").alias("term"))
+        ranked.filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy(F.col("w").alias("term"))
         .agg(
-            F.count("*").cast("bigint").alias("df"),
+            F.max("dfull").cast("bigint").alias("df"),
             F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            (F.max("dfull") > POSTINGS_CAP).alias("truncated"),
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
