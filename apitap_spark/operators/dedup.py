@@ -193,8 +193,8 @@ _SQL_JACCARD_PAIRS_CAPPED = rf"""
     WITH sh0 AS ({_SQL_SHINGLES}),
     keep AS (
       SELECT shingle FROM sh0 GROUP BY shingle
-      HAVING COUNT(*) <= CAST(FLOOR({DF_CAP_FRACTION} *
-               (SELECT COUNT(*) FROM documents)) AS BIGINT)
+      HAVING COUNT(*) <= GREATEST(2, CAST(FLOOR({DF_CAP_FRACTION} *
+               (SELECT COUNT(*) FROM documents)) AS BIGINT))
     ),
     sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -281,7 +281,9 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides).
     """
     n_docs = read_table(spark, sf_dir, "documents").count()
-    max_df = int(DF_CAP_FRACTION * n_docs)
+    # floor the cap at 2: on small corpora int(0.1*n) reaches 0 and would
+    # silently drop EVERY shingle (no shared shingle has df < 2 anyway)
+    max_df = max(2, int(DF_CAP_FRACTION * n_docs))
     n_par = max(1, spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("shingle")
     return (
@@ -674,8 +676,8 @@ CONTAINMENT_THRESHOLD = 0.6
     WITH sh0 AS ({_SQL_SHINGLES}),
     keep AS (
       SELECT shingle FROM sh0 GROUP BY shingle
-      HAVING COUNT(*) <= CAST(FLOOR({DF_CAP_FRACTION} *
-               (SELECT COUNT(*) FROM documents)) AS BIGINT)
+      HAVING COUNT(*) <= GREATEST(2, CAST(FLOOR({DF_CAP_FRACTION} *
+               (SELECT COUNT(*) FROM documents)) AS BIGINT))
     ),
     sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

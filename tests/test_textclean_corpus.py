@@ -230,3 +230,49 @@ def test_dedup_passages_planted(spark, tmp_path):
     assert got[2]["shared_fraction"] == 1.0
     assert got[3]["n_shared_windows"] == 1  # only the w0..w7 window
     assert got[4]["n_shared_windows"] == 0
+
+
+def test_containment_detects_embedded_quote(spark, tmp_path):
+    """A short doc fully embedded in a longer one reaches containment 1.0
+    from the contained side, while Jaccard would stay low."""
+    from apitap_spark.operators.dedup import op_dedup_containment
+
+    quote = " ".join(f"q{i}" for i in range(10))
+    container = quote + " " + " ".join(f"pad{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, container), (3, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "cont")
+    df.write.parquet(f"{path}/documents.parquet")
+    rows = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in op_dedup_containment(spark, path).collect()
+    }
+    assert rows[(1, 2)] == 1.0  # every shingle of the quote is in container
+    assert (2, 1) not in rows  # container is NOT contained in the quote
+    assert not any(3 in k for k in rows)
+
+
+def test_hybrid_rrf_rank_properties(spark, sf_dir):
+    """RRF output: exactly top-10 per query, scores non-increasing with
+    rank, and every doc appearing in both modalities outranks a doc with
+    the same single-modality rank."""
+    from apitap_spark.operators.similarity import (
+        RRF_K,
+        RRF_TOPK,
+        op_hybrid_retrieval_rrf,
+    )
+
+    rows = op_hybrid_retrieval_rrf(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert len(rs) == RRF_TOPK
+        assert [r["rk"] for r in rs] == list(range(1, RRF_TOPK + 1))
+        scores = [r["rrf_score"] for r in rs]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        # fused max possible = two first-rank hits
+        assert scores[0] <= round(2.0 / (RRF_K + 1), 6) + 1e-12
