@@ -522,3 +522,61 @@ def op_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+CROSSLINGUAL_THRESHOLD = 0.5
+CROSSLINGUAL_POOL = 500  # bounded pool for the exact rung
+
+
+@_register(
+    "op_crosslingual_neardup",
+    f"""
+    WITH pool AS (
+      SELECT e.vec_id, e.embedding, d.lang
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE e.vec_id < {CROSSLINGUAL_POOL}
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.lang AS lang1, b.lang AS lang2,
+           ROUND({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+             / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+                * sqrt({_SQL_NORM2.format(a="b.embedding")})), 6) AS cosine
+    FROM pool a JOIN pool b ON a.vec_id < b.vec_id AND a.lang <> b.lang
+    WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+            / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+               * sqrt({_SQL_NORM2.format(a="b.embedding")})) >= {CROSSLINGUAL_THRESHOLD}
+    """,
+)
+def op_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicates: embedding-cosine pairs whose
+    documents carry DIFFERENT language labels — the translated-duplicate
+    sweep n-gram dedup is blind to (a translation shares no shingles
+    with its source; its embedding still lands nearby).
+
+    Exact rung over a bounded pool, like op_dedup_embedding_cosine; the
+    lang inequality prunes pairs before scoring. At corpus scale the
+    same lang-pair filter rides the LSH/IVF candidate stream instead of
+    the cross join.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < CROSSLINGUAL_POOL
+    )
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    pool = emb.join(docs, "vec_id").select("vec_id", "embedding", "lang")
+    a = pool.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("lang").alias("lang1"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("lang").alias("lang2"),
+    )
+    cos = cosine_similarity("ea", "eb")
+    return (
+        a.join(b, (F.col("v1") < F.col("v2")) & (F.col("lang1") != F.col("lang2")))
+        .filter(cos >= CROSSLINGUAL_THRESHOLD)
+        .select("v1", "v2", "lang1", "lang2", F.round(cos, 6).alias("cosine"))
+    )

@@ -390,3 +390,86 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_gba_orders")
     return spark.sql(_GROUP_BY_ALL_SQL.format(orders="_gba_orders"))
+
+
+ANOMALY_BASELINE = 24  # trailing observed buckets forming the baseline
+ANOMALY_MIN_N = 12  # minimum baseline size before scoring
+ANOMALY_Z = 3.0
+
+
+@_register(
+    "q_timeseries_anomaly",
+    f"""
+    WITH bucketed AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour_epoch,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hour_epoch, x,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS s,
+             SUM(x * x) OVER w AS sxx
+      FROM bucketed
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                   ROWS BETWEEN {ANOMALY_BASELINE} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(hour_epoch AS BIGINT) AS hour_epoch, x AS n_events,
+           ROUND((x - CAST(s AS DOUBLE) / n)
+                 / sqrt(CAST(sxx AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+             AS zscore,
+           ABS((x - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(sxx AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+             > {ANOMALY_Z} AS is_anomaly
+    FROM stats
+    WHERE n >= {ANOMALY_MIN_N}
+      AND CAST(sxx AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+    """,
+)
+def q_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection: each (event_type, hour)
+    bucket's count scored as a z-score against the mean/std of its
+    previous 24 observed buckets — the monitoring/alerting rollup.
+
+    The baseline moments are INTEGER window sums (counts and squared
+    counts) — order-immune and exact — with the z assembled in one fixed
+    IEEE-double expression, so the oracle hash-matches despite the
+    floats. Zero-variance and short-history buckets are excluded rather
+    than scored against a degenerate baseline. One (type)-keyed window
+    over the pre-aggregated buckets: the raw scan dominates at scale.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bucketed = (
+        ev.select("event_type", _epoch_hour().alias("hour_epoch"))
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(-ANOMALY_BASELINE, -1)
+    )
+    stats = bucketed.select(
+        "event_type",
+        "hour_epoch",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= ANOMALY_MIN_N) & (var > 0))
+        .select(
+            "event_type",
+            F.col("hour_epoch").cast("bigint").alias("hour_epoch"),
+            F.col("x").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+        )
+    )
