@@ -235,3 +235,64 @@ def op_numeric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@_register(
+    "op_dataset_diff",
+    r"""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    joined AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM joined GROUP BY status
+    """,
+)
+def op_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every document as added / removed /
+    changed / unchanged between two corpus versions by primary key +
+    content hash — the audit a versioned-dataset release runs before
+    publishing (the gate derives v2 from v1 deterministically: every
+    7th doc deleted, every 11th mutated).
+
+    One full-outer join on the PK of two hash projections — a single
+    shuffle; with both snapshots stored bucketed on the PK
+    (sinks.dataset) the join is exchange-free. Content equality via
+    md5 means the scan never rereads full text twice.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.reverse("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
