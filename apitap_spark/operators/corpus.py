@@ -329,3 +329,63 @@ def op_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_nonzero"),
     )
+
+
+@_register(
+    "op_source_concentration",
+    r"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, tok,
+             ROW_NUMBER() OVER (ORDER BY tok, source) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(tok) OVER () AS total
+      FROM per_source
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           ROUND(CAST(2 * SUM(i * tok) AS DOUBLE) / (MAX(n) * MAX(total))
+                 - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def op_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration Gini coefficient over token contributions —
+    the one-number mixing diagnostic (0 = perfectly balanced corpus,
+    →1 = one source dominates) computed from the standard rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted sources.
+
+    Every sum is integer (token counts, rank products) so the double
+    assembly at the end is a fixed IEEE expression — exact oracle. The
+    global window runs over ONE row per source (source cardinality),
+    never over documents; the corpus-sized work is the same map-side
+    token count the mixing-weights op does.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("tok")
+    )
+    w_rank = Window.orderBy("tok", "source")
+    w_all = Window.partitionBy()
+    ranked = per_source.select(
+        "tok",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("tok").over(w_all).alias("total"),
+    )
+    gini = (
+        (2 * F.sum(F.col("i") * F.col("tok"))).cast("double")
+        / (F.max("n") * F.max("total"))
+        - (F.max("n") + 1).cast("double") / F.max("n")
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_sources"),
+        F.max("total").cast("bigint").alias("total_tokens"),
+        F.round(gini, 6).alias("gini"),
+    )

@@ -377,3 +377,67 @@ def op_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
+
+
+LM_TOP_K = 30  # per n-gram order
+
+
+@_register(
+    "op_text_ngram_lm_counts",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT 1 AS n, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT 2, unnest(list_transform(range(1, GREATEST(len(t) - 1, 0) + 1),
+                                      i -> t[i] || ' ' || t[i+1])) FROM toks
+      UNION ALL
+      SELECT 3, unnest(list_transform(range(1, GREATEST(len(t) - 2, 0) + 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM toks
+    ),
+    counted AS (
+      SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY n, gram
+    )
+    SELECT n, gram, cnt, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT n, gram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rk
+      FROM counted
+    ) WHERE rk <= {LM_TOP_K}
+    """,
+)
+def op_text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram count tables (orders 1–3), top-K per order — the
+    count-collection pass of statistical LM training / KenLM-style
+    estimation and the vocabulary report of a corpus card.
+
+    One pass builds all three orders (union of per-doc gram arrays via
+    the zip_with chain), one (n, gram) groupBy counts them, and a
+    WindowGroupLimit keeps the heads. Counts are integers: exact oracle.
+    At scale the (n, gram) shuffle is the only cost; the per-order heads
+    travel as K rows each.
+    """
+    from apitap_spark.functions.text import shingle_grams as _sg
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    parts = []
+    for n in (1, 2, 3):
+        arr = tokens("text") if n == 1 else _sg("text", n)
+        parts.append(
+            docs.select(F.lit(n).alias("n"), F.explode(arr).alias("gram"))
+        )
+    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    counted = grams.groupBy("n", "gram").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= LM_TOP_K)
+    )
