@@ -135,3 +135,79 @@ def op_graph_session_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = ev.select(F.col("event_id").alias("v"))
     cc = connected_components(nodes, edges)
     return cc.select(F.col("v").alias("event_id"), "component")
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    ``nodes``: column ``v``. ``edges``: ``src``, ``dst``. Returns
+    ``(v, rank)`` with Σrank = |V| (the per-node-mass convention).
+
+    Each iteration: contribution = rank(src)/outdeg(src) summed per dst
+    (one join + one groupBy, both keyed so AQE coalesces), dangling mass
+    redistributed uniformly, damping applied. localCheckpoint per round
+    truncates the growing lineage exactly like connected_components.
+    Floats iterate, so there is no cross-engine oracle — invariants
+    (mass conservation, dangling handling, fixpoint stability) are
+    pytest-asserted instead.
+    """
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranked_edges = edges.join(outdeg, "src").localCheckpoint()
+    rank = nodes.select("v", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ranked_edges.join(rank, ranked_edges.src == rank.v)
+            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) leak their mass — redistribute it
+        dangling = (
+            rank.join(outdeg, rank.v == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) + damping * dangling / n
+        rank = (
+            nodes.join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base) + damping * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return rank
+
+
+@_register("op_graph_pagerank")  # iterative float → rows-only driver check
+def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user-interaction graph (directed edges from each
+    event to the user's next event, like the session graph but directed)
+    — the second iterative-graph operator (importance scoring for
+    link-graph corpus curation, e.g. page-level quality priors).
+
+    Rows-only gate (iterative float); pytest asserts mass conservation
+    (Σrank = |V| ± ulp), dangling-mass redistribution, and that ranks
+    stabilize between successive iteration counts.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edged = ev.select(
+        F.col("event_id").alias("src"),
+        F.lead("event_id").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    nodes = ev.select(F.col("event_id").alias("v"))
+    pr = pagerank(nodes, edged)
+    return pr.select("v", F.round("rank", 6).alias("rank"))

@@ -473,3 +473,75 @@ def q_timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
         )
     )
+
+
+# (name, lo, hi): half-open [lo, hi) value tiers — deliberately uneven so
+# no CASE shortcut exists and the range join is genuine.
+VALUE_TIERS = [
+    ("micro", 0.0, 7.5),
+    ("small", 7.5, 31.0),
+    ("medium", 31.0, 99.9),
+    ("large", 99.9, 240.0),
+    ("huge", 240.0, 1000.0),
+]
+RANGE_BUCKET_WIDTH = 16.0
+
+_TIER_VALUES_SQL = ", ".join(
+    f"('{n}', {lo}, {hi})" for n, lo, hi in VALUE_TIERS
+)
+
+
+@_register(
+    "q_bucketized_range_join",
+    f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {_TIER_VALUES_SQL})
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+)
+def q_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization: each range row expands to the fixed-
+    width integer buckets it overlaps, each probe value maps to ONE
+    bucket, and the range predicate verifies after an EQUI-join on the
+    bucket id.
+
+    The naive BETWEEN join is a broadcast nested loop — O(probes ×
+    ranges), fatal when the range table is large (IP→geo tables carry
+    millions of CIDRs). Bucketizing makes it a hash join whose candidate
+    count is probes × (avg ranges per bucket) — the standard interval-
+    index trick, expressed in two DataFrame ops. The oracle runs the
+    plain BETWEEN join: bucketization must be result-invariant.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(VALUE_TIERS, "tier string, lo double, hi double")
+    expanded = tiers.select(
+        "tier",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_BUCKET_WIDTH).cast("long"),
+                # hi is exclusive: the bucket containing hi is still
+                # reachable by values just below it
+                F.floor(
+                    (F.col("hi") - F.lit(1e-9)) / RANGE_BUCKET_WIDTH
+                ).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    probes = ev.select(
+        "value",
+        F.floor(F.col("value") / RANGE_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(expanded), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

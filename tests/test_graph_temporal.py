@@ -62,3 +62,44 @@ def test_asof_join_inclusive_and_left(spark):
     assert got[2] == (_ts("2024-01-01T12:00:00"), 5.0)
     assert got[3] == (_ts("2024-01-01T12:30:00"), 7.0)
     assert got[4] == (None, None)
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Mass conservation: sum of ranks equals node count; every rank is
+    at least the teleport floor; more iterations move ranks less."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.graph import PAGERANK_DAMPING, pagerank
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.col("event_id").alias("src"), F.lead("event_id").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    nodes = ev.select(F.col("event_id").alias("v"))
+    n = nodes.count()
+
+    pr5 = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=5).collect()}
+    pr6 = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=6).collect()}
+    total = sum(pr6.values())
+    assert abs(total - n) < 1e-6 * n  # mass conserved
+    floor = (1.0 - PAGERANK_DAMPING) - 1e-9
+    assert all(v >= floor for v in pr6.values())
+    # ranks move less between 5→6 than their absolute spread (stabilizing)
+    max_delta = max(abs(pr5[v] - pr6[v]) for v in pr6)
+    spread = max(pr6.values()) - min(pr6.values())
+    assert max_delta < max(spread, 1e-9)
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """A sink node's mass must not vanish: 2-node chain a->b, b dangling."""
+    from apitap_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], "v long")
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    pr = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=20).collect()}
+    assert abs(sum(pr.values()) - 2.0) < 1e-9
+    assert pr[2] > pr[1]  # the pointed-at node accumulates rank
