@@ -389,3 +389,90 @@ def op_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("bigint").alias("total_tokens"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+WEIGHTED_SALT = "wsample-v1:"
+
+
+@_register(
+    "op_weighted_sample",
+    rf"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_source
+    ),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, (1.0 / t.n_sources)
+                        / (CAST(p.n_tokens AS DOUBLE) / t.total_tokens)) AS rate
+      FROM per_source p CROSS JOIN tot t
+    ),
+    bucketed AS (
+      SELECT d.doc_id, d.source, r.rate,
+             (strpos('0123456789abcdef',
+                     substr(md5('{WEIGHTED_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5('{WEIGHTED_SALT}' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1
+               AS bucket
+      FROM documents d JOIN rates r ON d.source = r.source
+    )
+    SELECT doc_id, source, ROUND(rate, 6) AS keep_rate,
+           bucket < FLOOR(rate * 256) AS kept
+    FROM bucketed
+    """,
+)
+def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted downsampling to the uniform source mix:
+    each document keeps with probability min(1, target_share /
+    actual_share) — the enforcement half of op_mixing_weights, closing
+    the rebalance loop (compute weights → apply them reproducibly).
+
+    Membership is md5-bucket < floor(rate·256): content-keyed (stable
+    under reprocessing/repartition, same argument as the split ops), and
+    the 256-bucket integer comparison is exact cross-engine — the
+    bucket id comes from hex-digit position arithmetic and the
+    threshold through FLOOR (never a float→int CAST, whose truncate-vs-
+    round rule differs between engines). Zero corpus shuffle: the rate
+    table is source-cardinality and broadcasts.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    rates = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (1.0 / F.col("n_sources"))
+            / (F.col("n_tokens").cast("double") / F.col("total_tokens")),
+        ).alias("rate"),
+    )
+    hexd = "0123456789abcdef"
+    h = F.md5(F.concat(F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string")))
+    bucket = (
+        (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit(hexd), F.substring(h, 2, 1))
+        - 1
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round("rate", 6).alias("keep_rate"),
+            (bucket < F.floor(F.col("rate") * 256)).alias("kept"),
+        )
+    )
