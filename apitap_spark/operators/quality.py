@@ -13,7 +13,7 @@ validates nothing beyond JSON decode (src/http/fetcher.rs decode path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apitap_spark.session import read_table
@@ -295,4 +295,82 @@ def op_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("status").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
+
+
+def _discrete_median(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Per-key discrete median via cumulative counts over DISTINCT values
+    (window input = distinct values, never raw rows — see
+    q_mode_median_price for the straggler rationale). Lower-middle
+    convention: first value whose cumulative count reaches (n+1)/2."""
+    counted = df.groupBy(key, val).agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy(key)
+    cum = counted.select(
+        key,
+        val,
+        F.sum("cnt")
+        .over(
+            wp.orderBy(val).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    picked = cum.filter(F.col("cum") * 2 >= F.col("n") + 1)
+    w_first = Window.partitionBy(key).orderBy(val)
+    return (
+        picked.withColumn("rk", F.row_number().over(w_first))
+        .filter(F.col("rk") == 1)
+        .select(key, F.col(val).alias("median"))
+    )
+
+
+_SQL_DISCRETE_MEDIAN = """
+      SELECT {key}, {val} AS median FROM (
+        SELECT {key}, {val},
+               ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {val}) AS rk
+        FROM (
+          SELECT {key}, {val},
+                 SUM(cnt) OVER (PARTITION BY {key} ORDER BY {val}
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(cnt) OVER (PARTITION BY {key}) AS n
+          FROM (SELECT {key}, {val}, COUNT(*) AS cnt FROM {src} GROUP BY 1, 2)
+        ) WHERE cum * 2 >= n + 1
+      ) WHERE rk = 1
+"""
+
+
+@_register(
+    "op_robust_stats",
+    f"""
+    WITH med AS ({_SQL_DISCRETE_MEDIAN.format(key="event_type", val="value", src="events")}),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.median) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS ({_SQL_DISCRETE_MEDIAN.format(key="event_type", val="adev", src="dev")})
+    SELECT m.event_type, m.median AS median_value, d.median AS mad
+    FROM med m JOIN mad d ON m.event_type = d.event_type
+    """,
+)
+def op_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: discrete median and MAD
+    (median absolute deviation) — the outlier-resistant statistics a
+    monitoring or label-cleaning pass prefers over mean/std.
+
+    Both medians use the distinct-value cumulative-count plan (window
+    input shrinks from N rows to distinct values); the deviation
+    |x − median| is a single IEEE subtraction so even the float-keyed
+    second median groups identically in both engines. Two aggregation
+    passes + two small windows — no raw-row window anywhere.
+    """
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    med = _discrete_median(ev, "event_type", "value")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("median")).alias("adev")
+    )
+    mad = _discrete_median(dev, "event_type", "adev")
+    return (
+        med.withColumnRenamed("median", "median_value")
+        .join(mad.withColumnRenamed("median", "mad"), "event_type")
+        .select("event_type", "median_value", "mad")
     )
