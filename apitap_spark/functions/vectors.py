@@ -32,3 +32,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine from precomputed per-side L2 norms.
+
+    Pairwise scorers (cross joins, bucket self-joins) recompute both
+    norms per PAIR when using cosine_similarity — O(pairs) array folds
+    for values that are O(rows). Precomputing ``l2_norm`` per side
+    before the join drops two of the three folds from the pair kernel.
+    Bit-exactness: the final expression is the same ``d / (na * nb)``
+    with identically-computed doubles, so oracle hashes are unchanged.
+    """
+    d = dot(a, b)
+    return F.when((_c(na) > 0) & (_c(nb) > 0), d / (_c(na) * _c(nb)))

@@ -312,6 +312,12 @@ def minhash_band_buckets(hrows: DataFrame) -> DataFrame:
     (operators.incremental), so both rungs bucket identically — an
     incremental signature store stays join-compatible with a full run.
     """
+    # 128 independent xxhash64 evaluations per row. Measured AGAINST the
+    # Kirsch–Mitzenmacher 2-hash affine family (base + j*step with ANSI-
+    # safe masking): KM was 1.4x SLOWER (1.88s vs 1.37s steady-state at
+    # sf0.1) — ANSI-mode overflow-checked multiply/add codegen costs more
+    # than Spark's tight xxhash64 intrinsic, and KM's weaker independence
+    # buys nothing. Keep the stronger family.
     sig = hrows.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(j), F.col("hkey"))).alias(f"h{j}")

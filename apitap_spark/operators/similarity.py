@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apitap_spark.functions.vectors import cosine_similarity, l2_norm
+from apitap_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
 from apitap_spark.session import read_table
 
 QUERIES: dict = {}
@@ -79,11 +83,20 @@ def op_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit pushdown).
     """
     emb = read_table(spark, sf_dir, "embeddings")
+    # Norms precomputed per SIDE (O(rows) folds), not per pair (O(Q x N)):
+    # the pair kernel keeps only the dot product. Same d/(nq*nc) double
+    # expression as cosine_similarity → oracle-hash identical.
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm("embedding").alias("nq"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
-    cos = cosine_similarity("qe", "ce").alias("cos")
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("nc"),
+    )
+    cos = cosine_from_norms("qe", "ce", "nq", "nc").alias("cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         c.crossJoin(F.broadcast(q))
@@ -231,15 +244,19 @@ def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bucketed.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"), "t", "b"
     )
-    cos = cosine_similarity("qe", "ce").alias("cos")
+    # Norms ride the per-row projections BELOW the joins (one fold per emb
+    # row), so the per-candidate kernel is dot-only; same d/(nq*nc) doubles.
+    cos = cosine_from_norms("qe", "ce", "nq", "nc").alias("cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()  # a pair may collide in several tables — score once
-        .join(emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")), "q_id")
-        .join(emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")), "c_id")
+        .join(emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+                         l2_norm("embedding").alias("nq")), "q_id")
+        .join(emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+                         l2_norm("embedding").alias("nc")), "c_id")
         .select("q_id", "c_id", cos)
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
@@ -283,13 +300,16 @@ def op_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rk") == 1)
-        .select("q_id", "qe", F.col("label").alias("cell"))
+        .select("q_id", "qe", l2_norm("qe").alias("nq"), F.col("label").alias("cell"))
     )
     c = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("nc"),
         F.col("label").alias("cell"),
     )
-    cos = cosine_similarity("qe", "ce").alias("cos")
+    # Per-side norms (q side is tiny, c side one fold per corpus row);
+    # the in-cell scoring kernel is dot-only.
+    cos = cosine_from_norms("qe", "ce", "nq", "nc").alias("cos")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     return (
         c.join(F.broadcast(qc), "cell")
@@ -469,17 +489,24 @@ def op_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from apitap_spark.session import read_table as _read
 
     emb = _read(spark, sf_dir, "embeddings")
+    # Per-side norm precompute — see op_ann_cosine_topk.
     q = emb.filter(F.col("vec_id") < RRF_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm("embedding").alias("nq"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("nc"),
+    )
     w_d = Window.partitionBy("q_id").orderBy(
         F.desc("cos"), F.asc("c_id")
     )
     dense = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine_similarity("qe", "ce").alias("cos"))
+        .select("q_id", "c_id", cosine_from_norms("qe", "ce", "nq", "nc").alias("cos"))
         .withColumn("rk", F.row_number().over(w_d))
         .filter(F.col("rk") <= RRF_DEPTH)
         .select("q_id", "c_id", F.col("rk").alias("d_rk"))
@@ -563,18 +590,24 @@ def op_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    pool = emb.join(docs, "vec_id").select("vec_id", "embedding", "lang")
+    # Norm computed once per pool row (O(N) folds), not per pair (O(N^2));
+    # the pair kernel is dot-only. Same d/(na*nb) doubles as before.
+    pool = emb.join(docs, "vec_id").select(
+        "vec_id", "embedding", "lang", l2_norm("embedding").alias("nrm")
+    )
     a = pool.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
         F.col("lang").alias("lang1"),
+        F.col("nrm").alias("na"),
     )
     b = pool.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("eb"),
         F.col("lang").alias("lang2"),
+        F.col("nrm").alias("nb"),
     )
-    cos = cosine_similarity("ea", "eb")
+    cos = cosine_from_norms("ea", "eb", "na", "nb")
     return (
         a.join(b, (F.col("v1") < F.col("v2")) & (F.col("lang1") != F.col("lang2")))
         .filter(cos >= CROSSLINGUAL_THRESHOLD)
