@@ -374,3 +374,84 @@ def op_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mad.withColumnRenamed("median", "mad"), "event_type")
         .select("event_type", "median_value", "mad")
     )
+
+
+# (relationship, child table/key, parent table/key, degrade) — ``degrade``
+# simulates a lost dimension partition (parent keys % 3 == 0 dropped) so
+# the orphan counter is exercised on a non-vacuous case: the driver's
+# synthetic data is referentially dense, so every full-parent audit row
+# SHOULD report 0 orphans (that zero is the assertion, not a tautology —
+# the degraded twin proves the counter counts).
+_FK_AUDITS = [
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", True),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", False),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for rel, child, ck, parent, pk, degrade in _FK_AUDITS:
+        pred = f"WHERE {pk} % 3 <> 0" if degrade else ""
+        variant = "degraded" if degrade else "full"
+        parts.append(
+            f"""
+    SELECT '{rel}' AS relationship, '{variant}' AS parent_variant,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           ROUND(CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS orphan_ratio
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent} {pred}) p
+           ON c.{ck} = p.k
+    """
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("op_fk_integrity", _fk_oracle())
+def op_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    relationship in the star schema — the pre-flight check a pipeline
+    runs before a 100 TB join fabricates fact rows against a stale or
+    partially-loaded dimension.
+
+    Per relationship: LEFT JOIN child keys against the distinct parent
+    key set and count misses — one broadcast join (dimensions are the
+    small side by construction) + one global aggregate each; the seven
+    audit rows union together. The ``degraded`` twin rows drop parent
+    keys ``% 3 == 0`` to prove the counter on a planted violation
+    (synthetic FKs are dense, so full-parent rows legitimately assert
+    zero).
+    """
+    rows = []
+    for rel, child, ck, parent, pk, degrade in _FK_AUDITS:
+        c = read_table(spark, sf_dir, child).select(F.col(ck).alias("ckey"))
+        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        if degrade:
+            p = p.filter(F.col("k") % 3 != 0)
+        joined = c.join(F.broadcast(p.distinct()), c.ckey == F.col("k"), "left")
+        miss = F.when(F.col("k").isNull(), 1).otherwise(0)
+        rows.append(
+            joined.agg(
+                F.count("*").cast("bigint").alias("n_child"),
+                F.sum(miss).cast("bigint").alias("n_orphans"),
+                F.round(
+                    F.sum(miss).cast("double") / F.count("*"), 6
+                ).alias("orphan_ratio"),
+            ).select(
+                F.lit(rel).alias("relationship"),
+                F.lit("degraded" if degrade else "full").alias("parent_variant"),
+                "n_child",
+                "n_orphans",
+                "orphan_ratio",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

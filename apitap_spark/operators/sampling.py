@@ -182,3 +182,48 @@ def op_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(target)).filter(
         F.col("rk") <= F.col("t")
     ).select("vec_id", "label", "rk")
+
+
+QUOTA_SALT = "quota-v1:"
+QUOTA_PER_SOURCE = 15
+
+
+@_register(
+    "op_source_quota_sample",
+    f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('{QUOTA_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) r
+    WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+)
+def op_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling: keep at most QUOTA_PER_SOURCE documents
+    per source, chosen by a salted-hash order — the "no single crawl
+    domain dominates the mix" curation step (the DoReMi/CCNet-style
+    per-domain cap), deterministic under re-runs and corpus growth
+    *within* the kept prefix.
+
+    One window over the source partition (single shuffle on source);
+    WindowGroupLimit prunes each partition to the quota before the
+    filter at scale. A skewed mega-source concentrates its rows in one
+    partition — at 100 TB pre-aggregate with a per-partition
+    rank-and-discard (the op's hash order makes any partial top-k
+    mergeable), or raise shuffle partitions; the kept set is identical.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit(QUOTA_SALT), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+    )

@@ -441,3 +441,133 @@ def op_text_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= LM_TOP_K)
     )
+
+
+TFIDF_TOP_K = 5
+
+
+@_register(
+    "op_text_tfidf_topterms",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY w
+    ),
+    n AS (
+      SELECT COUNT(*) AS n_docs FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+             tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) AS score
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, ROUND(score, 6) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def op_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms: top-5 terms per document by
+    tf x rarity — the per-document keyword extraction pass of corpus
+    cards, search indexing, and topic drift monitoring.
+
+    The rarity weight is the LINEAR idf (N+1)/(df+1), not ln of it:
+    division of exact integers is correctly-rounded IEEE in every
+    engine, while Java's Math.log differs from libm's ln by 1 ulp on
+    ~5% of inputs (measured) — a log-idf gate would flake. Production
+    can swap ln in freely (per-term monotone transform; only relative
+    term weighting changes, the plan shape doesn't).
+
+    Scale: one explode, a (doc, term) count, a term-df count, and a
+    broadcast of the scalar N. The df join shuffles on term; the top-k
+    is a WindowGroupLimit over the doc partition. All linear.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    df = tok.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = tf.join(df, "w").select(
+        "doc_id",
+        F.col("w").alias("term"),
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)))
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )
+
+
+@_register(
+    "op_text_lexical_diversity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    counts AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+           ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 6)
+             AS simpson_diversity
+    FROM counts GROUP BY doc_id
+    """,
+)
+def op_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: type-token ratio and the
+    Gini-Simpson index (1 - sum(p^2)) — the repetition/quality signals a
+    pretraining filter thresholds on (template spam and boilerplate
+    score near 0 diversity; natural prose near 1).
+
+    Entropy is the textbook choice but needs ln, whose last-ulp value
+    is engine-dependent (see op_text_tfidf_topterms); Gini-Simpson
+    carries the same signal as a RATIONAL in the token counts —
+    integer sums + one exact double division per doc, bit-identical in
+    both engines. Two chained integer groupBys, both on doc-local keys:
+    at 100 TB this is one shuffle of (doc, type) rows then a doc-local
+    combine.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    counts = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    types = F.count("*")
+    sumsq = F.sum(F.col("c") * F.col("c"))
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        types.cast("bigint").alias("n_types"),
+        F.round(types.cast("double") / n, 6).alias("ttr"),
+        F.round(F.lit(1.0) - sumsq.cast("double") / (n * n), 6).alias(
+            "simpson_diversity"
+        ),
+    )

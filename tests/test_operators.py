@@ -222,3 +222,80 @@ def test_simhash_wide_chunk_banding_complete_for_d3(spark, sf_dir):
     assert all(h <= 3 for h in wide.values())
     expected = {k for k, h in default_pairs.items() if h <= 3}
     assert expected <= set(wide), "pigeonhole completeness for d<=3 violated"
+
+
+def test_tfidf_topterms_ranking_invariants(spark):
+    """Per-doc top-k is dense-ranked with non-increasing scores."""
+    from apitap_spark.operators.textstats import op_text_tfidf_topterms
+
+    out = op_text_tfidf_topterms(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= 5
+        rks = sorted(r["rk"] for r in doc_rows)
+        assert rks == list(range(1, len(doc_rows) + 1))
+        # scores non-increasing in rank
+        srt = sorted(doc_rows, key=lambda r: r["rk"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["score"] >= b["score"]
+
+
+def test_lexical_diversity_bounds_and_degenerate_doc(spark):
+    """Same formula as op_text_lexical_diversity on planted docs."""
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens here are distinct")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    from apitap_spark.functions.text import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    counts = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n, types, sumsq = F.sum("c"), F.count("*"), F.sum(F.col("c") * F.col("c"))
+    out = {
+        r["doc_id"]: r
+        for r in counts.groupBy("doc_id")
+        .agg(
+            F.round(types.cast("double") / n, 6).alias("ttr"),
+            F.round(F.lit(1.0) - sumsq.cast("double") / (n * n), 6).alias("simpson"),
+        )
+        .collect()
+    }
+    assert out[1]["simpson"] == 0.0  # one type repeated → zero diversity
+    assert out[1]["ttr"] == 0.25
+    assert out[2]["simpson"] == pytest.approx(1 - 5 * (1 / 25), abs=1e-9)
+    assert out[2]["ttr"] == 1.0
+
+
+def test_source_quota_enforced_and_stable(spark, sf_dir):
+    from apitap_spark.operators.sampling import (
+        QUOTA_PER_SOURCE,
+        op_source_quota_sample,
+    )
+
+    out = op_source_quota_sample(spark, sf_dir)
+    per_src = {r["source"]: r["cnt"] for r in out.groupBy("source").count()
+               .withColumnRenamed("count", "cnt").collect()}
+    assert per_src and all(v <= QUOTA_PER_SOURCE for v in per_src.values())
+    # determinism: same kept set on a repartitioned rerun
+    kept1 = {r["doc_id"] for r in out.collect()}
+    kept2 = {r["doc_id"] for r in op_source_quota_sample(spark, sf_dir)
+             .repartition(7).collect()}
+    assert kept1 == kept2
+
+
+def test_fk_integrity_full_clean_degraded_dirty(spark, sf_dir):
+    from apitap_spark.operators.quality import op_fk_integrity
+
+    rows = op_fk_integrity(spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        if r["parent_variant"] == "full":
+            assert r["n_orphans"] == 0, r
+        else:
+            assert r["n_orphans"] > 0, r
+            assert 0 < r["orphan_ratio"] <= 1
