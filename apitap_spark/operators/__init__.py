@@ -7,6 +7,7 @@ engine operators, each exposed through the driver contract
 """
 
 from apitap_spark.operators import (
+    bpe,
     corpus,
     curation,
     dedup,
@@ -40,6 +41,7 @@ for _mod in (
     textclean,
     corpus,
     quality,
+    bpe,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

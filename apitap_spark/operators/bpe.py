@@ -1,0 +1,145 @@
+"""Distributed BPE vocabulary induction (byte-pair-encoding merge learning).
+
+The missing rung above ``op_text_bpe_tokens`` (which *applies* a fixed
+BPE-ish regex): learn the merge table itself from the corpus, the way a
+tokenizer build pass does (Sennrich et al. 2016, the algorithm behind
+GPT-2/RoBERTa vocabularies; re-derived here from the published
+algorithm, not from any implementation).
+
+Scale shape — why this is the 100 TB formulation:
+
+* The iteration state is the VOCABULARY (distinct word → count, one
+  array-of-symbols row per distinct word), not the corpus. One corpus
+  scan builds it; every merge round then touches vocab-sized data only
+  (a few million rows for web-scale corpora — orders of magnitude
+  smaller than the corpus).
+* Each round: one explode of adjacent symbol pairs → one
+  partial-aggregated groupBy(pair) weighted by word count → a 1-row
+  argmax collect (driver scalar, like the k-means convergence probe) →
+  one vectorized array-fold projection applying the merge. One shuffle
+  per round, lineage cut with localCheckpoint (same pattern as
+  operators.ml.kmeans_refine / graph.connected_components).
+* The merge application is a Catalyst ``aggregate`` fold building the
+  re-tokenized symbol array left-to-right — no Python in the loop.
+
+Greedy left-to-right merge semantics match the reference algorithm:
+overlapping pair occurrences count naively (zip of adjacent symbols),
+ties on count break lexicographically by (left, right) so the learned
+table is deterministic. ``tests/test_operators.py`` proves the merge
+sequence equals a plain-Python BPE run exactly; the driver gate is
+rows-only (the xxhash-free algorithm is engine-portable, but a SQL
+oracle would need recursive per-round argmax — out of SQL's reach).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import tokens
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+N_MERGES = 12
+
+
+def _apply_merge(sym_col, left: str, right: str):
+    """Array fold replacing every left-to-right (left, right) adjacency
+    with the concatenated symbol — the vectorized merge step.
+
+    State is the output array; a pair merges only when the CURRENT
+    output tail equals ``left`` exactly (an already-merged tail token
+    that merely ends with ``left`` compares unequal, keeping greedy
+    non-overlap semantics identical to the sequential algorithm).
+    """
+    merged = F.lit(left + right)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, cur: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (cur == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(cur))),
+    )
+
+
+def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+    """Learn ``n_merges`` BPE merges from a (symbols array<string>, cnt)
+    vocabulary frame. Returns [(rank, left, right, pair_count), ...].
+
+    Stops early when no adjacent pair remains (fully merged corpus).
+    """
+    cur = vocab.select("symbols", "cnt").localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("symbols"), 1, F.size("symbols") - 1),
+                    F.slice(F.col("symbols"), 2, F.size("symbols") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rank, l, r, int(c)))
+        cur = cur.select(
+            _apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
+        ).localCheckpoint()
+    return merges
+
+
+@_register("op_bpe_learn_merges")  # iterative argmax loop → rows-only gate
+def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first N_MERGES BPE merges over the documents corpus.
+    Output: (rank, left, right, pair_count) — the head of the merge
+    table a tokenizer build would persist."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.split("w", "").alias("symbols"), "cnt")
+    )
+    merges = learn_bpe_merges(vocab)
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank bigint, left string, right string, pair_count bigint"
+        )
+    vals = ", ".join(
+        "({}, '{}', '{}', {})".format(
+            rank, l.replace("'", "''"), r.replace("'", "''"), c
+        )
+        for rank, l, r, c in merges
+    )
+    return spark.sql(
+        "SELECT CAST(c1 AS BIGINT) AS rank, c2 AS left, c3 AS right, "
+        f"CAST(c4 AS BIGINT) AS pair_count FROM VALUES {vals} AS t(c1, c2, c3, c4)"
+    )

@@ -642,12 +642,15 @@ def op_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array-style substring dedup, computed with hashes instead of
     suffix arrays.
 
-    Shuffle profile: one explode (no shuffle), one groupBy on the window
-    hash (document frequency), one hash join back, one groupBy on
-    doc_id. All counts integer-exact; the md5 window key reproduces
-    byte-identically in the oracle. At corpus scale the window-hash
-    groupBy is the same shape as exact dedup — linear, partial-
-    aggregated — where a true suffix array would need a global sort.
+    Shuffle profile: one explode (no shuffle), ONE exchange on the
+    window hash, one groupBy on doc_id. "Window occurs in another doc"
+    is min(doc_id) != max(doc_id) over the hash partition — a window
+    aggregate instead of the groupBy-df + join-back formulation, which
+    re-executed the explode/md5 for the join side and paid a second
+    wh exchange (measured 1.5x slower at sf0.1). All counts integer-
+    exact; the md5 window key reproduces byte-identically in the
+    oracle. At corpus scale the wh exchange is the same shape as exact
+    dedup — linear — where a true suffix array would need a global sort.
     """
     docs = read_table(spark, sf_dir, "documents")
     wins = docs.select(
@@ -658,18 +661,16 @@ def op_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wh"),
     )
-    dfreq = wins.groupBy("wh").agg(
-        F.countDistinct("doc_id").alias("ndocs")
+    w = Window.partitionBy("wh")
+    flagged = wins.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("is_shared"),
     )
-    shared = F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
-    return (
-        wins.join(dfreq, "wh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_windows"),
-            shared.cast("bigint").alias("n_shared_windows"),
-            (shared.cast("double") / F.count("*")).alias("shared_fraction"),
-        )
+    shared = F.sum(F.when(F.col("is_shared"), 1).otherwise(0))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        shared.cast("bigint").alias("n_shared_windows"),
+        (shared.cast("double") / F.count("*")).alias("shared_fraction"),
     )
 
 

@@ -299,3 +299,61 @@ def test_fk_integrity_full_clean_degraded_dirty(spark, sf_dir):
         else:
             assert r["n_orphans"] > 0, r
             assert 0 < r["orphan_ratio"] <= 1
+
+
+def _python_bpe(word_counts, n_merges):
+    """Plain-Python reference BPE (naive overlapping pair counts, greedy
+    left-to-right merge, lexicographic tie-break) — the ground truth for
+    learn_bpe_merges."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for cur in syms:
+                if out and out[-1] == l and cur == r:
+                    out[-1] = l + r
+                else:
+                    out.append(cur)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.bpe import learn_bpe_merges
+
+    word_counts = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2, "aaa": 4,
+    }
+    expected = _python_bpe(word_counts, 8)
+    vocab = spark.createDataFrame(
+        [(w, c) for w, c in word_counts.items()], "w string, cnt long"
+    ).select(F.split("w", "").alias("symbols"), "cnt")
+    got = learn_bpe_merges(vocab, 8)
+    assert got == expected
+
+
+def test_bpe_gate_shape(spark, sf_dir):
+    from apitap_spark.operators.bpe import N_MERGES, op_bpe_learn_merges
+
+    rows = op_bpe_learn_merges(spark, sf_dir).collect()
+    assert 0 < len(rows) <= N_MERGES
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    # counts non-increasing is NOT guaranteed by BPE (a merge can create
+    # a more frequent pair) — assert positivity and symbol sanity instead
+    for r in rows:
+        assert r["pair_count"] > 0 and r["left"] and r["right"]

@@ -239,3 +239,49 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
 
     p = _plan(op_contamination_ngram(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_passages_single_hash_exchange_no_join(spark, sf_dir):
+    """The shared-window flag is a window aggregate over ONE wh exchange —
+    the groupBy-df + join-back shape (second explode + second exchange)
+    must not come back."""
+    import re
+
+    from apitap_spark.operators.dedup import op_dedup_passages
+
+    p = _plan(op_dedup_passages(spark, sf_dir))
+    assert "Join" not in p
+    # one exchange for the wh window + one for the doc_id aggregate
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+    # the explode runs once, not per side (count detail headers)
+    assert len(re.findall(r"^\(\d+\) Generate", p, re.M)) == 1
+
+
+def test_tfidf_single_token_generate_and_group_limit(spark, sf_dir):
+    """tf and df both derive from ONE exploded token stream; the per-doc
+    top-k is a WindowGroupLimit (pruned before full sort)."""
+    from apitap_spark.operators.textstats import op_text_tfidf_topterms
+
+    p = _plan(op_text_tfidf_topterms(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_quota_sample_group_limit_no_extra_exchange(spark, sf_dir):
+    """Quota = row_number filter → WindowGroupLimit prunes each source
+    partition to the quota before the full window sort."""
+    import re
+
+    from apitap_spark.operators.sampling import op_source_quota_sample
+
+    p = _plan(op_source_quota_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+
+
+def test_fk_integrity_broadcasts_dimensions(spark, sf_dir):
+    """Every parent side joins broadcast; no shuffle of the fact tables."""
+    from apitap_spark.operators.quality import op_fk_integrity
+
+    p = _plan(op_fk_integrity(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
