@@ -476,3 +476,72 @@ def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bucket < F.floor(F.col("rate") * 256)).alias("kept"),
         )
     )
+
+
+@_register(
+    "op_corpus_summary_card",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents
+    ),
+    dup AS (SELECT COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs FROM base)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN ntok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens,
+           ROUND(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           CAST((SELECT n_dup_docs FROM dup) AS BIGINT) AS n_exact_dup_docs,
+           ROUND(CAST((SELECT n_dup_docs FROM dup) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM base
+    """,
+)
+def op_corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus card: the dataset-datasheet header a training run
+    records per snapshot — doc/source/language counts, token and char
+    volume, empty-doc count, token-length extremes, and the exact-dup
+    rate (1 - distinct normalized hashes / docs).
+
+    Single scan, single global aggregate (every statistic is a partial-
+    aggregable count/sum/min/max — one tiny row crosses the shuffle;
+    the two COUNT(DISTINCT dim) run on dimension-cardinality columns).
+    Counts are integers, the two ratios are one exact double division
+    each — oracle-exact at any scale.
+    """
+    from apitap_spark.functions.text import normalize_ws
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("nchar"),
+        token_count("text").alias("ntok"),
+        F.md5(normalize_ws("text")).alias("h"),
+    )
+    n = F.count("*")
+    return base.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("nchar").cast("bigint").alias("total_chars"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("ntok") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.min("ntok").cast("bigint").alias("min_tokens"),
+        F.max("ntok").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("ntok").cast("double") / n, 6).alias("avg_tokens"),
+        (n - F.countDistinct("h")).cast("bigint").alias("n_exact_dup_docs"),
+        F.round((n - F.countDistinct("h")).cast("double") / n, 6).alias(
+            "exact_dup_rate"
+        ),
+    )

@@ -215,3 +215,70 @@ def op_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d2").alias("batch_doc_id"),
         "jaccard",
     )
+
+
+EMB_INCR_POOL = 1000
+EMB_INCR_THRESHOLD = 0.4
+
+
+def _emb_incr_oracle() -> str:
+    from apitap_spark.operators.similarity import _SQL_DOT, _SQL_NORM2
+
+    dot = _SQL_DOT.format(a="o.embedding", b="b.embedding")
+    na = _SQL_NORM2.format(a="o.embedding")
+    nb = _SQL_NORM2.format(a="b.embedding")
+    return f"""
+    WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {EMB_INCR_POOL}
+    ),
+    corpus AS (SELECT * FROM pool WHERE vec_id % 10 < 8),
+    batch AS (SELECT * FROM pool WHERE vec_id % 10 >= 8)
+    SELECT o.vec_id AS corpus_vec_id, b.vec_id AS batch_vec_id,
+           ROUND({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cosine
+    FROM corpus o JOIN batch b ON TRUE
+    WHERE {dot} / (sqrt({na}) * sqrt({nb})) >= {EMB_INCR_THRESHOLD}
+    """
+
+
+@_register("op_dedup_incremental_embedding", _emb_incr_oracle())
+def op_dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic incremental dedup: which INCOMING embeddings are cosine
+    near-duplicates (>= 0.4) of the EXISTING corpus — the embedding-space
+    twin of op_dedup_incremental_minhash, catching paraphrase re-crawls
+    that share no n-grams with their stored original.
+
+    Exact rung over a bounded pool (vec_id < 1000), corpus x batch only
+    (an 80/20 split of the pool by vec_id % 10 — no batch-internal or
+    corpus-internal pairs): per-side norm precompute, dot-only pair
+    kernel, identical d/(na*nb) doubles to the oracle. At corpus scale
+    the same corpus/batch split rides the LSH (op_ann_lsh_bucketed
+    tables) or IVF candidate streams instead of the cross join, exactly
+    as the minhash rung swaps its all-pairs oracle for band buckets.
+    """
+    from apitap_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMB_INCR_POOL
+    )
+    pool = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    is_old = F.col("vec_id") % 10 < 8
+    corpus = pool.filter(is_old).select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").alias("eo"),
+        F.col("nrm").alias("no"),
+    )
+    batch = pool.filter(~is_old).select(
+        F.col("vec_id").alias("batch_vec_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = cosine_from_norms("eo", "eb", "no", "nb")
+    return (
+        corpus.crossJoin(F.broadcast(batch))
+        .filter(cos >= EMB_INCR_THRESHOLD)
+        .select(
+            "corpus_vec_id",
+            "batch_vec_id",
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

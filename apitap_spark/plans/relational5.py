@@ -286,3 +286,37 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+@_register(
+    "q_regex_functions",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '(\d+)', 1) AS first_number,
+           CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_numbers,
+           regexp_replace(text, '\d', '#', 'g') AS digits_masked,
+           regexp_matches(text, '[A-Z][a-z]+') AS has_titlecase,
+           regexp_extract(text, '([A-Za-z]+)$', 1) AS last_word
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (SURVEY §2.2 Q12): extract / extract-all
+    count / global replace / match test / anchored extract. Java regex
+    and DuckDB's RE2 agree on this POSIX-class subset (verified
+    cell-exactly by the gate); engine-specific syntax (lookbehind,
+    possessive quantifiers) is deliberately out of the oracle-checked
+    surface. Pure projection — zero shuffle at any scale.
+    """
+    from apitap_spark.session import read_table as _rt
+
+    docs = _rt(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"(\d+)", 1).alias("first_number"),
+        F.regexp_count("text", F.lit(r"\d+")).cast("bigint").alias("n_numbers"),
+        F.regexp_replace("text", r"\d", "#").alias("digits_masked"),
+        F.col("text").rlike(r"[A-Z][a-z]+").alias("has_titlecase"),
+        F.regexp_extract("text", r"([A-Za-z]+)$", 1).alias("last_word"),
+    )

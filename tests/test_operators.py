@@ -357,3 +357,26 @@ def test_bpe_gate_shape(spark, sf_dir):
     # a more frequent pair) — assert positivity and symbol sanity instead
     for r in rows:
         assert r["pair_count"] > 0 and r["left"] and r["right"]
+
+
+def test_corpus_card_consistent_with_exact_dedup(spark, sf_dir):
+    from apitap_spark.operators.corpus import op_corpus_summary_card
+    from apitap_spark.operators.dedup import op_dedup_exact
+
+    card = op_corpus_summary_card(spark, sf_dir).collect()[0]
+    groups = op_dedup_exact(spark, sf_dir).collect()
+    assert card["n_docs"] == sum(r["n_copies"] for r in groups)
+    assert card["n_exact_dup_docs"] == sum(r["n_copies"] - 1 for r in groups)
+    assert card["min_tokens"] <= card["avg_tokens"] <= card["max_tokens"]
+
+
+def test_incremental_embedding_no_within_set_pairs(spark, sf_dir):
+    from apitap_spark.operators.incremental import (
+        op_dedup_incremental_embedding,
+    )
+
+    rows = op_dedup_incremental_embedding(spark, sf_dir).collect()
+    for r in rows:
+        assert r["corpus_vec_id"] % 10 < 8
+        assert r["batch_vec_id"] % 10 >= 8
+        assert r["cosine"] >= 0.4
