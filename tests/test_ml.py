@@ -33,3 +33,35 @@ def test_kmeans_assignment_is_nearest(spark, sf_dir):
     # clusters come from the label domain (init) — k preserved or shrunk
     k_init = emb.select("label").distinct().count()
     assert out.select("cluster").distinct().count() <= k_init
+
+
+def test_logreg_learns_longform_from_token_features(spark, sf_dir):
+    """The long-form classifier must weight token count positively and
+    dominantly, and reach high training accuracy."""
+    from apitap_spark.operators.ml import op_ml_logreg_quality
+
+    rows = {r["feature"]: r for r in op_ml_logreg_quality(spark, sf_dir).collect()}
+    assert set(rows) == {"f_bias", "f_tokens", "f_avg_token_len", "f_distinct_ratio"}
+    acc = rows["f_tokens"]["train_accuracy"]
+    assert acc >= 0.9, f"train accuracy {acc}"
+    w_tok = rows["f_tokens"]["weight"]
+    assert w_tok > 0
+    assert w_tok > abs(rows["f_distinct_ratio"]["weight"]) or acc >= 0.95
+
+
+def test_logreg_separates_planted_blobs(spark):
+    """On a linearly separable planted set GD must reach 100% accuracy."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.ml import train_logreg
+
+    data = [(1.0, 1.0, float(x > 0)) for x in range(-50, 50) if x != 0]
+    X = spark.createDataFrame(
+        [(b, float(x), y) for (b, _x, y), x in zip(data, [x for x in range(-50, 50) if x != 0])],
+        "f_bias double, f_x double, y double",
+    )
+    w = train_logreg(X, ["f_bias", "f_x"], iters=60, lr=0.5)
+    z = F.lit(w[0]) + F.col("f_x") * F.lit(w[1])
+    acc = X.agg(F.avg(((z > 0).cast("double") == F.col("y")).cast("double"))).collect()[0][0]
+    assert acc == 1.0
+    assert w[1] > 0
