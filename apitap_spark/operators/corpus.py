@@ -545,3 +545,152 @@ def op_corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_dup_rate"
         ),
     )
+
+
+SHARD_TARGET_TOKENS = 2000  # tokens per output shard (testdata-sized)
+SHARD_BUCKETS = 64  # phase-1 buckets; scale knob = shuffle width
+
+
+@_register(
+    "op_shard_plan",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ntok,
+             md5('shard-v1:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, ntok, hkey,
+             SUM(ntok) OVER (ORDER BY hkey, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((cum_tokens - ntok) / {SHARD_TARGET_TOKENS}) AS BIGINT)
+             AS shard
+    FROM cum
+    """,
+)
+def op_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: place documents (in a stable
+    salted-hash order) into consecutive shards of ~SHARD_TARGET_TOKENS
+    tokens each — the write-planning pass that sizes training-data
+    shards evenly instead of by row count.
+
+    The global running token sum is computed as a TWO-PHASE distributed
+    prefix sum — the textbook fix for the single-partition global
+    window (`OVER (ORDER BY ...)` with no PARTITION BY collapses ALL
+    rows into one task; the straggler anti-pattern):
+
+    1. rows hash into SHARD_BUCKETS ordered buckets (first 2 hex chars
+       of the order key, zero-padded comparison-safe); per-bucket token
+       sums — SHARD_BUCKETS tiny rows — aggregate and broadcast back as
+       running bucket OFFSETS;
+    2. each bucket computes its LOCAL prefix sum in parallel (window
+       partitioned BY bucket) and adds its offset.
+
+    The oracle is the plain global-window formulation — the two-phase
+    plan must reproduce it row-for-row. Scale: phase 1 is a
+    dimension-sized aggregate; phase 2's widest window partition is
+    corpus/SHARD_BUCKETS (the knob grows with the cluster).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count("text").alias("ntok"),
+        F.md5(F.concat(F.lit("shard-v1:"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    # bucket = first 2 hex chars: 256 values folded into SHARD_BUCKETS
+    # contiguous ranges, preserving hkey order across bucket boundaries
+    ).withColumn(
+        "bucket",
+        (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") / (256 // SHARD_BUCKETS))
+        .cast("int"),
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("ntok").alias("btok"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("btok").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", F.sum("ntok").over(w_local) + F.col("offset"))
+    )
+    return cum.select(
+        "doc_id",
+        F.col("ntok").cast("bigint").alias("n_tokens"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.floor(
+            (F.col("cum_tokens") - F.col("ntok")) / SHARD_TARGET_TOKENS
+        ).cast("bigint").alias("shard"),
+    )
+
+
+@_register("op_lm_perplexity")  # float log sums → rows-only gate
+def op_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed corpus unigram
+    LM — the CCNet-style statistical quality filter: documents scoring
+    far above corpus-typical perplexity are gibberish/boilerplate
+    candidates, far below are degenerate repetition.
+
+    p(w) = (c(w)+1) / (T+V); avg_nll = -(1/n) sum ln p(w_i);
+    perplexity = exp(avg_nll). The LM "training" is the corpus token
+    count table (one groupBy); scoring joins each document's (doc,
+    token, count) rows to it on token and reduces per doc — two linear
+    shuffles total. ln/exp make cell values last-ulp engine-specific
+    (measured: Java vs libm differ on ~5% of inputs), so the driver
+    gate is rows-only; tests reproduce the exact values against plain
+    Python math on the same counts instead.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cw")).persist()
+    try:
+        totals = vocab.agg(
+            F.sum("cw").alias("t"), F.count("*").alias("v")
+        ).collect()[0]
+        denom = float(totals["t"] + totals["v"])
+        dw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cdw"))
+        scored = dw.join(vocab, "w").groupBy("doc_id").agg(
+            F.sum("cdw").cast("bigint").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("cdw")
+                    * F.log((F.col("cw") + F.lit(1)).cast("double") / F.lit(denom))
+                )
+                / F.sum("cdw")
+            ).alias("avg_nll"),
+        )
+        out = scored.select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_nll", 6).alias("avg_nll"),
+            F.round(F.exp("avg_nll"), 6).alias("perplexity"),
+        )
+        # materialize before unpersisting the vocab this plan references
+        out = out.localCheckpoint()
+    finally:
+        vocab.unpersist()
+    return out

@@ -380,3 +380,55 @@ def test_incremental_embedding_no_within_set_pairs(spark, sf_dir):
         assert r["corpus_vec_id"] % 10 < 8
         assert r["batch_vec_id"] % 10 >= 8
         assert r["cosine"] >= 0.4
+
+
+def test_shard_plan_balanced_and_complete(spark, sf_dir):
+    from apitap_spark.operators.corpus import (
+        SHARD_TARGET_TOKENS,
+        op_shard_plan,
+    )
+
+    rows = op_shard_plan(spark, sf_dir).collect()
+    docs = {r["doc_id"] for r in rows}
+    assert len(docs) == len(rows)  # every doc exactly once
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))  # contiguous ids from 0
+    max_doc = max(r["n_tokens"] for r in rows)
+    for sid in shards[:-1]:  # every full shard lands within one doc of target
+        tot = sum(r["n_tokens"] for r in by_shard[sid])
+        # start-offset binning: a shard can undershoot by the previous
+        # shard's overhanging doc and overshoot by its own last doc
+        assert tot > SHARD_TARGET_TOKENS - max_doc
+        assert tot - max(r["n_tokens"] for r in by_shard[sid]) < SHARD_TARGET_TOKENS
+
+
+def test_lm_perplexity_matches_python_math(spark, sf_dir):
+    """Spark's per-doc avg_nll equals a plain-Python recomputation on the
+    same token counts (1e-9 relative — float sum order differs)."""
+    import math
+
+    from apitap_spark.functions.text import WS_PATTERN
+    from apitap_spark.operators.corpus import op_lm_perplexity
+    from apitap_spark.session import read_table
+
+    got = {r["doc_id"]: r for r in op_lm_perplexity(spark, sf_dir).collect()}
+    import re
+
+    docs = {
+        r["doc_id"]: re.split(WS_PATTERN, r["text"].strip())
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    counts = {}
+    for ws in docs.values():
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    denom = sum(counts.values()) + len(counts)
+    for doc_id, ws in docs.items():
+        nll = -sum(math.log((counts[w] + 1) / denom) for w in ws) / len(ws)
+        assert got[doc_id]["n_tokens"] == len(ws)
+        assert got[doc_id]["avg_nll"] == pytest.approx(round(nll, 6), abs=2e-6)
+        assert got[doc_id]["perplexity"] == pytest.approx(math.exp(nll), rel=1e-5)
