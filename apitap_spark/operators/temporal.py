@@ -125,3 +125,65 @@ def op_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("purchase_value"))
     )
     return asof_join(clicks, purchases, on="user_id")
+
+
+@_register(
+    "op_feature_snapshot",
+    """
+    WITH cutoff AS (SELECT MAX(ts) AS c FROM events),
+    latest AS (
+      SELECT user_id,
+             MAX({'ts': ts, 'event_id': event_id, 'et': event_type}) AS last_ev
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events_total,
+           CAST(SUM(CASE WHEN e.ts >= (SELECT c FROM cutoff) - INTERVAL 24 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_24h,
+           CAST(SUM(CASE WHEN e.ts >= (SELECT c FROM cutoff) - INTERVAL 168 HOUR
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+           CAST(SUM(CASE WHEN e.ts >= (SELECT c FROM cutoff) - INTERVAL 24 HOUR
+                         THEN CAST(e.value AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS value_sum_24h,
+           ROUND(CAST(date_diff('second', MAX(e.ts), (SELECT c FROM cutoff))
+                      AS DOUBLE) / 3600.0, 6) AS recency_hours,
+           MAX(l.last_ev).et AS last_event_type
+    FROM events e JOIN latest l USING (user_id)
+    GROUP BY e.user_id
+    """,
+)
+def op_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time per-user feature snapshot as of the stream head —
+    the feature-store materialization pass (trailing 24h/7d activity
+    counts, 24h value sum, recency, last event type) that a training
+    job joins to labels without future leakage.
+
+    One scan + one user groupBy: every trailing window is a conditional
+    aggregate against the broadcast cutoff scalar (no self-join, no
+    per-window pass); the value sum rides DECIMAL(18,6) so aggregation
+    order cannot perturb the double output; last_event_type is the
+    struct-max trick — max of (ts, event_id, type) tuples is the
+    deterministic argmax with a total tie-break, identical in both
+    engines. At 100 TB this is the single-shuffle shape of q1.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("ts").alias("c"))
+    e = ev.crossJoin(F.broadcast(cutoff))
+    in_24h = F.col("ts") >= F.col("c") - F.expr("INTERVAL 24 HOURS")
+    in_7d = F.col("ts") >= F.col("c") - F.expr("INTERVAL 168 HOURS")
+    return e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events_total"),
+        F.sum(F.when(in_24h, 1).otherwise(0)).cast("bigint").alias("n_events_24h"),
+        F.sum(F.when(in_7d, 1).otherwise(0)).cast("bigint").alias("n_events_7d"),
+        F.sum(F.when(in_24h, F.col("value").cast("decimal(18,6)")))
+        .cast("double")
+        .alias("value_sum_24h"),
+        F.round(
+            (F.max("c").cast("long") - F.max("ts").cast("long")).cast("double")
+            / F.lit(3600.0),
+            6,
+        ).alias("recency_hours"),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "last_event_type"
+        ),
+    )

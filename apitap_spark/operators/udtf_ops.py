@@ -128,3 +128,45 @@ def op_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("n_rows"),
     )
+
+
+ZLIB_LEVEL = 6
+
+
+@_register("op_text_compression_ratio")  # zlib not in SQL → rows-only gate
+def op_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the Kolmogorov-style
+    quality signal pretraining filters use to catch templated/repetitive
+    text (highly compressible => low-entropy boilerplate; near-1 ratios
+    => random noise).
+
+    This is the JUSTIFIED Python-UDF case: a byte-level codec with no
+    Catalyst equivalent, run as an Arrow-batched scalar pandas UDF
+    (one Python roundtrip per ~10k-row batch, zero per-row overhead).
+    zlib at a fixed level is bit-deterministic across runs/platforms
+    (same zlib algorithm), so the output is stable; the driver gate is
+    rows-only (DuckDB has no zlib) and pytest reproduces the exact
+    ratios with direct Python zlib calls.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def ratio(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, ZLIB_LEVEL)) / len(raw)
+
+        return texts.map(ratio)
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(comp_ratio("text"), 6).alias("compression_ratio"),
+    )

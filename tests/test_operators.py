@@ -432,3 +432,36 @@ def test_lm_perplexity_matches_python_math(spark, sf_dir):
         assert got[doc_id]["n_tokens"] == len(ws)
         assert got[doc_id]["avg_nll"] == pytest.approx(round(nll, 6), abs=2e-6)
         assert got[doc_id]["perplexity"] == pytest.approx(math.exp(nll), rel=1e-5)
+
+
+def test_compression_ratio_matches_python_zlib(spark, sf_dir):
+    """Arrow-batched UDF output equals direct Python zlib, bit-exact."""
+    import zlib
+
+    from apitap_spark.operators.udtf_ops import (
+        ZLIB_LEVEL,
+        op_text_compression_ratio,
+    )
+    from apitap_spark.session import read_table
+
+    got = {r["doc_id"]: r for r in op_text_compression_ratio(spark, sf_dir).collect()}
+    for r in read_table(spark, sf_dir, "documents").collect():
+        raw = r["text"].encode("utf-8")
+        exp = round(len(zlib.compress(raw, ZLIB_LEVEL)) / len(raw), 6) if raw else None
+        assert got[r["doc_id"]]["compression_ratio"] == exp
+    # repetitive text compresses far better than varied text
+    ratios = [r["compression_ratio"] for r in got.values() if r["compression_ratio"]]
+    assert min(ratios) < 0.5
+
+
+def test_feature_snapshot_no_future_leakage(spark, sf_dir):
+    from apitap_spark.operators.temporal import op_feature_snapshot
+
+    rows = op_feature_snapshot(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_events_24h"] <= r["n_events_7d"] <= r["n_events_total"]
+        assert r["recency_hours"] >= 0
+        assert r["last_event_type"]
+        if r["n_events_24h"] == 0:
+            assert r["value_sum_24h"] is None
