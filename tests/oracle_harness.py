@@ -65,6 +65,16 @@ def _sort_key(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
+def _strform(v) -> str:
+    """String form of a (normalized) cell, recursing into containers —
+    the textual shape a value hash is sensitive to."""
+    if isinstance(v, tuple):
+        return "(" + ",".join(_strform(x) for x in v) + ")"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -105,19 +115,21 @@ def compare(name: str, spark_df, oracle_rows_cols) -> CompareResult:
     n_bad = 0
     for sr, orow in zip(s_norm, o_norm):
         for sv, ov in zip(sr, orow):
-            if sv == ov:
+            # Driver-faithful STRICT compare: exact equality AND equal
+            # string form (catches decimal-scale drift — Decimal('1.10')
+            # == Decimal('1.100') semantically, but the driver's value
+            # hash distinguishes them; round 1's q_projection_alias red
+            # row was exactly this).  Floats get no tolerance either —
+            # the plans are designed bit-exact via decimal aggregation,
+            # and the driver hashes the raw value.
+            if sv == ov and _strform(sv) == _strform(ov):
                 continue
             if isinstance(sv, float) and isinstance(ov, float):
                 delta = abs(sv - ov) / max(1.0, abs(ov))
                 res.max_float_delta = max(res.max_float_delta, delta)
-                if delta > 1e-9:
-                    n_bad += 1
-                    if n_bad <= 3:
-                        res.issues.append(f"float mismatch: spark={sv!r} oracle={ov!r}")
-            else:
-                n_bad += 1
-                if n_bad <= 3:
-                    res.issues.append(f"value mismatch: spark={sv!r} oracle={ov!r}")
+            n_bad += 1
+            if n_bad <= 3:
+                res.issues.append(f"cell mismatch: spark={sv!r} oracle={ov!r}")
     if n_bad:
         res.ok = False
         res.issues.append(f"{n_bad} mismatched cells total")

@@ -285,3 +285,18 @@ def test_fk_integrity_broadcasts_dimensions(spark, sf_dir):
     p = _plan(op_fk_integrity(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_shard_plan_two_phase_no_global_window_on_base(spark, sf_dir):
+    """The corpus-sized cumulative sum runs in bucket-partitioned windows;
+    the only unpartitioned work is the 64-row offsets aggregate, which
+    broadcasts back (exactly one BroadcastExchange)."""
+    import re
+
+    from apitap_spark.operators.corpus import op_shard_plan
+
+    p = _plan(op_shard_plan(spark, sf_dir))
+    assert "hashpartitioning(bucket" in p  # phase-2 windows keyed by bucket
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) == 1
+    # 3 shuffles total: bucket grouping, offsets ordering, local windows
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3
