@@ -177,6 +177,10 @@ def train_logreg(
     and partition-order dependent -> the operator is rows-only (weights
     reproduce to ~1e-9, not bitwise; tests assert separation quality
     and sign structure instead).
+
+    First-order GD is the fallback for huge d; for the small feature
+    sets a quality filter uses, train_logreg_newton below converges in
+    ~6 rounds instead of ~40.
     """
     n = X.count()
     w = [0.0] * len(feature_cols)
@@ -190,12 +194,60 @@ def train_logreg(
     return w
 
 
+NEWTON_ITERS = 8
+NEWTON_RIDGE = 1e-6  # Hessian regularizer: keeps the solve well-posed
+
+
+def train_logreg_newton(
+    X: DataFrame, feature_cols: list[str], label_col: str = "y",
+    iters: int = NEWTON_ITERS,
+) -> list[float]:
+    """Newton/IRLS logistic regression — the GLM algorithm MLlib's
+    GeneralizedLinearRegression uses, converging quadratically (~6
+    rounds where GD needs ~40).
+
+    Per round ONE aggregation computes the gradient (d sums) AND the
+    upper-triangular Hessian X'WX (d(d+1)/2 sums, w_i = p_i(1-p_i)) —
+    still a single partial-aggregated scan with one tiny row crossing
+    the shuffle; the d x d solve happens on the driver (numpy). Only
+    sensible for small d (a quality filter's handful of features);
+    wide models should use train_logreg.
+    """
+    import numpy as np
+
+    d = len(feature_cols)
+    w = [0.0] * d
+    for _ in range(iters):
+        z = sum(F.col(c) * F.lit(wi) for c, wi in zip(feature_cols, w))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = F.col(label_col) - p
+        wt = p * (F.lit(1.0) - p)
+        aggs = [F.sum(resid * F.col(c)).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)]
+        for j in range(d):
+            for k in range(j, d):
+                aggs.append(
+                    F.sum(wt * F.col(feature_cols[j]) * F.col(feature_cols[k]))
+                    .alias(f"h{j}_{k}")
+                )
+        row = X.agg(*aggs).collect()[0]
+        g = np.array([row[f"g{j}"] for j in range(d)])
+        H = np.zeros((d, d))
+        for j in range(d):
+            for k in range(j, d):
+                H[j, k] = H[k, j] = row[f"h{j}_{k}"]
+        delta = np.linalg.solve(H + NEWTON_RIDGE * np.eye(d), g)
+        w = [wi + dv for wi, dv in zip(w, delta)]
+    return w
+
+
 @_register("op_ml_logreg_quality")  # float gradient sums -> rows-only
 def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression long-form/quality classifier on
     token-level surface features — the model-based corpus filter rung
     (CCNet / fastText-style quality filters), learned IN the engine
-    with one aggregation pass per GD step and applied as a projection.
+    with one aggregation pass per Newton/IRLS step and applied as a
+    projection.
 
     Output: one row per feature with its learned weight, plus the
     training accuracy at the learned weights (repeated per row for a
@@ -205,7 +257,7 @@ def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature_cols = ["f_bias", "f_tokens", "f_avg_token_len", "f_distinct_ratio"]
     X = _feature_frame(spark, sf_dir).persist()
     try:
-        w = train_logreg(X, feature_cols)
+        w = train_logreg_newton(X, feature_cols)
         z = sum(F.col(c) * F.lit(wi) for c, wi in zip(feature_cols, w))
         pred = (z > 0).cast("double")
         acc = X.agg(
