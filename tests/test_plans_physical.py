@@ -300,3 +300,26 @@ def test_shard_plan_two_phase_no_global_window_on_base(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) == 1
     # 3 shuffles total: bucket grouping, offsets ordering, local windows
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 3
+
+
+def test_feature_snapshot_single_user_shuffle(spark, sf_dir):
+    """Trailing windows are conditional aggregates against a broadcast
+    cutoff — one user-keyed shuffle, no self-join; the cutoff pass scans
+    only the pruned ts column (2 scans total, never per-window)."""
+    import re
+
+    from apitap_spark.operators.temporal import op_feature_snapshot
+
+    p = _plan(op_feature_snapshot(spark, sf_dir))
+    assert p.count(") Scan parquet") == 2  # cutoff probe + main pass
+    assert len(re.findall(r"^\(\d+\) BroadcastExchange", p, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
+
+
+def test_corpus_card_single_scan(spark, sf_dir):
+    """Every card statistic rides one scan + one global aggregate."""
+    from apitap_spark.operators.corpus import op_corpus_summary_card
+
+    p = _plan(op_corpus_summary_card(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "partial" in p  # map-side combine before the tiny shuffle
