@@ -455,3 +455,108 @@ def op_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+LENGTH_Q_LO = 5  # percent
+LENGTH_Q_HI = 95
+
+_SQL_NTOK = r"""
+      SELECT source,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(string_split_regex(TRIM(text), '\s+')) END AS ntok
+      FROM documents
+"""
+
+
+@_register(
+    "op_length_filter_bounds",
+    rf"""
+    WITH lens AS ({_SQL_NTOK}),
+    cum AS (
+      SELECT source, ntok,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY ntok
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM (SELECT source, ntok, COUNT(*) AS cnt FROM lens GROUP BY 1, 2)
+    ),
+    lo AS (
+      SELECT source, ntok AS p_lo FROM (
+        SELECT source, ntok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok) AS rk
+        FROM cum WHERE cum * 100 >= {LENGTH_Q_LO} * n
+      ) WHERE rk = 1
+    ),
+    hi AS (
+      SELECT source, ntok AS p_hi FROM (
+        SELECT source, ntok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY ntok) AS rk
+        FROM cum WHERE cum * 100 >= {LENGTH_Q_HI} * n
+      ) WHERE rk = 1
+    )
+    SELECT l.source,
+           CAST(lo.p_lo AS BIGINT) AS p5_tokens,
+           CAST(hi.p_hi AS BIGINT) AS p95_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN l.ntok < lo.p_lo OR l.ntok > hi.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM lens l
+    JOIN lo ON lo.source = l.source
+    JOIN hi ON hi.source = l.source
+    GROUP BY l.source, lo.p_lo, hi.p_hi
+    """,
+)
+def op_length_filter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length outlier bounds: discrete p5/p95 and the
+    count of documents outside them — the length-trimming pass (Gopher
+    rule C4-style) sized per source instead of globally, so a
+    short-form source is not gutted by a long-form source's bounds.
+
+    Discrete quantiles use the distinct-value cumulative-count plan
+    (both picks share ONE source-partitioned window over (source, ntok,
+    cnt) rows — window input is distinct lengths, never raw docs) with
+    integer-only threshold arithmetic (cum*100 >= q*n): engine-exact,
+    no percentile interpolation to diverge. Bounds broadcast back for
+    the outlier count. Same no-raw-row-window discipline as
+    op_robust_stats.
+    """
+    from apitap_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select("source", token_count("text").alias("ntok"))
+    counted = lens.groupBy("source", "ntok").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("source")
+    cum = counted.select(
+        "source",
+        "ntok",
+        F.sum("cnt")
+        .over(wp.orderBy("ntok").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+
+    def pick(q: int, name: str) -> DataFrame:
+        w_first = Window.partitionBy("source").orderBy("ntok")
+        return (
+            cum.filter(F.col("cum") * 100 >= F.lit(q) * F.col("n"))
+            .withColumn("rk", F.row_number().over(w_first))
+            .filter(F.col("rk") == 1)
+            .select("source", F.col("ntok").alias(name))
+        )
+
+    bounds = pick(LENGTH_Q_LO, "p_lo").join(pick(LENGTH_Q_HI, "p_hi"), "source")
+    out_of = (F.col("ntok") < F.col("p_lo")) | (F.col("ntok") > F.col("p_hi"))
+    return (
+        lens.join(F.broadcast(bounds), "source")
+        .groupBy("source", "p_lo", "p_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "source",
+            F.col("p_lo").cast("bigint").alias("p5_tokens"),
+            F.col("p_hi").cast("bigint").alias("p95_tokens"),
+            "n_docs",
+            "n_outliers",
+        )
+    )

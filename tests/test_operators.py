@@ -465,3 +465,28 @@ def test_feature_snapshot_no_future_leakage(spark, sf_dir):
         assert r["last_event_type"]
         if r["n_events_24h"] == 0:
             assert r["value_sum_24h"] is None
+
+
+def test_length_bounds_quantile_semantics(spark, sf_dir):
+    """p5/p95 match a plain-Python type-1 discrete quantile per source,
+    and the outlier count matches a direct recount."""
+    import math
+
+    from apitap_spark.operators.quality import op_length_filter_bounds
+    from apitap_spark.session import read_table
+
+    got = {r["source"]: r for r in op_length_filter_bounds(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").collect()
+    by_src = {}
+    for r in docs:
+        n = len(r["text"].strip().split()) if r["text"].strip() else 0
+        by_src.setdefault(r["source"], []).append(n)
+    for src, lens in by_src.items():
+        lens.sort()
+        n = len(lens)
+        p5 = lens[math.ceil(0.05 * n) - 1]
+        p95 = lens[math.ceil(0.95 * n) - 1]
+        g = got[src]
+        assert (g["p5_tokens"], g["p95_tokens"]) == (p5, p95), src
+        assert g["n_docs"] == n
+        assert g["n_outliers"] == sum(1 for x in lens if x < p5 or x > p95)
