@@ -61,10 +61,19 @@ def _gate_priority(names: list[str]) -> list[str]:
     ``queries()``.  We read every prior round's ``CORRECTNESS_r*.json`` and
     sort gates into tiers, each preserving registration order:
 
-    1. gates whose most recent driver row is red (must be re-proven),
-    2. round-1 backlog gates with no driver row yet (_ROUND1_BACKLOG),
-    3. newer gates with no driver row yet,
-    4. gates whose most recent driver row is green (rotate to the back).
+    0. gates whose most recent driver row is a genuine red (an oracle ran
+       and mismatched — must be re-proven),
+    1. round-1 backlog gates with no driver row yet (_ROUND1_BACKLOG),
+    2. newer oracle-able gates with no driver row yet, plus previously
+       rows-only gates that have since GAINED an oracle (re-run now
+       yields a hash verdict — new information),
+    3. gates with no driver row and no oracle (one rows-only row is worth
+       recording, but never at the cost of an oracle-able gate),
+    4. gates whose most recent row is ``err='no_oracle'`` and that still
+       have no oracle (a re-run carries no new information, so they must
+       NOT camp in tier 0 and starve never-tested gates — round-2
+       verdict fix #2),
+    5. gates whose most recent driver row is green (rotate to the back).
 
     Across rounds this guarantees every gate — including ones added later —
     eventually gets a green driver row, without further list maintenance.
@@ -72,7 +81,8 @@ def _gate_priority(names: list[str]) -> list[str]:
     import glob
     import json
 
-    verdict: dict[str, bool] = {}
+    # verdict: name -> "green" | "red" | "no_oracle" (latest round wins)
+    verdict: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -82,20 +92,44 @@ def _gate_priority(names: list[str]) -> list[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            if row.get("err") == "no_oracle":
+                verdict[name] = "no_oracle"
+                continue
             ok = (
                 row.get("err") in (None, "")
                 and row.get("rows_match") is not False
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
-            verdict[name] = ok  # later rounds overwrite earlier ones
+            verdict[name] = "green" if ok else "red"
+
+    oracled = _oracle_names()
 
     def tier(name: str) -> int:
-        if name not in verdict:
-            return 1 if name in _ROUND1_BACKLOG else 2
-        return 3 if verdict[name] else 0
+        state = verdict.get(name)
+        if state is None:
+            if name in _ROUND1_BACKLOG:
+                return 1
+            return 2 if name in oracled else 3
+        if state == "no_oracle":
+            return 2 if name in oracled else 4
+        return {"red": 0, "green": 5}[state]
 
     return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
+
+
+def _oracle_names() -> set[str]:
+    """Names of gates that currently have a DuckDB oracle registered."""
+    from apitap_spark.plans import ORACLES as REL
+
+    out = set(REL)
+    try:
+        from apitap_spark.operators import ORACLES as OPS
+
+        out |= set(OPS)
+    except ImportError:
+        pass
+    return out
 
 
 def _prioritized(mapping: dict) -> dict:

@@ -129,17 +129,9 @@ def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("w", "").alias("symbols"), "cnt")
     )
     merges = learn_bpe_merges(vocab)
-    if not merges:
-        return spark.createDataFrame(
-            [], "rank bigint, left string, right string, pair_count bigint"
-        )
-    vals = ", ".join(
-        "({}, '{}', '{}', {})".format(
-            rank, l.replace("'", "''"), r.replace("'", "''"), c
-        )
-        for rank, l, r, c in merges
-    )
-    return spark.sql(
-        "SELECT CAST(c1 AS BIGINT) AS rank, c2 AS left, c3 AS right, "
-        f"CAST(c4 AS BIGINT) AS pair_count FROM VALUES {vals} AS t(c1, c2, c3, c4)"
+    # createDataFrame, not f-string VALUES SQL: learned symbols may contain
+    # quote/backslash characters that no escaping scheme keeps portable.
+    return spark.createDataFrame(
+        [(rank, l, r, c) for rank, l, r, c in merges],
+        "rank bigint, left string, right string, pair_count bigint",
     )

@@ -265,10 +265,10 @@ def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["a"]
     finally:
         X.unpersist()
-    rows = ", ".join(
-        f"('{c}', CAST({wi!r} AS DOUBLE))" for c, wi in zip(feature_cols, w)
-    )
-    return spark.sql(
-        f"SELECT c1 AS feature, c2 AS weight, CAST({acc!r} AS DOUBLE) AS "
-        f"train_accuracy FROM VALUES {rows} AS t(c1, c2)"
+    # createDataFrame, not repr()-interpolated SQL: a non-finite weight
+    # (nan/inf from divergence on separable data) would break SQL parsing,
+    # while float columns carry nan/inf natively.
+    return spark.createDataFrame(
+        [(c, float(wi), float(acc)) for c, wi in zip(feature_cols, w)],
+        "feature string, weight double, train_accuracy double",
     )

@@ -223,7 +223,27 @@ WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a print)
 
 
-@_register("op_text_winnowing")  # engine-specific hash -> rows-only check
+@_register(
+    "op_text_winnowing",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INT), {WINNOW_K})), 1, 15)
+                  AS BIGINT) AS h
+      FROM norm, unnest(range(1, length(t) - {WINNOW_K - 2})) AS u(i)
+      WHERE length(t) >= {WINNOW_K}
+    )
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+             AS fingerprint
+    FROM grams
+    """,
+)
 def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     char k-gram rolling hashes -> minimum per sliding window -> distinct
@@ -238,6 +258,14 @@ def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: distinct (doc_id, fingerprint) pairs — a join on fingerprint
     is the plagiarism/near-dup candidate generator, resilient to local
     edits (guarantee: any shared run of >= k+w-1 chars shares a print).
+
+    Gram hash: the first 60 bits of md5 (15 hex chars → BIGINT). md5 is
+    bit-identical across engines, so the window-min is engine-exact and
+    the gate is hash-checked against DuckDB (round-2 verdict #5 — this
+    gate was previously rows-only under xxhash64). 60 uniform bits keep
+    the same collision/selection behavior as a 64-bit hash at corpus
+    scale; a production run that prefers cheaper hashing can swap
+    xxhash64 back in without touching the window shape.
     """
     from pyspark.sql import Window
 
@@ -251,7 +279,8 @@ def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(t) - {WINNOW_K - 1}),"
-                f" i -> xxhash64(substr(t, i, {WINNOW_K})))"
+                f" i -> cast(conv(substr(md5(substr(t, i, {WINNOW_K})), 1, 15),"
+                f" 16, 10) as bigint))"
             )
         ).alias("pos", "h"),
     )

@@ -296,7 +296,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_numbers,
            regexp_replace(text, '\d', '#', 'g') AS digits_masked,
            regexp_matches(text, '[A-Z][a-z]+') AS has_titlecase,
-           regexp_extract(text, '([A-Za-z]+)$', 1) AS last_word
+           regexp_extract(text, '([A-Za-z]+)\z', 1) AS last_word
     FROM documents
     WHERE doc_id < 200
     """,
@@ -318,5 +318,7 @@ def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"\d+")).cast("bigint").alias("n_numbers"),
         F.regexp_replace("text", r"\d", "#").alias("digits_masked"),
         F.col("text").rlike(r"[A-Z][a-z]+").alias("has_titlecase"),
-        F.regexp_extract("text", r"([A-Za-z]+)$", 1).alias("last_word"),
+        # \z, not $: Java's $ matches before a final trailing newline while
+        # RE2's $ matches only end-of-text; \z is end-of-text in both.
+        F.regexp_extract("text", r"([A-Za-z]+)\z", 1).alias("last_word"),
     )

@@ -31,15 +31,20 @@ def test_entry_returns_dataframe(spark):
     assert df.count() > 0
 
 
-def test_bench_emits_single_json_line(spark, monkeypatch, capsys):
-    """bench.py prints exactly ONE JSON line with the driver's keys."""
+def test_bench_emits_single_json_line(spark, monkeypatch, capsys, tmp_path):
+    """bench.py prints exactly ONE JSON line with the driver's keys.
+
+    The artifact is routed to tmp_path — a test run must never clobber
+    the committed full-suite bench_full.json (round-2 verdict bug #1).
+    """
     import bench
 
     small = dict(list(entrymod.queries().items())[:2])
     monkeypatch.setattr(entrymod, "queries", lambda: small)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
-    bench.main()
+    bench.main(out_path=str(tmp_path / "bench_full.json"))
+    assert (tmp_path / "bench_full.json").exists()
     out = [l for l in capsys.readouterr().out.strip().splitlines() if l.strip()]
     assert len(out) == 1, f"expected one JSON line, got {len(out)}"
     d = json.loads(out[0])
