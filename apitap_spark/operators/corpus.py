@@ -646,21 +646,52 @@ def op_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("op_lm_perplexity")  # float log sums → rows-only gate
+@_register(
+    "op_lm_perplexity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cw) + COUNT(*) AS DOUBLE) AS denom FROM vocab),
+    nll AS (
+      SELECT w, CAST(ROUND(-ln(CAST(cw + 1 AS DOUBLE) / denom) * 1000000.0, 0)
+                 AS BIGINT) AS nll_u
+      FROM vocab, tot
+    ),
+    dw AS (SELECT doc_id, w, COUNT(*) AS cdw FROM tok GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(cdw) AS BIGINT) AS n_tokens,
+           CAST(SUM(cdw * nll_u) AS BIGINT) AS sum_nll_micro,
+           CAST(SUM(cdw * nll_u) AS DOUBLE) / 1000000.0
+             / CAST(SUM(cdw) AS DOUBLE) AS avg_nll
+    FROM dw JOIN nll USING (w) GROUP BY doc_id
+    """,
+)
 def op_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document perplexity under an add-one-smoothed corpus unigram
-    LM — the CCNet-style statistical quality filter: documents scoring
-    far above corpus-typical perplexity are gibberish/boilerplate
-    candidates, far below are degenerate repetition.
+    """Per-document average negative log-likelihood under an add-one-
+    smoothed corpus unigram LM — the CCNet-style statistical quality
+    filter: documents scoring far above corpus-typical NLL are
+    gibberish/boilerplate candidates, far below are degenerate
+    repetition. perplexity = exp(avg_nll) is a trivial monotone
+    post-projection (``with_perplexity``).
 
-    p(w) = (c(w)+1) / (T+V); avg_nll = -(1/n) sum ln p(w_i);
-    perplexity = exp(avg_nll). The LM "training" is the corpus token
+    p(w) = (c(w)+1) / (T+V). The LM "training" is the corpus token
     count table (one groupBy); scoring joins each document's (doc,
     token, count) rows to it on token and reduces per doc — two linear
-    shuffles total. ln/exp make cell values last-ulp engine-specific
-    (measured: Java vs libm differ on ~5% of inputs), so the driver
-    gate is rows-only; tests reproduce the exact values against plain
-    Python math on the same counts instead.
+    shuffles total.
+
+    Fixed-point oracle (round-2 verdict #5 — previously rows-only):
+    each token's -ln p(w) is rounded ONCE to integer micro-nats
+    (``nll_u``), computed per DISTINCT vocab word; all downstream
+    arithmetic (cdw*nll_u products, per-doc sums) is exact bigint, and
+    avg_nll divides the bigint sum in IEEE doubles in a fixed op order,
+    so every checked cell is bit-identical across engines. Java ln and
+    libm ln differ at the last ulp on ~5% of inputs (abs ~1e-15 at
+    these magnitudes); against a 1e-6 grid the per-word flake
+    probability is ~1e-9 — negligible even cumulated over the vocab.
+    exp stays OUT of the checked output per the same policy.
     """
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
@@ -672,25 +703,36 @@ def op_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cw").alias("t"), F.count("*").alias("v")
         ).collect()[0]
         denom = float(totals["t"] + totals["v"])
-        dw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cdw"))
-        scored = dw.join(vocab, "w").groupBy("doc_id").agg(
-            F.sum("cdw").cast("bigint").alias("n_tokens"),
-            (
-                -F.sum(
-                    F.col("cdw")
-                    * F.log((F.col("cw") + F.lit(1)).cast("double") / F.lit(denom))
-                )
-                / F.sum("cdw")
-            ).alias("avg_nll"),
+        nll = vocab.select(
+            "w",
+            F.round(
+                -F.log((F.col("cw") + F.lit(1)).cast("double") / F.lit(denom))
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("bigint")
+            .alias("nll_u"),
         )
-        out = scored.select(
-            "doc_id",
-            "n_tokens",
-            F.round("avg_nll", 6).alias("avg_nll"),
-            F.round(F.exp("avg_nll"), 6).alias("perplexity"),
+        dw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cdw"))
+        out = dw.join(nll, "w").groupBy("doc_id").agg(
+            F.sum("cdw").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cdw") * F.col("nll_u")).cast("bigint").alias(
+                "sum_nll_micro"
+            ),
+            (
+                F.sum(F.col("cdw") * F.col("nll_u")).cast("double")
+                / F.lit(1000000.0)
+                / F.sum("cdw").cast("double")
+            ).alias("avg_nll"),
         )
         # materialize before unpersisting the vocab this plan references
         out = out.localCheckpoint()
     finally:
         vocab.unpersist()
     return out
+
+
+def with_perplexity(df: DataFrame) -> DataFrame:
+    """exp(avg_nll) post-projection over :func:`op_lm_perplexity` output
+    (kept out of the oracle-checked gate: exp is last-ulp engine-specific)."""
+    return df.withColumn("perplexity", F.exp("avg_nll"))

@@ -406,15 +406,21 @@ def test_shard_plan_balanced_and_complete(spark, sf_dir):
 
 
 def test_lm_perplexity_matches_python_math(spark, sf_dir):
-    """Spark's per-doc avg_nll equals a plain-Python recomputation on the
-    same token counts (1e-9 relative — float sum order differs)."""
+    """Spark's per-doc fixed-point NLL equals a plain-Python recomputation
+    on the same token counts: sum_nll_micro is EXACT (integer micro-nat
+    arithmetic after one per-word rounding), avg_nll matches to float
+    tolerance, and with_perplexity's exp matches Python math."""
+    import decimal
     import math
 
     from apitap_spark.functions.text import WS_PATTERN
-    from apitap_spark.operators.corpus import op_lm_perplexity
+    from apitap_spark.operators.corpus import op_lm_perplexity, with_perplexity
     from apitap_spark.session import read_table
 
-    got = {r["doc_id"]: r for r in op_lm_perplexity(spark, sf_dir).collect()}
+    got = {
+        r["doc_id"]: r
+        for r in with_perplexity(op_lm_perplexity(spark, sf_dir)).collect()
+    }
     import re
 
     docs = {
@@ -426,11 +432,22 @@ def test_lm_perplexity_matches_python_math(spark, sf_dir):
     for ws in docs.values():
         for w in ws:
             counts[w] = counts.get(w, 0) + 1
-    denom = sum(counts.values()) + len(counts)
+    denom = float(sum(counts.values()) + len(counts))
+    nll_u = {
+        w: int(
+            decimal.Decimal(-math.log((c + 1) / denom) * 1000000.0).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        for w, c in counts.items()
+    }
     for doc_id, ws in docs.items():
+        sum_u = sum(nll_u[w] for w in ws)
         nll = -sum(math.log((counts[w] + 1) / denom) for w in ws) / len(ws)
         assert got[doc_id]["n_tokens"] == len(ws)
-        assert got[doc_id]["avg_nll"] == pytest.approx(round(nll, 6), abs=2e-6)
+        assert got[doc_id]["sum_nll_micro"] == sum_u
+        assert got[doc_id]["avg_nll"] == sum_u / 1000000.0 / len(ws)
+        assert got[doc_id]["avg_nll"] == pytest.approx(nll, abs=2e-6)
         assert got[doc_id]["perplexity"] == pytest.approx(math.exp(nll), rel=1e-5)
 
 
