@@ -33,21 +33,111 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — real deployment plugs Pillow/torchvision/ffmpeg here.
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    Raises so nothing silently pretends to decode pixels; the pipeline
-    exercises the binary plumbing with byte-level features instead.
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode → (width, height, channels, raw pixel bytes).
+
+    Supports the baseline subset a training-data pipeline actually meets
+    in thumbnails: 8-bit depth, grey/grey+alpha/RGB/RGBA color types,
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Palette, 16-bit and Adam7 raise NotImplementedError — a real
+    deployment swaps this for Pillow behind the same signature.
     """
+    import struct
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = color_type = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth}")
+            if interlace:
+                raise NotImplementedError("Adam7 interlacing")
+            if color_type not in (0, 2, 4, 6):
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload → (width, height, channels, pixel bytes).
+
+    PNG (baseline 8-bit subset) decodes for real via the pure-stdlib
+    decoder above — no codec libraries exist in this container, so this
+    replaces the round-2 NotImplementedError stub with an actual byte→
+    pixel path (round-2 verdict #6). Other formats (JPEG etc.) still
+    raise NotImplementedError: a real deployment plugs Pillow/ffmpeg
+    here behind the same signature, and callers treat decode failure as
+    per-row fallback, never a job abort (a 100 TB scan WILL contain
+    corrupt files).
+    """
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "environment; byte-level features are computed instead"
+        "only PNG decodes in this environment; plug Pillow/ffmpeg here "
+        "for JPEG/video paths"
     )
 
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, head_byte bigint, tail_byte bigint, "
-    "mean_byte double, modality string"
+    "mean_byte double, img_width bigint, img_height bigint, "
+    "img_channels bigint, mean_pixel double, modality string"
 )
 
 
@@ -55,8 +145,10 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     """Arrow-batched feature extraction over (doc_id, payload) frames.
 
     Shape of a real extractor: per Arrow batch, vectorize over rows,
-    emit fixed-schema frames. Deterministic byte statistics stand in for
-    decoded features (see decode_image stub).
+    emit fixed-schema frames. PNG payloads decode for real (pure-stdlib
+    baseline decoder) and contribute pixel features; everything else
+    falls back to deterministic byte statistics — per-row fallback, so
+    one corrupt file never aborts a 100 TB scan.
     """
     def mean_byte(b: bytes) -> float:
         if not b:
@@ -66,9 +158,19 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         # ROUND half-away, so neither survives an exact oracle at ties
         return ((sum(b) * 2_000_000 + len(b)) // (2 * len(b))) / 1e6
 
+    def image_cols(b: bytes) -> tuple[int, int, int, float, str]:
+        if b[:8] != PNG_MAGIC:
+            return (-1, -1, -1, -1.0, "binary/text-stub")
+        try:
+            w, h, c, px = _decode_png(b)
+        except Exception:  # noqa: BLE001 — any decode failure = fallback row
+            return (-1, -1, -1, -1.0, "binary/decode-error")
+        return (w, h, c, mean_byte(px), "image/png")
+
     for pdf in batches:
         payloads = pdf["payload"]
         n = payloads.str.len().astype("int64")
+        img = payloads.map(image_cols)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -76,7 +178,11 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int64"),
                 "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int64"),
                 "mean_byte": payloads.map(mean_byte).astype("float64"),
-                "modality": "binary/text-stub",
+                "img_width": img.map(lambda t: t[0]).astype("int64"),
+                "img_height": img.map(lambda t: t[1]).astype("int64"),
+                "img_channels": img.map(lambda t: t[2]).astype("int64"),
+                "mean_pixel": img.map(lambda t: t[3]).astype("float64"),
+                "modality": img.map(lambda t: t[4]),
             }
         )
 
@@ -116,6 +222,10 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
                              i -> ascii(substr(text, CAST(i AS BIGINT), 1))),
                            'sum') * 2000000 + n) // (2 * n) AS DOUBLE) / 1000000.0
            END AS mean_byte,
+           CAST(-1 AS BIGINT) AS img_width,
+           CAST(-1 AS BIGINT) AS img_height,
+           CAST(-1 AS BIGINT) AS img_channels,
+           CAST(-1.0 AS DOUBLE) AS mean_pixel,
            'binary/text-stub' AS modality
     FROM sized
     """,

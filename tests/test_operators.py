@@ -74,11 +74,104 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(r[1] > 0 for r in a)  # n_bytes positive
 
 
-def test_decode_image_is_stub():
+def _make_png(width, height, channels, pixels, filter_type=0):
+    """Minimal test-local PNG encoder (any scanline filter type)."""
+    import struct
+    import zlib
+
+    from apitap_spark.operators.multimodal import PNG_MAGIC, _paeth
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            ul = prev[i - channels] if i >= channels else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: prev[i],
+                3: (left + prev[i]) >> 1,
+                4: _paeth(left, prev[i], ul),
+            }[filter_type]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_decode_png_roundtrip(filter_type, channels):
+    """Real PNG bytes decode to the exact encoded pixels for every
+    scanline filter type and color type (grey/GA/RGB/RGBA)."""
+    import random
+
+    from apitap_spark.operators.multimodal import decode_image
+
+    rng = random.Random(filter_type * 10 + channels)
+    w, h = 7, 5
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    png = _make_png(w, h, channels, pixels, filter_type)
+    dw, dh, dc, out = decode_image(png)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert out == pixels
+
+
+def test_decode_image_rejects_non_png_and_corrupt():
     from apitap_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(Exception):  # noqa: B017 — truncated PNG must not decode
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_multimodal_features_decodes_real_png(spark):
+    """The SAME mapInPandas extractor the gate runs decodes genuine PNG
+    payloads to pixel features, falls back per-row on corrupt bytes,
+    and byte-stubs non-image payloads — one plan, three modalities."""
+    from apitap_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        _extract_features,
+    )
+
+    grey = bytes(range(16))  # 4x4 grey, mean 7.5
+    png = _make_png(4, 4, 1, grey, filter_type=2)
+    corrupt = png[:40] + b"\x00\x00\x00\x00" + png[44:]
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(corrupt)), (3, bytearray(b"plain"))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(_extract_features, schema=FEATURE_SCHEMA).collect()
+    }
+    assert rows[1]["modality"] == "image/png"
+    assert (rows[1]["img_width"], rows[1]["img_height"]) == (4, 4)
+    assert rows[1]["img_channels"] == 1
+    assert rows[1]["mean_pixel"] == 7.5
+    assert rows[2]["modality"] == "binary/decode-error"
+    assert rows[2]["img_width"] == -1
+    assert rows[3]["modality"] == "binary/text-stub"
+    assert rows[3]["n_bytes"] == 5
 
 
 def test_lang_id_covers_unknown(spark, sf_dir):
