@@ -112,6 +112,23 @@ def main(out_path: str | None = None) -> None:
     cur_time = timings.get("op_corpus_curation")
     curation_docs_per_sec = round(doc_rows / cur_time) if cur_time else None
 
+    # Dedup-ladder throughput per rung (docs/sec), so regressions in the
+    # LLM-pipeline half surface as visibly as the TPC-H half: exact →
+    # simhash → minhash+LSH are the scale rungs; ngram-jaccard and
+    # containment are the df-capped exact/oracle rungs.
+    dedup_docs_per_sec = {
+        name: round(doc_rows / timings[name])
+        for name in (
+            "op_dedup_exact",
+            "op_dedup_simhash",
+            "op_dedup_minhash_lsh",
+            "op_dedup_ngram_jaccard",
+            "op_dedup_containment",
+            "op_dedup_clusters",
+        )
+        if timings.get(name)
+    }
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = json.dumps(
             {
@@ -128,6 +145,7 @@ def main(out_path: str | None = None) -> None:
                 "sink_rows_per_sec": sink_rows_per_sec,
                 "sink_rows": sink_rows,
                 "curation_docs_per_sec": curation_docs_per_sec,
+                "dedup_docs_per_sec": dedup_docs_per_sec,
                 "document_rows": doc_rows,
                 "cpus": cpus,
             }
