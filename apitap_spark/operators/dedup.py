@@ -502,11 +502,44 @@ def _union_find_mapping(spark: SparkSession, pairs_df: DataFrame):
 
 
 SIMHASH_BITS = 64
+SIMHASH_HASH_BITS = 60  # md5-derived hash bits (15 hex chars); bits 60-63 = 0
 SIMHASH_CHUNKS = 8  # 8-bit chunks; hamming<=7 => >=1 identical chunk
 SIMHASH_MAX_HAMMING = 7  # planted 0.95-jaccard pairs measure up to ~5
 
+_SIMHASH_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok
+    ),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_HASH_BITS))}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {" | ".join(f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)" for i in range(SIMHASH_HASH_BITS))}
+               AS simhash
+      FROM sums
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_id,
+             (simhash >> (CAST({SIMHASH_BITS // SIMHASH_CHUNKS} AS BIGINT) * c))
+               & {(1 << (SIMHASH_BITS // SIMHASH_CHUNKS)) - 1} AS chunk
+      FROM sig, unnest(range(0, {SIMHASH_CHUNKS})) AS u(c)
+    )
+    SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM chunks x JOIN chunks y
+      ON x.chunk_id = y.chunk_id AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
 
-@_register("op_dedup_simhash")  # rows-only: xxhash64 seeds are engine-specific
+
+@_register("op_dedup_simhash", _SIMHASH_ORACLE)
 def op_dedup_simhash(
     spark: SparkSession,
     sf_dir: str,
@@ -532,9 +565,17 @@ def op_dedup_simhash(
     everything — use n_chunks=4 (16-bit chunks, 65536 buckets, d<=3
     guarantee) or fewer, wider chunks at corpus scale. The 8x8 default
     fits the dense testdata, whose planted pairs measure hamming up to
-    ~5. Not SQL-portable (hash differs per engine) → rows-only driver
-    check; tests assert planted near-dups are found at BOTH band
+    ~5. Tests assert planted near-dups are found at BOTH band
     configurations.
+
+    Token hash: first 60 bits of md5 (15 hex chars → BIGINT), identical
+    in Spark and DuckDB, so the whole pipeline — bit sums, signature,
+    chunk join, popcount — is oracle-checked cell-exactly (round-2
+    verdict #5; previously rows-only under xxhash64). Signature bits
+    60-63 are structurally 0 (every token votes -1 there), leaving the
+    top chunk 4 effective bits: slightly more candidates in that chunk,
+    same completeness guarantee, correctness unchanged. Swap xxhash64
+    back in for cheapest hashing once engine-parity is not needed.
     """
     if SIMHASH_BITS % n_chunks:
         raise ValueError(f"n_chunks must divide {SIMHASH_BITS}")
@@ -547,20 +588,22 @@ def op_dedup_simhash(
     # ONE partial-aggregated groupBy(doc_id) pass does it all
     words = docs.select(
         "doc_id", F.explode(tokens("text")).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
+            for i in range(SIMHASH_HASH_BITS)
         ]
     )
     bit_terms = [
         F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
-        for i in range(SIMHASH_BITS)
+        for i in range(SIMHASH_HASH_BITS)
     ]
     # eager checkpoint: the chunk self-join references the signature from
     # both sides — without it the 64-aggregate pass runs twice (same
