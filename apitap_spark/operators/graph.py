@@ -141,76 +141,156 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 10
 
 
+PAGERANK_SCALE = 1_000_000  # micro-rank units per node of initial mass
+
+
+def _damping_fraction(damping: float) -> tuple[int, int]:
+    """damping as an exact small fraction (0.85 → 17/20). Small terms keep
+    the per-node product dnum*inflow_micro far inside int64 even at
+    billions of nodes (17 * n*1e6 overflows only past n≈5e11)."""
+    from fractions import Fraction
+
+    frac = Fraction(damping).limit_denominator(PAGERANK_SCALE)
+    return frac.numerator, frac.denominator
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
     damping: float = PAGERANK_DAMPING,
     iters: int = PAGERANK_ITERS,
 ) -> DataFrame:
-    """Power-iteration PageRank over a directed edge list.
+    """Power-iteration PageRank over a directed edge list, in exact
+    integer micro-rank units.
 
     ``nodes``: column ``v``. ``edges``: ``src``, ``dst``. Returns
-    ``(v, rank)`` with Σrank = |V| (the per-node-mass convention).
+    ``(v, rank_micro, rank)``: ``rank_micro`` is the exact bigint state
+    (initial mass PAGERANK_SCALE per node), ``rank`` its double view.
 
-    Each iteration: contribution = rank(src)/outdeg(src) summed per dst
-    (one join + one groupBy, both keyed so AQE coalesces), dangling mass
-    redistributed uniformly, damping applied. localCheckpoint per round
-    truncates the growing lineage exactly like connected_components.
-    Floats iterate, so there is no cross-engine oracle — invariants
-    (mass conservation, dangling handling, fixpoint stability) are
-    pytest-asserted instead.
+    Each iteration: contribution = rank_micro(src) div outdeg(src)
+    summed per dst (one join + one groupBy, both keyed so AQE
+    coalesces), leaked mass (dangling nodes + integer-floor remainders)
+    redistributed uniformly by conservation, damping applied as an
+    exact fraction. localCheckpoint per round truncates the growing
+    lineage exactly like connected_components.
+
+    Fixed-point arithmetic makes every sum order-INdependent (bigint,
+    not float), so the whole 10-iteration computation is replayable in
+    any engine — the driver gate hash-checks it against a DuckDB
+    recursive CTE (round 2 this was rows-only float). Floor division
+    leaks < (E + 2n) micro-units of mass per iteration; tests assert
+    the conservation band instead of float-exact totals.
     """
     n = nodes.count()
+    dnum, dden = _damping_fraction(damping)
+    base_u = (PAGERANK_SCALE * (dden - dnum)) // dden
+    total_u = n * PAGERANK_SCALE
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranked_edges = edges.join(outdeg, "src").localCheckpoint()
-    rank = nodes.select("v", F.lit(1.0).alias("rank")).localCheckpoint()
+    rank = nodes.select(
+        "v", F.lit(PAGERANK_SCALE).cast("long").alias("rank_u")
+    ).localCheckpoint()
     for _ in range(iters):
         # ONE heavy plan per round: the contribution join+groupBy is
-        # checkpointed, then reused by both the dangling-mass probe and
+        # checkpointed, then reused by both the leaked-mass probe and
         # the rank update. (The previous formulation ran a separate
         # rank-vs-outdeg anti-join action per round — the contribution
         # plan effectively executed twice; measured ~1.9x slower.)
         contrib = (
             ranked_edges.join(rank, ranked_edges.src == rank.v)
-            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("rank_u div deg").alias("c"),
+            )
             .groupBy("v")
             .agg(F.sum("c").alias("inflow"))
             .localCheckpoint()
         )
-        # dangling mass by conservation: every non-dangling node's rank
-        # is fully distributed, so Σ inflow = non-dangling mass and the
-        # leak is n - Σ inflow (total mass is n by construction). The
-        # 1-row aggregate rides the rank-update plan as a broadcast
+        # leaked mass by conservation: every non-dangling node's rank is
+        # distributed up to its floor remainder, so Σ inflow = delivered
+        # mass and the leak (dangling + remainders) is total - Σ inflow.
+        # The 1-row aggregate rides the rank-update plan as a broadcast
         # scalar — no extra driver action per round.
         dmass = contrib.agg(
-            (F.lit(float(n)) - F.coalesce(F.sum("inflow"), F.lit(0.0))).alias("dm")
+            F.expr(
+                f"(({total_u}L - coalesce(sum(inflow), 0L)) div {n}L) as share"
+            )
         )
         rank = (
             nodes.join(contrib, "v", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "v",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.col("dm") / F.lit(float(n))
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
-                ).alias("rank"),
+                F.expr(
+                    f"{base_u}L + ({dnum}L * (coalesce(inflow, 0L) + share))"
+                    f" div {dden}L"
+                ).alias("rank_u"),
             )
             .localCheckpoint()
         )
-    return rank
+    return rank.select(
+        "v",
+        F.col("rank_u").alias("rank_micro"),
+        (F.col("rank_u").cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+            "rank"
+        ),
+    )
 
 
-@_register("op_graph_pagerank")  # iterative float → rows-only driver check
+_PR_DNUM, _PR_DDEN = _damping_fraction(PAGERANK_DAMPING)
+_PR_BASE_U = (PAGERANK_SCALE * (_PR_DDEN - _PR_DNUM)) // _PR_DDEN
+
+_PAGERANK_ORACLE = f"""
+    WITH RECURSIVE
+    ev AS (
+      SELECT event_id AS src,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst
+      FROM events
+    ),
+    edges AS (SELECT src, dst FROM ev WHERE dst IS NOT NULL),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT event_id AS v FROM events),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr(iter, v, rank_u) AS (
+      SELECT 0, v, CAST({PAGERANK_SCALE} AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, p.v,
+             CAST({_PR_BASE_U} + ({_PR_DNUM} * (COALESCE(a.inflow, 0) + t.share))
+                  // {_PR_DDEN} AS BIGINT)
+      FROM (SELECT * FROM pr WHERE iter < {PAGERANK_ITERS}) p
+      LEFT JOIN (
+        SELECT e.dst AS v, SUM(pr.rank_u // d.deg) AS inflow
+        FROM pr JOIN edges e ON e.src = pr.v JOIN deg d ON d.src = pr.v
+        WHERE pr.iter < {PAGERANK_ITERS}
+        GROUP BY e.dst
+      ) a ON a.v = p.v
+      CROSS JOIN (
+        SELECT (nn.n * {PAGERANK_SCALE} - COALESCE((
+                  SELECT SUM(pr.rank_u // d.deg)
+                  FROM pr JOIN edges e ON e.src = pr.v JOIN deg d ON d.src = pr.v
+                  WHERE pr.iter < {PAGERANK_ITERS}), 0)) // nn.n AS share
+        FROM nn
+      ) t
+    )
+    SELECT v, rank_u AS rank_micro,
+           CAST(rank_u AS DOUBLE) / {float(PAGERANK_SCALE)} AS rank
+    FROM pr WHERE iter = {PAGERANK_ITERS}
+    """
+
+
+@_register("op_graph_pagerank", _PAGERANK_ORACLE)
 def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the user-interaction graph (directed edges from each
     event to the user's next event, like the session graph but directed)
     — the second iterative-graph operator (importance scoring for
     link-graph corpus curation, e.g. page-level quality priors).
 
-    Rows-only gate (iterative float); pytest asserts mass conservation
-    (Σrank = |V| ± ulp), dangling-mass redistribution, and that ranks
-    stabilize between successive iteration counts.
+    Exact fixed-point iteration (see :func:`pagerank`), hash-checked
+    against a DuckDB recursive-CTE replay of the same integer updates
+    (round-2 verdict: was rows-only under float iteration). pytest
+    additionally asserts the mass-conservation band, dangling-mass
+    redistribution, and iteration stability.
     """
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -219,5 +299,4 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_id").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     nodes = ev.select(F.col("event_id").alias("v"))
-    pr = pagerank(nodes, edged)
-    return pr.select("v", F.round("rank", 6).alias("rank"))
+    return pagerank(nodes, edged)

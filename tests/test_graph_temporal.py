@@ -82,11 +82,15 @@ def test_pagerank_invariants(spark, sf_dir):
     nodes = ev.select(F.col("event_id").alias("v"))
     n = nodes.count()
 
+    n_edges = edges.count()
     pr5 = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=5).collect()}
     pr6 = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=6).collect()}
     total = sum(pr6.values())
-    assert abs(total - n) < 1e-6 * n  # mass conserved
-    floor = (1.0 - PAGERANK_DAMPING) - 1e-9
+    # fixed-point floor division leaks < (E + 2n) micro-units/iteration,
+    # and only ever DOWN — assert the conservation band, not equality
+    drift_bound = 6 * (n_edges + 2 * n) * 1e-6
+    assert n >= total > n - drift_bound
+    floor = (1.0 - PAGERANK_DAMPING) - 1e-6
     assert all(v >= floor for v in pr6.values())
     # ranks move less between 5→6 than their absolute spread (stabilizing)
     max_delta = max(abs(pr5[v] - pr6[v]) for v in pr6)
@@ -101,5 +105,6 @@ def test_pagerank_dangling_redistribution(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "v long")
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     pr = {r["v"]: r["rank"] for r in pagerank(nodes, edges, iters=20).collect()}
-    assert abs(sum(pr.values()) - 2.0) < 1e-9
+    # 20 iterations x (E + 2n) = 5 micro-units of worst-case floor leak
+    assert 2.0 >= sum(pr.values()) > 2.0 - 20 * 5e-6
     assert pr[2] > pr[1]  # the pointed-at node accumulates rank
