@@ -264,19 +264,86 @@ def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("op_ann_ivf_label")  # centroid assignment is iterative-ish → rows-only
+_IVF_ORACLE = f"""
+    WITH expl AS (
+      SELECT label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    dims AS (
+      SELECT label, pos,
+             CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+               AS m
+      FROM expl GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM dims GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ),
+    qscore AS (
+      SELECT q_id, qe, label,
+             {_SQL_DOT.format(a="qe", b="centroid")}
+               / (sqrt({_SQL_NORM2.format(a="qe")})
+                  * sqrt({_SQL_NORM2.format(a="centroid")})) AS csim
+      FROM q, cent
+    ),
+    qc AS (
+      SELECT q_id, qe, label AS cell
+      FROM (
+        SELECT q_id, qe, label, ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY csim DESC, label) AS crk
+        FROM qscore
+      ) WHERE crk = 1
+    ),
+    sims AS (
+      SELECT qc.q_id, e.vec_id AS c_id, CAST(qc.cell AS BIGINT) AS cell,
+             {_SQL_DOT.format(a="qc.qe", b="e.embedding")}
+               / (sqrt({_SQL_NORM2.format(a="qc.qe")})
+                  * sqrt({_SQL_NORM2.format(a="e.embedding")})) AS cos
+      FROM qc JOIN embeddings e ON e.label = qc.cell
+      WHERE qc.q_id <> e.vec_id
+    )
+    SELECT q_id, c_id, cell, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT q_id, c_id, cell, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+      FROM sims
+    ) WHERE rk <= 3
+    """
+
+
+@_register("op_ann_ivf_label", _IVF_ORACLE)
 def op_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label centroids act as the coarse quantizer (a k-means
     fit would produce them at build time); each query probes only its
-    nearest centroid's cell. Returns top-3 in-cell neighbors per query."""
+    nearest centroid's cell. Returns top-3 in-cell neighbors per query.
+
+    Centroid means are fixed-point (per-value micro rounding → exact
+    bigint sums → one IEEE double division chain), so the quantizer is
+    order-independent and the whole index is hash-checked against DuckDB
+    (round-2 verdict #5; was rows-only under float avg). The cosine
+    kernels were already engine-exact (op_ann_cosine_topk's green gate
+    proves the fold pattern)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # Centroids: per-label mean of each dimension, via posexplode → agg →
-    # re-assemble (sort by position). Dim count is bounded → array rebuild
-    # is cheap; the groupBy is the only shuffle.
+    # Centroids: per-label fixed-point mean of each dimension, via
+    # posexplode → agg → re-assemble (sort by position). Dim count is
+    # bounded → array rebuild is cheap; the groupBy is the only shuffle.
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double") * F.lit(1000000.0), 0)
+                    .cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(
             F.transform(
