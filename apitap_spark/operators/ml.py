@@ -42,18 +42,46 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _sq_dist(a, b):
-    """Squared L2 distance of two array columns (JVM-side fold)."""
-    diffs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2)
+    """Squared L2 distance of two array columns (JVM-side fold).
+
+    The square is an explicit multiply, not ``** 2``: Math.pow/libm pow
+    are only 1-ulp-accurate while IEEE multiplication is exact, so d*d
+    is the form both engines reproduce bit-identically (oracle parity).
+    """
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def _centroids_of(assigned: DataFrame, cluster_col: str) -> DataFrame:
-    """Per-cluster mean vectors: posexplode → (cluster, dim) avg → array
-    rebuild in dim order. Shuffle cardinality k x d, not corpus size."""
+    """Per-cluster mean vectors: posexplode → (cluster, dim) fixed-point
+    mean → array rebuild in dim order. Shuffle cardinality k x d, not
+    corpus size.
+
+    Means are fixed-point (per-value micro rounding → exact bigint sums
+    → one IEEE division chain), making centroids order-independent and
+    hence engine-replayable — the kmeans gate hash-checks against a
+    DuckDB recursive CTE. Centroid error vs the true float mean is
+    ≤ 5e-7 per dimension (half a micro-unit), noise relative to Lloyd
+    convergence.
+    """
     return (
         assigned.select(cluster_col, F.posexplode("embedding").alias("pos", "val"))
         .groupBy(cluster_col, "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double") * F.lit(1000000.0), 0)
+                    .cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
         .groupBy(cluster_col)
         .agg(
             F.transform(
@@ -76,8 +104,15 @@ def kmeans_assign(
     cent = init_centroids
     assigned = None
     for _ in range(n_iter):
+        # array_sort orders the broadcast centroids by cluster id, so the
+        # strict-< fold breaks distance ties toward the LOWEST cluster —
+        # deterministic, and the same tiebreak the SQL oracle's
+        # (distance, cluster) ROW_NUMBER uses. collect_list alone has no
+        # order guarantee.
         carr = cent.agg(
-            F.collect_list(F.struct("cluster", "centroid")).alias("cs")
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "centroid"))
+            ).alias("cs")
         )
         scored = emb.join(F.broadcast(carr)).select(
             "vec_id",
@@ -109,17 +144,83 @@ def kmeans_assign(
     return assigned.select("vec_id", "cluster", F.round("sq_dist", 6).alias("sq_dist"))
 
 
-@_register("op_kmeans_refine")  # iterative, float-mean centroids → rows-only
+def _sql_sqdist(vec: str, cent: str) -> str:
+    """DuckDB mirror of _sq_dist: explicit (a-b)*(a-b) multiply, index-
+    ordered list sum — bit-identical to the Spark fold."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({vec}) + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i])"
+        f" * (CAST({vec}[i] AS DOUBLE) - {cent}[i])), 'sum')"
+    )
+
+
+KMEANS_ITERS = 3
+
+_KMEANS_ORACLE = f"""
+    WITH RECURSIVE
+    expl AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    init AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label AS cluster, pos,
+               CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+                 AS m
+        FROM expl GROUP BY label, pos
+      ) GROUP BY cluster
+    ),
+    km(iter, cluster, centroid) AS (
+      SELECT 0, cluster, centroid FROM init
+      UNION ALL
+      SELECT iter + 1, cluster, list(m ORDER BY pos) FROM (
+        SELECT asg.iter, asg.cluster, e.pos,
+               CAST(SUM(e.v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+                 AS m
+        FROM (
+          SELECT iter, vec_id, cluster FROM (
+            SELECT km.iter, em.vec_id, km.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY em.vec_id ORDER BY
+                     {_sql_sqdist("em.embedding", "km.centroid")} ASC,
+                     km.cluster ASC) AS rk
+            FROM km, embeddings em
+            WHERE km.iter < {KMEANS_ITERS - 1}
+          ) WHERE rk = 1
+        ) asg
+        JOIN expl e ON e.vec_id = asg.vec_id
+        GROUP BY asg.iter, asg.cluster, e.pos
+      ) GROUP BY iter, cluster
+    )
+    SELECT vec_id, cluster, ROUND(d, 6) AS sq_dist FROM (
+      SELECT em.vec_id, km.cluster,
+             {_sql_sqdist("em.embedding", "km.centroid")} AS d,
+             ROW_NUMBER() OVER (PARTITION BY em.vec_id ORDER BY
+               {_sql_sqdist("em.embedding", "km.centroid")} ASC,
+               km.cluster ASC) AS rk
+      FROM km, embeddings em WHERE km.iter = {KMEANS_ITERS - 1}
+    ) WHERE rk = 1
+    """
+
+
+@_register("op_kmeans_refine", _KMEANS_ORACLE)
 def op_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means refinement of the label-mean centroids (3 Lloyd rounds) —
     the IVF coarse-quantizer build (op_ann_ivf_label consumes such
-    centroids). Deterministic given the data; rows-only driver check
-    (iterative + float means), Lloyd invariants asserted in tests."""
+    centroids).
+
+    Hash-checked against a DuckDB recursive-CTE replay (round-2 verdict
+    #5; was rows-only): fixed-point centroid means are order-independent,
+    the assignment fold iterates centroids in cluster order with a
+    strict-< tiebreak (= the oracle's distance-then-cluster ROW_NUMBER),
+    and squared distances use exact multiplies, never pow. Lloyd
+    invariants additionally asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     init = _centroids_of(
         emb.select(F.col("label").alias("cluster"), "embedding"), "cluster"
     )
-    return kmeans_assign(emb.select("vec_id", "embedding"), init, n_iter=3)
+    return kmeans_assign(emb.select("vec_id", "embedding"), init, n_iter=KMEANS_ITERS)
 
 
 # ---- logistic-regression quality classifier ------------------------------
