@@ -114,11 +114,91 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
     return merges
 
 
-@_register("op_bpe_learn_merges")  # iterative argmax loop → rows-only gate
+# DuckDB replay of the merge loop. The greedy left-to-right fold is
+# re-expressed CLOSED-FORM per round: for pair (l, r) with l != r no two
+# matches can overlap, so every (l, r) adjacency merges; for l == r,
+# matches chain inside runs of l and greedy-left semantics keep exactly
+# the even offsets within each run (gaps-and-islands + parity). The
+# per-round argmax (count DESC, l, r) is an ORDER BY...LIMIT 1 subquery.
+_BPE_ORACLE = rf"""
+    WITH RECURSIVE
+    vocab0 AS (
+      SELECT w, string_split(w, '') AS symbols, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      ) GROUP BY w
+    ),
+    bpe(iter, wid, symbols, cnt) AS (
+      SELECT 0, w, symbols, cnt FROM vocab0
+      UNION ALL
+      SELECT q.iter + 1, q.wid, list(q.ns ORDER BY q.pos), q.cnt
+      FROM (
+        SELECT iter, wid, cnt, pos,
+               CASE WHEN merge_start THEN l || r ELSE s END AS ns,
+               COALESCE(LAG(merge_start) OVER (PARTITION BY wid ORDER BY pos),
+                        FALSE) AS consumed
+        FROM (
+          SELECT iter, wid, cnt, pos, s, l, r,
+                 (s = l AND COALESCE(snext = r, FALSE)
+                  AND (l <> r OR (ROW_NUMBER() OVER (
+                        PARTITION BY wid, is_l, isl ORDER BY pos) - 1) % 2 = 0))
+                   AS merge_start
+          FROM (
+            SELECT iter, wid, cnt, pos, s, snext, l, r, is_l,
+                   pos - ROW_NUMBER() OVER (PARTITION BY wid, is_l ORDER BY pos)
+                     AS isl
+            FROM (
+              SELECT b.iter, b.wid, b.cnt, i AS pos,
+                     b.symbols[i] AS s, b.symbols[i + 1] AS snext,
+                     t.l, t.r, (b.symbols[i] = t.l) AS is_l
+              FROM bpe b
+              CROSS JOIN (
+                SELECT sym_l AS l, sym_r AS r FROM (
+                  SELECT b2.symbols[j] AS sym_l, b2.symbols[j + 1] AS sym_r,
+                         SUM(b2.cnt) AS c
+                  FROM bpe b2, unnest(range(1, len(b2.symbols))) AS v(j)
+                  WHERE b2.iter < {N_MERGES}
+                  GROUP BY 1, 2
+                  ORDER BY c DESC, sym_l, sym_r
+                  LIMIT 1
+                )
+              ) t,
+              unnest(range(1, len(b.symbols) + 1)) AS u(i)
+              WHERE b.iter < {N_MERGES}
+            )
+          )
+        )
+      ) q
+      WHERE NOT q.consumed
+      GROUP BY q.iter, q.wid, q.cnt
+    )
+    SELECT rank, "left", "right", pair_count FROM (
+      SELECT CAST(iter + 1 AS BIGINT) AS rank, sym_l AS "left",
+             sym_r AS "right", CAST(c AS BIGINT) AS pair_count,
+             ROW_NUMBER() OVER (PARTITION BY iter
+                                ORDER BY c DESC, sym_l, sym_r) AS rk
+      FROM (
+        SELECT b.iter, b.symbols[j] AS sym_l, b.symbols[j + 1] AS sym_r,
+               SUM(b.cnt) AS c
+        FROM bpe b, unnest(range(1, len(b.symbols))) AS v(j)
+        GROUP BY 1, 2, 3
+      )
+    ) WHERE rk = 1 AND rank <= {N_MERGES}
+    """
+
+
+@_register("op_bpe_learn_merges", _BPE_ORACLE)
 def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first N_MERGES BPE merges over the documents corpus.
     Output: (rank, left, right, pair_count) — the head of the merge
-    table a tokenizer build would persist."""
+    table a tokenizer build would persist.
+
+    Hash-checked against a DuckDB recursive-CTE replay (round-2 verdict
+    #5; was rows-only): the algorithm is hash-free and its float-free
+    integer counts replay exactly; the greedy merge fold has a
+    closed-form SQL equivalent (see _BPE_ORACLE). The plain-Python
+    equality pytest remains the semantic anchor."""
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
