@@ -485,6 +485,113 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.mapInPandas(score_tiles, "v1 bigint, v2 bigint, cosine double")
 
 
+SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same semantic-dup threshold as the pair rung
+
+
+def _semdedup_oracle() -> str:
+    from apitap_spark.operators.ml import _sql_sqdist
+
+    return f"""
+    WITH expl AS (
+      SELECT label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    init AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label AS cluster, pos,
+               CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+                 AS m
+        FROM expl GROUP BY label, pos
+      ) GROUP BY cluster
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT em.vec_id, i.cluster,
+               ROW_NUMBER() OVER (PARTITION BY em.vec_id ORDER BY
+                 {_sql_sqdist("em.embedding", "i.centroid")} ASC,
+                 i.cluster ASC) AS rk
+        FROM embeddings em, init i
+      ) WHERE rk = 1
+    ),
+    sides AS (
+      SELECT e.vec_id, e.embedding, g.cluster,
+             sqrt({_SQL_NORM2.format(a="e.embedding")}) AS n
+      FROM embeddings e JOIN asg g ON g.vec_id = e.vec_id
+    ),
+    mx AS (
+      SELECT a.vec_id,
+             MAX({_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+                 / (a.n * b.n)) AS m
+      FROM sides a JOIN sides b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cell,
+           ROUND(mx.m, 6) AS max_cos_lower,
+           (mx.m IS NULL OR mx.m <= {SEMDEDUP_TAU}) AS is_kept
+    FROM sides s LEFT JOIN mx ON mx.vec_id = s.vec_id
+    """
+
+
+@_register("op_semantic_dedup", _semdedup_oracle())
+def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): partition the embedding space into cells via the
+    deterministic coarse quantizer, then WITHIN each cell greedily keep
+    the lowest vec_id of every near-duplicate group (drop v iff some
+    lower-id same-cell u has cosine(u, v) > tau).
+
+    Output: (vec_id, cell, max_cos_lower, is_kept) — max_cos_lower is
+    the strongest similarity to any lower-id cell-mate (NULL when none),
+    the knob a curation run tunes tau against.
+
+    Scale: the cells are the whole trick — pairwise cost is
+    sum(|cell|^2), not N^2, and the paper sizes k ~ sqrt(N) so each cell
+    is ~sqrt(N). Assignment is the same broadcast-fold as kmeans (no
+    shuffle); the within-cell self-join shuffles on cell. At corpus
+    scale swap the label-seeded quantizer for op_kmeans_refine output
+    and reuse op_dedup_embedding_cosine's blocked numpy kernel inside
+    cells. MAX over doubles is order-independent, every upstream is
+    fixed-point deterministic, so the gate hash-checks against DuckDB.
+    """
+    from apitap_spark.operators.ml import _centroids_of, kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = _centroids_of(
+        emb.select(F.col("label").alias("cluster"), "embedding"), "cluster"
+    )
+    assigned = kmeans_assign(
+        emb.select("vec_id", "embedding"), init, n_iter=1
+    ).select("vec_id", "cluster")
+    sides = emb.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("n")
+    ).join(assigned, "vec_id")
+    a, b = sides.alias("a"), sides.alias("b")
+    cos = cosine_from_norms("a.embedding", "b.embedding", "a.n", "b.n")
+    mx = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.max(cos).alias("m"))
+    )
+    return (
+        sides.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cell"),
+            F.round("m", 6).alias("max_cos_lower"),
+            (F.col("m").isNull() | (F.col("m") <= F.lit(SEMDEDUP_TAU))).alias(
+                "is_kept"
+            ),
+        )
+    )
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 RRF_DEPTH = 20  # per-modality candidate depth
 RRF_TOPK = 10

@@ -65,6 +65,30 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.1, f"recall {recall:.2f} suspiciously low"
 
 
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every vector appears once; the lowest vec_id in each cell is always
+    kept; a dropped vector really has a lower-id cell-mate above tau."""
+    from apitap_spark.operators.similarity import SEMDEDUP_TAU, op_semantic_dedup
+
+    rows = op_semantic_dedup(spark, sf_dir).collect()
+    from apitap_spark.session import read_table
+
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for members in by_cell.values():
+        head = min(members, key=lambda r: r["vec_id"])
+        assert head["is_kept"]  # no lower-id cell-mate exists to drop it
+        assert head["max_cos_lower"] is None
+    for r in rows:
+        if not r["is_kept"]:
+            assert r["max_cos_lower"] is not None
+            assert r["max_cos_lower"] > SEMDEDUP_TAU - 1e-6
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from apitap_spark.operators.multimodal import op_multimodal_features
 
