@@ -78,13 +78,20 @@ def _apply_merge(sym_col, left: str, right: str):
     )
 
 
-def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+def learn_bpe_with_vocab(
+    vocab: DataFrame, n_merges: int = N_MERGES, carry: tuple = ()
+) -> tuple[list[tuple], DataFrame]:
     """Learn ``n_merges`` BPE merges from a (symbols array<string>, cnt)
-    vocabulary frame. Returns [(rank, left, right, pair_count), ...].
+    vocabulary frame. Returns ([(rank, left, right, pair_count), ...],
+    final_vocab) — the final frame carries ``symbols``, ``cnt`` and any
+    ``carry`` columns through every merge round, so callers can consume
+    the post-merge vocabulary (e.g. per-word token counts) without
+    replaying the fold chain.
 
     Stops early when no adjacent pair remains (fully merged corpus).
     """
-    cur = vocab.select("symbols", "cnt").localCheckpoint()
+    keep = [c for c in carry if c not in ("symbols",)]
+    cur = vocab.select(*keep, "symbols", "cnt").localCheckpoint()
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = cur.select(
@@ -109,9 +116,14 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
         l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
         merges.append((rank, l, r, int(c)))
         cur = cur.select(
-            _apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
+            *keep, _apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
         ).localCheckpoint()
-    return merges
+    return merges, cur
+
+
+def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
+    """Merge table only — see learn_bpe_with_vocab."""
+    return learn_bpe_with_vocab(vocab, n_merges)[0]
 
 
 # DuckDB replay of the merge loop. The greedy left-to-right fold is
@@ -186,6 +198,65 @@ _BPE_ORACLE = rf"""
       )
     ) WHERE rk = 1 AND rank <= {N_MERGES}
     """
+
+
+# Post-BPE token counts per document: join each doc's words to the final
+# vocabulary state of the SAME recursive replay (symbols after N_MERGES
+# rounds), sum symbol counts per doc. The tokenizer-aware length stat
+# that packing / shard planning actually needs.
+_BPE_APPLY_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.rindex("SELECT rank")]
+    + rf"""SELECT doc_id,
+           CAST(SUM(len(b.symbols)) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(LENGTH(b.wid)) AS BIGINT) AS chars,
+           CAST(COUNT(*) AS BIGINT) AS words
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ) tok
+    JOIN (SELECT wid, symbols FROM bpe
+          WHERE iter = (SELECT MAX(iter) FROM bpe)) b
+      ON b.wid = tok.w
+    GROUP BY doc_id
+    """
+)
+
+
+@_register("op_bpe_apply_tokens", _BPE_APPLY_ORACLE)
+def op_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary:
+    (doc_id, bpe_tokens, chars, words). ``bpe_tokens`` is the length a
+    packing / shard-planning pass should budget with once a tokenizer
+    exists — word counts under-estimate and char counts over-estimate.
+
+    Scale: merges are learned once on the VOCAB (corpus-scan-free per
+    round, see learn_bpe_merges); application is 12 chained Catalyst
+    array folds over the distinct-word table, then one broadcast-join
+    of docs' words to their final symbol counts — the corpus is touched
+    exactly twice (vocab build, final join). Oracle: the recursive-CTE
+    replay's final vocabulary state joined the same way.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select("w", F.split("w", "").alias("symbols"), "cnt")
+    )
+    _merges, final_vocab = learn_bpe_with_vocab(vocab, carry=("w",))
+    merged = final_vocab.select("w", F.size("symbols").alias("n_sym"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return (
+        tok.join(F.broadcast(merged), tok.w == merged.w)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("bigint").alias("bpe_tokens"),
+            F.sum(F.length(tok.w)).cast("bigint").alias("chars"),
+            F.count("*").cast("bigint").alias("words"),
+        )
+    )
 
 
 @_register("op_bpe_learn_merges", _BPE_ORACLE)

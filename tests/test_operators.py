@@ -476,6 +476,26 @@ def test_bpe_gate_shape(spark, sf_dir):
         assert r["pair_count"] > 0 and r["left"] and r["right"]
 
 
+def test_bpe_apply_tokens_bounds(spark, sf_dir):
+    """Post-BPE token counts sit between word count (>=1 symbol/word) and
+    char count (initial symbols), and cover every non-blank document."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.bpe import op_bpe_apply_tokens
+    from apitap_spark.session import read_table
+
+    rows = op_bpe_apply_tokens(spark, sf_dir).collect()
+    n_docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .count()
+    )
+    assert len(rows) == n_docs
+    assert all(r["words"] <= r["bpe_tokens"] <= r["chars"] for r in rows)
+    # merges actually fired: the corpus as a whole must compress
+    assert sum(r["bpe_tokens"] for r in rows) < sum(r["chars"] for r in rows)
+
+
 def test_corpus_card_consistent_with_exact_dedup(spark, sf_dir):
     from apitap_spark.operators.corpus import op_corpus_summary_card
     from apitap_spark.operators.dedup import op_dedup_exact
