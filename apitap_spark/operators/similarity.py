@@ -565,9 +565,14 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = kmeans_assign(
         emb.select("vec_id", "embedding"), init, n_iter=1
     ).select("vec_id", "cluster")
-    sides = emb.select(
-        "vec_id", "embedding", l2_norm("embedding").alias("n")
-    ).join(assigned, "vec_id")
+    # eager checkpoint: sides feeds BOTH pair sides and the final output
+    # join — without it the k x d assignment fold runs three times (same
+    # exchange-kind-mismatch reuse failure as op_dedup_minhash_lsh).
+    sides = (
+        emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
+        .join(assigned, "vec_id")
+        .localCheckpoint()
+    )
     a, b = sides.alias("a"), sides.alias("b")
     cos = cosine_from_norms("a.embedding", "b.embedding", "a.n", "b.n")
     mx = (

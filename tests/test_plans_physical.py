@@ -316,6 +316,29 @@ def test_feature_snapshot_single_user_shuffle(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) <= 2
 
 
+def test_semantic_dedup_cell_join_no_cartesian(spark, sf_dir):
+    """The within-cell pair join must key on the cell (shuffle or
+    broadcast), never a cartesian product; the checkpointed sides frame
+    keeps the k x d assignment fold from running once per consumer."""
+    from apitap_spark.operators.similarity import op_semantic_dedup
+
+    p = _plan(op_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Join" in p
+    # sides is materialized once: the plan reads the checkpoint RDD, not
+    # three re-derivations of the assignment fold
+    assert "ExistingRDD" in p or "LogicalRDD" in p
+
+
+def test_bpe_apply_tokens_broadcasts_vocab(spark, sf_dir):
+    """The corpus-side join against the merged vocabulary must broadcast
+    the vocab (distinct words), never shuffle the token stream."""
+    from apitap_spark.operators.bpe import op_bpe_apply_tokens
+
+    p = _plan(op_bpe_apply_tokens(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
 def test_corpus_card_single_scan(spark, sf_dir):
     """Every card statistic rides one scan + one global aggregate."""
     from apitap_spark.operators.corpus import op_corpus_summary_card
