@@ -485,6 +485,139 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.mapInPandas(score_tiles, "v1 bigint, v2 bigint, cosine double")
 
 
+PQ_M = 4  # subvector blocks
+PQ_SUB = LSH_DIM // PQ_M  # dims per block
+PQ_K = 16  # codes per block (codebook size; 4 blocks x 4 bits = 16-bit code)
+PQ_ITERS = 2  # Lloyd rounds per block codebook
+
+
+def _pq_oracle() -> str:
+    from apitap_spark.operators.ml import _sql_sqdist
+
+    sq = _sql_sqdist("s.e", "km.centroid")
+    return f"""
+    WITH RECURSIVE
+    sub AS (
+      SELECT vec_id, b.block,
+             list_slice(embedding, b.block * {PQ_SUB} + 1,
+                        (b.block + 1) * {PQ_SUB}) AS e
+      FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS block) b
+    ),
+    expl AS (
+      SELECT vec_id, block, i AS pos,
+             CAST(ROUND(CAST(e[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS v_u
+      FROM sub, unnest(range(1, {PQ_SUB} + 1)) AS u(i)
+    ),
+    seeds AS (
+      SELECT block, code,
+             list_transform(e, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (
+        SELECT block, e,
+               ROW_NUMBER() OVER (PARTITION BY block ORDER BY vec_id) - 1
+                 AS code
+        FROM sub
+      ) WHERE code < {PQ_K}
+    ),
+    km(iter, block, code, centroid) AS (
+      SELECT 0, block, code, centroid FROM seeds
+      UNION ALL
+      SELECT iter + 1, block, code, list(m ORDER BY pos) FROM (
+        SELECT asg.iter, asg.block, asg.code, e.pos,
+               CAST(SUM(e.v_u) AS DOUBLE) / 1000000.0
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM (
+          SELECT iter, block, vec_id, code FROM (
+            SELECT km.iter, s.vec_id, km.block, km.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, km.block
+                     ORDER BY {sq} ASC, km.code ASC) AS rk
+            FROM km JOIN sub s ON s.block = km.block
+            WHERE km.iter < {PQ_ITERS - 1}
+          ) WHERE rk = 1
+        ) asg
+        JOIN expl e ON e.vec_id = asg.vec_id AND e.block = asg.block
+        GROUP BY asg.iter, asg.block, asg.code, e.pos
+      ) GROUP BY iter, block, code
+    ),
+    enc AS (
+      SELECT vec_id, block, code,
+             CAST(ROUND(ROUND(d, 6) * 1000000.0, 0) AS BIGINT) AS d_u
+      FROM (
+        SELECT s.vec_id, km.block, km.code, {sq} AS d,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, km.block
+                 ORDER BY {sq} ASC, km.code ASC) AS rk
+        FROM km JOIN sub s ON s.block = km.block
+        WHERE km.iter = {PQ_ITERS - 1}
+      ) WHERE rk = 1
+    )
+    SELECT vec_id,
+           list(CAST(code AS BIGINT) ORDER BY block) AS codes,
+           CAST(SUM(d_u) AS BIGINT) AS err_micro,
+           CAST(SUM(d_u) AS DOUBLE) / 1000000.0 AS recon_err
+    FROM enc GROUP BY vec_id
+    """
+
+
+@_register("op_ann_pq_codes", _pq_oracle())
+def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al. 2011, public IEEE
+    TPAMI "Product quantization for nearest neighbor search"): split
+    each embedding into PQ_M subvectors, learn a PQ_K-entry codebook
+    per block (PQ_ITERS deterministic Lloyd rounds, seeds = the first
+    PQ_K vectors by vec_id), encode every vector as its per-block
+    nearest-code ids. Output: (vec_id, codes array, err_micro,
+    recon_err) — the compressed representation + reconstruction error
+    an IVF-PQ index stores instead of raw floats (16x compression here:
+    64 floats -> 4 nibbles).
+
+    Scale: codebooks are k x d/M doubles (bytes) learned on vocab-like
+    state; encoding is a broadcast-fold projection per block — no
+    shuffle grows with the corpus except the final per-vector collect
+    (one groupBy on vec_id). Everything is fixed-point deterministic,
+    so the full build+encode hash-checks against a DuckDB recursive-CTE
+    replay. Reconstruction error sums integer micro-units
+    (order-independent) with the double view derived in a fixed chain.
+    """
+    from pyspark.sql import Window as W
+
+    from apitap_spark.operators.ml import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    parts = []
+    for b in range(PQ_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", b * PQ_SUB + 1, PQ_SUB).alias("embedding")
+        )
+        seeds = (
+            sliced.withColumn(
+                "code", F.row_number().over(W.orderBy("vec_id")) - 1
+            )
+            .filter(F.col("code") < PQ_K)
+            .select(F.col("code").alias("cluster"), F.col("embedding").alias("centroid"))
+        )
+        assigned = kmeans_assign(sliced, seeds, n_iter=PQ_ITERS)
+        parts.append(
+            assigned.select(
+                "vec_id",
+                F.lit(b).alias("block"),
+                "cluster",
+                F.round(F.col("sq_dist") * F.lit(1000000.0), 0)
+                .cast("bigint")
+                .alias("d_u"),
+            )
+        )
+    enc = parts[0]
+    for p in parts[1:]:
+        enc = enc.unionByName(p)
+    return enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("block", "cluster"))),
+            lambda s: s["cluster"].cast("bigint"),
+        ).alias("codes"),
+        F.sum("d_u").cast("bigint").alias("err_micro"),
+        (F.sum("d_u").cast("double") / F.lit(1000000.0)).alias("recon_err"),
+    )
+
+
 SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same semantic-dup threshold as the pair rung
 
 

@@ -89,6 +89,26 @@ def test_semantic_dedup_invariants(spark, sf_dir):
             assert r["max_cos_lower"] > SEMDEDUP_TAU - 1e-6
 
 
+def test_pq_codes_invariants(spark, sf_dir):
+    """Every vector gets an M-length code vector with per-block codes in
+    [0, K); reconstruction error is non-negative and strictly better
+    than assigning everything to code 0."""
+    from apitap_spark.operators.similarity import PQ_K, PQ_M, op_ann_pq_codes
+    from apitap_spark.session import read_table
+
+    rows = op_ann_pq_codes(spark, sf_dir).collect()
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+        assert r["recon_err"] >= 0
+        assert r["err_micro"] == round(r["recon_err"] * 1_000_000)
+    # codebooks are actually used: more than one distinct code per block
+    for b in range(PQ_M):
+        assert len({r["codes"][b] for r in rows}) > 1
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from apitap_spark.operators.multimodal import op_multimodal_features
 
