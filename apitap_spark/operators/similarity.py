@@ -618,6 +618,145 @@ def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_ADC_TOPK = 5
+
+
+def _pq_adc_oracle() -> str:
+    from apitap_spark.operators.ml import _sql_sqdist
+
+    base = _pq_oracle()
+    # reuse everything up to (and including) the enc CTE, then ADC-score
+    prefix = base[: base.rindex("SELECT vec_id,")]
+    sq_lut = _sql_sqdist("q.e", "km.centroid")
+    return (
+        prefix
+        + f""",
+    q AS (SELECT vec_id AS q_id, block, e FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT q.q_id, km.block, km.code,
+             CAST(ROUND({sq_lut} * 1000000.0, 0) AS BIGINT) AS d_u
+      FROM q JOIN km ON km.block = q.block
+      WHERE km.iter = {PQ_ITERS - 1}
+    ),
+    scored AS (
+      SELECT l.q_id, e.vec_id AS c_id,
+             CAST(SUM(l.d_u) AS BIGINT) AS adc_micro
+      FROM enc e
+      JOIN lut l ON l.block = e.block AND l.code = e.code
+      WHERE l.q_id <> e.vec_id
+      GROUP BY l.q_id, e.vec_id
+    )
+    SELECT q_id, c_id, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT q_id, c_id, adc_micro,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_micro ASC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {PQ_ADC_TOPK}
+    """
+    )
+
+
+@_register("op_ann_pq_adc", _pq_adc_oracle())
+def op_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the query rung of IVF-PQ, Jegou
+    2011 §IV): each query builds a per-block lookup table of squared
+    distances to every codebook centroid (M x K doubles, rounded once
+    to integer micro-units); every encoded corpus vector is then scored
+    as the SUM of M table lookups selected by its codes — no float math
+    per candidate, just integer adds. Returns top-PQ_ADC_TOPK
+    approximate neighbors per query (vec_id < 10) by ADC distance.
+
+    Scale: the LUT is Q x M x K rows (kilobytes) → broadcast; scoring
+    the encoded corpus is one broadcast join + one (q_id, c_id) groupBy
+    of M-row groups; candidates never materialize pairwise floats. This
+    is exactly why PQ search is memory-bandwidth-bound, not FLOP-bound,
+    at billions of vectors. Integer micro-unit sums are
+    order-independent, so the whole search replays in DuckDB.
+    """
+    from pyspark.sql import Window as W
+
+    from apitap_spark.operators.ml import _sq_dist, kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    luts = []
+    encs = []
+    for b in range(PQ_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", b * PQ_SUB + 1, PQ_SUB).alias("embedding")
+        )
+        seeds = (
+            sliced.withColumn(
+                "code", F.row_number().over(W.orderBy("vec_id")) - 1
+            )
+            .filter(F.col("code") < PQ_K)
+            .select(F.col("code").alias("cluster"), F.col("embedding").alias("centroid"))
+        )
+        # final codebook = centroids after PQ_ITERS - 1 recomputes (the
+        # ones the encode step assigns against)
+        cent = seeds.select(
+            F.col("cluster"),
+            F.transform("centroid", lambda x: x.cast("double")).alias("centroid"),
+        )
+        from apitap_spark.operators.ml import _centroids_of
+
+        for _ in range(PQ_ITERS - 1):
+            assigned_mid = kmeans_assign(sliced, cent, n_iter=1).select(
+                "vec_id", "cluster"
+            )
+            cent = _centroids_of(
+                sliced.join(assigned_mid, "vec_id"), "cluster"
+            )
+        cent = cent.localCheckpoint()
+        assigned = kmeans_assign(sliced, cent, n_iter=1)
+        encs.append(
+            assigned.select("vec_id", F.lit(b).alias("block"), F.col("cluster").alias("code"))
+        )
+        q = sliced.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        )
+        luts.append(
+            q.crossJoin(cent)
+            .select(
+                "q_id",
+                F.lit(b).alias("block"),
+                F.col("cluster").alias("code"),
+                F.round(_sq_dist(F.col("qe"), F.col("centroid")) * F.lit(1000000.0), 0)
+                .cast("bigint")
+                .alias("d_u"),
+            )
+        )
+    enc = encs[0]
+    for p in encs[1:]:
+        enc = enc.unionByName(p)
+    lut = luts[0]
+    for p in luts[1:]:
+        lut = lut.unionByName(p)
+    scored = (
+        enc.join(
+            F.broadcast(lut),
+            (lut.block == enc.block) & (lut.code == enc.code)
+            & (F.col("q_id") != F.col("vec_id")),
+        )
+        .groupBy("q_id", F.col("vec_id").alias("c_id"))
+        .agg(F.sum("d_u").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= PQ_ADC_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            "adc_micro",
+            (F.col("adc_micro").cast("double") / F.lit(1000000.0)).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
 SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same semantic-dup threshold as the pair rung
 
 

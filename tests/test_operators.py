@@ -109,6 +109,35 @@ def test_pq_codes_invariants(spark, sf_dir):
         assert len({r["codes"][b] for r in rows}) > 1
 
 
+def test_pq_adc_approximates_exact_search(spark, sf_dir):
+    """ADC top-k must overlap the exact L2 top-k meaningfully: for each
+    query, at least one of the exact top-5 appears in the ADC top-5
+    (PQ is lossy; total miss would mean broken codebooks or LUTs)."""
+    from apitap_spark.operators.similarity import PQ_ADC_TOPK, op_ann_pq_adc
+    from apitap_spark.session import read_table
+
+    adc = {}
+    for r in op_ann_pq_adc(spark, sf_dir).collect():
+        adc.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert adc and all(len(v) == PQ_ADC_TOPK for v in adc.values())
+
+    import numpy as np
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    mat = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    hits = 0
+    for q_id, approx in adc.items():
+        qv = mat[q_id]
+        exact = sorted(
+            (float(np.sum((v - qv) ** 2)), cid)
+            for cid, v in mat.items()
+            if cid != q_id
+        )[:PQ_ADC_TOPK]
+        if {cid for _, cid in exact} & approx:
+            hits += 1
+    assert hits >= max(1, len(adc) // 2), f"ADC overlapped exact in {hits}/{len(adc)}"
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     from apitap_spark.operators.multimodal import op_multimodal_features
 
