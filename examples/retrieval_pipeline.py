@@ -6,6 +6,8 @@ hybrid query, using only this repo's operators:
   documents + embeddings
     → inverted index (term → sorted postings)      (operators.textstats)
     → hashed TF vectors (feature hashing)           (operators.textstats)
+    → PQ codebooks + codes (16x-compressed ANN)     (operators.similarity)
+    → PQ asymmetric-distance top-k per query        (operators.similarity)
     → hybrid dense⊕sparse candidates via RRF        (operators.similarity)
     → top-k per query, written as one parquet dataset
 
@@ -20,7 +22,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from apitap_spark.operators.similarity import op_hybrid_retrieval_rrf  # noqa: E402
+from apitap_spark.operators.similarity import (  # noqa: E402
+    op_ann_pq_adc,
+    op_ann_pq_codes,
+    op_hybrid_retrieval_rrf,
+)
 from apitap_spark.operators.textstats import (  # noqa: E402
     op_text_hashed_tf,
     op_text_inverted_index,
@@ -32,9 +38,13 @@ def build(spark, sf_dir: str, out_dir: str):
     index = op_text_inverted_index(spark, sf_dir)
     vectors = op_text_hashed_tf(spark, sf_dir)
     results = op_hybrid_retrieval_rrf(spark, sf_dir)
+    pq_codes = op_ann_pq_codes(spark, sf_dir)
+    pq_topk = op_ann_pq_adc(spark, sf_dir)
     index.write.mode("overwrite").parquet(f"{out_dir}/inverted_index")
     vectors.write.mode("overwrite").parquet(f"{out_dir}/hashed_tf")
     results.write.mode("overwrite").parquet(f"{out_dir}/hybrid_topk")
+    pq_codes.write.mode("overwrite").parquet(f"{out_dir}/pq_codes")
+    pq_topk.write.mode("overwrite").parquet(f"{out_dir}/pq_topk")
     return index, vectors, results
 
 

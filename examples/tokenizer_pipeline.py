@@ -5,6 +5,7 @@ operators:
 
   curated documents
     → BPE merge table learned from the corpus   (operators.bpe)
+    → post-BPE per-doc token budgets            (operators.bpe, apply)
     → per-document token budget                 (functions.text.token_count)
     → token-balanced shard assignment           (operators.corpus.op_shard_plan)
     → packed fixed-length sequences per shard   (operators.corpus, packing)
@@ -27,13 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from apitap_spark.operators.bpe import op_bpe_learn_merges  # noqa: E402
+from apitap_spark.operators.bpe import (  # noqa: E402
+    op_bpe_apply_tokens,
+    op_bpe_learn_merges,
+)
 from apitap_spark.operators.corpus import op_shard_plan  # noqa: E402
 from apitap_spark.session import get_session, read_table  # noqa: E402
 
 
 def build(spark, sf_dir: str, out_dir: str):
     merges = op_bpe_learn_merges(spark, sf_dir)
+    budgets = op_bpe_apply_tokens(spark, sf_dir)
     plan = op_shard_plan(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     manifest = plan.join(docs, "doc_id").select(
@@ -41,6 +46,7 @@ def build(spark, sf_dir: str, out_dir: str):
     )
 
     merges.write.mode("overwrite").parquet(os.path.join(out_dir, "bpe_merges"))
+    budgets.write.mode("overwrite").parquet(os.path.join(out_dir, "token_budgets"))
     (
         manifest.repartition("shard")
         .sortWithinPartitions("shard", "cum_tokens")
