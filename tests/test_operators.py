@@ -496,6 +496,40 @@ def _python_bpe(word_counts, n_merges):
     return merges
 
 
+def test_bpe_oracle_closed_form_matches_python_on_adversarial_runs():
+    """The DuckDB oracle's CLOSED-FORM merge replay (l==r run parity,
+    gaps-and-islands) must equal plain-Python greedy BPE on inputs built
+    to stress it: long same-char runs, overlapping alternations, and
+    words that become identical after a merge. Pure DuckDB — no Spark."""
+    import duckdb
+
+    from apitap_spark.operators.bpe import _BPE_ORACLE, N_MERGES
+
+    texts = [
+        "aaaa aaa aa a",          # pure runs: parity logic
+        "aaaaaaa aaaa",           # longer runs, odd lengths
+        "abab abab ab ba",        # alternations (l != r chains)
+        "aabb abba baab",         # mixed adjacency
+        "xyx yxy xyxy xxyy",      # three-symbol interplay
+        "aa aa aa bb",            # words collapsing to one symbol
+    ]
+    counts: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    expected = _python_bpe(counts, N_MERGES)
+
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {values}) t(doc_id, text)"
+    )
+    got = sorted(con.execute(_BPE_ORACLE).fetchall())
+    assert got == sorted(
+        (rank, l, r, c) for rank, l, r, c in expected
+    ), f"closed-form diverged:\n got={got}\n exp={expected}"
+
+
 def test_bpe_merges_match_python_reference(spark):
     from pyspark.sql import functions as F
 
