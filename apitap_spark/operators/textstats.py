@@ -74,10 +74,19 @@ def op_text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     provenance key. Pure Catalyst projection + explode: zero shuffle,
     O(len) per doc, scales linearly with the corpus.
     """
-    c, s = CHUNK_TOKENS, CHUNK_STRIDE
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
+    return chunk_passages(docs)
+
+
+def chunk_passages(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Chunk any (doc_id, text) frame — batch OR streaming (the plan is a
+    stateless projection + explode, so it runs unchanged under
+    writeStream; proven in tests/test_streaming.py)."""
+    c, s = chunk, stride
     base = docs.select("doc_id", tokens("text").alias("t")).select(
         "doc_id",
         "t",
