@@ -26,9 +26,10 @@ Greedy left-to-right merge semantics match the reference algorithm:
 overlapping pair occurrences count naively (zip of adjacent symbols),
 ties on count break lexicographically by (left, right) so the learned
 table is deterministic. ``tests/test_operators.py`` proves the merge
-sequence equals a plain-Python BPE run exactly; the driver gate is
-rows-only (the xxhash-free algorithm is engine-portable, but a SQL
-oracle would need recursive per-round argmax — out of SQL's reach).
+sequence equals a plain-Python BPE run exactly, and the driver gate is
+hash-checked against a DuckDB recursive-CTE replay whose per-round
+merge uses a closed-form (run-parity) rewrite of the greedy fold — see
+``_BPE_ORACLE``.
 """
 
 from __future__ import annotations
@@ -239,13 +240,25 @@ def op_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    vocab = (
+    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    return bpe_token_budgets(docs, final_vocab)
+
+
+def char_vocab(docs: DataFrame) -> DataFrame:
+    """(w, symbols, cnt) character-level vocabulary of a (doc_id, text)
+    frame — the BPE learning input."""
+    return (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select("w", F.split("w", "").alias("symbols"), "cnt")
     )
-    _merges, final_vocab = learn_bpe_with_vocab(vocab, carry=("w",))
+
+
+def bpe_token_budgets(docs: DataFrame, final_vocab: DataFrame) -> DataFrame:
+    """Per-doc (bpe_tokens, chars, words) from an already-learned final
+    vocabulary (learn_bpe_with_vocab with carry=("w",)) — shared by the
+    gate and by one-build callers (examples/tokenizer_pipeline.py)."""
     merged = final_vocab.select("w", F.size("symbols").alias("n_sym"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
     return (
@@ -256,6 +269,14 @@ def op_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length(tok.w)).cast("bigint").alias("chars"),
             F.count("*").cast("bigint").alias("words"),
         )
+    )
+
+
+def merges_frame(spark: SparkSession, merges: list[tuple]) -> DataFrame:
+    """Learned merge list -> (rank, left, right, pair_count) frame."""
+    return spark.createDataFrame(
+        [(rank, l, r, c) for rank, l, r, c in merges],
+        "rank bigint, left string, right string, pair_count bigint",
     )
 
 
@@ -273,16 +294,6 @@ def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    vocab = (
-        docs.select(F.explode(tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.split("w", "").alias("symbols"), "cnt")
-    )
-    merges = learn_bpe_merges(vocab)
     # createDataFrame, not f-string VALUES SQL: learned symbols may contain
     # quote/backslash characters that no escaping scheme keeps portable.
-    return spark.createDataFrame(
-        [(rank, l, r, c) for rank, l, r, c in merges],
-        "rank bigint, left string, right string, pair_count bigint",
-    )
+    return merges_frame(spark, learn_bpe_merges(char_vocab(docs)))

@@ -57,21 +57,23 @@ def _sq_dist(a, b):
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _centroids_of(assigned: DataFrame, cluster_col: str) -> DataFrame:
-    """Per-cluster mean vectors: posexplode → (cluster, dim) fixed-point
-    mean → array rebuild in dim order. Shuffle cardinality k x d, not
-    corpus size.
+def _centroids_of(assigned: DataFrame, *key_cols: str) -> DataFrame:
+    """Per-key mean vectors: posexplode → (keys, dim) fixed-point mean →
+    array rebuild in dim order. Shuffle cardinality k x d, not corpus
+    size. Accepts one key (kmeans cluster) or several (PQ block+code) —
+    this is the SINGLE Spark-side definition of the fixed-point mean;
+    every oracle that replays it mirrors exactly this arithmetic.
 
     Means are fixed-point (per-value micro rounding → exact bigint sums
     → one IEEE division chain), making centroids order-independent and
-    hence engine-replayable — the kmeans gate hash-checks against a
-    DuckDB recursive CTE. Centroid error vs the true float mean is
-    ≤ 5e-7 per dimension (half a micro-unit), noise relative to Lloyd
-    convergence.
+    hence engine-replayable — the kmeans/IVF/PQ gates hash-check against
+    DuckDB replays. Centroid error vs the true float mean is ≤ 5e-7 per
+    dimension (half a micro-unit), noise relative to Lloyd convergence.
     """
+    keys = list(key_cols)
     return (
-        assigned.select(cluster_col, F.posexplode("embedding").alias("pos", "val"))
-        .groupBy(cluster_col, "pos")
+        assigned.select(*keys, F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(*keys, "pos")
         .agg(
             (
                 F.sum(
@@ -82,7 +84,7 @@ def _centroids_of(assigned: DataFrame, cluster_col: str) -> DataFrame:
                 / F.count("*").cast("double")
             ).alias("m")
         )
-        .groupBy(cluster_col)
+        .groupBy(*keys)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]

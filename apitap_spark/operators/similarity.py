@@ -327,30 +327,13 @@ def op_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-2 verdict #5; was rows-only under float avg). The cosine
     kernels were already engine-exact (op_ann_cosine_topk's green gate
     proves the fold pattern)."""
+    from apitap_spark.operators.ml import _centroids_of
+
     emb = read_table(spark, sf_dir, "embeddings")
-    # Centroids: per-label fixed-point mean of each dimension, via
-    # posexplode → agg → re-assemble (sort by position). Dim count is
-    # bounded → array rebuild is cheap; the groupBy is the only shuffle.
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(
-                    F.round(F.col("val").cast("double") * F.lit(1000000.0), 0)
-                    .cast("bigint")
-                ).cast("double")
-                / F.lit(1000000.0)
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-    )
+    # Centroids: per-label fixed-point mean of each dimension (the single
+    # shared _centroids_of definition). Dim count is bounded → array
+    # rebuild is cheap; the groupBy is the only shuffle.
+    cent = _centroids_of(emb.select("label", "embedding"), "label")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -557,7 +540,7 @@ def _pq_oracle() -> str:
     """
 
 
-def _pq_build(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def pq_build(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Learn all PQ_M block codebooks in ONE block-keyed frame and encode
     every vector. Returns (assigned, codebook):
     assigned = (vec_id, block, cluster, sq_dist); codebook = the
@@ -631,28 +614,12 @@ def _pq_build(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("best.d").alias("sq_dist"),
         ).localCheckpoint()
         codebook = cent
-        cent = (
-            assigned.select(
-                "block", "cluster", F.posexplode("e").alias("pos", "val")
-            )
-            .groupBy("block", "cluster", "pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(F.col("val").cast("double") * F.lit(1000000.0), 0)
-                        .cast("bigint")
-                    ).cast("double")
-                    / F.lit(1000000.0)
-                    / F.count("*").cast("double")
-                ).alias("m")
-            )
-            .groupBy("block", "cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
+        from apitap_spark.operators.ml import _centroids_of
+
+        cent = _centroids_of(
+            assigned.select("block", "cluster", F.col("e").alias("embedding")),
+            "block",
+            "cluster",
         )
     return (
         assigned.select("vec_id", "block", "cluster", "sq_dist"),
@@ -681,7 +648,14 @@ def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent) with the double view derived in a fixed chain.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, _codebook = _pq_build(emb)
+    assigned, _codebook = pq_build(emb)
+    return pq_codes_frame(assigned)
+
+
+def pq_codes_frame(assigned: DataFrame) -> DataFrame:
+    """Shape a pq_build assignment into (vec_id, codes, err_micro,
+    recon_err) — shared by the gate and by callers that reuse one build
+    for both codes and ADC search (examples/retrieval_pipeline.py)."""
     enc = assigned.select(
         "vec_id",
         "block",
@@ -758,10 +732,18 @@ def op_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at billions of vectors. Integer micro-unit sums are
     order-independent, so the whole search replays in DuckDB.
     """
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, codebook = pq_build(emb)
+    return pq_adc_topk(emb, assigned, codebook)
+
+
+def pq_adc_topk(
+    emb: DataFrame, assigned: DataFrame, codebook: DataFrame
+) -> DataFrame:
+    """ADC scoring against an existing pq_build output — shared by the
+    gate and by one-build callers (examples/retrieval_pipeline.py)."""
     from apitap_spark.operators.ml import _sq_dist
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    assigned, codebook = _pq_build(emb)
     enc = assigned.select("vec_id", "block", F.col("cluster").alias("code"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),

@@ -85,8 +85,13 @@ def chunk_passages(
 ) -> DataFrame:
     """Chunk any (doc_id, text) frame — batch OR streaming (the plan is a
     stateless projection + explode, so it runs unchanged under
-    writeStream; proven in tests/test_streaming.py)."""
+    writeStream; proven in tests/test_streaming.py).
+
+    Blank/whitespace-only documents are dropped HERE, not by caller
+    convention — tokens('') is [''] and would otherwise emit a bogus
+    empty chunk into the embedder."""
     c, s = chunk, stride
+    docs = docs.filter(F.length(F.trim("text")) > 0)
     base = docs.select("doc_id", tokens("text").alias("t")).select(
         "doc_id",
         "t",

@@ -23,10 +23,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from apitap_spark.operators.similarity import (  # noqa: E402
-    op_ann_pq_adc,
-    op_ann_pq_codes,
     op_hybrid_retrieval_rrf,
+    pq_adc_topk,
+    pq_build,
+    pq_codes_frame,
 )
+from apitap_spark.session import read_table  # noqa: E402
 from apitap_spark.operators.textstats import (  # noqa: E402
     op_text_hashed_tf,
     op_text_inverted_index,
@@ -38,8 +40,12 @@ def build(spark, sf_dir: str, out_dir: str):
     index = op_text_inverted_index(spark, sf_dir)
     vectors = op_text_hashed_tf(spark, sf_dir)
     results = op_hybrid_retrieval_rrf(spark, sf_dir)
-    pq_codes = op_ann_pq_codes(spark, sf_dir)
-    pq_topk = op_ann_pq_adc(spark, sf_dir)
+    # ONE PQ codebook build feeds both the stored codes and the search —
+    # the gate entries rebuild independently, a pipeline must not
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned, codebook = pq_build(emb)
+    pq_codes = pq_codes_frame(assigned)
+    pq_topk = pq_adc_topk(emb, assigned, codebook)
     index.write.mode("overwrite").parquet(f"{out_dir}/inverted_index")
     vectors.write.mode("overwrite").parquet(f"{out_dir}/hashed_tf")
     results.write.mode("overwrite").parquet(f"{out_dir}/hybrid_topk")

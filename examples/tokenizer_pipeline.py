@@ -29,16 +29,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from apitap_spark.operators.bpe import (  # noqa: E402
-    op_bpe_apply_tokens,
-    op_bpe_learn_merges,
+    bpe_token_budgets,
+    char_vocab,
+    learn_bpe_with_vocab,
+    merges_frame,
 )
 from apitap_spark.operators.corpus import op_shard_plan  # noqa: E402
 from apitap_spark.session import get_session, read_table  # noqa: E402
 
 
 def build(spark, sf_dir: str, out_dir: str):
-    merges = op_bpe_learn_merges(spark, sf_dir)
-    budgets = op_bpe_apply_tokens(spark, sf_dir)
+    # ONE merge-learning pass feeds both the merge table and the budgets
+    docs_nb = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    learned, final_vocab = learn_bpe_with_vocab(char_vocab(docs_nb), carry=("w",))
+    merges = merges_frame(spark, learned)
+    budgets = bpe_token_budgets(docs_nb, final_vocab)
     plan = op_shard_plan(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     manifest = plan.join(docs, "doc_id").select(

@@ -569,12 +569,22 @@ def test_chunk_passages_reconstruct_and_overlap(spark, sf_dir):
         op_text_chunk_passages,
     )
 
+    from apitap_spark.functions.text import WS_PATTERN
+    from apitap_spark.session import read_table
+
+    import re
+
+    n_toks = {
+        r["doc_id"]: len(re.split(WS_PATTERN, r["text"].strip()))
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
     rows = op_text_chunk_passages(spark, sf_dir).collect()
     by_doc: dict = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    assert by_doc
-    for chunks in by_doc.values():
+    assert set(by_doc) == set(n_toks)  # every non-blank doc chunked, no extras
+    for doc_id, chunks in by_doc.items():
         chunks.sort(key=lambda r: r["chunk_id"])
         assert chunks[0]["start_tok"] == 1
         for a, b in zip(chunks, chunks[1:]):
@@ -587,8 +597,9 @@ def test_chunk_passages_reconstruct_and_overlap(spark, sf_dir):
         last = chunks[-1]
         n_words = len(last["chunk_text"].split(" "))
         assert n_words == last["n_tok"]
-        # last chunk reaches the end: next start would add nothing new
-        assert last["start_tok"] + last["n_tok"] - 1 >= last["start_tok"]
+        # last chunk reaches the doc's final token — no trailing tokens
+        # are ever uncovered
+        assert last["start_tok"] + last["n_tok"] - 1 == n_toks[doc_id]
 
 
 def test_bpe_apply_tokens_bounds(spark, sf_dir):
