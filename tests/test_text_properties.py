@@ -108,3 +108,42 @@ def test_scrub_pii_idempotent_and_complete(spark):
         F.col("r1").rlike(r"@[A-Za-z]") | F.col("r1").rlike(r"\d+\.\d+\.\d+\.\d+")
     )
     assert leftovers.count() == 0
+
+
+def test_chunk_passages_matches_python_reference(spark):
+    """chunk_passages over a seeded adversarial corpus (blank docs, 1-token
+    docs, lengths straddling every chunk/stride boundary) equals a pure-
+    Python reference of the start-grid + slice semantics."""
+    from apitap_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_passages,
+    )
+
+    rng = random.Random(0xC0DE)
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    lengths = [0, 1, 2, c - 1, c, c + 1, s, s + 1, c + s - 1, c + s, c + s + 1,
+               2 * s, 2 * s + c, 3 * s + 5] + [rng.randint(0, 4 * c) for _ in range(30)]
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    rows.append((len(rows), "   "))  # whitespace-only: must vanish
+
+    def py_chunks(text: str):
+        t = _py_tokens(text)
+        if not _py_trim(text):
+            return []
+        n = len(t)
+        starts = [st for st in range(1, n + 1, s) if st == 1 or st <= n - c + s]
+        return [
+            (cid, st, min(c, n - st + 1), " ".join(t[st - 1 : st - 1 + c]))
+            for cid, st in enumerate(starts)
+        ]
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in chunk_passages(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        )
+    for doc_id, text in rows:
+        expected = py_chunks(text)
+        assert sorted(got.get(doc_id, [])) == expected, (doc_id, text[:50])
