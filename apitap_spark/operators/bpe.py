@@ -280,6 +280,100 @@ def merges_frame(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     )
 
 
+# Encode: final vocabulary symbols -> dense lexicographic ids -> per-doc
+# token-id sequences in reading order. Shares the recursive replay.
+_BPE_ENCODE_ORACLE = (
+    _BPE_ORACLE[: _BPE_ORACLE.rindex("SELECT rank")]
+    + rf""", final AS (
+      SELECT wid, symbols FROM bpe WHERE iter = (SELECT MAX(iter) FROM bpe)
+    ),
+    sym_ids AS (
+      SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS sym_id
+      FROM (SELECT DISTINCT unnest(symbols) AS sym FROM final)
+    ),
+    word_ids AS (
+      SELECT wid, list(sym_id ORDER BY sp) AS wids
+      FROM (
+        SELECT wid, sp, symbols[sp] AS sym
+        FROM final, unnest(range(1, len(symbols) + 1)) AS u(sp)
+      ) fx JOIN sym_ids USING (sym)
+      GROUP BY wid
+    ),
+    tok AS (
+      SELECT doc_id, i AS tp, t[i] AS w
+      FROM (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      ), unnest(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids AS token_ids
+    FROM (
+      SELECT doc_id, flatten(list(wids ORDER BY tp)) AS ids
+      FROM tok JOIN word_ids ON word_ids.wid = tok.w
+      GROUP BY doc_id
+    )
+    """
+)
+
+
+@_register("op_bpe_encode_docs", _BPE_ENCODE_ORACLE)
+def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus under the learned BPE vocabulary: every final
+    symbol gets a dense lexicographic id, every document becomes its
+    token-id sequence in reading order — the ACTUAL input a sequence-
+    packing / training-data writer consumes (op_bpe_apply_tokens gives
+    the counts; this gives the sequences). Output: (doc_id, n_tokens,
+    token_ids array<bigint>).
+
+    Scale: merges learn on vocab-sized state; the symbol-id table is
+    vocabulary-bounded (the single-partition ROW_NUMBER is over distinct
+    SYMBOLS, thousands at web scale — never the corpus); per-word id
+    arrays broadcast to one corpus-order join + one per-doc groupBy.
+    Deterministic throughout → hash-checked against the recursive-CTE
+    replay's final vocabulary.
+    """
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    sym_ids = (
+        final_vocab.select(F.explode("symbols").alias("sym"))
+        .distinct()
+        .withColumn("sym_id", F.row_number().over(W.orderBy("sym")) - 1)
+    )
+    word_ids = (
+        final_vocab.select("w", F.posexplode("symbols").alias("sp", "sym"))
+        .join(sym_ids, "sym")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sp", "sym_id"))),
+                lambda s: s["sym_id"].cast("bigint"),
+            ).alias("wids")
+        )
+    )
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("tp", "w"))
+    seqs = (
+        tok.join(F.broadcast(word_ids), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "wids"))),
+                    lambda s: s["wids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return seqs.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        "token_ids",
+    )
+
+
 @_register("op_bpe_learn_merges", _BPE_ORACLE)
 def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first N_MERGES BPE merges over the documents corpus.

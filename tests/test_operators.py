@@ -625,6 +625,23 @@ def test_bpe_apply_tokens_bounds(spark, sf_dir):
     assert sum(r["bpe_tokens"] for r in rows) < sum(r["chars"] for r in rows)
 
 
+def test_bpe_encode_consistent_with_apply_counts(spark, sf_dir):
+    """Two independent derivations agree: the encoded sequences' lengths
+    equal op_bpe_apply_tokens' per-doc bpe_tokens, ids are dense in
+    [0, vocab), and every non-blank doc is encoded."""
+    from apitap_spark.operators.bpe import op_bpe_apply_tokens, op_bpe_encode_docs
+
+    enc = {r["doc_id"]: r for r in op_bpe_encode_docs(spark, sf_dir).collect()}
+    cnt = {r["doc_id"]: r for r in op_bpe_apply_tokens(spark, sf_dir).collect()}
+    assert set(enc) == set(cnt)
+    all_ids = set()
+    for doc_id, r in enc.items():
+        assert r["n_tokens"] == len(r["token_ids"]) == cnt[doc_id]["bpe_tokens"]
+        all_ids.update(r["token_ids"])
+    assert min(all_ids) == 0
+    assert max(all_ids) == len(all_ids) - 1  # dense id space
+
+
 def test_corpus_card_consistent_with_exact_dedup(spark, sf_dir):
     from apitap_spark.operators.corpus import op_corpus_summary_card
     from apitap_spark.operators.dedup import op_dedup_exact
