@@ -332,16 +332,30 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic throughout → hash-checked against the recursive-CTE
     replay's final vocabulary.
     """
-    from pyspark.sql import Window as W
-
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
+    seqs, _sym_ids = bpe_encode(docs)
+    return seqs.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        "token_ids",
+    )
+
+
+def bpe_encode(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Learn merges and tokenize a (doc_id, text) frame. Returns
+    (sequences, sym_ids): sequences = (doc_id, token_ids array<bigint>),
+    sym_ids = the (sym, sym_id) dense-id vocabulary table — shared by
+    the encode gate and the training-row packer."""
+    from pyspark.sql import Window as W
+
     _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
     sym_ids = (
         final_vocab.select(F.explode("symbols").alias("sym"))
         .distinct()
         .withColumn("sym_id", F.row_number().over(W.orderBy("sym")) - 1)
+        .localCheckpoint()
     )
     word_ids = (
         final_vocab.select("w", F.posexplode("symbols").alias("sp", "sym"))
@@ -367,10 +381,104 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_ids")
         )
     )
-    return seqs.select(
+    return seqs, sym_ids
+
+
+SEQ_LEN = 128  # tokens per packed training row
+PACK_BUCKET = 1024  # doc_ids per offset bucket (two-phase prefix sum)
+
+# Pack: concatenate all encoded docs (doc_id order, EOS-terminated) into
+# one global token stream, cut every SEQ_LEN tokens. The oracle uses a
+# plain global running sum for doc offsets; the Spark side computes the
+# SAME integers with the two-phase bucketed prefix sum (scale path).
+_BPE_PACK_ORACLE = (
+    _BPE_ENCODE_ORACLE[: _BPE_ENCODE_ORACLE.rindex("SELECT doc_id, CAST(len(ids)")]
+    + rf""", docs_enc AS (
+      SELECT doc_id,
+             list_append(ids, (SELECT COUNT(*) FROM sym_ids)) AS ids
+      FROM (
+        SELECT doc_id, flatten(list(wids ORDER BY tp)) AS ids
+        FROM tok JOIN word_ids ON word_ids.wid = tok.w
+        GROUP BY doc_id
+      )
+    ),
+    offs AS (
+      SELECT doc_id, ids,
+             COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doff
+      FROM docs_enc
+    ),
+    stream AS (
+      SELECT doff + i - 1 AS gpos, ids[i] AS tid
+      FROM offs, unnest(range(1, len(ids) + 1)) AS u(i)
+    )
+    SELECT CAST(gpos // {SEQ_LEN} AS BIGINT) AS row_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(tid ORDER BY gpos) AS token_ids
+    FROM stream GROUP BY 1
+    """
+)
+
+
+@_register("op_bpe_pack_training_rows", _BPE_PACK_ORACLE)
+def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's terminal artifact: EOS-terminated encoded documents
+    concatenated in doc_id order and cut into fixed SEQ_LEN-token
+    training rows — (row_id, n_tokens, token_ids); every row is full
+    except possibly the last. EOS id = vocabulary size.
+
+    Scale: document offsets come from a TWO-PHASE prefix sum (per-bucket
+    totals broadcast back as offsets + bucket-local windows, the
+    op_shard_plan pattern) — the widest window partition is
+    corpus/PACK_BUCKET docs, never the whole corpus; token explode and
+    the row_id groupBy shuffle O(total tokens) once, which is the
+    output's own size. The oracle computes the same integers with a
+    plain global running sum.
+    """
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    seqs, sym_ids = bpe_encode(docs)
+    eos = sym_ids.count()
+    with_eos = seqs.select(
         "doc_id",
-        F.size("token_ids").cast("bigint").alias("n_tokens"),
-        "token_ids",
+        F.concat(
+            "token_ids", F.array(F.lit(eos).cast("bigint"))
+        ).alias("ids"),
+    ).withColumn("n", F.size("ids")).withColumn(
+        "b", F.floor(F.col("doc_id") / PACK_BUCKET)
+    )
+    btotals = with_eos.groupBy("b").agg(F.sum("n").alias("bt"))
+    offsets = btotals.withColumn(
+        "boff",
+        F.coalesce(
+            F.sum("bt").over(
+                W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("b", "boff")
+    w_local = (
+        W.partitionBy("b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    docoff = with_eos.join(F.broadcast(offsets), "b").withColumn(
+        "doff", F.coalesce(F.sum("n").over(w_local), F.lit(0)) + F.col("boff")
+    )
+    stream = docoff.select(
+        F.posexplode("ids").alias("i", "tid"),
+        F.col("doff").alias("doff"),
+    ).select((F.col("doff") + F.col("i")).alias("gpos"), "tid")
+    return (
+        stream.groupBy(F.expr(f"gpos div {SEQ_LEN}").alias("row_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+        )
     )
 
 

@@ -642,6 +642,34 @@ def test_bpe_encode_consistent_with_apply_counts(spark, sf_dir):
     assert max(all_ids) == len(all_ids) - 1  # dense id space
 
 
+def test_pack_training_rows_tile_the_token_stream(spark, sf_dir):
+    """Packed rows reconstruct the EOS-terminated concatenation of the
+    encoded docs in doc_id order: all rows full at SEQ_LEN except the
+    last, row_ids contiguous from 0, total tokens = sum(doc)+#docs, and
+    the re-assembled stream equals the per-doc sequences joined by EOS."""
+    from apitap_spark.operators.bpe import (
+        SEQ_LEN,
+        op_bpe_encode_docs,
+        op_bpe_pack_training_rows,
+    )
+
+    enc = sorted(
+        op_bpe_encode_docs(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    rows = sorted(
+        op_bpe_pack_training_rows(spark, sf_dir).collect(),
+        key=lambda r: r["row_id"],
+    )
+    assert [r["row_id"] for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r["n_tokens"] == SEQ_LEN == len(r["token_ids"])
+    assert 0 < rows[-1]["n_tokens"] <= SEQ_LEN
+    eos = max(max(r["token_ids"]) for r in rows)
+    stream = [t for r in rows for t in r["token_ids"]]
+    expected = [t for r in enc for t in list(r["token_ids"]) + [eos]]
+    assert stream == expected
+
+
 def test_corpus_card_consistent_with_exact_dedup(spark, sf_dir):
     from apitap_spark.operators.corpus import op_corpus_summary_card
     from apitap_spark.operators.dedup import op_dedup_exact
