@@ -345,12 +345,23 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_encode(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Learn merges and tokenize a (doc_id, text) frame. Returns
-    (sequences, sym_ids): sequences = (doc_id, token_ids array<bigint>),
-    sym_ids = the (sym, sym_id) dense-id vocabulary table — shared by
-    the encode gate and the training-row packer."""
+    (sequences, sym_ids) — see encode_with_vocab for the single-learn
+    composition path."""
+    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    return encode_with_vocab(docs, final_vocab)
+
+
+def encode_with_vocab(
+    docs: DataFrame, final_vocab: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Tokenize docs under an ALREADY-learned final vocabulary
+    (learn_bpe_with_vocab with carry=("w",)). Returns (sequences,
+    sym_ids): sequences = (doc_id, token_ids array<bigint>), sym_ids =
+    the (sym, sym_id) dense-id table — lets one merge-learning pass feed
+    merges, budgets, sequences AND packed rows
+    (examples/tokenizer_pipeline.py)."""
     from pyspark.sql import Window as W
 
-    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
     sym_ids = (
         final_vocab.select(F.explode("symbols").alias("sym"))
         .distinct()
@@ -435,13 +446,19 @@ def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's own size. The oracle computes the same integers with a
     plain global running sum.
     """
-    from pyspark.sql import Window as W
-
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
     seqs, sym_ids = bpe_encode(docs)
-    eos = sym_ids.count()
+    return pack_rows_frame(seqs, sym_ids.count())
+
+
+def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:
+    """Pack (doc_id, token_ids) sequences into SEQ_LEN training rows with
+    the given EOS id — shared by the gate and one-learn composition
+    callers (examples/tokenizer_pipeline.py)."""
+    from pyspark.sql import Window as W
+
     with_eos = seqs.select(
         "doc_id",
         F.concat(

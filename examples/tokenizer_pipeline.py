@@ -31,8 +31,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from apitap_spark.operators.bpe import (  # noqa: E402
     bpe_token_budgets,
     char_vocab,
+    encode_with_vocab,
     learn_bpe_with_vocab,
     merges_frame,
+    pack_rows_frame,
 )
 from apitap_spark.operators.corpus import op_shard_plan  # noqa: E402
 from apitap_spark.session import get_session, read_table  # noqa: E402
@@ -46,6 +48,8 @@ def build(spark, sf_dir: str, out_dir: str):
     learned, final_vocab = learn_bpe_with_vocab(char_vocab(docs_nb), carry=("w",))
     merges = merges_frame(spark, learned)
     budgets = bpe_token_budgets(docs_nb, final_vocab)
+    seqs, sym_ids = encode_with_vocab(docs_nb, final_vocab)
+    packed = pack_rows_frame(seqs, sym_ids.count())
     plan = op_shard_plan(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     manifest = plan.join(docs, "doc_id").select(
@@ -54,6 +58,7 @@ def build(spark, sf_dir: str, out_dir: str):
 
     merges.write.mode("overwrite").parquet(os.path.join(out_dir, "bpe_merges"))
     budgets.write.mode("overwrite").parquet(os.path.join(out_dir, "token_budgets"))
+    packed.write.mode("overwrite").parquet(os.path.join(out_dir, "training_rows"))
     (
         manifest.repartition("shard")
         .sortWithinPartitions("shard", "cum_tokens")
