@@ -196,6 +196,60 @@ def _totals_update(timeout_sec: int):
     return update
 
 
+def stream_pack_tokens(
+    seqs: DataFrame, seq_len: int = 128, eos: int = 0, shard_col: str | None = None
+) -> DataFrame:
+    """Streaming training-row packer: the stateful twin of
+    op_bpe_pack_training_rows. Encoded documents arrive as micro-batches
+    of (doc_id, token_ids); per shard the GroupState carries the packed
+    remainder (< seq_len tokens) and the emitted-row counter across
+    batches, so rows never straddle a batch boundary incorrectly and
+    only FULL rows are emitted (the tail stays in state until more data
+    arrives — standard training-shard semantics).
+
+    ``shard_col`` keys the packer: one carry buffer per shard, packing
+    parallel across shards (op_shard_plan output is the natural key).
+    Without it everything packs through one sequential key — fine for a
+    demo, a bottleneck at scale, exactly like a single-shard batch job.
+    Docs within a micro-batch pack in doc_id order; cross-batch order is
+    arrival order (deterministic under availableNow file listing).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "shard bigint, row_id bigint, token_ids array<bigint>"
+    state_schema = "carry array<bigint>, emitted bigint"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        carry, emitted = state.get if state.exists else ([], 0)
+        toks = list(carry)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                toks.extend(int(t) for t in row["token_ids"])
+                toks.append(eos)
+        rows = []
+        while len(toks) >= seq_len:
+            rows.append((int(key[0]), emitted, toks[:seq_len]))
+            toks = toks[seq_len:]
+            emitted += 1
+        state.update((toks, emitted))
+        yield pd.DataFrame(rows, columns=["shard", "row_id", "token_ids"])
+
+    keyed = (
+        seqs.withColumn("shard", F.col(shard_col).cast("bigint"))
+        if shard_col
+        else seqs.withColumn("shard", F.lit(0).cast("bigint"))
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def click_purchase_attribution(
     events: DataFrame, attribution_window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -83,6 +83,65 @@ def test_stateless_text_operators_run_on_streams(spark, tmp_path):
     assert by_doc[2][0]["chunk_text"] == "just a few tokens"
 
 
+def test_stream_pack_tokens_carries_remainder_across_batches(spark, tmp_path):
+    """The stateful packer emits only FULL rows, carries the partial row
+    across micro-batches, and the re-assembled stream equals the
+    EOS-joined concatenation of all documents in arrival order."""
+    import json
+    import os
+
+    from apitap_spark.streaming.ingest import stream_pack_tokens
+
+    src = str(tmp_path / "seqs")
+    os.makedirs(src, exist_ok=True)
+    seq_len, eos = 8, 99
+    batch1 = [
+        {"doc_id": 1, "token_ids": [1, 2, 3]},          # +eos -> 4
+        {"doc_id": 2, "token_ids": [4, 5, 6, 7, 8]},    # +eos -> 10 total
+    ]
+    batch2 = [{"doc_id": 3, "token_ids": [10, 11, 12, 13, 14, 15]}]  # +eos -> 17
+    with open(os.path.join(src, "b0.ndjson"), "w") as fh:
+        for d in batch1:
+            fh.write(json.dumps(d) + "\n")
+
+    out = str(tmp_path / "packed")
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, token_ids array<bigint>"
+        ).json(src)
+        q = (
+            stream_pack_tokens(stream, seq_len=seq_len, eos=eos)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows1 = sorted(spark.read.parquet(out).collect(), key=lambda r: r["row_id"])
+    # 10 tokens -> one full row of 8, remainder [8, eos] carried in state
+    assert [r["row_id"] for r in rows1] == [0]
+    assert rows1[0]["token_ids"] == [1, 2, 3, eos, 4, 5, 6, 7]
+
+    with open(os.path.join(src, "b1.ndjson"), "w") as fh:
+        for d in batch2:
+            fh.write(json.dumps(d) + "\n")
+    run()
+    rows2 = sorted(spark.read.parquet(out).collect(), key=lambda r: r["row_id"])
+    stream_tokens = [t for r in rows2 for t in r["token_ids"]]
+    expected = (
+        [1, 2, 3, eos, 4, 5, 6, 7, 8, eos]
+        + [10, 11, 12, 13, 14, 15, eos]
+    )
+    # 17 total -> two full rows emitted, [eos] remainder still in state
+    assert [r["row_id"] for r in rows2] == [0, 1]
+    assert stream_tokens == expected[: 2 * seq_len]
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "events")
     _write_events(
