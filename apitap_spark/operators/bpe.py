@@ -305,13 +305,14 @@ _BPE_ENCODE_ORACLE = (
         SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
         FROM documents WHERE LENGTH(TRIM(text)) > 0
       ), unnest(range(1, len(t) + 1)) AS u(i)
-    )
-    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids AS token_ids
-    FROM (
+    ),
+    doc_seqs AS (
       SELECT doc_id, flatten(list(wids ORDER BY tp)) AS ids
       FROM tok JOIN word_ids ON word_ids.wid = tok.w
       GROUP BY doc_id
     )
+    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids AS token_ids
+    FROM doc_seqs
     """
 )
 
@@ -347,6 +348,7 @@ def bpe_encode(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Learn merges and tokenize a (doc_id, text) frame. Returns
     (sequences, sym_ids) — see encode_with_vocab for the single-learn
     composition path."""
+    docs = docs.filter(F.length(F.trim("text")) > 0)
     _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
     return encode_with_vocab(docs, final_vocab)
 
@@ -359,9 +361,14 @@ def encode_with_vocab(
     sym_ids): sequences = (doc_id, token_ids array<bigint>), sym_ids =
     the (sym, sym_id) dense-id table — lets one merge-learning pass feed
     merges, budgets, sequences AND packed rows
-    (examples/tokenizer_pipeline.py)."""
+    (examples/tokenizer_pipeline.py).
+
+    Blank/whitespace-only docs are dropped HERE (tokens('') is ['']; an
+    unfiltered blank doc would otherwise encode a bogus empty-string
+    token) — same contract as chunk_passages."""
     from pyspark.sql import Window as W
 
+    docs = docs.filter(F.length(F.trim("text")) > 0)
     sym_ids = (
         final_vocab.select(F.explode("symbols").alias("sym"))
         .distinct()
@@ -407,11 +414,7 @@ _BPE_PACK_ORACLE = (
     + rf""", docs_enc AS (
       SELECT doc_id,
              list_append(ids, (SELECT COUNT(*) FROM sym_ids)) AS ids
-      FROM (
-        SELECT doc_id, flatten(list(wids ORDER BY tp)) AS ids
-        FROM tok JOIN word_ids ON word_ids.wid = tok.w
-        GROUP BY doc_id
-      )
+      FROM doc_seqs
     ),
     offs AS (
       SELECT doc_id, ids,
@@ -465,7 +468,9 @@ def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:
             "token_ids", F.array(F.lit(eos).cast("bigint"))
         ).alias("ids"),
     ).withColumn("n", F.size("ids")).withColumn(
-        "b", F.floor(F.col("doc_id") / PACK_BUCKET)
+        # integer div, not floor(double /): Column `/` casts to double and
+        # loses exactness for hash-derived doc_ids above 2^53
+        "b", F.expr(f"doc_id div {PACK_BUCKET}")
     )
     btotals = with_eos.groupBy("b").agg(F.sum("n").alias("bt"))
     offsets = btotals.withColumn(

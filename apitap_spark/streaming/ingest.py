@@ -197,7 +197,7 @@ def _totals_update(timeout_sec: int):
 
 
 def stream_pack_tokens(
-    seqs: DataFrame, seq_len: int = 128, eos: int = 0, shard_col: str | None = None
+    seqs: DataFrame, seq_len: int, eos: int, shard_col: str | None = None
 ) -> DataFrame:
     """Streaming training-row packer: the stateful twin of
     op_bpe_pack_training_rows. Encoded documents arrive as micro-batches
@@ -213,6 +213,11 @@ def stream_pack_tokens(
     demo, a bottleneck at scale, exactly like a single-shard batch job.
     Docs within a micro-batch pack in doc_id order; cross-batch order is
     arrival order (deterministic under availableNow file listing).
+
+    ``eos`` has no default on purpose: it must be OUT-OF-BAND (one past
+    the dense id range, = vocabulary size, matching pack_rows_frame) —
+    a silent in-band default would make every occurrence of that token
+    indistinguishable from a document boundary downstream.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -224,16 +229,23 @@ def stream_pack_tokens(
 
         carry, emitted = state.get if state.exists else ([], 0)
         toks = list(carry)
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("doc_id").iterrows():
-                toks.extend(int(t) for t in row["token_ids"])
+        # materialize ALL pandas chunks before sorting: the group arrives
+        # as an iterator of Arrow-sized chunks in arbitrary inter-chunk
+        # order — per-chunk sorts would break the doc_id-order contract
+        # for shards larger than one Arrow batch
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("doc_id")
+            for ids in batch["token_ids"]:
+                toks.extend(int(t) for t in ids)
                 toks.append(eos)
-        rows = []
-        while len(toks) >= seq_len:
-            rows.append((int(key[0]), emitted, toks[:seq_len]))
-            toks = toks[seq_len:]
-            emitted += 1
-        state.update((toks, emitted))
+        # emit by index, single remainder copy — no O(n^2) re-slicing
+        n_full = len(toks) // seq_len
+        rows = [
+            (int(key[0]), emitted + i, toks[i * seq_len : (i + 1) * seq_len])
+            for i in range(n_full)
+        ]
+        state.update((toks[n_full * seq_len :], emitted + n_full))
         yield pd.DataFrame(rows, columns=["shard", "row_id", "token_ids"])
 
     keyed = (
