@@ -10,7 +10,7 @@ DuckDB's decimal(21,3)).  This audit is stricter than
 * ``str(sv) == str(ov)`` (catches Decimal scale drift, 1 vs 1.0, etc), AND
 * the Python type *category* matches (int vs Decimal vs float vs str).
 
-Run:  python tests/strict_audit.py [N_GATES] [SF_DIR]
+Run:  python tests/strict_audit.py [N_GATES=all] [SF_DIR=/root/testdata/sf0.01]
 """
 
 from __future__ import annotations
@@ -119,14 +119,15 @@ def audit(spark, names: list[str], sf_dir: str):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     from apitap_spark.session import get_session
 
     spark = get_session(app_name="strict-audit")
     import __spark_entry__ as entrymod
 
-    names = list(entrymod.queries())[:n]
+    names = list(entrymod.queries())
+    if len(sys.argv) > 1:  # optional cap: audit only the first N gates
+        names = names[: int(sys.argv[1])]
     bad = 0
     for name, status, issues in audit(spark, names, sf_dir):
         if status != "OK":
