@@ -351,9 +351,14 @@ def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; a production run that prefers cheaper hashing can swap
     xxhash64 back in without touching the window shape.
     """
+    return winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint plan over any (doc_id, text) frame — the
+    single definition shared by the gate and the property tests."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
     norm = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"),

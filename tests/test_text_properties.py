@@ -147,3 +147,44 @@ def test_chunk_passages_matches_python_reference(spark):
     for doc_id, text in rows:
         expected = py_chunks(text)
         assert sorted(got.get(doc_id, [])) == expected, (doc_id, text[:50])
+
+
+def test_winnowing_matches_python_reference(spark):
+    """op_text_winnowing's gram hash + window-min equals a pure-Python
+    md5 reference on a seeded corpus with heavy repetition (the winnow
+    guarantee's worst case) and boundary-length texts."""
+    import hashlib
+
+    from apitap_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        op_text_winnowing,
+    )
+
+    def py_prints(text: str) -> set:
+        t = re.sub(r"\s+", " ", _py_trim(text).lower())
+        if len(t) < WINNOW_K:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - WINNOW_K + 1)
+        ]
+        return {
+            min(hs[i : i + WINNOW_W]) for i in range(len(hs))
+        }
+
+    rng = random.Random(0xF00D)
+    rows = [(0, ""), (1, "short"), (2, "x" * WINNOW_K), (3, "ab" * 40)]
+    for i in range(4, 40):
+        rows.append(
+            (i, "".join(rng.choice("ab ") for _ in range(rng.randint(0, 60))))
+        )
+
+    from apitap_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_out: dict = {}
+    for r in winnow_fingerprints(df).collect():
+        spark_out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for doc_id, text in rows:
+        assert spark_out.get(doc_id, set()) == py_prints(text), (doc_id, text)
