@@ -98,6 +98,45 @@ def test_pagerank_invariants(spark, sf_dir):
     assert max_delta < max(spread, 1e-9)
 
 
+def test_pagerank_matches_python_fixed_point_reference(spark):
+    """Exact integer equality against a pure-Python replay of the
+    fixed-point update on a small graph with a dangling node and a
+    cycle — triangulates the Spark plan and the DuckDB oracle against
+    an independent third implementation."""
+    from apitap_spark.operators.graph import (
+        PAGERANK_SCALE,
+        _damping_fraction,
+        pagerank,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 nodes, 5 dangling
+    nodes = [1, 2, 3, 4, 5]
+    iters = 7
+    dnum, dden = _damping_fraction(0.85)
+    base_u = (PAGERANK_SCALE * (dden - dnum)) // dden
+    total_u = len(nodes) * PAGERANK_SCALE
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: PAGERANK_SCALE for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // deg[s]
+        share = (total_u - sum(inflow.values())) // len(nodes)
+        rank = {
+            v: base_u + (dnum * (inflow[v] + share)) // dden for v in nodes
+        }
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "v long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: r["rank_micro"]
+        for r in pagerank(ndf, edf, iters=iters).collect()
+    }
+    assert got == rank  # bit-for-bit integer equality
+
+
 def test_pagerank_dangling_redistribution(spark):
     """A sink node's mass must not vanish: 2-node chain a->b, b dangling."""
     from apitap_spark.operators.graph import pagerank

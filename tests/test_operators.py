@@ -65,6 +65,59 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.1, f"recall {recall:.2f} suspiciously low"
 
 
+def test_simhash_signature_matches_python_reference(spark):
+    """SimHash signatures equal a pure-Python md5 replay (hash bits, ±1
+    votes, sign assembly) on a small planted frame — triangulating the
+    Spark plan and the DuckDB oracle against a third implementation."""
+    import hashlib
+
+    from apitap_spark.operators.dedup import (
+        SIMHASH_HASH_BITS,
+        op_dedup_simhash,
+    )
+
+    base = " ".join(f"word{i}" for i in range(40))
+    texts = {
+        1: base + " alpha",
+        2: base + " delta",  # 40 shared tokens, one swapped -> near-dup
+        3: " ".join(f"other{i}" for i in range(30)),
+    }
+
+    def py_sig(text: str) -> int:
+        votes = [0] * SIMHASH_HASH_BITS
+        for w in text.strip().split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for i in range(SIMHASH_HASH_BITS):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i, v in enumerate(votes) if v > 0)
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    sigs = {d: py_sig(t) for d, t in texts.items()}
+    expected_pairs = {
+        (a, b, hamming(sigs[a], sigs[b]))
+        for a in texts
+        for b in texts
+        if a < b and hamming(sigs[a], sigs[b]) <= 7
+    }
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(d, t, "en", "src0", len(t)) for d, t in texts.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in op_dedup_simhash(spark, td).collect()
+        }
+    assert got == expected_pairs
+    assert expected_pairs  # planted near-dup pair (1,2) must collide
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """Every vector appears once; the lowest vec_id in each cell is always
     kept; a dropped vector really has a lower-id cell-mate above tau."""
