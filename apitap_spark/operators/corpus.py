@@ -129,21 +129,36 @@ def op_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n_tokens) AS total_tokens,
              CAST(COUNT(*) AS BIGINT) AS n_sources
       FROM per_source
-    )
-    SELECT p.source, p.n_docs, p.n_tokens,
-           CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS token_share,
-           (1.0 / t.n_sources) / (CAST(p.n_tokens AS DOUBLE) / t.total_tokens)
-             AS sample_weight
-    FROM per_source p CROSS JOIN tot t
+    ),
+    shared AS (
+      SELECT p.source, p.n_docs, p.n_tokens, t.n_sources,
+             CAST(p.n_tokens AS DOUBLE) / t.total_tokens AS token_share,
+             CAST(ROUND(sqrt(CAST(p.n_tokens AS DOUBLE) / t.total_tokens)
+                        * 1000000.0, 0) AS BIGINT) AS sqrt_u
+      FROM per_source p CROSS JOIN tot t
+    ),
+    tot2 AS (SELECT CAST(SUM(sqrt_u) AS BIGINT) AS tsu FROM shared)
+    SELECT source, n_docs, n_tokens, token_share,
+           (1.0 / n_sources) / token_share AS sample_weight,
+           CAST(sqrt_u AS DOUBLE) / CAST(tsu AS DOUBLE) AS temp_share,
+           (CAST(sqrt_u AS DOUBLE) / CAST(tsu AS DOUBLE)) / token_share
+             AS temp_weight
+    FROM shared CROSS JOIN tot2
     """,
 )
 def op_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source mixing weights: per-source token shares and the sampling
-    weight that re-balances the corpus to a uniform target mix
-    (weight = target_share / actual_share; >1 upsamples, <1 downsamples).
+    """Source mixing weights: per-source token shares plus TWO target
+    mixes — uniform (weight = target_share / actual_share; >1 upsamples)
+    and sqrt-temperature (temp_share ∝ sqrt(share), the α=0.5
+    temperature sampling of multilingual/pretraining mixes à la
+    mT5/UNIMAX: flattens dominant sources without going fully uniform).
+
+    sqrt is IEEE-correctly-rounded (bit-exact across engines — unlike
+    pow/ln), and the temperature normalizer sums micro-rounded bigints
+    (order-independent), so the whole gate stays hash-checked.
 
     One partial-agg groupBy on source (source cardinality is tiny) plus
-    a scalar cross join — the whole pass is map-side at 100 TB.
+    scalar cross joins — the whole pass is map-side at 100 TB.
     """
     docs = read_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
@@ -155,12 +170,28 @@ def op_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sources"),
     )
     share = F.col("n_tokens").cast("double") / F.col("total_tokens")
-    return per_source.crossJoin(F.broadcast(tot)).select(
+    shared = per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
+        "n_sources",
         share.alias("token_share"),
-        ((1.0 / F.col("n_sources")) / share).alias("sample_weight"),
+        F.round(F.sqrt(share) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("sqrt_u"),
+    )
+    tot2 = shared.agg(F.sum("sqrt_u").cast("bigint").alias("tsu"))
+    temp_share = F.col("sqrt_u").cast("double") / F.col("tsu").cast("double")
+    return shared.crossJoin(F.broadcast(tot2)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        ((1.0 / F.col("n_sources")) / F.col("token_share")).alias(
+            "sample_weight"
+        ),
+        temp_share.alias("temp_share"),
+        (temp_share / F.col("token_share")).alias("temp_weight"),
     )
 
 
