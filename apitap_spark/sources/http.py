@@ -143,7 +143,14 @@ def drill_data_path(obj, data_path: str | None) -> list:
                 continue
             if isinstance(v, dict) and part in v:
                 v = v[part]
-            elif isinstance(v, list) and part.isdigit() and int(part) < len(v):
+            # ascii-only index check: str.isdigit() accepts Unicode digits
+            # ('²', '٣') that int() rejects — hypothesis-found crash
+            elif (
+                isinstance(v, list)
+                and part.isascii()
+                and part.isdigit()
+                and int(part) < len(v)
+            ):
                 v = v[int(part)]
             else:
                 return []
