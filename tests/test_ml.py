@@ -23,6 +23,65 @@ def test_kmeans_inertia_non_increasing(spark, sf_dir):
     assert inertias[0] >= inertias[1] >= inertias[2] - 1e-6
 
 
+def test_kmeans_matches_python_fixed_point_reference(spark):
+    """Exact equality of assignments and 6dp distances against a pure-
+    Python replay of the fixed-point Lloyd iteration on a planted frame
+    — triangulates the Spark fold and the DuckDB recursive CTE."""
+    import decimal
+
+    vecs = {
+        1: [0.0, 0.1], 2: [0.2, 0.0], 3: [0.1, 0.15],   # blob A
+        4: [5.0, 5.2], 5: [5.1, 4.9], 6: [4.9, 5.0],    # blob B
+        7: [2.6, 2.4],                                   # between
+    }
+    init = {0: [0.0, 0.0], 1: [5.0, 5.0]}
+    n_iter = 3
+
+    def fp_mean(vals):
+        s = sum(int(decimal.Decimal(v * 1000000.0).quantize(
+            0, rounding=decimal.ROUND_HALF_UP)) for v in vals)
+        return s / 1000000.0 / len(vals)
+
+    cent = {k: list(v) for k, v in init.items()}
+    assigned = {}
+    for _ in range(n_iter):
+        assigned = {}
+        for vid, v in vecs.items():
+            best = None
+            for ck in sorted(cent):
+                d = 0.0
+                for a, b in zip(v, cent[ck]):
+                    d += (a - b) * (a - b)
+                if best is None or d < best[0]:
+                    best = (d, ck)
+            assigned[vid] = best
+        cent = {
+            ck: [
+                fp_mean([vecs[vid][dim] for vid, (_, c) in assigned.items() if c == ck])
+                for dim in range(2)
+            ]
+            for ck in {c for _, c in assigned.values()}
+        }
+
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    init_df = spark.createDataFrame(
+        [(k, v) for k, v in init.items()], "cluster int, centroid array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in kmeans_assign(emb, init_df, n_iter=n_iter).collect()
+    }
+    for vid, (d, ck) in assigned.items():
+        assert got[vid][0] == ck
+        assert got[vid][1] == float(
+            decimal.Decimal(repr(d)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+
 def test_kmeans_assignment_is_nearest(spark, sf_dir):
     out = op_kmeans_refine(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
