@@ -787,6 +787,170 @@ def pq_adc_topk(
     )
 
 
+IVFPQ_TOPK = 3
+
+
+def _ivfpq_oracle() -> str:
+    from apitap_spark.operators.ml import _sql_sqdist
+
+    base = _pq_oracle()
+    prefix = base[: base.rindex("SELECT vec_id,")]
+    sq_lut = _sql_sqdist("q.e", "km.centroid")
+    return (
+        prefix
+        + f""", cexpl AS (
+      SELECT label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    ccent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos,
+               CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+                 AS m
+        FROM cexpl GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    cq AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+    ),
+    qcell AS (
+      SELECT q_id, label AS cell FROM (
+        SELECT q_id, label, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+                 {_SQL_DOT.format(a="qe", b="centroid")}
+                   / (sqrt({_SQL_NORM2.format(a="qe")})
+                      * sqrt({_SQL_NORM2.format(a="centroid")})) DESC,
+                 label) AS crk
+        FROM cq, ccent
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS q_id, block, e FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT q.q_id, km.block, km.code,
+             CAST(ROUND({sq_lut} * 1000000.0, 0) AS BIGINT) AS d_u
+      FROM q JOIN km ON km.block = q.block
+      WHERE km.iter = {PQ_ITERS - 1}
+    ),
+    scored AS (
+      SELECT l.q_id, e.vec_id AS c_id,
+             CAST(MAX(qc.cell) AS BIGINT) AS cell,
+             CAST(SUM(l.d_u) AS BIGINT) AS adc_micro
+      FROM enc e
+      JOIN embeddings em ON em.vec_id = e.vec_id
+      JOIN lut l ON l.block = e.block AND l.code = e.code
+      JOIN qcell qc ON qc.q_id = l.q_id AND qc.cell = em.label
+      WHERE l.q_id <> e.vec_id
+      GROUP BY l.q_id, e.vec_id
+    )
+    SELECT q_id, c_id, cell, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT q_id, c_id, cell, adc_micro,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adc_micro ASC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {IVFPQ_TOPK}
+    """
+    )
+
+
+@_register("op_ann_ivfpq_search", _ivfpq_oracle())
+def op_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical IVF-PQ query path (FAISS architecture, Jegou 2011):
+    each query probes its nearest coarse cell (deterministic label-mean
+    quantizer, cosine argmax — the op_ann_ivf_label rung) and scores
+    ONLY that cell's members by PQ asymmetric distance (integer LUT
+    adds — the op_ann_pq_adc rung). Returns top-IVFPQ_TOPK per query.
+
+    This is the composition that makes billion-vector ANN tractable:
+    the cell probe divides candidates by the cell count, PQ removes the
+    per-candidate float math, and memory holds codes (nibbles), never
+    raw vectors. Every stage is fixed-point deterministic → the whole
+    two-level index hash-checks against DuckDB.
+    """
+    from apitap_spark.operators.ml import _centroids_of, _sq_dist
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: fixed-point label centroids + cosine cell probe
+    cent = _centroids_of(emb.select("label", "embedding"), "label")
+    q0 = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qcell = (
+        q0.crossJoin(F.broadcast(cent))
+        .select(
+            "q_id", "label", cosine_similarity("qe", "centroid").alias("csim")
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("crk") == 1)
+        .select("q_id", F.col("label").alias("cell"))
+    )
+    # PQ fine quantizer: codes + per-query LUTs
+    assigned, codebook = pq_build(emb)
+    enc = assigned.select(
+        F.col("vec_id").alias("c_id"), "block", F.col("cluster").alias("code")
+    ).join(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("label").alias("clabel")),
+        "c_id",
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", b * PQ_SUB + 1, PQ_SUB)
+                    for b in range(PQ_M)
+                ]
+            )
+        ).alias("block", "qe"),
+    )
+    lut = q.join(codebook, "block").select(
+        "q_id",
+        "block",
+        F.col("cluster").alias("code"),
+        F.round(_sq_dist(F.col("qe"), F.col("centroid")) * F.lit(1000000.0), 0)
+        .cast("bigint")
+        .alias("d_u"),
+    )
+    lutc = lut.join(F.broadcast(qcell), "q_id")
+    scored = (
+        enc.join(
+            F.broadcast(lutc),
+            (lutc.block == enc.block)
+            & (lutc.code == enc.code)
+            & (F.col("cell") == F.col("clabel"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(
+            F.max("cell").cast("bigint").alias("cell"),
+            F.sum("d_u").cast("bigint").alias("adc_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_micro"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= IVFPQ_TOPK)
+        .select(
+            "q_id",
+            "c_id",
+            "cell",
+            "adc_micro",
+            (F.col("adc_micro").cast("double") / F.lit(1000000.0)).alias(
+                "adc_dist"
+            ),
+            "rk",
+        )
+    )
+
+
 SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same semantic-dup threshold as the pair rung
 
 

@@ -118,6 +118,33 @@ def test_simhash_signature_matches_python_reference(spark):
     assert expected_pairs  # planted near-dup pair (1,2) must collide
 
 
+def test_ivfpq_results_stay_in_probed_cell(spark, sf_dir):
+    """Every IVF-PQ hit belongs to its query's probed cell (= the
+    candidate's own label), ranks are contiguous from 1, and every query
+    with a non-empty cell gets results."""
+    from apitap_spark.operators.similarity import IVFPQ_TOPK, op_ann_ivfpq_search
+    from apitap_spark.session import read_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q: dict = {}
+    for r in op_ann_ivfpq_search(spark, sf_dir).collect():
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert by_q
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= IVFPQ_TOPK
+        cells = {r["cell"] for r in rows}
+        assert len(cells) == 1  # one probed cell per query
+        for r in rows:
+            assert labels[r["c_id"]] == r["cell"]
+            assert r["c_id"] != q_id
+            assert r["adc_micro"] >= 0
+
+
 def test_semantic_dedup_invariants(spark, sf_dir):
     """Every vector appears once; the lowest vec_id in each cell is always
     kept; a dropped vector really has a lower-id cell-mate above tau."""
