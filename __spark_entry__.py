@@ -67,13 +67,19 @@ def _gate_priority(names: list[str]) -> list[str]:
     2. newer oracle-able gates with no driver row yet, plus previously
        rows-only gates that have since GAINED an oracle (re-run now
        yields a hash verdict — new information),
-    3. gates with no driver row and no oracle (one rows-only row is worth
+    3. gates whose most recent row is a HARNESS error (the driver's
+       comparator crashed — a traceback in ``err`` rather than an oracle
+       verdict).  These re-run after never-tested gates, not before: a
+       deterministic harness crash would otherwise camp at tier 0 every
+       round and starve the never-tested queue — the same starvation
+       mode the round-2 fix removed for ``no_oracle`` (round-3 ADVICE),
+    4. gates with no driver row and no oracle (one rows-only row is worth
        recording, but never at the cost of an oracle-able gate),
-    4. gates whose most recent row is ``err='no_oracle'`` and that still
+    5. gates whose most recent row is ``err='no_oracle'`` and that still
        have no oracle (a re-run carries no new information, so they must
        NOT camp in tier 0 and starve never-tested gates — round-2
        verdict fix #2),
-    5. gates whose most recent driver row is green (rotate to the back).
+    6. gates whose most recent driver row is green (rotate to the back).
 
     Across rounds this guarantees every gate — including ones added later —
     eventually gets a green driver row, without further list maintenance.
@@ -95,9 +101,15 @@ def _gate_priority(names: list[str]) -> list[str]:
             if row.get("err") == "no_oracle":
                 verdict[name] = "no_oracle"
                 continue
+            err = row.get("err")
+            if err:
+                # A traceback/exception in err means the driver HARNESS
+                # crashed (e.g. pandas sort_values on a list column) —
+                # no oracle verdict was reached.  Not a tier-0 red.
+                verdict[name] = "harness_err"
+                continue
             ok = (
-                row.get("err") in (None, "")
-                and row.get("rows_match") is not False
+                row.get("rows_match") is not False
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
@@ -110,10 +122,10 @@ def _gate_priority(names: list[str]) -> list[str]:
         if state is None:
             if name in _ROUND1_BACKLOG:
                 return 1
-            return 2 if name in oracled else 3
-        if state == "no_oracle":
             return 2 if name in oracled else 4
-        return {"red": 0, "green": 5}[state]
+        if state == "no_oracle":
+            return 2 if name in oracled else 5
+        return {"red": 0, "harness_err": 3, "green": 6}[state]
 
     return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
 

@@ -133,7 +133,9 @@ def learn_bpe_merges(vocab: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
 # matches chain inside runs of l and greedy-left semantics keep exactly
 # the even offsets within each run (gaps-and-islands + parity). The
 # per-round argmax (count DESC, l, r) is an ORDER BY...LIMIT 1 subquery.
-_BPE_ORACLE = rf"""
+# Shared CTE chain (vocab0 -> bpe). Derived oracles append further CTEs
+# with a leading ',' or a final SELECT — no rindex() string surgery.
+_BPE_CTE_PREFIX = rf"""
     WITH RECURSIVE
     vocab0 AS (
       SELECT w, string_split(w, '') AS symbols, COUNT(*) AS cnt
@@ -186,6 +188,11 @@ _BPE_ORACLE = rf"""
       WHERE NOT q.consumed
       GROUP BY q.iter, q.wid, q.cnt
     )
+    """
+
+_BPE_ORACLE = (
+    _BPE_CTE_PREFIX
+    + rf"""
     SELECT rank, "left", "right", pair_count FROM (
       SELECT CAST(iter + 1 AS BIGINT) AS rank, sym_l AS "left",
              sym_r AS "right", CAST(c AS BIGINT) AS pair_count,
@@ -199,6 +206,7 @@ _BPE_ORACLE = rf"""
       )
     ) WHERE rk = 1 AND rank <= {N_MERGES}
     """
+)
 
 
 # Post-BPE token counts per document: join each doc's words to the final
@@ -206,7 +214,7 @@ _BPE_ORACLE = rf"""
 # rounds), sum symbol counts per doc. The tokenizer-aware length stat
 # that packing / shard planning actually needs.
 _BPE_APPLY_ORACLE = (
-    _BPE_ORACLE[: _BPE_ORACLE.rindex("SELECT rank")]
+    _BPE_CTE_PREFIX
     + rf"""SELECT doc_id,
            CAST(SUM(len(b.symbols)) AS BIGINT) AS bpe_tokens,
            CAST(SUM(LENGTH(b.wid)) AS BIGINT) AS chars,
@@ -281,10 +289,9 @@ def merges_frame(spark: SparkSession, merges: list[tuple]) -> DataFrame:
 
 
 # Encode: final vocabulary symbols -> dense lexicographic ids -> per-doc
-# token-id sequences in reading order. Shares the recursive replay.
-_BPE_ENCODE_ORACLE = (
-    _BPE_ORACLE[: _BPE_ORACLE.rindex("SELECT rank")]
-    + rf""", final AS (
+# token-id sequences in reading order. Shares the recursive replay; the
+# CTE block is its own constant because the pack oracle extends it.
+_BPE_ENCODE_CTES = rf""", final AS (
       SELECT wid, symbols FROM bpe WHERE iter = (SELECT MAX(iter) FROM bpe)
     ),
     sym_ids AS (
@@ -311,7 +318,14 @@ _BPE_ENCODE_ORACLE = (
       FROM tok JOIN word_ids ON word_ids.wid = tok.w
       GROUP BY doc_id
     )
-    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids AS token_ids
+    """
+
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTE_PREFIX
+    + _BPE_ENCODE_CTES
+    + """
+    SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+           array_to_string(ids, ',') AS token_ids
     FROM doc_seqs
     """
 )
@@ -323,8 +337,11 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol gets a dense lexicographic id, every document becomes its
     token-id sequence in reading order — the ACTUAL input a sequence-
     packing / training-data writer consumes (op_bpe_apply_tokens gives
-    the counts; this gives the sequences). Output: (doc_id, n_tokens,
-    token_ids array<bigint>).
+    the counts; this gives the sequences). Gate output: (doc_id,
+    n_tokens, token_ids comma-string) — serialized because the external
+    driver's pandas canonicalizer can't hash list cells; the raw
+    array<bigint> form stays available via bpe_encode /
+    encode_with_vocab for pipeline callers.
 
     Scale: merges learn on vocab-sized state; the symbol-id table is
     vocabulary-bounded (the single-partition ROW_NUMBER is over distinct
@@ -340,7 +357,7 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seqs.select(
         "doc_id",
         F.size("token_ids").cast("bigint").alias("n_tokens"),
-        "token_ids",
+        F.array_join("token_ids", ",").alias("token_ids"),
     )
 
 
@@ -410,7 +427,8 @@ PACK_BUCKET = 1024  # doc_ids per offset bucket (two-phase prefix sum)
 # plain global running sum for doc offsets; the Spark side computes the
 # SAME integers with the two-phase bucketed prefix sum (scale path).
 _BPE_PACK_ORACLE = (
-    _BPE_ENCODE_ORACLE[: _BPE_ENCODE_ORACLE.rindex("SELECT doc_id, CAST(len(ids)")]
+    _BPE_CTE_PREFIX
+    + _BPE_ENCODE_CTES
     + rf""", docs_enc AS (
       SELECT doc_id,
              list_append(ids, (SELECT COUNT(*) FROM sym_ids)) AS ids
@@ -428,7 +446,7 @@ _BPE_PACK_ORACLE = (
     )
     SELECT CAST(gpos // {SEQ_LEN} AS BIGINT) AS row_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(tid ORDER BY gpos) AS token_ids
+           array_to_string(list(tid ORDER BY gpos), ',') AS token_ids
     FROM stream GROUP BY 1
     """
 )
@@ -453,7 +471,11 @@ def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim("text")) > 0
     )
     seqs, sym_ids = bpe_encode(docs)
-    return pack_rows_frame(seqs, sym_ids.count())
+    # Gate projection serializes token_ids (driver pandas canonicalizer
+    # can't hash list cells); pack_rows_frame keeps the raw array.
+    return pack_rows_frame(seqs, sym_ids.count()).withColumn(
+        "token_ids", F.array_join("token_ids", ",")
+    )
 
 
 def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:

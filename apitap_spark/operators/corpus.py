@@ -210,13 +210,17 @@ PACK_CONTEXT = 1024  # tokens per packed training sequence
     ),
     packed AS (
       SELECT doc_id, lang, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+             -- CAST: DuckDB SUM(BIGINT) is HUGEINT, and .df() renders
+             -- HUGEINT as float64 — the driver's pandas hash then sees
+             -- 0.0 vs Spark's int64 0 (round-3 red)
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+               AS start_offset
       FROM tok
     )
     SELECT doc_id, lang, n_tokens,
-           start_offset // {PACK_CONTEXT} AS chunk_id,
-           start_offset % {PACK_CONTEXT} AS chunk_offset
+           CAST(start_offset // {PACK_CONTEXT} AS BIGINT) AS chunk_id,
+           CAST(start_offset % {PACK_CONTEXT} AS BIGINT) AS chunk_offset
     FROM packed
     """,
 )

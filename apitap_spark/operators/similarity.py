@@ -474,7 +474,12 @@ PQ_K = 16  # codes per block (codebook size; 4 blocks x 4 bits = 16-bit code)
 PQ_ITERS = 2  # Lloyd rounds per block codebook
 
 
-def _pq_oracle() -> str:
+def _pq_cte_prefix() -> str:
+    """Shared CTE chain (sub → expl → seeds → km → enc) used by the PQ
+    codes, ADC and IVF-PQ oracles. Derived oracles append further CTEs
+    with a leading ``,`` — no string-search splicing (the old
+    ``rindex("SELECT vec_id,")`` surgery silently broke on any
+    reformatting of the base oracle's final SELECT)."""
     from apitap_spark.operators.ml import _sql_sqdist
 
     sq = _sql_sqdist("s.e", "km.centroid")
@@ -532,12 +537,21 @@ def _pq_oracle() -> str:
         WHERE km.iter = {PQ_ITERS - 1}
       ) WHERE rk = 1
     )
+    """
+
+
+def _pq_oracle() -> str:
+    return (
+        _pq_cte_prefix()
+        + """
     SELECT vec_id,
-           list(CAST(code AS BIGINT) ORDER BY block) AS codes,
+           array_to_string(list(CAST(code AS BIGINT) ORDER BY block), ',')
+             AS codes,
            CAST(SUM(d_u) AS BIGINT) AS err_micro,
            CAST(SUM(d_u) AS DOUBLE) / 1000000.0 AS recon_err
     FROM enc GROUP BY vec_id
     """
+    )
 
 
 def pq_build(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -634,7 +648,7 @@ def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     each embedding into PQ_M subvectors, learn a PQ_K-entry codebook
     per block (PQ_ITERS deterministic Lloyd rounds, seeds = the first
     PQ_K vectors by vec_id), encode every vector as its per-block
-    nearest-code ids. Output: (vec_id, codes array, err_micro,
+    nearest-code ids. Output: (vec_id, codes comma-string, err_micro,
     recon_err) — the compressed representation + reconstruction error
     an IVF-PQ index stores instead of raw floats (16x compression here:
     64 floats -> 4 nibbles).
@@ -649,7 +663,12 @@ def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = read_table(spark, sf_dir, "embeddings")
     assigned, _codebook = pq_build(emb)
-    return pq_codes_frame(assigned)
+    # Gate projection serializes codes (the external driver's pandas
+    # canonicalizer can't hash list cells); pq_codes_frame keeps the
+    # raw array<bigint> for pipeline callers.
+    return pq_codes_frame(assigned).withColumn(
+        "codes", F.array_join("codes", ",")
+    )
 
 
 def pq_codes_frame(assigned: DataFrame) -> DataFrame:
@@ -680,12 +699,9 @@ PQ_ADC_TOPK = 5
 def _pq_adc_oracle() -> str:
     from apitap_spark.operators.ml import _sql_sqdist
 
-    base = _pq_oracle()
-    # reuse everything up to (and including) the enc CTE, then ADC-score
-    prefix = base[: base.rindex("SELECT vec_id,")]
     sq_lut = _sql_sqdist("q.e", "km.centroid")
     return (
-        prefix
+        _pq_cte_prefix()
         + f""",
     q AS (SELECT vec_id AS q_id, block, e FROM sub WHERE vec_id < 10),
     lut AS (
@@ -793,11 +809,9 @@ IVFPQ_TOPK = 3
 def _ivfpq_oracle() -> str:
     from apitap_spark.operators.ml import _sql_sqdist
 
-    base = _pq_oracle()
-    prefix = base[: base.rindex("SELECT vec_id,")]
     sq_lut = _sql_sqdist("q.e", "km.centroid")
     return (
-        prefix
+        _pq_cte_prefix()
         + f""", cexpl AS (
       SELECT label, i AS pos,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)

@@ -451,7 +451,8 @@ POSTINGS_CAP = 200  # max doc ids stored per term (stopword row-size guard)
     )
     SELECT w AS term,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id)[1:{POSTINGS_CAP}] AS postings,
+           array_to_string(list(doc_id ORDER BY doc_id)[1:{POSTINGS_CAP}], ',')
+             AS postings,
            COUNT(*) > {POSTINGS_CAP} AS truncated
     FROM tok GROUP BY w HAVING COUNT(*) >= {POSTINGS_MIN_DF}
     """,
@@ -461,14 +462,26 @@ def op_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     list — the retrieval-side primitive (keyword search, candidate
     generation for RAG corpora) built as one explode + one term groupBy.
 
-    Posting lists are sorted arrays, so the gate hash-checks postings
-    order-exactly. At 100 TB the term groupBy is the classic indexing
-    shuffle, and an uncapped stopword posting would concentrate billions
-    of ids into ONE row (past Spark's 2 GB row limit) — so lists are
-    hard-capped at POSTINGS_CAP ids with a ``truncated`` marker (df
-    still reports the true count); production shards truncated terms
-    into (term, shard) rows. The df floor trims the noise tail.
+    The gate output serializes the posting list as a comma-joined string
+    (the external driver canonicalizes via pandas ``sort_values``, which
+    cannot hash list cells); library callers wanting the raw
+    ``array<bigint>`` use :func:`inverted_index_frame`. At 100 TB the
+    term groupBy is the classic indexing shuffle, and an uncapped
+    stopword posting would concentrate billions of ids into ONE row
+    (past Spark's 2 GB row limit) — so lists are hard-capped at
+    POSTINGS_CAP ids with a ``truncated`` marker (df still reports the
+    true count); production shards truncated terms into (term, shard)
+    rows. The df floor trims the noise tail.
     """
+    return inverted_index_frame(spark, sf_dir).withColumn(
+        "postings", F.array_join("postings", ",")
+    )
+
+
+def inverted_index_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-array form of :func:`op_text_inverted_index` (``postings`` as
+    ``array<bigint>``) for pipeline callers that consume the index
+    programmatically rather than through the hash gate."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents").filter(

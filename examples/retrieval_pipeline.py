@@ -30,14 +30,14 @@ from apitap_spark.operators.similarity import (  # noqa: E402
 )
 from apitap_spark.session import read_table  # noqa: E402
 from apitap_spark.operators.textstats import (  # noqa: E402
+    inverted_index_frame,
     op_text_hashed_tf,
-    op_text_inverted_index,
 )
 from apitap_spark.session import get_session  # noqa: E402
 
 
 def build(spark, sf_dir: str, out_dir: str):
-    index = op_text_inverted_index(spark, sf_dir)
+    index = inverted_index_frame(spark, sf_dir)  # raw array<bigint> postings
     vectors = op_text_hashed_tf(spark, sf_dir)
     results = op_hybrid_retrieval_rrf(spark, sf_dir)
     # ONE PQ codebook build feeds both the stored codes and the search —

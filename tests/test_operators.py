@@ -182,14 +182,18 @@ def test_pq_codes_invariants(spark, sf_dir):
     rows = op_ann_pq_codes(spark, sf_dir).collect()
     n = read_table(spark, sf_dir, "embeddings").count()
     assert len(rows) == n
+    # gate serializes codes as a comma string (driver canonicalizer
+    # can't hash list cells) — parse back for the invariants
+    codes = {r["vec_id"]: [int(c) for c in r["codes"].split(",")] for r in rows}
     for r in rows:
-        assert len(r["codes"]) == PQ_M
-        assert all(0 <= c < PQ_K for c in r["codes"])
+        cs = codes[r["vec_id"]]
+        assert len(cs) == PQ_M
+        assert all(0 <= c < PQ_K for c in cs)
         assert r["recon_err"] >= 0
         assert r["err_micro"] == round(r["recon_err"] * 1_000_000)
     # codebooks are actually used: more than one distinct code per block
     for b in range(PQ_M):
-        assert len({r["codes"][b] for r in rows}) > 1
+        assert len({cs[b] for cs in codes.values()}) > 1
 
 
 def test_pq_adc_approximates_exact_search(spark, sf_dir):
@@ -716,8 +720,9 @@ def test_bpe_encode_consistent_with_apply_counts(spark, sf_dir):
     assert set(enc) == set(cnt)
     all_ids = set()
     for doc_id, r in enc.items():
-        assert r["n_tokens"] == len(r["token_ids"]) == cnt[doc_id]["bpe_tokens"]
-        all_ids.update(r["token_ids"])
+        ids = [int(t) for t in r["token_ids"].split(",")]
+        assert r["n_tokens"] == len(ids) == cnt[doc_id]["bpe_tokens"]
+        all_ids.update(ids)
     assert min(all_ids) == 0
     assert max(all_ids) == len(all_ids) - 1  # dense id space
 
@@ -741,12 +746,17 @@ def test_pack_training_rows_tile_the_token_stream(spark, sf_dir):
         key=lambda r: r["row_id"],
     )
     assert [r["row_id"] for r in rows] == list(range(len(rows)))
+    ids = {r["row_id"]: [int(t) for t in r["token_ids"].split(",")] for r in rows}
     for r in rows[:-1]:
-        assert r["n_tokens"] == SEQ_LEN == len(r["token_ids"])
+        assert r["n_tokens"] == SEQ_LEN == len(ids[r["row_id"]])
     assert 0 < rows[-1]["n_tokens"] <= SEQ_LEN
-    eos = max(max(r["token_ids"]) for r in rows)
-    stream = [t for r in rows for t in r["token_ids"]]
-    expected = [t for r in enc for t in list(r["token_ids"]) + [eos]]
+    eos = max(max(v) for v in ids.values())
+    stream = [t for r in rows for t in ids[r["row_id"]]]
+    expected = [
+        t
+        for r in enc
+        for t in [int(x) for x in r["token_ids"].split(",")] + [eos]
+    ]
     assert stream == expected
 
 
