@@ -344,34 +344,291 @@ def train_logreg_newton(
     return w
 
 
-@_register("op_ml_logreg_quality")  # float gradient sums -> rows-only
+# ---------------------------------------------------------------------------
+# Deterministic fixed-point Newton (oracle-able).
+#
+# Cross-engine determinism recipe (same as kmeans/pagerank/perplexity):
+#   * features micro-rounded ONCE to bigint (ROUND(f*1e6) — away-from-zero
+#     halves in both Spark HALF_UP and DuckDB);
+#   * link = rational "softsign sigmoid" p = 0.5 + (0.5*z)/(1+|z|) — only
+#     +,-,*,/,abs, all IEEE correctly-rounded, so per-row doubles are
+#     bit-identical across engines (exp/ln are 1-ulp library functions and
+#     banned from oracle-checked math — see .claude/skills/verify);
+#   * per-row gradient/Hessian contributions micro-rounded to bigint and
+#     summed in integers (order-independent);
+#   * the d x d solve replayed via Cramer's rule with ONE shared,
+#     fully-parenthesized expression string per determinant, evaluated by
+#     Python eval() on the driver and spliced verbatim into the DuckDB
+#     recursive CTE — identical association order => identical bits.
+# ---------------------------------------------------------------------------
+
+_LOGREG_FEATURES = ["f_bias", "f_tokens", "f_avg_token_len", "f_distinct_ratio"]
+_D = len(_LOGREG_FEATURES)
+
+
+def _det3_expr(m: list[list[str]]) -> str:
+    """Fully-parenthesized 3x3 determinant over expression strings —
+    valid and identically associated in both Python and SQL."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"((({a}*(({e}*{i})-({f}*{h}))) - ({b}*(({d}*{i})-({f}*{g}))))"
+        f" + ({c}*(({d}*{h})-({e}*{g}))))"
+    )
+
+
+def _det4_expr(m: list[list[str]]) -> str:
+    """4x4 determinant via first-row cofactor expansion of _det3_expr."""
+    minors = [
+        _det3_expr([[m[r][c] for c in range(4) if c != j] for r in range(1, 4)])
+        for j in range(4)
+    ]
+    return (
+        f"(((({m[0][0]}*{minors[0]}) - ({m[0][1]}*{minors[1]}))"
+        f" + ({m[0][2]}*{minors[2]})) - ({m[0][3]}*{minors[3]}))"
+    )
+
+
+def _cramer_exprs() -> tuple[str, list[str]]:
+    """(det(A), [det(A_j)]) expression strings over names a{j}{k} / g{j};
+    A_j = A with column j replaced by the gradient vector."""
+    A = [[f"a{j}{k}" for k in range(_D)] for j in range(_D)]
+    det_a = _det4_expr(A)
+    det_js = []
+    for j in range(_D):
+        Aj = [[(f"g{r}" if c == j else A[r][c]) for c in range(_D)] for r in range(_D)]
+        det_js.append(_det4_expr(Aj))
+    return det_a, det_js
+
+
+def _feature_micro_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, y, f0_u..f3_u) — features micro-rounded once to bigint.
+
+    The pre-rounding doubles are computed with the exact same op chains
+    the oracle uses (integer->double casts, /, *), so both engines round
+    the same bits.
+    """
+    from apitap_spark.functions.text import token_count, tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    n = token_count("text").cast("double")
+    sumlen = F.aggregate(
+        F.transform(t, lambda w: F.length(w)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    nd = F.size(F.array_distinct(t)).cast("double")
+    m = F.lit(1000000.0)
+
+    def u(col):
+        return F.round(col * m, 0).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        (F.length("text") > LONGFORM_CHARS).cast("double").alias("y"),
+        F.lit(1000000).cast("bigint").alias("f0_u"),
+        u(n / F.lit(100.0)).alias("f1_u"),
+        u((sumlen / n) / F.lit(10.0)).alias("f2_u"),
+        u(nd / n).alias("f3_u"),
+    )
+
+
+def train_logreg_newton_fixed(
+    X_u: DataFrame, iters: int = NEWTON_ITERS
+) -> list[int]:
+    """Deterministic Newton/IRLS on a micro-rounded feature frame
+    (columns y, f0_u..f3_u). Returns the learned weights as micro
+    bigints. One aggregation pass per round (4 gradient + 10 Hessian
+    bigint sums cross the shuffle — a single tiny row); the 4x4 solve
+    runs on the driver via the shared Cramer expression strings."""
+    det_a_expr, det_j_exprs = _cramer_exprs()
+    fs = [
+        (F.col(f"f{j}_u").cast("double") / F.lit(1000000.0)) for j in range(_D)
+    ]
+    w_u = [0] * _D
+    for _ in range(iters):
+        ws = [wu / 1e6 for wu in w_u]
+        z = ((fs[0] * F.lit(ws[0]) + fs[1] * F.lit(ws[1]))
+             + fs[2] * F.lit(ws[2])) + fs[3] * F.lit(ws[3])
+        p = F.lit(0.5) + (F.lit(0.5) * z) / (F.lit(1.0) + F.abs(z))
+        resid = F.col("y") - p
+        wt = p * (F.lit(1.0) - p)
+        aggs = [
+            F.sum(F.round((resid * fs[j]) * F.lit(1000000.0), 0).cast("bigint"))
+            .alias(f"g{j}")
+            for j in range(_D)
+        ]
+        for j in range(_D):
+            for k in range(j, _D):
+                aggs.append(
+                    F.sum(
+                        F.round(
+                            ((wt * fs[j]) * fs[k]) * F.lit(1000000.0), 0
+                        ).cast("bigint")
+                    ).alias(f"h{j}{k}")
+                )
+        row = X_u.agg(*aggs).collect()[0]
+        env = {f"g{j}": row[f"g{j}"] / 1e6 for j in range(_D)}
+        for j in range(_D):
+            for k in range(_D):
+                h = row[f"h{min(j, k)}{max(j, k)}"] / 1e6
+                env[f"a{j}{k}"] = (h + NEWTON_RIDGE) if j == k else h
+        det_a = eval(det_a_expr, {"__builtins__": {}}, env)  # noqa: S307
+        for j in range(_D):
+            delta = eval(det_j_exprs[j], {"__builtins__": {}}, env) / det_a  # noqa: S307
+            w_u[j] += _round_away(delta * 1e6)
+    return w_u
+
+
+def _round_away(x: float) -> int:
+    """Round half away from zero — matches Spark HALF_UP / DuckDB ROUND
+    (Python's built-in round() is banker's and would drift on halves)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _logreg_oracle() -> str:
+    det_a_expr, det_j_exprs = _cramer_exprs()
+    m = "1000000.0"
+    fs = [f"(CAST(f{j}_u AS DOUBLE)/{m})" for j in range(_D)]
+    ws = [f"(CAST(n.w{j} AS DOUBLE)/{m})" for j in range(_D)]
+    z = (f"((({fs[0]}*{ws[0]} + {fs[1]}*{ws[1]})"
+         f" + {fs[2]}*{ws[2]}) + {fs[3]}*{ws[3]})")
+    p = f"(0.5 + (0.5 * {z}) / (1.0 + ABS({z})))"
+    g_aggs = ",\n             ".join(
+        f"CAST(SUM(CAST(ROUND(((y - {p}) * {fs[j]}) * {m}, 0) AS BIGINT))"
+        f" AS BIGINT) AS gs{j}"
+        for j in range(_D)
+    )
+    h_aggs = ",\n             ".join(
+        f"CAST(SUM(CAST(ROUND(((({p} * (1.0 - {p})) * {fs[j]}) * {fs[k]})"
+        f" * {m}, 0) AS BIGINT)) AS BIGINT) AS hs{j}{k}"
+        for j in range(_D)
+        for k in range(j, _D)
+    )
+    a_defs = ",\n             ".join(
+        f"((CAST(hs{min(j, k)}{max(j, k)} AS DOUBLE)/{m})"
+        + (f" + {NEWTON_RIDGE!r})" if j == k else ")")
+        + f" AS a{j}{k}"
+        for j in range(_D)
+        for k in range(_D)
+    )
+    g_defs = ",\n             ".join(
+        f"(CAST(gs{j} AS DOUBLE)/{m}) AS g{j}" for j in range(_D)
+    )
+    upd = ",\n             ".join(
+        f"w{j} + CAST(ROUND(({det_j_exprs[j]} / {det_a_expr}) * {m}, 0)"
+        f" AS BIGINT)"
+        for j in range(_D)
+    )
+    wf = [f"(CAST(fin.w{j} AS DOUBLE)/{m})" for j in range(_D)]
+    zf = (f"((({fs[0]}*{wf[0]} + {fs[1]}*{wf[1]})"
+          f" + {fs[2]}*{wf[2]}) + {fs[3]}*{wf[3]})")
+    feat_rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(fin.w{j} AS DOUBLE)/{m} AS weight,"
+        f" CAST(acc.c AS DOUBLE)/CAST(acc.n AS DOUBLE) AS train_accuracy"
+        f" FROM fin, acc"
+        for j, name in enumerate(_LOGREG_FEATURES)
+    )
+    return rf"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, LENGTH(text) AS chars,
+             string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN chars > {LONGFORM_CHARS} THEN 1.0 ELSE 0.0 END AS y,
+             CAST(1000000 AS BIGINT) AS f0_u,
+             CAST(ROUND((CAST(len(t) AS DOUBLE) / 100.0) * {m}, 0) AS BIGINT)
+               AS f1_u,
+             CAST(ROUND(((CAST(list_sum(list_transform(t, w -> LENGTH(w)))
+                               AS DOUBLE) / CAST(len(t) AS DOUBLE)) / 10.0)
+                        * {m}, 0) AS BIGINT) AS f2_u,
+             CAST(ROUND((CAST(len(list_distinct(t)) AS DOUBLE)
+                         / CAST(len(t) AS DOUBLE)) * {m}, 0) AS BIGINT) AS f3_u
+      FROM tok
+    ),
+    newton(iter, w0, w1, w2, w3) AS (
+      SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT iter + 1,
+             {upd}
+      FROM (
+        SELECT s.iter, s.w0, s.w1, s.w2, s.w3,
+             {a_defs},
+             {g_defs}
+        FROM (
+          SELECT n.iter, n.w0, n.w1, n.w2, n.w3,
+             {g_aggs},
+             {h_aggs}
+          FROM newton n, feat
+          WHERE n.iter < {NEWTON_ITERS}
+          GROUP BY n.iter, n.w0, n.w1, n.w2, n.w3
+        ) s
+      )
+    ),
+    fin AS (SELECT w0, w1, w2, w3 FROM newton WHERE iter = {NEWTON_ITERS}),
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN (CASE WHEN {zf} > 0.0 THEN 1.0 ELSE 0.0 END)
+                            = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM feat, fin
+    )
+    {feat_rows}
+    """
+
+
+@_register("op_ml_logreg_quality", _logreg_oracle())
 def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a logistic-regression long-form/quality classifier on
-    token-level surface features — the model-based corpus filter rung
-    (CCNet / fastText-style quality filters), learned IN the engine
-    with one aggregation pass per Newton/IRLS step and applied as a
-    projection.
+    """Train a long-form/quality classifier on token-level surface
+    features — the model-based corpus filter rung (CCNet /
+    fastText-style quality filters), learned IN the engine with one
+    aggregation pass per Newton/IRLS step and applied as a projection.
 
     Output: one row per feature with its learned weight, plus the
     training accuracy at the learned weights (repeated per row for a
     flat schema). The token-count weight must dominate positively —
     asserted in tests along with >= 0.9 train accuracy.
+
+    Round-4 conversion from rows-only to hash-oracled (round-3 verdict
+    #4): the softsign link + micro-rounded integer sums + Cramer replay
+    make every iteration bit-reproducible in DuckDB's recursive CTE —
+    see the block comment above train_logreg_newton_fixed. The
+    exp-sigmoid numpy variant remains as train_logreg_newton for
+    library callers who want the classical GLM.
     """
-    feature_cols = ["f_bias", "f_tokens", "f_avg_token_len", "f_distinct_ratio"]
-    X = _feature_frame(spark, sf_dir).persist()
+    X = _feature_micro_frame(spark, sf_dir).persist()
     try:
-        w = train_logreg_newton(X, feature_cols)
-        z = sum(F.col(c) * F.lit(wi) for c, wi in zip(feature_cols, w))
-        pred = (z > 0).cast("double")
-        acc = X.agg(
-            F.avg((pred == F.col("y")).cast("double")).alias("a")
-        ).collect()[0]["a"]
+        w_u = train_logreg_newton_fixed(X)
+        fs = [
+            (F.col(f"f{j}_u").cast("double") / F.lit(1000000.0))
+            for j in range(_D)
+        ]
+        ws = [wu / 1e6 for wu in w_u]
+        z = ((fs[0] * F.lit(ws[0]) + fs[1] * F.lit(ws[1]))
+             + fs[2] * F.lit(ws[2])) + fs[3] * F.lit(ws[3])
+        pred = F.when(z > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        row = X.agg(
+            F.sum(F.when(pred == F.col("y"), 1).otherwise(0).cast("bigint"))
+            .cast("bigint").alias("c"),
+            F.count("*").cast("bigint").alias("n"),
+        ).collect()[0]
+        acc = float(row["c"]) / float(row["n"])
     finally:
         X.unpersist()
     # createDataFrame, not repr()-interpolated SQL: a non-finite weight
     # (nan/inf from divergence on separable data) would break SQL parsing,
     # while float columns carry nan/inf natively.
     return spark.createDataFrame(
-        [(c, float(wi), float(acc)) for c, wi in zip(feature_cols, w)],
+        [
+            (c, wu / 1e6, acc)
+            for c, wu in zip(_LOGREG_FEATURES, w_u)
+        ],
         "feature string, weight double, train_accuracy double",
     )

@@ -124,3 +124,68 @@ def test_logreg_separates_planted_blobs(spark):
     acc = X.agg(F.avg(((z > 0).cast("double") == F.col("y")).cast("double"))).collect()[0][0]
     assert acc == 1.0
     assert w[1] > 0
+
+
+def test_logreg_fixed_matches_python_reference(spark):
+    """Bit-exact micro-weight equality against a pure-Python replay of
+    the fixed-point softsign Newton on a planted frame — triangulates
+    the Spark aggregation and the DuckDB recursive-CTE oracle (the
+    Cramer determinant strings are shared by construction; this guards
+    the per-row link/rounding/summation chain with an independent
+    third implementation)."""
+    from apitap_spark.operators.ml import (
+        _cramer_exprs,
+        _round_away,
+        NEWTON_ITERS,
+        NEWTON_RIDGE,
+        train_logreg_newton_fixed,
+    )
+
+    # planted micro features: y correlated with f1, mild noise dims
+    rows = []
+    for i in range(40):
+        y = 1.0 if i % 3 != 0 else 0.0
+        f1 = 0.8 + 0.4 * (i % 7) / 7.0 if y else 0.2 + 0.3 * (i % 5) / 5.0
+        f2 = 0.5 + 0.01 * (i % 11)
+        f3 = 0.9 - 0.02 * (i % 6)
+        rows.append((i, y, 1000000,
+                     _round_away(f1 * 1e6), _round_away(f2 * 1e6),
+                     _round_away(f3 * 1e6)))
+
+    # pure-Python replay (same association orders as the Spark chain)
+    det_a_expr, det_j_exprs = _cramer_exprs()
+    w_u = [0, 0, 0, 0]
+    for _ in range(NEWTON_ITERS):
+        ws = [u / 1e6 for u in w_u]
+        g_u = [0] * 4
+        h_u = {}
+        for _i, y, *fu in rows:
+            f = [u / 1e6 for u in fu]
+            z = ((f[0] * ws[0] + f[1] * ws[1]) + f[2] * ws[2]) + f[3] * ws[3]
+            p = 0.5 + (0.5 * z) / (1.0 + abs(z))
+            resid = y - p
+            wt = p * (1.0 - p)
+            for j in range(4):
+                g_u[j] += _round_away((resid * f[j]) * 1e6)
+                for k in range(j, 4):
+                    h_u[(j, k)] = h_u.get((j, k), 0) + _round_away(
+                        ((wt * f[j]) * f[k]) * 1e6
+                    )
+        env = {f"g{j}": g_u[j] / 1e6 for j in range(4)}
+        for j in range(4):
+            for k in range(4):
+                h = h_u[(min(j, k), max(j, k))] / 1e6
+                env[f"a{j}{k}"] = (h + NEWTON_RIDGE) if j == k else h
+        det_a = eval(det_a_expr, {"__builtins__": {}}, env)
+        for j in range(4):
+            delta = eval(det_j_exprs[j], {"__builtins__": {}}, env) / det_a
+            w_u[j] += _round_away(delta * 1e6)
+
+    X = spark.createDataFrame(
+        rows,
+        "doc_id long, y double, f0_u long, f1_u long, f2_u long, f3_u long",
+    )
+    got = train_logreg_newton_fixed(X)
+    assert got == w_u, f"{got} != {w_u}"
+    # and the learned separator must point the right way
+    assert got[1] > 0
