@@ -972,7 +972,7 @@ def _semdedup_oracle() -> str:
     from apitap_spark.operators.ml import _sql_sqdist
 
     return f"""
-    WITH expl AS (
+    WITH RECURSIVE expl AS (
       SELECT label, i AS pos,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
                AS v_u
@@ -1007,11 +1007,45 @@ def _semdedup_oracle() -> str:
       FROM sides a JOIN sides b
         ON a.cluster = b.cluster AND b.vec_id < a.vec_id
       GROUP BY a.vec_id
+    ),
+    edges AS (
+      SELECT b.vec_id AS u, a.vec_id AS v
+      FROM sides a JOIN sides b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+              / (a.n * b.n) > {SEMDEDUP_TAU}
+    ),
+    ord AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+      FROM sides
+    ),
+    greedy(iter, vec_id, cluster, rn, kept) AS (
+      SELECT 0, vec_id, cluster, rn, TRUE FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT g.iter + 1 AS iter, g.vec_id, g.cluster, g.rn, g.kept
+        FROM greedy g
+        UNION ALL
+        SELECT gi.iter + 1 AS iter, o.vec_id, o.cluster, o.rn,
+               COALESCE((SELECT SUM(CASE WHEN g2.kept THEN 1 ELSE 0 END)
+                         FROM edges e JOIN greedy g2 ON g2.vec_id = e.u
+                         WHERE e.v = o.vec_id), 0) = 0 AS kept
+        FROM ord o
+        JOIN (SELECT DISTINCT iter, cluster FROM greedy) gi
+          ON gi.cluster = o.cluster AND o.rn = gi.iter + 2
+      ) WHERE iter < (SELECT MAX(rn) FROM ord)
+    ),
+    verdicts AS (
+      SELECT vec_id, kept FROM greedy
+      WHERE iter = (SELECT MAX(iter) FROM greedy)
     )
     SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cell,
            ROUND(mx.m, 6) AS max_cos_lower,
-           (mx.m IS NULL OR mx.m <= {SEMDEDUP_TAU}) AS is_kept
-    FROM sides s LEFT JOIN mx ON mx.vec_id = s.vec_id
+           v.kept AS is_kept
+    FROM sides s
+    LEFT JOIN mx ON mx.vec_id = s.vec_id
+    JOIN verdicts v ON v.vec_id = s.vec_id
     """
 
 
@@ -1019,9 +1053,12 @@ def _semdedup_oracle() -> str:
 def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     arXiv:2303.09540): partition the embedding space into cells via the
-    deterministic coarse quantizer, then WITHIN each cell greedily keep
-    the lowest vec_id of every near-duplicate group (drop v iff some
-    lower-id same-cell u has cosine(u, v) > tau).
+    deterministic coarse quantizer, then WITHIN each cell run the
+    paper's greedy keep-against-kept pass in vec_id order: v is dropped
+    iff some KEPT lower-id cell-mate u has cosine(u, v) > tau.  (Round-3
+    ADVICE: the earlier pairwise rule also compared against already-
+    dropped mates, over-dropping transitive chains — cos(1,2)>tau,
+    cos(2,3)>tau, cos(1,3)<=tau now keeps {1, 3}, not just {1}.)
 
     Output: (vec_id, cell, max_cos_lower, is_kept) — max_cos_lower is
     the strongest similarity to any lower-id cell-mate (NULL when none),
@@ -1055,24 +1092,53 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sides.alias("a"), sides.alias("b")
     cos = cosine_from_norms("a.embedding", "b.embedding", "a.n", "b.n")
-    mx = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(F.max(cos).alias("m"))
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("b.vec_id") < F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("v"),
+        F.col("b.vec_id").alias("u"),
+        cos.alias("cos"),
+    ).localCheckpoint()
+    mx = pairs.groupBy(F.col("v").alias("vec_id")).agg(F.max("cos").alias("m"))
+    # Greedy keep-against-kept only depends on the THRESHOLDED graph
+    # (which lower-id cell-mates exceed tau), so the sequential part is
+    # pure integer logic on small per-cell neighbor lists — no float
+    # re-derivation inside Python, full bit-parity with the recursive
+    # SQL replay.
+    nbrs = (
+        pairs.filter(F.col("cos") > F.lit(SEMDEDUP_TAU))
+        .groupBy("v")
+        .agg(F.collect_list("u").alias("lower_nbrs"))
+    )
+    members = sides.select("vec_id", "cluster").join(
+        nbrs, sides.vec_id == nbrs.v, "left"
+    ).select("vec_id", "cluster", "lower_nbrs")
+
+    def greedy(pdf):
+        pdf = pdf.sort_values("vec_id")
+        kept: set = set()
+        flags = []
+        for vid, nb in zip(pdf["vec_id"], pdf["lower_nbrs"]):
+            drop = nb is not None and any(u in kept for u in nb)
+            if not drop:
+                kept.add(vid)
+            flags.append(not drop)
+        pdf = pdf[["vec_id", "cluster"]].copy()
+        pdf["is_kept"] = flags
+        return pdf
+
+    verdicts = members.groupBy("cluster").applyInPandas(
+        greedy, "vec_id long, cluster int, is_kept boolean"
     )
     return (
-        sides.join(mx, "vec_id", "left")
+        verdicts.join(mx, "vec_id", "left")
         .select(
             "vec_id",
             F.col("cluster").cast("bigint").alias("cell"),
             F.round("m", 6).alias("max_cos_lower"),
-            (F.col("m").isNull() | (F.col("m") <= F.lit(SEMDEDUP_TAU))).alias(
-                "is_kept"
-            ),
+            "is_kept",
         )
     )
 

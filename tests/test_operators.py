@@ -908,3 +908,31 @@ def test_length_bounds_quantile_semantics(spark, sf_dir):
         assert (g["p5_tokens"], g["p95_tokens"]) == (p5, p95), src
         assert g["n_docs"] == n
         assert g["n_outliers"] == sum(1 for x in lens if x < p5 or x > p95)
+
+
+def test_semantic_dedup_greedy_keeps_chain_ends(spark, tmp_path):
+    """Transitive chain cos(1,2)>tau, cos(2,3)>tau, cos(1,3)<=tau must
+    keep {1, 3}: vector 3's only >tau neighbor (2) was itself dropped
+    against kept 1, so the paper's keep-against-kept greedy re-admits 3
+    (the round-3 ADVICE fidelity fix — the old pairwise rule dropped it)."""
+    import math
+
+    from apitap_spark.operators.similarity import op_semantic_dedup
+
+    # unit vectors in 2D at angles 0, 60, 120 degrees, padded to 64 dims;
+    # tau=0.4: cos(60deg)=0.5>tau adjacent, cos(120deg)=-0.5<=tau ends
+    def vec(deg):
+        v = [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+        return v + [0.0] * 62
+
+    emb = spark.createDataFrame(
+        [(1, 0, vec(0.0)), (2, 0, vec(60.0)), (3, 0, vec(120.0))],
+        "vec_id long, label int, embedding array<double>",
+    )
+    sf = str(tmp_path)
+    emb.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    rows = {r["vec_id"]: r for r in op_semantic_dedup(spark, sf).collect()}
+    assert rows[1]["is_kept"] is True
+    assert rows[2]["is_kept"] is False      # >tau vs kept 1
+    assert rows[3]["is_kept"] is True       # only >tau neighbor (2) was dropped
+    assert rows[3]["max_cos_lower"] > 0.4   # yet its max_cos_lower exceeds tau
