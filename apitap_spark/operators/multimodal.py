@@ -47,11 +47,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Pure-stdlib PNG decode → (width, height, channels, raw pixel bytes).
 
-    Supports the baseline subset a training-data pipeline actually meets
-    in thumbnails: 8-bit depth, grey/grey+alpha/RGB/RGBA color types,
-    non-interlaced, all five scanline filters (None/Sub/Up/Average/
-    Paeth). Palette, 16-bit and Adam7 raise NotImplementedError — a real
-    deployment swaps this for Pillow behind the same signature.
+    Supports the subset a training-data crawl actually contains:
+    grey/grey+alpha/RGB/RGBA at 8- and 16-bit depth (16-bit samples are
+    downscaled to their high byte — the standard thumbnail-feature
+    treatment), palette images (color type 3) at 1/2/4/8-bit index
+    depth expanded to RGB via PLTE, sub-byte greyscale (1/2/4-bit,
+    rescaled to full 8-bit range), non-interlaced, all five scanline
+    filters (None/Sub/Up/Average/Paeth). Adam7 interlacing stays
+    NotImplementedError: it reorders scanlines into seven sub-images for
+    progressive rendering — a fidelity-neutral storage variant that web
+    thumbnails almost never use, and a real deployment swaps in Pillow
+    behind the same signature anyway.
     """
     import struct
     import zlib
@@ -59,8 +65,9 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos = 8
-    width = height = color_type = None
+    width = height = color_type = bit_depth = None
     idat: list[bytes] = []
+    plte = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -70,48 +77,100 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8:
-                raise NotImplementedError(f"PNG bit depth {bit_depth}")
             if interlace:
                 raise NotImplementedError("Adam7 interlacing")
-            if color_type not in (0, 2, 4, 6):
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if color_type not in allowed:
                 raise NotImplementedError(f"PNG color type {color_type}")
+            if bit_depth not in allowed[color_type]:
+                raise ValueError(
+                    f"invalid bit depth {bit_depth} for color {color_type}"
+                )
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if color_type == 3 and not plte:
+        raise ValueError("palette PNG missing PLTE chunk")
+    n_samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
+    # filtering operates on raw scanline BYTES; the left-neighbor offset
+    # is the whole-bytes-per-pixel (>=1 even for sub-byte depths)
+    stride = (width * n_samples * bit_depth + 7) // 8
+    bpp = max(1, (n_samples * bit_depth) // 8)
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline payload size mismatch")
-    out = bytearray(stride * height)
+    unfiltered = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                ul = prev[i - channels] if i >= channels else 0
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter {ftype}")
-        out[y * stride : (y + 1) * stride] = line
+        unfiltered[y * stride : (y + 1) * stride] = line
         prev = line
-    return width, height, channels, bytes(out)
+    return _expand_samples(
+        bytes(unfiltered), width, height, stride, bit_depth, color_type,
+        n_samples, plte,
+    )
+
+
+def _expand_samples(
+    unfiltered: bytes, width: int, height: int, stride: int, bit_depth: int,
+    color_type: int, n_samples: int, plte: bytes,
+) -> tuple[int, int, int, bytes]:
+    """Unfiltered scanline bytes → 8-bit interleaved pixel samples."""
+    if bit_depth == 8 and color_type != 3:
+        return width, height, n_samples, unfiltered
+    if bit_depth == 16:
+        # big-endian 16-bit samples -> high byte (the 8-bit projection)
+        return width, height, n_samples, unfiltered[::2]
+    # sub-byte sample unpack, MSB-first within each byte, per scanline
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    idx = bytearray(width * height)
+    p = 0
+    for y in range(height):
+        row = unfiltered[y * stride : (y + 1) * stride]
+        for x in range(width):
+            b = row[x // per_byte] if bit_depth < 8 else row[x]
+            if bit_depth < 8:
+                shift = 8 - bit_depth * ((x % per_byte) + 1)
+                b = (b >> shift) & mask
+            idx[p] = b
+            p += 1
+    if color_type == 0:
+        # rescale 1/2/4-bit grey to full 8-bit range (255/(2^d - 1))
+        scale = 255 // mask
+        return width, height, 1, bytes(v * scale for v in idx)
+    # palette lookup -> RGB triples
+    n_entries = len(plte) // 3
+    out = bytearray(width * height * 3)
+    for i, v in enumerate(idx):
+        if v >= n_entries:
+            raise ValueError(f"palette index {v} out of range")
+        out[i * 3 : i * 3 + 3] = plte[v * 3 : v * 3 + 3]
+    return width, height, 3, bytes(out)
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:

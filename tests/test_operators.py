@@ -936,3 +936,122 @@ def test_semantic_dedup_greedy_keeps_chain_ends(spark, tmp_path):
     assert rows[2]["is_kept"] is False      # >tau vs kept 1
     assert rows[3]["is_kept"] is True       # only >tau neighbor (2) was dropped
     assert rows[3]["max_cos_lower"] > 0.4   # yet its max_cos_lower exceeds tau
+
+
+def _png_chunk(ctype, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _make_png_raw(width, height, bit_depth, color_type, scanlines, plte=None):
+    """PNG from pre-packed scanline byte rows (filter 0), any depth/type."""
+    import struct
+    import zlib
+
+    from apitap_spark.operators.multimodal import PNG_MAGIC
+
+    raw = bytearray()
+    for row in scanlines:
+        raw.append(0)
+        raw.extend(row)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_palette_8bit():
+    """Palette PNGs expand indices to RGB via PLTE (round-3 verdict #5)."""
+    from apitap_spark.operators.multimodal import decode_image
+
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 4 entries
+    rows = [bytes([0, 1, 2]), bytes([3, 2, 1])]  # 3x2 indices
+    png = _make_png_raw(3, 2, 8, 3, rows, plte=plte)
+    w, h, c, px = decode_image(png)
+    assert (w, h, c) == (3, 2, 3)
+    assert px == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255,
+                        10, 20, 30, 0, 0, 255, 0, 255, 0])
+
+
+def test_decode_png_palette_4bit():
+    """Sub-byte palette indices unpack MSB-first per scanline."""
+    from apitap_spark.operators.multimodal import decode_image
+
+    plte = [0, 0, 0, 100, 100, 100, 200, 200, 200]
+    # width 3 at 4 bits -> 2 bytes/row: indices (0,1,2) = 0x01 0x20
+    rows = [bytes([0x01, 0x20]), bytes([0x21, 0x00])]
+    png = _make_png_raw(3, 2, 4, 3, rows, plte=plte)
+    w, h, c, px = decode_image(png)
+    assert (w, h, c) == (3, 2, 3)
+    assert px[:9] == bytes([0, 0, 0, 100, 100, 100, 200, 200, 200])
+    assert px[9:] == bytes([200, 200, 200, 100, 100, 100, 0, 0, 0])
+
+
+def test_decode_png_16bit_grey_and_rgb():
+    """16-bit samples decode to their high byte at full resolution."""
+    from apitap_spark.operators.multimodal import decode_image
+
+    # 2x1 grey16: samples 0x1234, 0xFF00 -> high bytes 0x12, 0xFF
+    png = _make_png_raw(2, 1, 16, 0, [bytes([0x12, 0x34, 0xFF, 0x00])])
+    assert decode_image(png) == (2, 1, 1, bytes([0x12, 0xFF]))
+    # 1x1 rgb16
+    png = _make_png_raw(1, 1, 16, 2, [bytes([0xAA, 0x01, 0xBB, 0x02, 0xCC, 0x03])])
+    assert decode_image(png) == (1, 1, 3, bytes([0xAA, 0xBB, 0xCC]))
+
+
+def test_decode_png_subbyte_grey_rescales():
+    """1-bit greyscale expands to 0/255 (full-range rescale)."""
+    from apitap_spark.operators.multimodal import decode_image
+
+    # width 10 at 1 bit -> 2 bytes/row: 1010101010 -> 0xAA 0x80
+    png = _make_png_raw(10, 1, 1, 0, [bytes([0xAA, 0x80])])
+    w, h, c, px = decode_image(png)
+    assert (w, h, c) == (10, 1, 1)
+    assert px == bytes([255, 0] * 5)
+
+
+def test_decode_png_16bit_with_filters():
+    """16-bit scanline filtering uses the 2-byte-per-sample bpp offset."""
+    import random
+    import struct
+    import zlib
+
+    from apitap_spark.operators.multimodal import PNG_MAGIC, _paeth, decode_image
+
+    rng = random.Random(7)
+    w, h = 5, 4
+    samples = [rng.randrange(65536) for _ in range(w * h)]
+    raw_rows = [
+        b"".join(struct.pack(">H", s) for s in samples[y * w : (y + 1) * w])
+        for y in range(h)
+    ]
+    bpp = 2
+    enc = bytearray()
+    prev = bytes(w * bpp)
+    for row in raw_rows:
+        enc.append(4)  # Paeth
+        line = bytearray(row)
+        for i in range(len(line)):
+            left = row[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            line[i] = (row[i] - _paeth(left, prev[i], ul)) & 0xFF
+        enc.extend(line)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + _png_chunk(b"IEND", b"")
+    )
+    dw, dh, dc, px = decode_image(png)
+    assert (dw, dh, dc) == (w, h, 1)
+    assert px == bytes(s >> 8 for s in samples)
