@@ -543,3 +543,75 @@ def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # createDataFrame, not f-string VALUES SQL: learned symbols may contain
     # quote/backslash characters that no escaping scheme keeps portable.
     return merges_frame(spark, learn_bpe_merges(char_vocab(docs)))
+
+
+# Tokenizer fertility per language: the post-BPE budget joined to the
+# document's lang shard — fertility (tokens/word) and compression
+# (chars/token) are THE metrics a tokenizer report card publishes per
+# language (multilingual vocabularies are judged on fertility skew).
+_BPE_FERTILITY_ORACLE = (
+    _BPE_CTE_PREFIX
+    + rf""", budgets AS (
+      SELECT doc_id,
+             CAST(SUM(len(b.symbols)) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(LENGTH(b.wid)) AS BIGINT) AS chars,
+             CAST(COUNT(*) AS BIGINT) AS words
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      ) tok
+      JOIN (SELECT wid, symbols FROM bpe
+            WHERE iter = (SELECT MAX(iter) FROM bpe)) b
+        ON b.wid = tok.w
+      GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.words) AS BIGINT) AS words,
+           CAST(SUM(b.bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(b.chars) AS BIGINT) AS chars,
+           CAST(SUM(b.bpe_tokens) AS DOUBLE) / CAST(SUM(b.words) AS DOUBLE)
+             AS fertility,
+           CAST(SUM(b.chars) AS DOUBLE) / CAST(SUM(b.bpe_tokens) AS DOUBLE)
+             AS chars_per_token
+    FROM budgets b JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY d.lang
+    """
+)
+
+
+@_register("op_bpe_fertility_by_lang", _BPE_FERTILITY_ORACLE)
+def op_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report: (lang, n_docs, words,
+    bpe_tokens, chars, fertility, chars_per_token). Fertility =
+    BPE tokens per whitespace word; chars_per_token = the compression
+    the learned vocabulary achieves. Languages whose fertility runs hot
+    are under-served by the vocabulary — the skew a multilingual
+    tokenizer build iterates on (cf. the fertility analyses in public
+    multilingual-LM reports).
+
+    Scale: reuses the vocab-sized BPE learning (corpus touched twice:
+    vocab build + one broadcast join), then a lang-keyed integer
+    aggregate — counts sum in bigint, the two ratios divide once at the
+    end in a fixed chain, so the gate hash-checks against the
+    recursive-CTE replay.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    budgets = bpe_token_budgets(docs, final_vocab)
+    joined = budgets.join(docs.select("doc_id", "lang"), "doc_id")
+    bpe_tokens = F.sum("bpe_tokens")
+    words = F.sum("words")
+    chars = F.sum("chars")
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        words.cast("bigint").alias("words"),
+        bpe_tokens.cast("bigint").alias("bpe_tokens"),
+        chars.cast("bigint").alias("chars"),
+        (bpe_tokens.cast("double") / words.cast("double")).alias("fertility"),
+        (chars.cast("double") / bpe_tokens.cast("double")).alias(
+            "chars_per_token"
+        ),
+    )

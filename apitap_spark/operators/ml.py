@@ -632,3 +632,130 @@ def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "feature string, weight double, train_accuracy double",
     )
+
+
+SIL_PROBES = 20  # sampled silhouette: probe vectors vec_id < 20
+
+
+def _silhouette_oracle() -> str:
+    sq = (
+        "list_aggregate(list_transform(range(1, len(q.qe) + 1), "
+        "i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))"
+        " * (CAST(q.qe[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))), 'sum')"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe, label AS q_cluster
+      FROM embeddings WHERE vec_id < {SIL_PROBES}
+    ),
+    c AS (SELECT vec_id AS c_id, embedding AS ce, label AS c_cluster
+          FROM embeddings),
+    pair AS (
+      SELECT q.q_id, q.q_cluster, c.c_cluster,
+             CAST(ROUND(ROUND(sqrt({sq}), 6) * 1000000.0, 0) AS BIGINT) AS d_u
+      FROM q JOIN c ON c.c_id <> q.q_id
+    ),
+    per_cluster AS (
+      SELECT q_id, q_cluster, c_cluster,
+             CAST(SUM(d_u) AS BIGINT) AS su, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pair GROUP BY q_id, q_cluster, c_cluster
+    ),
+    means AS (
+      SELECT q_id, q_cluster, c_cluster,
+             CAST(su AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS m
+      FROM per_cluster
+    ),
+    ab AS (
+      SELECT q_id, CAST(q_cluster AS BIGINT) AS cluster,
+             MAX(CASE WHEN c_cluster = q_cluster THEN m END) AS a_mean,
+             MIN(CASE WHEN c_cluster <> q_cluster THEN m END) AS b_mean
+      FROM means GROUP BY q_id, q_cluster
+    )
+    SELECT q_id AS vec_id, cluster, ROUND(a_mean, 6) AS a_mean,
+           ROUND(b_mean, 6) AS b_mean,
+           CASE WHEN a_mean IS NULL OR b_mean IS NULL
+                     OR GREATEST(a_mean, b_mean) = 0.0 THEN 0.0
+                ELSE ROUND((b_mean - a_mean) / GREATEST(a_mean, b_mean), 6)
+           END AS silhouette
+    FROM ab
+    """
+
+
+@_register("op_kmeans_silhouette", _silhouette_oracle())
+def op_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled silhouette coefficient over the corpus's quantizer cells
+    (label = cluster): for each probe vector, a = mean Euclidean
+    distance to its own cell's other members, b = the closest other
+    cell's mean distance, s = (b - a) / max(a, b) in [-1, 1] — the
+    standard cluster-quality audit (Rousseeuw 1987) an embedding
+    pipeline runs before trusting cells for SemDeDup / IVF routing.
+
+    Scale: full silhouette is O(N^2); the production form (and this
+    one) scores a PROBE SAMPLE against the corpus — Q x N distance
+    work distributed over candidates with the tiny probe side
+    broadcast, then a (probe, cell)-keyed aggregate whose cardinality
+    is Q x k. Per-pair distances micro-round once to bigint (sqrt is
+    IEEE correctly-rounded, so both engines see identical integers);
+    sums are order-independent; the two means and the final ratio
+    divide in a fixed chain — hash-exact vs the DuckDB replay.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < SIL_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_cluster"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_cluster"),
+    )
+    d2 = _sq_dist(F.col("qe"), F.col("ce"))
+    d_u = F.round(F.round(F.sqrt(d2), 6) * F.lit(1000000.0), 0).cast("bigint")
+    per_cluster = (
+        cands.join(F.broadcast(probes), F.col("c_id") != F.col("q_id"))
+        .select("q_id", "q_cluster", "c_cluster", d_u.alias("d_u"))
+        .groupBy("q_id", "q_cluster", "c_cluster")
+        .agg(
+            F.sum("d_u").cast("bigint").alias("su"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    m = (F.col("su").cast("double") / F.lit(1000000.0)) / F.col("n").cast(
+        "double"
+    )
+    ab = per_cluster.select(
+        "q_id", "q_cluster", "c_cluster", m.alias("m")
+    ).groupBy(
+        F.col("q_id").alias("vec_id"),
+        F.col("q_cluster").cast("bigint").alias("cluster"),
+    ).agg(
+        F.max(
+            F.when(F.col("c_cluster") == F.col("q_cluster"), F.col("m"))
+        ).alias("a_raw"),
+        F.min(
+            F.when(F.col("c_cluster") != F.col("q_cluster"), F.col("m"))
+        ).alias("b_raw"),
+    )
+    sil = (
+        F.when(
+            F.col("a_raw").isNull()
+            | F.col("b_raw").isNull()
+            | (F.greatest("a_raw", "b_raw") == 0.0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            F.round(
+                (F.col("b_raw") - F.col("a_raw"))
+                / F.greatest("a_raw", "b_raw"),
+                6,
+            )
+        )
+    )
+    return ab.select(
+        "vec_id",
+        "cluster",
+        F.round("a_raw", 6).alias("a_mean"),
+        F.round("b_raw", 6).alias("b_mean"),
+        sil.alias("silhouette"),
+    )

@@ -702,3 +702,161 @@ def op_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_diversity"
         ),
     )
+
+
+NOVELTY_N = 3  # shingle order for cross-doc novelty
+
+
+@_register(
+    "op_doc_novelty",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, GREATEST(LEN(t) - {NOVELTY_N - 1}, 0) + 1),
+                              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])))
+               AS gram
+      FROM tok
+    ),
+    with_df AS (
+      SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(COUNT(*) - SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+    FROM with_df GROUP BY doc_id
+    """,
+)
+def op_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct 3-gram shingles that appear in NO other document —
+    the memorization-risk / boilerplate profile (documents full of
+    shared grams are templates or near-dups; high-novelty documents
+    carry the marginal information, cf. the dedup rationale in Lee et
+    al. 2022, arXiv:2107.06499). Documents with fewer than 3 tokens
+    contribute no grams and are excluded.
+
+    Scale: one explode + ONE gram-keyed shuffle (the window computes
+    document frequency in place of a groupBy + self-join back), then a
+    doc-local aggregate. The gram df table is the same shuffle an
+    inverted index build pays; novelty is exact integer counts with one
+    fixed-chain division at the end (hash-exact cross-engine).
+    """
+    from pyspark.sql import Window
+
+    from apitap_spark.functions.text import shingles
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("gram"),
+    )
+    with_df = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("gram"))
+    )
+    n_grams = F.count("*")
+    n_shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return with_df.groupBy("doc_id").agg(
+        n_grams.cast("bigint").alias("n_grams"),
+        n_shared.cast("bigint").alias("n_shared"),
+        ((n_grams - n_shared).cast("double") / n_grams.cast("double")).alias(
+            "novelty_ratio"
+        ),
+    )
+
+
+# Engine-portable ASCII character classes (explicit ranges — Java regex
+# and RE2 agree on these; \s and \p{Punct} shorthands differ between
+# engines and are avoided).
+_SCRIPT_CLASSES = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("punct", "[!-/:-@\\x5b-\\x60\\x7b-\\x7e]"),
+]
+
+
+def _script_oracle() -> str:
+    cls_sums = ",\n           ".join(
+        f"CAST(SUM(LENGTH(text) - LENGTH(regexp_replace(text, '{pat}', '', 'g')))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat in _SCRIPT_CLASSES
+    )
+    ratios = ",\n           ".join(
+        f"CAST(n_{name} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS {name}_ratio"
+        for name, _ in _SCRIPT_CLASSES
+    )
+    other = " - ".join(["n_chars"] + [f"n_{n}" for n, _ in _SCRIPT_CLASSES])
+    return rf"""
+    WITH per_lang AS (
+      SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           {cls_sums}
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+      GROUP BY lang
+    )
+    SELECT lang, n_docs, n_chars,
+           {ratios},
+           CAST({other} AS DOUBLE) / CAST(n_chars AS DOUBLE) AS other_ratio
+    FROM per_lang
+    """
+
+
+@_register("op_text_script_profile", _script_oracle())
+def op_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class profile: the script/encoding audit a
+    multilingual crawl runs before tokenizer training (a 'lang=en' shard
+    that is 40% non-Latin bytes is mislabeled or mojibake — fertility
+    and quality stats computed from it would lie). Counts Latin letters,
+    digits, whitespace and ASCII punctuation per shard via
+    regexp-strip length deltas; everything else (all non-ASCII) lands
+    in other_ratio.
+
+    Scale: pure per-row Catalyst expressions + one lang-keyed integer
+    aggregate (map-side combined). Integer counts divide once at the
+    end, so the gate hash-checks cross-engine. The class list is
+    explicit ASCII ranges — \\s / \\p{{Punct}} shorthands differ between
+    Java regex and RE2 and would silently skew counts.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    cls_counts = [
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint").alias(f"n_{name}")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        *cls_counts,
+    )
+    ratios = [
+        (F.col(f"n_{name}").cast("double") / F.col("n_chars").cast("double")).alias(
+            f"{name}_ratio"
+        )
+        for name, _ in _SCRIPT_CLASSES
+    ]
+    other = F.col("n_chars")
+    for name, _ in _SCRIPT_CLASSES:
+        other = other - F.col(f"n_{name}")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        *ratios,
+        (other.cast("double") / F.col("n_chars").cast("double")).alias(
+            "other_ratio"
+        ),
+    )

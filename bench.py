@@ -22,10 +22,12 @@ import time
 def main(out_path: str | None = None) -> None:
     """Run the suite; write the full JSON artifact to ``out_path``.
 
-    ``out_path`` defaults to $SPARK_GRAFT_BENCH_OUT, falling back to the
-    committed repo artifact ``bench_full.json``. Tests MUST pass a tmp
-    path (or set the env var) so a 2-query sf0.001 run never clobbers
-    the round's committed 151-query timing record (round-2 verdict #1).
+    ``out_path`` defaults to $SPARK_GRAFT_BENCH_OUT, falling back to
+    ``bench_full.json`` — which is .gitignored (the driver's own bench
+    overwrites it every round); the round's frozen timing record is
+    committed separately as ``bench_freeze.json`` (round-3 verdict #6).
+    Tests MUST still pass a tmp path (or set the env var) so a 2-query
+    sf0.001 run never clobbers a full local run (round-2 verdict #1).
     """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -129,6 +131,34 @@ def main(out_path: str | None = None) -> None:
         if timings.get(name)
     }
 
+    # Tokenizer-family throughput (round-3 verdict #8): the BPE passes
+    # are the heaviest corpus transforms — publish docs/sec per stage and
+    # whitespace-tokens/sec for the full encode so tokenizer-path
+    # regressions are visible at a glance.
+    bpe_docs_per_sec = {
+        name: round(doc_rows / timings[name])
+        for name in (
+            "op_bpe_learn_merges",
+            "op_bpe_apply_tokens",
+            "op_bpe_encode_docs",
+            "op_bpe_pack_training_rows",
+        )
+        if timings.get(name)
+    }
+    from pyspark.sql import functions as F
+
+    from apitap_spark.functions.text import token_count
+
+    ws_tokens = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.sum(token_count("text")))
+        .collect()[0][0]
+    )
+    enc_time = timings.get("op_bpe_encode_docs")
+    encode_ws_tokens_per_sec = (
+        round(ws_tokens / enc_time) if enc_time and ws_tokens else None
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = json.dumps(
             {
@@ -146,6 +176,9 @@ def main(out_path: str | None = None) -> None:
                 "sink_rows": sink_rows,
                 "curation_docs_per_sec": curation_docs_per_sec,
                 "dedup_docs_per_sec": dedup_docs_per_sec,
+                "bpe_docs_per_sec": bpe_docs_per_sec,
+                "encode_ws_tokens_per_sec": encode_ws_tokens_per_sec,
+                "ws_tokens": ws_tokens,
                 "document_rows": doc_rows,
                 "cpus": cpus,
             }

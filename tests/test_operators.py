@@ -1055,3 +1055,103 @@ def test_decode_png_16bit_with_filters():
     dw, dh, dc, px = decode_image(png)
     assert (dw, dh, dc) == (w, h, 1)
     assert px == bytes(s >> 8 for s in samples)
+
+
+def test_doc_novelty_bounds_and_sharing_symmetry(spark, sf_dir):
+    """novelty_ratio in [0,1]; n_shared <= n_grams; a gram counted as
+    shared really occurs in >=2 docs (cross-checked via a direct df)."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.textstats import NOVELTY_N, op_doc_novelty
+    from apitap_spark.functions.text import shingles
+    from apitap_spark.session import read_table
+
+    rows = op_doc_novelty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_grams"]
+        assert 0.0 <= r["novelty_ratio"] <= 1.0
+    # independent recount for one doc with shared grams
+    target = next((r for r in rows if r["n_shared"] > 0), None)
+    assert target is not None  # synthetic corpus plants near-dups
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("g"),
+    )
+    df_counts = grams.groupBy("g").count().filter(F.col("count") >= 2)
+    shared = (
+        grams.filter(F.col("doc_id") == target["doc_id"])
+        .join(df_counts, "g")
+        .count()
+    )
+    assert shared == target["n_shared"]
+
+
+def test_script_profile_ratios_sum_to_one(spark, sf_dir):
+    from apitap_spark.operators.textstats import op_text_script_profile
+
+    rows = op_text_script_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        total = (
+            r["latin_ratio"] + r["digit_ratio"] + r["space_ratio"]
+            + r["punct_ratio"] + r["other_ratio"]
+        )
+        assert abs(total - 1.0) < 1e-9
+        assert r["latin_ratio"] > 0.5  # synthetic corpus is ASCII English-ish
+
+
+def test_silhouette_bounds_and_separated_blobs(spark, tmp_path):
+    """Planted well-separated blobs must score near +1; silhouette is
+    always within [-1, 1]."""
+    from apitap_spark.operators.ml import op_kmeans_silhouette
+
+    rows_in = []
+    for i in range(10):  # cluster 0 around origin
+        rows_in.append((i, 0, [0.1 * (i % 3), 0.1 * (i % 2)] + [0.0] * 62))
+    for i in range(10, 20):  # cluster 1 far away
+        rows_in.append((i, 1, [50.0 + 0.1 * (i % 3), 50.0] + [0.0] * 62))
+    spark.createDataFrame(
+        rows_in, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = op_kmeans_silhouette(spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert -1.0 <= r["silhouette"] <= 1.0
+        assert r["silhouette"] > 0.9  # separation >> intra-cluster spread
+
+
+def test_fertility_consistent_with_apply_tokens(spark, sf_dir):
+    """Per-lang sums must equal the doc-level budgets regrouped."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.bpe import (
+        op_bpe_apply_tokens,
+        op_bpe_fertility_by_lang,
+    )
+    from apitap_spark.session import read_table
+
+    fert = {r["lang"]: r for r in op_bpe_fertility_by_lang(spark, sf_dir).collect()}
+    budgets = op_bpe_apply_tokens(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    agg = {
+        r["lang"]: r
+        for r in budgets.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("bpe_tokens").alias("bt"),
+            F.sum("words").alias("w"),
+            F.sum("chars").alias("c"),
+        )
+        .collect()
+    }
+    assert set(fert) == set(agg)
+    for lang, r in fert.items():
+        assert r["bpe_tokens"] == agg[lang]["bt"]
+        assert r["words"] == agg[lang]["w"]
+        assert r["chars"] == agg[lang]["c"]
+        assert r["fertility"] >= 1.0  # a word is at least one BPE token
+        assert r["chars_per_token"] > 0
