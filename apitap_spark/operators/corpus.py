@@ -771,3 +771,110 @@ def with_perplexity(df: DataFrame) -> DataFrame:
     """exp(avg_nll) post-projection over :func:`op_lm_perplexity` output
     (kept out of the oracle-checked gate: exp is last-ulp engine-specific)."""
     return df.withColumn("perplexity", F.exp("avg_nll"))
+
+
+@_register(
+    "op_unigram_shift",
+    r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    counts AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY lang, w
+    ),
+    totals AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY lang
+    ),
+    shared AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_types,
+             CAST(SUM(a.c) AS BIGINT) AS s_a,
+             CAST(SUM(b.c) AS BIGINT) AS s_b,
+             CAST(SUM(ABS(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS cross_num
+      FROM counts a
+      JOIN counts b ON a.w = b.w AND a.lang < b.lang
+      JOIN totals ta ON ta.lang = a.lang
+      JOIN totals tb ON tb.lang = b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT s.lang_a, s.lang_b, ta.n AS tokens_a, tb.n AS tokens_b,
+           s.shared_types,
+           CAST(s.cross_num + (ta.n - s.s_a) * tb.n + (tb.n - s.s_b) * ta.n
+                AS DOUBLE)
+             / CAST(2 * ta.n * tb.n AS DOUBLE) AS tv_distance
+    FROM shared s
+    JOIN totals ta ON ta.lang = s.lang_a
+    JOIN totals tb ON tb.lang = s.lang_b
+    """,
+)
+def op_unigram_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between language shards: exact total-variation
+    distance between unigram distributions, TV = 0.5 * sum_w |p_a(w) -
+    p_b(w)| — the mixture-design / domain-shift diagnostic a pretraining
+    run checks when re-weighting sources (KL needs log, which is
+    engine-specific to the last ulp; TV is the rational alternative and
+    an L1 bound on any downstream probability difference).
+
+    All arithmetic is integer until one final division: |c_a*n_b -
+    c_b*n_a| sums over SHARED words only, and each side's absent-word
+    mass enters in closed form as (n - sum_shared_c) * n_other, so no
+    full-outer join is needed — one word-keyed inner join + a
+    pair-keyed integer aggregate. At web scale the products stay inside
+    int64 while n_a*n_b < 9e18 (i.e. shards under ~3e9 tokens); larger
+    shards bucket the vocab and sum per-bucket TVs, or move the
+    accumulator to DECIMAL(38,0).
+
+    Output: (lang_a, lang_b, tokens_a, tokens_b, shared_types,
+    tv_distance) for every unordered shard pair.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("lang", F.explode(tokens("text")).alias("w"))
+    counts = tok.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    a = counts.select(
+        F.col("lang").alias("lang_a"), "w", F.col("c").alias("c_a")
+    )
+    b = counts.select(
+        F.col("lang").alias("lang_b"), "w", F.col("c").alias("c_b")
+    )
+    ta = totals.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    shared = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_types"),
+            F.sum("c_a").cast("bigint").alias("s_a"),
+            F.sum("c_b").cast("bigint").alias("s_b"),
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            )
+            .cast("bigint")
+            .alias("cross_num"),
+        )
+    )
+    out = shared.join(F.broadcast(ta), "lang_a").join(F.broadcast(tb), "lang_b")
+    num = (
+        F.col("cross_num")
+        + (F.col("n_a") - F.col("s_a")) * F.col("n_b")
+        + (F.col("n_b") - F.col("s_b")) * F.col("n_a")
+    )
+    return out.select(
+        "lang_a",
+        "lang_b",
+        F.col("n_a").alias("tokens_a"),
+        F.col("n_b").alias("tokens_b"),
+        "shared_types",
+        (
+            num.cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("tv_distance"),
+    )

@@ -264,7 +264,9 @@ def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = f"""
+# Shared CTE chain (expl -> dims -> cent -> q -> qscore -> qc -> sims);
+# the recall-audit oracle appends to it — no string splicing.
+_IVF_CTE_PREFIX = f"""
     WITH expl AS (
       SELECT label, i AS pos,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
@@ -306,6 +308,9 @@ _IVF_ORACLE = f"""
       FROM qc JOIN embeddings e ON e.label = qc.cell
       WHERE qc.q_id <> e.vec_id
     )
+    """
+
+_IVF_FINAL = """
     SELECT q_id, c_id, cell, ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
     FROM (
       SELECT q_id, c_id, cell, cos,
@@ -313,6 +318,8 @@ _IVF_ORACLE = f"""
       FROM sims
     ) WHERE rk <= 3
     """
+
+_IVF_ORACLE = _IVF_CTE_PREFIX + _IVF_FINAL
 
 
 @_register("op_ann_ivf_label", _IVF_ORACLE)
@@ -1337,4 +1344,89 @@ def op_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("v1") < F.col("v2")) & (F.col("lang1") != F.col("lang2")))
         .filter(cos >= CROSSLINGUAL_THRESHOLD)
         .select("v1", "v2", "lang1", "lang2", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def _recall_audit_oracle() -> str:
+    cos_exact = (
+        f"{_SQL_DOT.format(a='q.qe', b='e.embedding')}"
+        f" / (sqrt({_SQL_NORM2.format(a='q.qe')})"
+        f" * sqrt({_SQL_NORM2.format(a='e.embedding')}))"
+    )
+    # reuse the IVF chain verbatim (same CTE names) + an exact-topk CTE
+    return (
+        _IVF_CTE_PREFIX
+        + f"""
+    , ivf AS (
+      SELECT q_id, c_id, cell FROM (
+        SELECT q_id, c_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+                 AS rk
+        FROM sims
+      ) WHERE rk <= 3
+    ),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, e.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {cos_exact} DESC, e.vec_id) AS rk
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+      ) WHERE rk <= 3
+    ),
+    hits AS (
+      SELECT i.q_id, COUNT(x.c_id) AS n_hits
+      FROM ivf i LEFT JOIN exact x
+        ON x.q_id = i.q_id AND x.c_id = i.c_id
+      GROUP BY i.q_id
+    )
+    SELECT i.q_id, CAST(MAX(i.cell) AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MAX(h.n_hits) AS BIGINT) AS n_hits,
+           CAST(MAX(h.n_hits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS recall_at_k
+    FROM ivf i JOIN hits h ON h.q_id = i.q_id
+    GROUP BY i.q_id
+    """
+    )
+
+
+@_register("op_ann_recall_audit", _recall_audit_oracle())
+def op_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: per-query recall@k of the IVF cell-probe
+    index against exact brute-force cosine top-k — THE metric an ANN
+    deployment tracks before trusting an index at scale (a cell routing
+    bug shows up here as recall collapse long before users notice).
+
+    Composes the two existing deterministic pipelines (op_ann_ivf_label
+    and the op_ann_cosine_topk kernel) and intersects their top-3 id
+    sets — set intersection over integer ids, so the audit itself adds
+    no float hazard and the gate hash-checks end-to-end. k is the
+    per-query IVF result size (cells smaller than 3 yield k < 3 rather
+    than a fabricated denominator).
+
+    Scale: the exact side is the only O(Q x N) term and Q is the audit
+    sample, not the workload; production reruns it on a rotating probe
+    set. One broadcast per side, one (q_id)-keyed aggregate.
+    """
+    ivf = op_ann_ivf_label(spark, sf_dir).select("q_id", "c_id", "cell")
+    exact = (
+        op_ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("c_id").alias("x_id"))
+    )
+    hits = (
+        ivf.join(
+            exact,
+            (ivf.q_id == exact.q_id) & (ivf.c_id == exact.x_id),
+            "left",
+        )
+        .select(ivf.q_id, ivf.cell, exact.x_id)
+    )
+    return hits.groupBy("q_id").agg(
+        F.max("cell").cast("bigint").alias("cell"),
+        F.count("*").cast("bigint").alias("k"),
+        F.count("x_id").cast("bigint").alias("n_hits"),
+        (
+            F.count("x_id").cast("double") / F.count("*").cast("double")
+        ).alias("recall_at_k"),
     )

@@ -1155,3 +1155,70 @@ def test_fertility_consistent_with_apply_tokens(spark, sf_dir):
         assert r["chars"] == agg[lang]["c"]
         assert r["fertility"] >= 1.0  # a word is at least one BPE token
         assert r["chars_per_token"] > 0
+
+
+def test_unigram_shift_metric_properties(spark, sf_dir):
+    """TV distance is within [0,1], symmetric by construction (each
+    unordered pair appears once), covers all lang pairs, and equals an
+    independent plain-Python recount for one pair."""
+    from collections import Counter
+
+    from apitap_spark.operators.corpus import op_unigram_shift
+    from apitap_spark.session import read_table
+
+    rows = op_unigram_shift(spark, sf_dir).collect()
+    langs = {
+        r["lang"]
+        for r in read_table(spark, sf_dir, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0.0 <= r["tv_distance"] <= 1.0
+    # python recount for the first pair
+    t = rows[0]
+    docs = read_table(spark, sf_dir, "documents").collect()
+    ca, cb = Counter(), Counter()
+    for d in docs:
+        if not d["text"] or not d["text"].strip():
+            continue
+        words = d["text"].strip().split()
+        if d["lang"] == t["lang_a"]:
+            ca.update(words)
+        elif d["lang"] == t["lang_b"]:
+            cb.update(words)
+    na, nb = sum(ca.values()), sum(cb.values())
+    tv = sum(
+        abs(ca.get(w, 0) * nb - cb.get(w, 0) * na)
+        for w in set(ca) | set(cb)
+    ) / (2 * na * nb)
+    assert abs(t["tv_distance"] - tv) < 1e-12
+    assert (t["tokens_a"], t["tokens_b"]) == (na, nb)
+
+
+def test_ann_recall_audit_bounds_and_exact_on_own_cell(spark, sf_dir):
+    """recall in [0,1]; n_hits <= k <= 3; and the audit agrees with a
+    direct intersection of the two underlying gates' outputs."""
+    from apitap_spark.operators.similarity import (
+        op_ann_cosine_topk,
+        op_ann_ivf_label,
+        op_ann_recall_audit,
+    )
+
+    audit = {r["q_id"]: r for r in op_ann_recall_audit(spark, sf_dir).collect()}
+    ivf: dict = {}
+    for r in op_ann_ivf_label(spark, sf_dir).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["c_id"])
+    exact: dict = {}
+    for r in op_ann_cosine_topk(spark, sf_dir).collect():
+        if r["rk"] <= 3:
+            exact.setdefault(r["q_id"], set()).add(r["c_id"])
+    assert set(audit) == set(ivf)
+    for q, r in audit.items():
+        assert 0 <= r["n_hits"] <= r["k"] <= 3
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_hits"] == len(ivf[q] & exact.get(q, set()))
+        assert r["k"] == len(ivf[q])
