@@ -465,3 +465,117 @@ def op_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.size_bytes").cast("bigint").alias("size_bytes"),
         F.col("media_meta.origin").alias("origin"),
     )
+
+
+PHASH_GW, PHASH_GH = 9, 8  # dHash grid: 9 columns x 8 rows -> 64 bits
+
+
+def _dhash_grid(grid: list[int]) -> tuple[int, int]:
+    """64 dHash bits from a row-major 9x8 intensity grid, packed as two
+    bigints (hi = rows 0-3, lo = rows 4-7; 32 bits each) — a single
+    64-bit int would overflow signed int64 when bit 63 is set."""
+    hi = lo = 0
+    for y in range(PHASH_GH):
+        for x in range(PHASH_GW - 1):
+            bit = 1 if grid[y * PHASH_GW + x + 1] > grid[y * PHASH_GW + x] else 0
+            k = y * (PHASH_GW - 1) + x
+            if k < 32:
+                hi |= bit << k
+            else:
+                lo |= bit << (k - 32)
+    return hi, lo
+
+
+def phash_of_payload(payload: bytes) -> tuple[int, int, str]:
+    """(phash_hi, phash_lo, modality) for one payload.
+
+    PNG payloads decode for real: integer luma -> nearest-sample 9x8
+    grid -> dHash. Anything else falls back to the raw-byte grid
+    (first 72 bytes, zero-padded) so the plumbing stays total and the
+    ASCII stand-in gate oracle can replay it.
+    """
+    try:
+        w, h, c, px = decode_image(payload)
+        def luma(i: int) -> int:
+            o = i * c
+            if c >= 3:
+                return (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+            return px[o]
+
+        grid = [
+            luma(((y * h) // PHASH_GH) * w + (x * w) // PHASH_GW)
+            for y in range(PHASH_GH)
+            for x in range(PHASH_GW)
+        ]
+        return (*_dhash_grid(grid), "image/png")
+    except (NotImplementedError, ValueError, IndexError):
+        grid = [
+            payload[i] if i < len(payload) else 0
+            for i in range(PHASH_GW * PHASH_GH)
+        ]
+        return (*_dhash_grid(grid), "binary/text-stub")
+
+
+PHASH_SCHEMA = "doc_id bigint, phash_hi bigint, phash_lo bigint, modality string"
+
+
+def _extract_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        res = [phash_of_payload(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "phash_hi": pd.Series([r[0] for r in res], dtype="int64"),
+                "phash_lo": pd.Series([r[1] for r in res], dtype="int64"),
+                "modality": [r[2] for r in res],
+            }
+        )
+
+
+def _phash_oracle() -> str:
+    def g(i: int) -> str:
+        return (
+            f"CASE WHEN {i} < octet_length(encode(text))"
+            f" THEN ascii(substr(text, {i + 1}, 1)) ELSE 0 END"
+        )
+
+    hi_terms, lo_terms = [], []
+    for y in range(PHASH_GH):
+        for x in range(PHASH_GW - 1):
+            k = y * (PHASH_GW - 1) + x
+            bit = (
+                f"(CASE WHEN {g(y * PHASH_GW + x + 1)} > {g(y * PHASH_GW + x)}"
+                f" THEN 1 ELSE 0 END)"
+            )
+            if k < 32:
+                hi_terms.append(f"{bit} * {1 << k}")
+            else:
+                lo_terms.append(f"{bit} * {1 << (k - 32)}")
+    return f"""
+    SELECT doc_id,
+           CAST({" + ".join(hi_terms)} AS BIGINT) AS phash_hi,
+           CAST({" + ".join(lo_terms)} AS BIGINT) AS phash_lo,
+           'binary/text-stub' AS modality
+    FROM documents
+    """
+
+
+@_register("op_multimodal_phash", _phash_oracle())
+def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (dHash, Krawetz's public difference-hash
+    scheme): decode -> integer luma -> nearest-sample 9x8 grid ->
+    64 gradient bits — the image near-dup primitive (two re-encodes of
+    one photo share a hash; crops/edits differ by a small Hamming
+    distance, so LSH-style banding over the two 32-bit halves finds
+    candidates without pairwise scans).
+
+    Plan: narrow mapInPandas (Arrow batches, no shuffle) — identical
+    plumbing to op_multimodal_features. The gate's stand-in payloads are
+    ASCII text bytes, exercising the fallback byte-grid path that the
+    DuckDB oracle replays bit-exactly; the REAL PNG decode -> luma ->
+    grid path is pytest-proven on fixture images (filter-type-invariant
+    hashes, Hamming locality under pixel edits).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(_extract_phash, schema=PHASH_SCHEMA)

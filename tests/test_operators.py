@@ -1222,3 +1222,53 @@ def test_ann_recall_audit_bounds_and_exact_on_own_cell(spark, sf_dir):
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_hits"] == len(ivf[q] & exact.get(q, set()))
         assert r["k"] == len(ivf[q])
+
+
+def test_phash_invariant_to_png_filter_and_local_under_edits():
+    """The SAME pixels encoded with different PNG scanline filters hash
+    identically; a small pixel edit moves the hash by a small Hamming
+    distance; a very different image is far away."""
+    import random
+
+    from apitap_spark.operators.multimodal import phash_of_payload
+
+    rng = random.Random(42)
+    w, h = 16, 12
+    pixels = bytes(rng.randrange(256) for _ in range(w * h))
+    hashes = {
+        phash_of_payload(_make_png(w, h, 1, pixels, ft)) for ft in range(5)
+    }
+    assert len(hashes) == 1  # filter-type invariant
+    hi, lo, modality = next(iter(hashes))
+    assert modality == "image/png"
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) | (a[1] ^ b[1]) << 32).count("1")
+
+    # flip one pixel strongly
+    edited = bytearray(pixels)
+    edited[5] = (edited[5] + 128) % 256
+    ehi, elo, _ = phash_of_payload(_make_png(w, h, 1, bytes(edited), 0))
+    d_edit = hamming((hi, lo), (ehi, elo))
+    other = bytes(rng.randrange(256) for _ in range(w * h))
+    ohi, olo, _ = phash_of_payload(_make_png(w, h, 1, other, 0))
+    d_other = hamming((hi, lo), (ohi, olo))
+    assert d_edit <= 8          # local edit: few grid cells move
+    assert d_other >= 12        # unrelated image: far in Hamming space
+    assert d_edit < d_other
+
+
+def test_phash_fallback_matches_byte_grid(spark):
+    """Non-decodable payloads hash the raw byte grid (the path the gate
+    oracle replays)."""
+    from apitap_spark.operators.multimodal import (
+        PHASH_GH,
+        PHASH_GW,
+        _dhash_grid,
+        phash_of_payload,
+    )
+
+    payload = bytes(range(60))  # shorter than 72 -> zero-padded
+    grid = [payload[i] if i < len(payload) else 0
+            for i in range(PHASH_GW * PHASH_GH)]
+    assert phash_of_payload(payload) == (*_dhash_grid(grid), "binary/text-stub")
