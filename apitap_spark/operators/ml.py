@@ -759,3 +759,83 @@ def op_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b_raw", 6).alias("b_mean"),
         sil.alias("silhouette"),
     )
+
+
+def _drift_oracle() -> str:
+    half_dims = """
+      SELECT label, pos,
+             CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+               AS m
+      FROM expl WHERE vec_id % 2 = {par} GROUP BY label, pos
+    """
+    return f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    ca AS (
+      SELECT label, list(m ORDER BY pos) AS cent FROM ({half_dims.format(par=0)})
+      GROUP BY label
+    ),
+    cb AS (
+      SELECT label, list(m ORDER BY pos) AS cent FROM ({half_dims.format(par=1)})
+      GROUP BY label
+    ),
+    na AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_a FROM embeddings
+           WHERE vec_id % 2 = 0 GROUP BY label),
+    nb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_b FROM embeddings
+           WHERE vec_id % 2 = 1 GROUP BY label)
+    SELECT CAST(ca.label AS BIGINT) AS label, na.n_a, nb.n_b,
+           ROUND(sqrt(list_aggregate(list_transform(
+                   range(1, len(ca.cent) + 1),
+                   i -> (ca.cent[i] - cb.cent[i]) * (ca.cent[i] - cb.cent[i])),
+                 'sum')), 6) AS centroid_drift
+    FROM ca
+    JOIN cb ON cb.label = ca.label
+    JOIN na ON na.label = ca.label
+    JOIN nb ON nb.label = ca.label
+    """
+
+
+@_register("op_embedding_centroid_drift", _drift_oracle())
+def op_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split the corpus into two deterministic
+    snapshot halves (vec_id parity stands in for time-ordered batches),
+    compute each label cell's fixed-point centroid in both halves, and
+    report the Euclidean distance between them — the embedding-space
+    analogue of op_dataset_diff, and the alarm an ANN/SemDeDup
+    deployment watches for quantizer staleness (a drifting cell means
+    its centroid no longer represents its members; recall silently
+    decays — re-train the coarse quantizer).
+
+    Scale: two (label, dim)-keyed fixed-point mean aggregates (shuffle
+    cardinality k x d each, corpus-size independent) + a k-row join.
+    Centroid means replay exactly in SQL (the _centroids_of fixed-point
+    contract); the distance fold and sqrt are IEEE-exact.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    ca = _centroids_of(half_a.select("label", "embedding"), "label").select(
+        "label", F.col("centroid").alias("cent_a")
+    )
+    cb = _centroids_of(half_b.select("label", "embedding"), "label").select(
+        "label", F.col("centroid").alias("cent_b")
+    )
+    na = half_a.groupBy("label").agg(F.count("*").cast("bigint").alias("n_a"))
+    nb = half_b.groupBy("label").agg(F.count("*").cast("bigint").alias("n_b"))
+    return (
+        ca.join(cb, "label")
+        .join(na, "label")
+        .join(nb, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_a",
+            "n_b",
+            F.round(F.sqrt(_sq_dist(F.col("cent_a"), F.col("cent_b"))), 6).alias(
+                "centroid_drift"
+            ),
+        )
+    )

@@ -545,3 +545,88 @@ def q_bucketized_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@_register(
+    "q_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+           CAST(n1 AS BIGINT) AS users,
+           1.0 AS conv_from_prev, 1.0 AS conv_overall FROM counts
+    UNION ALL
+    SELECT 'click', 2, CAST(n2 AS BIGINT),
+           CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+           CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM counts
+    UNION ALL
+    SELECT 'purchase', 3, CAST(n3 AS BIGINT),
+           CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE),
+           CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM counts
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked strictly after their first view, then purchased
+    strictly after that click — the product-analytics staple (and a
+    shape ORDER-dependent enough that naive per-type counts get it
+    wrong; each stage anchors on the PREVIOUS stage's first timestamp).
+
+    Scale: each stage is one filtered aggregate joined to the previous
+    stage's (user, ts) table — user-keyed shuffles only, no windows over
+    the full stream, stage tables shrink monotonically. Counts are
+    exact integers; the two conversion ratios divide once at the end.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    rows = [
+        ("view", 1, n1, 1.0, 1.0),
+        ("click", 2, n2, float(n2) / float(n1), float(n2) / float(n1)),
+        ("purchase", 3, n3, float(n3) / float(n2), float(n3) / float(n1)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, stage_idx bigint, users bigint,"
+        " conv_from_prev double, conv_overall double",
+    )

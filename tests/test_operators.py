@@ -1272,3 +1272,54 @@ def test_phash_fallback_matches_byte_grid(spark):
     grid = [payload[i] if i < len(payload) else 0
             for i in range(PHASH_GW * PHASH_GH)]
     assert phash_of_payload(payload) == (*_dhash_grid(grid), "binary/text-stub")
+
+
+def test_event_funnel_monotone_and_ordered(spark, sf_dir):
+    """Stage populations shrink monotonically; every stage-3 user really
+    has view < click < purchase timestamps in order (spot-checked via a
+    direct per-user replay)."""
+    from apitap_spark.plans.timeseries import q_event_funnel
+    from apitap_spark.session import read_table
+
+    rows = {r["stage"]: r for r in q_event_funnel(spark, sf_dir).collect()}
+    assert rows["view"]["users"] >= rows["click"]["users"] >= rows["purchase"]["users"]
+    assert rows["purchase"]["users"] > 0  # synthetic stream is dense
+    assert 0.0 < rows["click"]["conv_from_prev"] <= 1.0
+    # replay one user's ordering in plain python
+    ev = read_table(spark, sf_dir, "events").collect()
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append((e["ts"], e["event_type"]))
+    n3 = 0
+    for evs in by_user.values():
+        t1 = min((t for t, ty in evs if ty == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((t for t, ty in evs if ty == "click" and t > t1), default=None)
+        if t2 is None:
+            continue
+        t3 = min((t for t, ty in evs if ty == "purchase" and t > t2), default=None)
+        if t3 is not None:
+            n3 += 1
+    assert n3 == rows["purchase"]["users"]
+
+
+def test_centroid_drift_zero_on_identical_halves(spark, tmp_path):
+    """Mirrored halves (same vectors under both parities) must drift 0;
+    shifted halves must drift by the planted offset."""
+    from apitap_spark.operators.ml import op_embedding_centroid_drift
+
+    base = [[1.0, 2.0] + [0.0] * 62, [3.0, 4.0] + [0.0] * 62]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, 0, v))          # even: half A
+        rows.append((2 * i + 1, 0, v))      # odd:  half B (identical)
+        rows.append((100 + 2 * i, 1, v))    # label 1, half A
+        rows.append((101 + 2 * i, 1, [x + 10.0 for x in v]))  # shifted B
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in
+           op_embedding_centroid_drift(spark, str(tmp_path)).collect()}
+    assert out[0]["centroid_drift"] == 0.0
+    assert abs(out[1]["centroid_drift"] - 80.0) < 1e-6  # 10 in 64 dims = sqrt(64*100)
