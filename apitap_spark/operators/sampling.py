@@ -227,3 +227,80 @@ def op_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= QUOTA_PER_SOURCE)
     )
+
+
+LEAK_HEAD_TOKENS = 16  # head-fingerprint width for the leakage key
+
+
+@_register(
+    "op_split_leakage_audit",
+    rf"""
+    WITH assigned AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               string_split_regex(TRIM(text), '\s+')[1:{LEAK_HEAD_TOKENS}],
+               ' ')) AS head_hash,
+             CASE WHEN b < '{TRAIN_MAX}' THEN 'train'
+                  WHEN b < '{VALID_MAX}' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+               substring(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS b
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      )
+    )
+    SELECT head_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',')
+             AS splits
+    FROM assigned
+    GROUP BY head_hash
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def op_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate groups — keyed on the
+    md5 of each document's first LEAK_HEAD_TOKENS (16) tokens, the
+    head-fingerprint blocking key a passage-dedup pass uses — whose
+    members straddle more than one split of the stable doc_id-hash
+    assignment. These are the documents a 'held-out' eval set silently
+    shares (near-verbatim) with train; doc_id-hash splitting is stable
+    but dup-oblivious, so dedup-then-split or this list must be empty
+    (cf. the train-test overlap analyses in public LM evals). The head
+    fingerprint deliberately catches near-dups that differ only in
+    their tails — exact-hash auditing misses them.
+
+    Output: (head_hash, n_docs, n_splits, splits) per leaking group.
+
+    Scale: one projection (both hashes are per-row md5) + one
+    head_hash-keyed aggregate — the same single shuffle op_dedup_exact
+    pays; the HAVING filter prunes everything non-leaking before the
+    result materializes.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    b = bucket_of(F.col("doc_id"))
+    head = F.md5(F.array_join(F.slice(tokens("text"), 1, LEAK_HEAD_TOKENS), " "))
+    assigned = docs.select(
+        head.alias("head_hash"),
+        F.when(b < TRAIN_MAX, "train")
+        .when(b < VALID_MAX, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        assigned.groupBy("head_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("split").cast("bigint").alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set("split")), ","
+            ).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

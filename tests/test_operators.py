@@ -1323,3 +1323,43 @@ def test_centroid_drift_zero_on_identical_halves(spark, tmp_path):
            op_embedding_centroid_drift(spark, str(tmp_path)).collect()}
     assert out[0]["centroid_drift"] == 0.0
     assert abs(out[1]["centroid_drift"] - 80.0) < 1e-6  # 10 in 64 dims = sqrt(64*100)
+
+
+def test_split_leakage_audit_consistent_with_components(spark, sf_dir):
+    """Every reported group really straddles >1 split (replayed via the
+    split gate + a Python head-fingerprint recount); groups confined to
+    one split never appear."""
+    import hashlib
+
+    from apitap_spark.operators.sampling import (
+        LEAK_HEAD_TOKENS,
+        op_split_leakage_audit,
+        op_split_train_valid_test,
+    )
+    from apitap_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    leaks = {r["head_hash"]: r for r in
+             op_split_leakage_audit(spark, sf_dir).collect()}
+    assert leaks  # synthetic corpus plants near-dups across doc_ids
+    splits = {r["doc_id"]: r["split"] for r in
+              op_split_train_valid_test(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    ).select("doc_id", "text").collect()
+    by_hash: dict = {}
+    for d in docs:
+        head = " ".join(d["text"].strip().split()[:LEAK_HEAD_TOKENS])
+        h = hashlib.md5(head.encode()).hexdigest()
+        by_hash.setdefault(h, []).append(d["doc_id"])
+    expected_leaks = {
+        h: ids for h, ids in by_hash.items()
+        if len({splits[i] for i in ids}) > 1
+    }
+    assert set(leaks) == set(expected_leaks)
+    for h, r in leaks.items():
+        ids = expected_leaks[h]
+        split_set = {splits[i] for i in ids}
+        assert r["n_docs"] == len(ids)
+        assert len(split_set) == r["n_splits"] > 1
+        assert ",".join(sorted(split_set)) == r["splits"]
