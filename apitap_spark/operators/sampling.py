@@ -293,14 +293,20 @@ def op_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    # collect_set once and derive BOTH n_splits and the csv from it:
+    # countDistinct would expand to a two-level aggregate (an extra
+    # (head_hash, split) exchange) — one shuffle instead of two.
     return (
         assigned.groupBy("head_hash")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.countDistinct("split").cast("bigint").alias("n_splits"),
-            F.array_join(
-                F.array_sort(F.collect_set("split")), ","
-            ).alias("splits"),
+            F.array_sort(F.collect_set("split")).alias("split_set"),
         )
-        .filter(F.col("n_splits") > 1)
+        .filter(F.size("split_set") > 1)
+        .select(
+            "head_hash",
+            "n_docs",
+            F.size("split_set").cast("bigint").alias("n_splits"),
+            F.array_join("split_set", ",").alias("splits"),
+        )
     )

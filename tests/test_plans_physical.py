@@ -346,3 +346,82 @@ def test_corpus_card_single_scan(spark, sf_dir):
     p = _plan(op_corpus_summary_card(spark, sf_dir))
     assert p.count(") Scan parquet") == 1
     assert "partial" in p  # map-side combine before the tiny shuffle
+
+
+def test_recall_audit_broadcasts_probe_sides(spark, sf_dir):
+    """Both audit inputs keep their probe sides broadcast — the exact
+    kernel and the IVF cell probe each add no corpus-side cartesian."""
+    from apitap_spark.operators.similarity import op_ann_recall_audit
+
+    p = _plan(op_ann_recall_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the final intersection groups by q_id only — tiny aggregate
+    assert "partial_count" in p
+
+
+def test_silhouette_broadcasts_probes_single_pair_aggregate(spark, sf_dir):
+    """Probe side broadcast (no corpus shuffle for the Q x N distance
+    work); the only exchanges key on (q, cluster) aggregates."""
+    from apitap_spark.operators.ml import op_kmeans_silhouette
+
+    p = _plan(op_kmeans_silhouette(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_sum" in p  # map-side combine of micro distances
+
+
+def test_doc_novelty_single_gram_exchange(spark, sf_dir):
+    """The df window computes document frequency in place — exactly one
+    hashpartitioning on the gram column, no gram self-join."""
+    from apitap_spark.operators.textstats import op_doc_novelty
+
+    p = _plan(op_doc_novelty(spark, sf_dir))
+    assert p.count("hashpartitioning(gram") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_script_profile_map_side_combine(spark, sf_dir):
+    """Per-lang class counts partial-aggregate before the tiny lang
+    shuffle — the whole pass is map-side at scale."""
+    from apitap_spark.operators.textstats import op_text_script_profile
+
+    p = _plan(op_text_script_profile(spark, sf_dir))
+    assert "partial_sum" in p and "partial_count" in p
+    assert p.count("Exchange") <= 2  # lang shuffle (+AQE read)
+
+
+def test_unigram_shift_broadcasts_totals(spark, sf_dir):
+    """Language totals broadcast to the shared-word join; the only big
+    exchange keys on the word."""
+    from apitap_spark.operators.corpus import op_unigram_shift
+
+    p = _plan(op_unigram_shift(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_phash_no_shuffle(spark, sf_dir):
+    """Perceptual hashing is a narrow mapInPandas — zero exchanges."""
+    from apitap_spark.operators.multimodal import op_multimodal_phash
+
+    p = _plan(op_multimodal_phash(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p or "PythonMapInArrow" in p
+
+
+def test_leakage_audit_single_hash_shuffle(spark, sf_dir):
+    """Both hashes are per-row projections; one head_hash aggregate."""
+    from apitap_spark.operators.sampling import op_split_leakage_audit
+
+    p = _plan(op_split_leakage_audit(spark, sf_dir))
+    assert p.count("hashpartitioning(head_hash") == 1
+    assert "SortMergeJoin" not in p
+
+
+def test_centroid_drift_kxd_aggregates_only(spark, sf_dir):
+    """Shuffles key on (label, pos)/(label) — k x d cardinality,
+    corpus-size independent; the final join is label-keyed (k rows)."""
+    from apitap_spark.operators.ml import op_embedding_centroid_drift
+
+    p = _plan(op_embedding_centroid_drift(spark, sf_dir))
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
