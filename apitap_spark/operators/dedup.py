@@ -776,3 +776,120 @@ def op_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+AUDIT_JACCARD_THR = 0.2
+
+
+def _minhash_audit_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"MIN(CAST('0x' || substr(md5('{j}:' || shingle), 1, 15) AS BIGINT))"
+        f" AS h{j}"
+        for j in range(N_HASHES)
+    )
+    # a flat list_sum, not a 128-term "+" chain: DuckDB's binder
+    # recurses per binary Add and caps at depth 128
+    match_sum = (
+        "list_sum(["
+        + ", ".join(
+            f"CASE WHEN s1.h{j} = s2.h{j} THEN 1 ELSE 0 END"
+            for j in range(N_HASHES)
+        )
+        + "])"
+    )
+    return rf"""
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING COUNT(*) <= GREATEST(2, CAST(FLOOR({DF_CAP_FRACTION} *
+               (SELECT COUNT(*) FROM documents)) AS BIGINT))
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= {AUDIT_JACCARD_THR}
+    ),
+    cand AS (
+      SELECT DISTINCT d FROM (
+        SELECT d1 AS d FROM pairs UNION ALL SELECT d2 FROM pairs
+      )
+    ),
+    sig AS (
+      SELECT sh.doc_id,
+             {sig_cols}
+      FROM sh JOIN cand ON cand.d = sh.doc_id
+      GROUP BY sh.doc_id
+    )
+    SELECT p.d1, p.d2, p.jaccard,
+           CAST({match_sum} AS BIGINT) AS est_matches,
+           CAST({match_sum} AS DOUBLE) / {N_HASHES}.0 AS est_jaccard,
+           ROUND(ABS(CAST({match_sum} AS DOUBLE) / {N_HASHES}.0 - p.jaccard), 6)
+             AS abs_err
+    FROM pairs p
+    JOIN sig s1 ON s1.doc_id = p.d1
+    JOIN sig s2 ON s2.doc_id = p.d2
+    """
+
+
+@_register("op_minhash_estimate_audit", _minhash_audit_oracle())
+def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration audit for the MinHash family: for every
+    near-dup pair (exact df-capped Jaccard >= AUDIT_JACCARD_THR),
+    re-estimate Jaccard from {N_HASHES} md5-derived minhash agreements
+    and report the absolute error — the check that validates the
+    (N_HASHES, N_BANDS) LSH parameters actually deliver the
+    concentration the Broder bound promises (E[matches]/n = J, stderr
+    ~ sqrt(J(1-J)/n) ~ 0.04 at n=128) before trusting them corpus-wide.
+
+    The md5-derived 60-bit permutations replay exactly in DuckDB
+    (unlike the production path's xxhash64, which has no DuckDB twin) —
+    so this gate ALSO pins the signature math itself cross-engine, the
+    strongest check the minhash rung has.
+
+    Scale: the pair list is the (already df-capped) near-dup set —
+    tiny; signatures are built ONLY for candidate docs (broadcast
+    semi-join), so the 128-hash cost never touches the full corpus.
+    """
+    sh_all = _df_capped_shingles(spark, sf_dir)
+    pairs = _jaccard_pairs(sh_all, None, AUDIT_JACCARD_THR)
+    cand = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    csh = sh_all.join(F.broadcast(cand), "doc_id")
+    def mh(j: int):
+        key = F.concat(F.lit(f"{j}:"), F.col("shingle"))
+        return F.min(
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        ).alias(f"h{j}")
+
+    sig = csh.groupBy("doc_id").agg(*[mh(j) for j in range(N_HASHES)])
+    s1 = sig.alias("s1")
+    s2 = sig.alias("s2")
+    matches = None
+    for j in range(N_HASHES):
+        t = F.when(F.col(f"s1.h{j}") == F.col(f"s2.h{j}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = matches.cast("double") / F.lit(float(N_HASHES))
+    return (
+        pairs.join(s1, F.col("s1.doc_id") == F.col("d1"))
+        .join(s2, F.col("s2.doc_id") == F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            matches.cast("bigint").alias("est_matches"),
+            est.alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

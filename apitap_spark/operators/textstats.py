@@ -860,3 +860,86 @@ def op_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_ratio"
         ),
     )
+
+
+GROWTH_MAX_CHECKPOINTS = 24  # powers of 2 cover any corpus the id space holds
+
+
+def _growth_oracle() -> str:
+    cps = ", ".join(str(1 << k) for k in range(1, GROWTH_MAX_CHECKPOINTS + 1))
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    firsts AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY w
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    cps AS (
+      SELECT cp FROM (SELECT unnest([{cps}]) AS cp)
+      WHERE cp <= 2 * (SELECT MAX(doc_id) FROM per_doc)
+    )
+    SELECT CAST(cp AS BIGINT) AS checkpoint,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc WHERE doc_id < cp)
+             AS n_docs,
+           (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM per_doc
+            WHERE doc_id < cp) AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts WHERE first_doc < cp)
+             AS n_types
+    FROM cps
+    WHERE (SELECT COUNT(*) FROM per_doc WHERE doc_id < cp) > 0
+    """
+
+
+@_register("op_corpus_growth_curve", _growth_oracle())
+def op_corpus_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct word types and
+    cumulative tokens for doc_id-prefix checkpoints at powers of two —
+    the curve a corpus datasheet plots to show lexical saturation (a
+    flattening curve means new data adds volume, not vocabulary; a
+    steep one means the domain is still being explored).
+
+    Scale: the trick is that growth at a checkpoint only needs each
+    type's FIRST document (min doc_id per type — one word-keyed
+    aggregate), so NO global ordering or running window ever touches
+    the corpus: log2(N) checkpoint thresholds cross-join against the
+    per-type firsts and the per-doc token counts, both already tiny or
+    partial-aggregated. Counts are exact integers.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    max_id = per_doc.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    # <=: when max_id is itself a power of two, the next power (==
+    # 2*max_id) is the checkpoint that finally covers doc_id == max_id
+    cps = [1 << k for k in range(1, GROWTH_MAX_CHECKPOINTS + 1)
+           if (1 << k) <= 2 * max_id]
+    cp_df = F.broadcast(
+        docs.sparkSession.createDataFrame([(c,) for c in cps], "checkpoint bigint")
+    )
+    doc_stats = (
+        per_doc.crossJoin(cp_df)
+        .filter(F.col("doc_id") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    type_stats = (
+        firsts.crossJoin(cp_df)
+        .filter(F.col("first_doc") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count("*").cast("bigint").alias("n_types"))
+    )
+    return doc_stats.join(type_stats, "checkpoint").select(
+        "checkpoint", "n_docs", "n_tokens", "n_types"
+    )

@@ -1363,3 +1363,46 @@ def test_split_leakage_audit_consistent_with_components(spark, sf_dir):
         assert r["n_docs"] == len(ids)
         assert len(split_set) == r["n_splits"] > 1
         assert ",".join(sorted(split_set)) == r["splits"]
+
+
+def test_minhash_estimate_audit_concentration(spark, sf_dir):
+    """The 128-hash estimate concentrates around exact Jaccard: mean
+    absolute error well under 3 standard errors (~0.13), and every
+    estimate stays within [0, 1]."""
+    from apitap_spark.operators.dedup import op_minhash_estimate_audit
+
+    rows = op_minhash_estimate_audit(spark, sf_dir).collect()
+    assert rows  # near-dup pairs exist in the synthetic corpus
+    errs = []
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert r["est_matches"] == round(r["est_jaccard"] * 128)
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 1e-6
+        errs.append(r["abs_err"])
+    assert sum(errs) / len(errs) < 0.13  # 3 * sqrt(0.25/128) ~ 0.13
+
+
+def test_growth_curve_monotone_and_endpoint(spark, sf_dir):
+    """Growth is monotone in every column; the final checkpoint matches
+    corpus-wide distinct types and total tokens."""
+    from apitap_spark.operators.textstats import op_corpus_growth_curve
+    from apitap_spark.functions.text import tokens
+    from apitap_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        op_corpus_growth_curve(spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs"] <= b["n_docs"]
+        assert a["n_tokens"] <= b["n_tokens"]
+        assert a["n_types"] <= b["n_types"]
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    assert rows[-1]["n_types"] == tok.select("w").distinct().count()
+    assert rows[-1]["n_tokens"] == tok.count()
+    assert rows[-1]["n_docs"] == docs.count()
