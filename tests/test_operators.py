@@ -1406,3 +1406,32 @@ def test_growth_curve_monotone_and_endpoint(spark, sf_dir):
     assert rows[-1]["n_types"] == tok.select("w").distinct().count()
     assert rows[-1]["n_tokens"] == tok.count()
     assert rows[-1]["n_docs"] == docs.count()
+
+
+def test_edit_distance_rung_agrees_with_python(spark, sf_dir):
+    """Pairs are non-vacuous; distances match a pure-Python DP replay
+    for a handful of pairs; similarity bounds hold."""
+    from apitap_spark.operators.dedup import op_dedup_edit_distance
+    from apitap_spark.session import read_table
+
+    rows = op_dedup_edit_distance(spark, sf_dir).collect()
+    assert rows
+    texts = {r["doc_id"]: r["text"] for r in
+             read_table(spark, sf_dir, "documents").collect()}
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:5]:
+        assert r["edit_distance"] == lev(texts[r["d1"]], texts[r["d2"]])
+    for r in rows:
+        assert 0.0 <= r["edit_similarity"] <= 1.0
+        # same head fingerprint -> near-dups: similarity is high
+        assert r["edit_similarity"] > 0.3
