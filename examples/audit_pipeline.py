@@ -1,0 +1,112 @@
+"""Corpus audit report — the pre-training go/no-go datasheet.
+
+Composes this round's audit operators into the one-pass report a data
+team reviews before spending compute on a training run:
+
+  documents / embeddings
+    → split-leakage audit        (sampling.op_split_leakage_audit)
+    → per-lang script profile    (textstats.op_text_script_profile)
+    → tokenizer fertility        (bpe.op_bpe_fertility_by_lang)
+    → vocabulary growth curve    (textstats.op_corpus_growth_curve)
+    → unigram shard shift        (corpus.op_unigram_shift)
+    → doc novelty distribution   (textstats.op_doc_novelty)
+    → ANN index recall audit     (similarity.op_ann_recall_audit)
+    → MinHash calibration        (dedup.op_minhash_estimate_audit)
+    → cluster silhouette         (ml.op_kmeans_silhouette)
+    → embedding centroid drift   (ml.op_embedding_centroid_drift)
+
+Run:  python examples/audit_pipeline.py [sf_dir] [out_dir]
+
+Defaults: sf_dir=/root/testdata/sf0.001, out_dir=/tmp/corpus_audit.
+Every section writes parquet plus a one-line verdict to stdout; the
+exit code is non-zero when a hard gate fires (split leakage found, ANN
+recall below 0.5, MinHash error above the concentration bound) so the
+report drops into CI unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from apitap_spark.operators.bpe import op_bpe_fertility_by_lang  # noqa: E402
+from apitap_spark.operators.corpus import op_unigram_shift  # noqa: E402
+from apitap_spark.operators.dedup import op_minhash_estimate_audit  # noqa: E402
+from apitap_spark.operators.ml import (  # noqa: E402
+    op_embedding_centroid_drift,
+    op_kmeans_silhouette,
+)
+from apitap_spark.operators.sampling import op_split_leakage_audit  # noqa: E402
+from apitap_spark.operators.similarity import op_ann_recall_audit  # noqa: E402
+from apitap_spark.operators.textstats import (  # noqa: E402
+    op_corpus_growth_curve,
+    op_doc_novelty,
+    op_text_script_profile,
+)
+from apitap_spark.session import get_session  # noqa: E402
+
+
+def build(spark, sf_dir: str, out_dir: str) -> int:
+    failures = 0
+
+    leaks = op_split_leakage_audit(spark, sf_dir)
+    n_leaks = leaks.count()
+    leaks.write.mode("overwrite").parquet(f"{out_dir}/split_leakage")
+    print(f"[{'FAIL' if n_leaks else ' ok '}] split leakage: "
+          f"{n_leaks} near-dup groups straddle splits")
+    failures += n_leaks > 0
+
+    recall = op_ann_recall_audit(spark, sf_dir)
+    mean_recall = recall.agg(F.avg("recall_at_k")).collect()[0][0]
+    recall.write.mode("overwrite").parquet(f"{out_dir}/ann_recall")
+    print(f"[{'FAIL' if mean_recall < 0.5 else ' ok '}] ANN recall@3: "
+          f"mean {mean_recall:.3f}")
+    failures += mean_recall < 0.5
+
+    mh = op_minhash_estimate_audit(spark, sf_dir)
+    mean_err = mh.agg(F.avg("abs_err")).collect()[0][0] or 0.0
+    mh.write.mode("overwrite").parquet(f"{out_dir}/minhash_calibration")
+    print(f"[{'FAIL' if mean_err > 0.13 else ' ok '}] minhash calibration: "
+          f"mean |err| {mean_err:.4f} (bound 0.13)")
+    failures += mean_err > 0.13
+
+    # informational sections — written, summarized, never gating
+    for name, df in [
+        ("script_profile", op_text_script_profile(spark, sf_dir)),
+        ("fertility", op_bpe_fertility_by_lang(spark, sf_dir)),
+        ("growth_curve", op_corpus_growth_curve(spark, sf_dir)),
+        ("unigram_shift", op_unigram_shift(spark, sf_dir)),
+        ("novelty", op_doc_novelty(spark, sf_dir)),
+        ("silhouette", op_kmeans_silhouette(spark, sf_dir)),
+        ("centroid_drift", op_embedding_centroid_drift(spark, sf_dir)),
+    ]:
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        print(f"[info] {name}: {df.count()} rows -> {out_dir}/{name}")
+
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_audit"
+    spark = get_session(app_name="corpus-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = build(spark, sf_dir, out_dir)
+    print(f"audit complete: {failures} hard-gate failure(s)")
+    if failures:
+        print(
+            "NOTE: failures are the EXPECTED findings on the raw synthetic "
+            "corpus — it plants near-dups without dedup-then-split (leakage "
+            "fires), and the probe-1 label-cell IVF recalls poorly on "
+            "unclustered embeddings (raise nprobe / retrain the quantizer). "
+            "The audit exists to catch exactly these before a training run."
+        )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -276,3 +276,29 @@ def test_hybrid_rrf_rank_properties(spark, sf_dir):
         assert all(a >= b for a, b in zip(scores, scores[1:]))
         # fused max possible = two first-rank hits
         assert scores[0] <= round(2.0 / (RRF_K + 1), 6) + 1e-12
+
+
+def test_audit_example_end_to_end(spark, sf_dir, tmp_path):
+    """The composed audit example writes every section and reports the
+    planted findings (leakage fires; minhash calibration holds)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "audit_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "audit")
+    failures = mod.build(spark, sf_dir, out)
+    # the raw synthetic corpus MUST trip the leakage gate (planted
+    # near-dups, split-then-dedup) — a silent pass means the audit broke
+    assert failures >= 1
+    for section in (
+        "split_leakage", "ann_recall", "minhash_calibration",
+        "script_profile", "fertility", "growth_curve", "unigram_shift",
+        "novelty", "silhouette", "centroid_drift",
+    ):
+        assert spark.read.parquet(f"{out}/{section}").count() > 0
