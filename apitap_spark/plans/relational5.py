@@ -322,3 +322,75 @@ def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RE2's $ matches only end-of-text; \z is end-of-text in both.
         F.regexp_extract("text", r"([A-Za-z]+)\z", 1).alias("last_word"),
     )
+
+
+@_register(
+    "q_bitwise_functions",
+    """
+    SELECT l_linenumber,
+           CAST(BIT_AND(l_orderkey) AS BIGINT) AS and_key,
+           CAST(BIT_OR(l_orderkey) AS BIGINT) AS or_key,
+           CAST(BIT_XOR(l_orderkey) AS BIGINT) AS xor_key,
+           CAST(SUM(CAST(l_orderkey % 2 AS BIGINT)) AS BIGINT) AS odd_keys,
+           CAST(MIN(l_orderkey * 4) AS BIGINT) AS min_shl2,
+           CAST(MAX(l_orderkey // 8) AS BIGINT) AS max_shr3
+    FROM lineitem
+    WHERE l_orderkey < 5000
+    GROUP BY l_linenumber
+    """,
+)
+def q_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (SURVEY §2.2 Q12): BIT_AND / BIT_OR /
+    BIT_XOR grouped aggregates plus shift-equivalent arithmetic —
+    integer-exact on both engines (shifts written as *4 and integer-/8
+    because Spark's shiftleft and DuckDB's << agree only on the
+    multiplicative reading for non-negative keys; the arithmetic form
+    is the engine-portable one). All partial-aggregated map-side.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    return li.groupBy("l_linenumber").agg(
+        F.bit_and("l_orderkey").cast("bigint").alias("and_key"),
+        F.bit_or("l_orderkey").cast("bigint").alias("or_key"),
+        F.bit_xor("l_orderkey").cast("bigint").alias("xor_key"),
+        F.sum((F.col("l_orderkey") % 2).cast("bigint")).cast("bigint").alias("odd_keys"),
+        F.min(F.col("l_orderkey") * 4).cast("bigint").alias("min_shl2"),
+        F.max(F.expr("l_orderkey div 8")).cast("bigint").alias("max_shr3"),
+    )
+
+
+@_register(
+    "q_null_handling_functions",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), '<open>') AS status_or_marker,
+           IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'self-null')
+             AS priority_nullif,
+           CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL
+                THEN 'finished' ELSE 'active' END AS status_class,
+           CAST(COALESCE(NULLIF(o_custkey, 1), -1) AS BIGINT)
+             AS custkey_or_sentinel
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def q_null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family (SURVEY §2.2 Q12): NULLIF / COALESCE
+    / IFNULL chains and NULL-aware CASE — pure projections, identical
+    three-valued-logic semantics on both engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("<open>")
+        ).alias("status_or_marker"),
+        F.ifnull(
+            F.nullif("o_orderpriority", F.col("o_orderpriority")),
+            F.lit("self-null"),
+        ).alias("priority_nullif"),
+        F.when(F.nullif("o_orderstatus", F.lit("F")).isNull(), "finished")
+        .otherwise("active")
+        .alias("status_class"),
+        F.coalesce(F.nullif("o_custkey", F.lit(1)), F.lit(-1))
+        .cast("bigint")
+        .alias("custkey_or_sentinel"),
+    )
