@@ -579,3 +579,106 @@ def op_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(_extract_phash, schema=PHASH_SCHEMA)
+
+
+PHASH_HAMMING_MAX = 6  # near-dup threshold; 4 x 16-bit bands => pigeonhole-complete
+
+
+def _phash_pairs_oracle() -> str:
+    base = _phash_oracle()
+    return f"""
+    WITH ph AS ({base}),
+    banded AS (
+      SELECT doc_id, phash_hi, phash_lo, b.band,
+             CASE b.band
+               WHEN 0 THEN phash_hi % 65536
+               WHEN 1 THEN phash_hi // 65536
+               WHEN 2 THEN phash_lo % 65536
+               ELSE phash_lo // 65536
+             END AS band_val
+      FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.phash_hi AS h1, a.phash_lo AS l1,
+             b.phash_hi AS h2, b.phash_lo AS l2
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2))
+            <= {PHASH_HAMMING_MAX}
+    """
+
+
+@_register("op_dedup_phash_pairs", _phash_pairs_oracle())
+def op_dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairing: documents whose dHash
+    signatures differ by at most PHASH_HAMMING_MAX of 64 bits — the
+    image-dedup rung that catches re-encodes, recompressions and small
+    crops byte-level dedup misses. Candidate generation is the
+    pigeonhole band trick over 4 x 16-bit bands: d differing bits can
+    dirty at most d bands, so any pair with d <= 3 MUST share a clean
+    band (hard guarantee); for d in (3, 6] recall is partial and high
+    in practice because re-encode damage clusters spatially (adjacent
+    grid cells -> adjacent bits). A deployment wanting the hard
+    guarantee at d <= 6 splits into 8 x 8-bit bands — the same
+    recall/candidate-volume dial as MinHash banding.
+
+    Scale: the band equi-join replaces the all-pairs scan exactly like
+    MinHash-LSH banding; Hamming distance is two XOR+bit_count integer
+    ops both engines compute identically.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    ph = payloads.mapInPandas(_extract_phash, schema=PHASH_SCHEMA).localCheckpoint()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.when(F.lit(i) == 0, F.col("phash_hi") % 65536)
+                .when(F.lit(i) == 1, F.expr("phash_hi div 65536"))
+                .when(F.lit(i) == 2, F.col("phash_lo") % 65536)
+                .otherwise(F.expr("phash_lo div 65536"))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = ph.select(
+        "doc_id", "phash_hi", "phash_lo", F.explode(bands).alias("b")
+    ).select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.col("b.band").alias("band"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.phash_hi").alias("h1"),
+            F.col("a.phash_lo").alias("l1"),
+            F.col("b.phash_hi").alias("h2"),
+            F.col("b.phash_lo").alias("l2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("h1").bitwiseXOR(F.col("h2"))
+    ) + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))
+    return cand.select(
+        "d1", "d2", hamming.cast("bigint").alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)

@@ -1435,3 +1435,40 @@ def test_edit_distance_rung_agrees_with_python(spark, sf_dir):
         assert 0.0 <= r["edit_similarity"] <= 1.0
         # same head fingerprint -> near-dups: similarity is high
         assert r["edit_similarity"] > 0.3
+
+
+def test_phash_pairs_hamming_and_pigeonhole(spark, sf_dir):
+    """Pairs are non-vacuous, hamming <= threshold, and a direct
+    recount over the full signature table finds no d<=3 pair the
+    banding missed (the hard pigeonhole guarantee)."""
+    from apitap_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        _extract_phash,
+        op_dedup_phash_pairs,
+        with_binary_payload,
+    )
+    from apitap_spark.session import read_table
+
+    pairs = {(r["d1"], r["d2"]): r["hamming"]
+             for r in op_dedup_phash_pairs(spark, sf_dir).collect()}
+    assert pairs  # prefix-sharing docs produce identical byte grids
+    assert all(0 <= h <= PHASH_HAMMING_MAX for h in pairs.values())
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(_extract_phash, schema="doc_id bigint, phash_hi bigint,"
+                     " phash_lo bigint, modality string")
+        .collect()
+    }
+    ids = sorted(sigs)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            h = bin(sigs[d1][0] ^ sigs[d2][0]).count("1") + bin(
+                sigs[d1][1] ^ sigs[d2][1]
+            ).count("1")
+            if h <= 3:
+                assert (d1, d2) in pairs, f"banding missed d<=3 pair {d1},{d2}"
+            if (d1, d2) in pairs:
+                assert pairs[(d1, d2)] == h
