@@ -394,3 +394,41 @@ def q_null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("custkey_or_sentinel"),
     )
+
+
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@_register(
+    "q_pivot_lang_counts",
+    f"""
+    SELECT source,
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN lang = '{lg}' THEN 1 END), 0)"
+               f" AS BIGINT) AS {lg}"
+               for lg in PIVOT_LANGS
+           )}
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface (SURVEY §2.2 Q12 family): document counts per
+    source widened over the language domain — Spark's relational
+    ``pivot`` with an explicit value list (the explicit list keeps the
+    plan a single pass; omitting it costs a distinct-collect first).
+    Missing combinations coalesce to 0 on both engines (Spark pivot
+    yields NULL for empty cells, the oracle's SUM(CASE) likewise)."""
+    from apitap_spark.session import read_table as _rt
+
+    docs = _rt(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .agg(F.count("doc_id"))
+    )
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(lg)
+          for lg in PIVOT_LANGS],
+    )
