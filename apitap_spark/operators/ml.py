@@ -839,3 +839,88 @@ def op_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _cell_balance_oracle() -> str:
+    return f"""
+    WITH expl AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    init AS (
+      SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label AS cluster, pos,
+               CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+                 AS m
+        FROM expl GROUP BY label, pos
+      ) GROUP BY cluster
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT em.vec_id, i.cluster,
+               ROW_NUMBER() OVER (PARTITION BY em.vec_id ORDER BY
+                 {_sql_sqdist("em.embedding", "i.centroid")} ASC,
+                 i.cluster ASC) AS rk
+        FROM embeddings em, init i
+      ) WHERE rk = 1
+    ),
+    sizes AS (
+      SELECT CAST(cluster AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n
+      FROM asg GROUP BY cluster
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS k
+      FROM sizes
+    )
+    SELECT s.cell, s.n,
+           CAST(s.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+           CAST(s.n AS DOUBLE) * CAST(t.k AS DOUBLE)
+             / CAST(t.total AS DOUBLE) AS imbalance
+    FROM sizes s CROSS JOIN tot t
+    """
+
+
+@_register("op_ivf_cell_balance", _cell_balance_oracle())
+def op_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build report: per-cell population after quantizer
+    assignment, with each cell's share and imbalance factor
+    (n * k / total; 1.0 = perfectly balanced). Imbalanced cells are the
+    ANN tail-latency story at scale — a cell holding 10x its share
+    makes every query probing it 10x slower, and the fix (split the
+    cell, retrain, or spill to sub-quantizers) starts from exactly this
+    table.
+
+    Scale: the assignment is the broadcast-quantizer scan every IVF
+    gate shares; the report is one k-row aggregate + a scalar cross
+    join. Integer counts, two fixed divisions.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    init = _centroids_of(
+        emb.select(F.col("label").alias("cluster"), "embedding"), "cluster"
+    )
+    assigned = kmeans_assign(
+        emb.select("vec_id", "embedding"), init, n_iter=1
+    ).select("vec_id", "cluster")
+    sizes = assigned.groupBy(
+        F.col("cluster").cast("bigint").alias("cell")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = sizes.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("n").cast("double")
+            * F.col("k").cast("double")
+            / F.col("total").cast("double")
+        ).alias("imbalance"),
+    )

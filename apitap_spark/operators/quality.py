@@ -560,3 +560,62 @@ def op_length_filter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@_register(
+    "op_quality_calibration",
+    rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) > 300 THEN 1 ELSE 0 END AS y,
+             ROUND(0.3 * LEAST(CAST(LEN(string_split_regex(TRIM(text), '\s+'))
+                                    AS DOUBLE) / 100, 1.0)
+                   + 0.4 * (CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g'))
+                                 AS DOUBLE) / LENGTH(text))
+                   + 0.3 * LEAST(CAST(LEN(list_filter(
+                         string_split_regex(TRIM(text), '\s+'),
+                         w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
+                       AS DOUBLE)
+                       / LEN(string_split_regex(TRIM(text), '\s+')) * 5, 1.0),
+                   6) AS score
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT CAST(FLOOR(score * 10.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_longform,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS longform_rate
+    FROM feat GROUP BY 1
+    """,
+)
+def op_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve for the heuristic quality score: bucket the
+    C4-style composite score into tenths and report the observed
+    long-form rate per bucket — the reliability diagram that tells a
+    curation run whether the cheap score actually orders documents by
+    the outcome it proxies (a flat curve means the score is noise; the
+    gate's pytest asserts monotone-ish lift top vs bottom).
+
+    Bucketing uses fixed thresholds (floor(score*10)), NOT ntile: a
+    global ntile needs a total order over the corpus; fixed buckets are
+    a map-side projection at any scale, and the curve reads the same.
+    One integer aggregate; the rate divides once.
+    """
+    from apitap_spark.operators.textstats import op_text_quality_score
+
+    scored = op_text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.length("text") > 300).cast("int").alias("y")
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy(
+            F.floor(F.col("quality_score") * 10.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_longform"),
+            (F.sum("y").cast("double") / F.count("*").cast("double")).alias(
+                "longform_rate"
+            ),
+        )
+    )

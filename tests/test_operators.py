@@ -1472,3 +1472,44 @@ def test_phash_pairs_hamming_and_pigeonhole(spark, sf_dir):
                 assert (d1, d2) in pairs, f"banding missed d<=3 pair {d1},{d2}"
             if (d1, d2) in pairs:
                 assert pairs[(d1, d2)] == h
+
+
+def test_quality_calibration_lift_and_totals(spark, sf_dir):
+    """Buckets partition the corpus; the top half of the score range
+    shows a higher long-form rate than the bottom half (the score must
+    actually order documents by its proxy target)."""
+    from apitap_spark.operators.quality import op_quality_calibration
+    from apitap_spark.session import read_table
+
+    rows = sorted(
+        op_quality_calibration(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n = read_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0"
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n
+    lo = [r for r in rows if r["bucket"] <= 4]
+    hi = [r for r in rows if r["bucket"] >= 5]
+    assert lo and hi
+    rate = lambda rs: sum(r["n_longform"] for r in rs) / sum(
+        r["n_docs"] for r in rs
+    )
+    assert rate(hi) > rate(lo)
+
+
+def test_ivf_cell_balance_partitions_and_mean_one(spark, sf_dir):
+    """Cells partition the corpus; shares sum to 1; the size-weighted
+    mean imbalance is >= 1 with equality iff perfectly balanced."""
+    from apitap_spark.operators.ml import op_ivf_cell_balance
+    from apitap_spark.session import read_table
+
+    rows = op_ivf_cell_balance(spark, sf_dir).collect()
+    total = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    k = len(rows)
+    # unweighted mean imbalance is exactly 1 by construction
+    assert abs(sum(r["imbalance"] for r in rows) / k - 1.0) < 1e-9
+    for r in rows:
+        assert r["imbalance"] > 0
