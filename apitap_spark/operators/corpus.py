@@ -878,3 +878,106 @@ def op_unigram_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("tv_distance"),
     )
+
+
+OVERLAP_HEAD_TOKENS = 16  # same head-fingerprint blocking key as leakage
+
+
+@_register(
+    "op_source_overlap_matrix",
+    rf"""
+    WITH keyed AS (
+      SELECT source,
+             md5(array_to_string(
+               string_split_regex(TRIM(text), '\s+')[1:{OVERLAP_HEAD_TOKENS}],
+               ' ')) AS head_hash
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    per_source AS (
+      SELECT source, head_hash, CAST(COUNT(*) AS BIGINT) AS c
+      FROM keyed GROUP BY source, head_hash
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM per_source
+      GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_heads,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS shared_docs
+      FROM per_source a
+      JOIN per_source b ON a.head_hash = b.head_hash AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.shared_heads, s.shared_docs,
+           ta.n AS docs_a, tb.n AS docs_b,
+           CAST(s.shared_docs AS DOUBLE)
+             / CAST(LEAST(ta.n, tb.n) AS DOUBLE) AS overlap_ratio
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    """,
+)
+def op_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    head-fingerprint groups (and min-matched documents) they share,
+    normalized by the smaller source — the mixing-design diagnostic
+    that catches mirror sites and re-crawls BEFORE their duplicates
+    inflate a source's mixing weight (two 30%-overlapping crawls are
+    not two independent sources).
+
+    Scale: per-source fingerprint counts partial-aggregate map-side;
+    the pair join keys on head_hash (the same single corpus shuffle the
+    dedup rungs pay) and the source-pair aggregate is |sources|^2-
+    bounded — tiny. Counts are integers; one final division.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    keyed = docs.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, OVERLAP_HEAD_TOKENS), " ")
+        ).alias("head_hash"),
+    )
+    per_source = keyed.groupBy("source", "head_hash").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    totals = per_source.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    a = per_source.select(
+        F.col("source").alias("source_a"), "head_hash", F.col("c").alias("ca")
+    )
+    b = per_source.select(
+        F.col("source").alias("source_b"), "head_hash", F.col("c").alias("cb")
+    )
+    shared = (
+        a.join(b, "head_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("shared_heads"),
+            F.sum(F.least("ca", "cb")).cast("bigint").alias("shared_docs"),
+        )
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("docs_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("docs_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_heads",
+            "shared_docs",
+            "docs_a",
+            "docs_b",
+            (
+                F.col("shared_docs").cast("double")
+                / F.least("docs_a", "docs_b").cast("double")
+            ).alias("overlap_ratio"),
+        )
+    )

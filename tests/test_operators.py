@@ -1513,3 +1513,46 @@ def test_ivf_cell_balance_partitions_and_mean_one(spark, sf_dir):
     assert abs(sum(r["imbalance"] for r in rows) / k - 1.0) < 1e-9
     for r in rows:
         assert r["imbalance"] > 0
+
+
+def test_source_overlap_matrix_recount(spark, sf_dir):
+    """Matrix rows replay exactly from a Python recount of the head
+    fingerprints; overlap_ratio stays in (0, 1]."""
+    import hashlib
+
+    from apitap_spark.operators.corpus import (
+        OVERLAP_HEAD_TOKENS,
+        op_source_overlap_matrix,
+    )
+    from apitap_spark.session import read_table
+
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            op_source_overlap_matrix(spark, sf_dir).collect()}
+    assert rows  # planted near-dups span sources
+    docs = read_table(spark, sf_dir, "documents").collect()
+    counts: dict = {}
+    tot: dict = {}
+    for d in docs:
+        if not d["text"] or not d["text"].strip():
+            continue
+        head = " ".join(d["text"].strip().split()[:OVERLAP_HEAD_TOKENS])
+        h = hashlib.md5(head.encode()).hexdigest()
+        counts.setdefault((d["source"], h), 0)
+        counts[(d["source"], h)] += 1
+        tot[d["source"]] = tot.get(d["source"], 0) + 1
+    by_hash: dict = {}
+    for (src, h), c in counts.items():
+        by_hash.setdefault(h, {})[src] = c
+    expect: dict = {}
+    for h, srcs in by_hash.items():
+        names = sorted(srcs)
+        for i, sa in enumerate(names):
+            for sb in names[i + 1:]:
+                e = expect.setdefault((sa, sb), [0, 0])
+                e[0] += 1
+                e[1] += min(srcs[sa], srcs[sb])
+    assert set(rows) == set(expect)
+    for key, r in rows.items():
+        assert (r["shared_heads"], r["shared_docs"]) == tuple(expect[key])
+        assert r["docs_a"] == tot[key[0]] and r["docs_b"] == tot[key[1]]
+        assert 0.0 < r["overlap_ratio"] <= 1.0
