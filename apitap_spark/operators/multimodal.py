@@ -490,9 +490,11 @@ def phash_of_payload(payload: bytes) -> tuple[int, int, str]:
     """(phash_hi, phash_lo, modality) for one payload.
 
     PNG payloads decode for real: integer luma -> nearest-sample 9x8
-    grid -> dHash. Anything else falls back to the raw-byte grid
-    (first 72 bytes, zero-padded) so the plumbing stays total and the
-    ASCII stand-in gate oracle can replay it.
+    grid -> dHash. Anything else falls back to a character-codepoint
+    grid (first 72 codepoints of the utf-8 decode, zero-padded; raw
+    bytes only for non-UTF-8 payloads) so the plumbing stays total and
+    the stand-in gate oracle replays it exactly — including non-ASCII
+    text, where byte indexing and SQL ascii() would diverge.
     """
     try:
         w, h, c, px = decode_image(payload)
@@ -508,9 +510,15 @@ def phash_of_payload(payload: bytes) -> tuple[int, int, str]:
             for x in range(PHASH_GW)
         ]
         return (*_dhash_grid(grid), "image/png")
-    except (NotImplementedError, ValueError, IndexError):
+    except Exception:  # noqa: BLE001 — per-row fallback: one corrupt
+        # payload must never abort a 100 TB scan (zlib.error, struct.error,
+        # truncation — anything decode_image can raise)
+        try:
+            cells = [ord(ch) for ch in payload.decode("utf-8")]
+        except UnicodeDecodeError:
+            cells = list(payload)
         grid = [
-            payload[i] if i < len(payload) else 0
+            cells[i] if i < len(cells) else 0
             for i in range(PHASH_GW * PHASH_GH)
         ]
         return (*_dhash_grid(grid), "binary/text-stub")
@@ -534,8 +542,10 @@ def _extract_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _phash_oracle() -> str:
     def g(i: int) -> str:
+        # character codepoints, matching the fallback's utf-8 decode —
+        # byte indexing vs ascii() would diverge on any non-ASCII text
         return (
-            f"CASE WHEN {i} < octet_length(encode(text))"
+            f"CASE WHEN {i} < LENGTH(text)"
             f" THEN ascii(substr(text, {i + 1}, 1)) ELSE 0 END"
         )
 

@@ -562,31 +562,26 @@ def op_length_filter_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "op_quality_calibration",
-    rf"""
-    WITH feat AS (
-      SELECT doc_id,
-             CASE WHEN LENGTH(text) > 300 THEN 1 ELSE 0 END AS y,
-             ROUND(0.3 * LEAST(CAST(LEN(string_split_regex(TRIM(text), '\s+'))
-                                    AS DOUBLE) / 100, 1.0)
-                   + 0.4 * (CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g'))
-                                 AS DOUBLE) / LENGTH(text))
-                   + 0.3 * LEAST(CAST(LEN(list_filter(
-                         string_split_regex(TRIM(text), '\s+'),
-                         w -> w IN ('the', 'a', 'of', 'and', 'is', 'to', 'in')))
-                       AS DOUBLE)
-                       / LEN(string_split_regex(TRIM(text), '\s+')) * 5, 1.0),
-                   6) AS score
-      FROM documents WHERE LENGTH(TRIM(text)) > 0
-    )
-    SELECT CAST(FLOOR(score * 10.0) AS BIGINT) AS bucket,
+def _calibration_oracle() -> str:
+    # compose the REGISTERED quality-score oracle as a CTE — one source
+    # of truth, so a future change to STOPWORDS or the score weights in
+    # textstats.py moves both gates together instead of silently
+    # desynchronizing a duplicated formula (round-4 review)
+    from apitap_spark.operators.textstats import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH scored AS ({_TEXT_ORACLES["op_text_quality_score"]})
+    SELECT CAST(FLOOR(quality_score * 10.0) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(y) AS BIGINT) AS n_longform,
-           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS longform_rate
-    FROM feat GROUP BY 1
-    """,
-)
+           CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_longform,
+           CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS longform_rate
+    FROM scored GROUP BY 1
+    """
+
+
+@_register("op_quality_calibration", _calibration_oracle())
 def op_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration curve for the heuristic quality score: bucket the
     C4-style composite score into tenths and report the observed
@@ -598,17 +593,17 @@ def op_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bucketing uses fixed thresholds (floor(score*10)), NOT ntile: a
     global ntile needs a total order over the corpus; fixed buckets are
     a map-side projection at any scale, and the curve reads the same.
-    One integer aggregate; the rate divides once.
+    The long-form label derives from the score frame's own n_chars
+    column — ONE corpus scan, no second read or doc_id join. One
+    integer aggregate; the rate divides once.
     """
     from apitap_spark.operators.textstats import op_text_quality_score
 
-    scored = op_text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", (F.length("text") > 300).cast("int").alias("y")
+    scored = op_text_quality_score(spark, sf_dir).select(
+        "quality_score", (F.col("n_chars") > 300).cast("int").alias("y")
     )
     return (
-        scored.join(docs, "doc_id")
-        .groupBy(
+        scored.groupBy(
             F.floor(F.col("quality_score") * 10.0).cast("bigint").alias("bucket")
         )
         .agg(

@@ -758,7 +758,7 @@ def op_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("gram"),
+        F.explode(shingles("text", NOVELTY_N)).alias("gram"),
     )
     with_df = grams.withColumn(
         "df", F.count("*").over(Window.partitionBy("gram"))

@@ -620,10 +620,16 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
     n1, n2, n3 = s1.count(), s2.count(), s3.count()
+
+    def ratio(a: int, b: int):
+        # None (SQL NULL) on an empty denominator — matching the
+        # oracle, where DuckDB double division by zero yields NULL
+        return float(a) / float(b) if b else None
+
     rows = [
         ("view", 1, n1, 1.0, 1.0),
-        ("click", 2, n2, float(n2) / float(n1), float(n2) / float(n1)),
-        ("purchase", 3, n3, float(n3) / float(n2), float(n3) / float(n1)),
+        ("click", 2, n2, ratio(n2, n1), ratio(n2, n1)),
+        ("purchase", 3, n3, ratio(n3, n2), ratio(n3, n1)),
     ]
     return spark.createDataFrame(
         rows,

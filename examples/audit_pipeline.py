@@ -61,7 +61,7 @@ def build(spark, sf_dir: str, out_dir: str) -> int:
     failures += n_leaks > 0
 
     recall = op_ann_recall_audit(spark, sf_dir)
-    mean_recall = recall.agg(F.avg("recall_at_k")).collect()[0][0]
+    mean_recall = recall.agg(F.avg("recall_at_k")).collect()[0][0] or 0.0
     recall.write.mode("overwrite").parquet(f"{out_dir}/ann_recall")
     print(f"[{'FAIL' if mean_recall < 0.5 else ' ok '}] ANN recall@3: "
           f"mean {mean_recall:.3f}")

@@ -139,4 +139,3 @@ if __name__ == "__main__":
             print(f"OK        {name}")
     print(f"\n{bad} gate(s) need attention")
     sys.exit(1 if bad else 0)
-    sys.exit(1 if bad else 0)

@@ -1079,7 +1079,7 @@ def test_doc_novelty_bounds_and_sharing_symmetry(spark, sf_dir):
     )
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles("text", NOVELTY_N))).alias("g"),
+        F.explode(shingles("text", NOVELTY_N)).alias("g"),
     )
     df_counts = grams.groupBy("g").count().filter(F.col("count") >= 2)
     shared = (
