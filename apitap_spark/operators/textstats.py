@@ -943,3 +943,30 @@ def op_corpus_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats.join(type_stats, "checkpoint").select(
         "checkpoint", "n_docs", "n_tokens", "n_types"
     )
+
+
+def _lang_confusion_oracle() -> str:
+    # composes the registered lang-id oracle as a CTE (single source of
+    # truth with the per-doc gate)
+    return f"""
+    WITH preds AS ({ORACLES["op_text_lang_id"]})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM preds GROUP BY labeled_lang, predicted_lang
+    """
+
+
+@_register("op_lang_confusion_matrix", _lang_confusion_oracle())
+def op_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled shard language vs the
+    marker-vote prediction, counted — the classifier-quality report
+    that decides whether the cheap lang-ID is safe to route filtering
+    on (a row whose mass sits off-diagonal means that shard's language
+    heuristics are misrouting real documents). Composes the per-doc
+    gate; one tiny (|langs|^2)-ary aggregate on top of the projection.
+    """
+    return (
+        op_text_lang_id(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

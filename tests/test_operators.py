@@ -1556,3 +1556,25 @@ def test_source_overlap_matrix_recount(spark, sf_dir):
         assert (r["shared_heads"], r["shared_docs"]) == tuple(expect[key])
         assert r["docs_a"] == tot[key[0]] and r["docs_b"] == tot[key[1]]
         assert 0.0 < r["overlap_ratio"] <= 1.0
+
+
+def test_lang_confusion_matrix_totals_and_diagonal(spark, sf_dir):
+    """Matrix cells total to the doc count; per-label rows regroup the
+    per-doc gate exactly; the diagonal dominates for en (the markers
+    are English-biased by design)."""
+    from apitap_spark.operators.textstats import (
+        op_lang_confusion_matrix,
+        op_text_lang_id,
+    )
+
+    cells = {(r["labeled_lang"], r["predicted_lang"]): r["n_docs"]
+             for r in op_lang_confusion_matrix(spark, sf_dir).collect()}
+    per_doc = op_text_lang_id(spark, sf_dir).collect()
+    assert sum(cells.values()) == len(per_doc)
+    recount: dict = {}
+    for r in per_doc:
+        key = (r["labeled_lang"], r["predicted_lang"])
+        recount[key] = recount.get(key, 0) + 1
+    assert recount == cells
+    en_total = sum(n for (lab, _p), n in cells.items() if lab == "en")
+    assert cells.get(("en", "en"), 0) / en_total > 0.5
