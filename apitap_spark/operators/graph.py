@@ -303,3 +303,116 @@ def op_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     nodes = ev.select(F.col("event_id").alias("v"))
     return pagerank(nodes, edged)
+
+
+LP_ITERS = 4  # synchronous label-propagation rounds
+
+
+def _lp_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    grp AS (
+      SELECT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events GROUP BY 1, 2, 3
+    ),
+    hubs AS (
+      SELECT b, event_type, MIN(user_id) AS hub FROM grp GROUP BY 1, 2
+    ),
+    star AS (
+      SELECT g.user_id AS src, h.hub AS dst
+      FROM grp g JOIN hubs h ON h.b = g.b AND h.event_type = g.event_type
+      WHERE g.user_id <> h.hub
+    ),
+    edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT src, dst FROM star
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM star
+      ) GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT user_id AS v FROM events),
+    lp(iter, v, label) AS (
+      SELECT 0, v, v FROM nodes
+      UNION ALL
+      SELECT l.iter + 1, l.v, COALESCE(m.new_label, l.label)
+      FROM lp l
+      LEFT JOIN (
+        SELECT src AS v, iter, label AS new_label
+        FROM (
+          SELECT e.src, l2.iter, l2.label, SUM(e.w) AS wsum,
+                 ROW_NUMBER() OVER (PARTITION BY e.src, l2.iter
+                   ORDER BY SUM(e.w) DESC, l2.label ASC) AS rk
+          FROM edges e JOIN lp l2 ON l2.v = e.dst
+          GROUP BY e.src, l2.iter, l2.label
+        ) WHERE rk = 1
+      ) m ON m.v = l.v AND m.iter = l.iter
+      WHERE l.iter < {LP_ITERS}
+    )
+    SELECT v AS user_id, CAST(label AS BIGINT) AS community
+    FROM lp WHERE iter = {LP_ITERS}
+    """
+
+
+@_register("op_graph_label_propagation", _lp_oracle())
+def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan et al. 2007, public arXiv:0709.2938) over the user
+    co-activity graph: users active in the same (hour, event_type)
+    bucket connect through the bucket's min-user hub (star
+    construction — O(group) edges instead of the quadratic clique, the
+    standard scalable rewrite), and for LP_ITERS rounds every user
+    adopts the weight-heaviest label among its neighbors (tie -> lowest
+    label; isolated nodes keep their own). Unlike connected components
+    (pure reachability), the weighted mode concentrates hub-heavy
+    cohorts — the co-activity analogue of community detection.
+
+    Determinism: synchronous rounds (all updates read the PREVIOUS
+    round's labels), integer weights, total argmax order (w DESC,
+    label ASC) — so the whole iteration replays exactly in a DuckDB
+    recursive CTE. Per round: one edge-to-label join + one (node,
+    label)-keyed integer aggregate; lineage cut per round.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    hubs = grp.groupBy("b", "event_type").agg(F.min("user_id").alias("hub"))
+    star = (
+        grp.join(hubs, ["b", "event_type"])
+        .filter(F.col("user_id") != F.col("hub"))
+        .select(F.col("user_id").alias("src"), F.col("hub").alias("dst"))
+    )
+    edges = (
+        star.union(star.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    labels = ev.select(F.col("user_id").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(LP_ITERS):
+        msg = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy(F.col("src"), F.col("label"))
+            .agg(F.sum("w").alias("wsum"))
+        )
+        win = Window.partitionBy("src").orderBy(
+            F.desc("wsum"), F.asc("label")
+        )
+        best = (
+            msg.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("v"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "v", "left")
+            .select(
+                "v",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("user_id"), F.col("label").cast("bigint").alias("community")
+    )

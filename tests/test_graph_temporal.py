@@ -147,3 +147,47 @@ def test_pagerank_dangling_redistribution(spark):
     # 20 iterations x (E + 2n) = 5 micro-units of worst-case floor leak
     assert 2.0 >= sum(pr.values()) > 2.0 - 20 * 5e-6
     assert pr[2] > pr[1]  # the pointed-at node accumulates rank
+
+
+def test_label_propagation_python_replay(spark, sf_dir):
+    """Bit-exact community equality against a pure-Python synchronous
+    LP replay on the same star graph — triangulates the Spark rounds
+    and the recursive-CTE oracle."""
+    from apitap_spark.operators.graph import LP_ITERS, op_graph_label_propagation
+    from apitap_spark.session import read_table
+
+    got = {r["user_id"]: r["community"]
+           for r in op_graph_label_propagation(spark, sf_dir).collect()}
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    groups: dict = {}
+    users = set()
+    for e in ev:
+        b = e["ts"].replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((b, e["event_type"]), set()).add(e["user_id"])
+        users.add(e["user_id"])
+    w: dict = {}
+    for members in groups.values():
+        hub = min(members)
+        for u in members:
+            if u != hub:
+                w[(u, hub)] = w.get((u, hub), 0) + 1
+                w[(hub, u)] = w.get((hub, u), 0) + 1
+    nbrs: dict = {}
+    for (a, b2), wt in w.items():
+        nbrs.setdefault(a, {})[b2] = wt
+    labels = {u: u for u in users}
+    for _ in range(LP_ITERS):
+        nxt = {}
+        for u in users:
+            if u not in nbrs:
+                nxt[u] = labels[u]
+                continue
+            votes: dict = {}
+            for v, wt in nbrs[u].items():
+                votes[labels[v]] = votes.get(labels[v], 0) + wt
+            nxt[u] = min(votes, key=lambda lb: (-votes[lb], lb))
+        labels = nxt
+    assert got == labels
+    # communities genuinely coarsen: fewer communities than users
+    assert len(set(got.values())) < len(got)
