@@ -970,3 +970,153 @@ def op_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
+
+
+RAKE_TOP_K = 30
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, t[i] AS w,
+             t[i] IN ({stops}) AS is_stop
+      FROM (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      ), unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    content AS (
+      SELECT doc_id, pos, w,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM tok WHERE NOT is_stop
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM content GROUP BY doc_id, island
+    ),
+    pw AS (
+      SELECT c.doc_id, c.island, c.w, p.plen
+      FROM content c JOIN phrases p
+        ON p.doc_id = c.doc_id AND p.island = c.island
+    ),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM pw GROUP BY w
+    ),
+    wscore AS (
+      SELECT w, CAST(ROUND((CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE))
+                           * 1000000.0, 0) AS BIGINT) AS s_u
+      FROM wstats
+    ),
+    pscore AS (
+      SELECT pw.doc_id, pw.island, CAST(SUM(ws.s_u) AS BIGINT) AS score_u
+      FROM pw JOIN wscore ws ON ws.w = pw.w
+      GROUP BY pw.doc_id, pw.island
+    )
+    SELECT phrase, n_words, n_occurrences, score_micro,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+    FROM (
+      SELECT p.phrase,
+             CAST(MAX(p.plen) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MAX(s.score_u) AS BIGINT) AS score_micro,
+             ROW_NUMBER() OVER (ORDER BY MAX(s.score_u) DESC, p.phrase)
+               AS rk
+      FROM phrases p
+      JOIN pscore s ON s.doc_id = p.doc_id AND s.island = p.island
+      GROUP BY p.phrase
+    ) WHERE rk <= {RAKE_TOP_K}
+    """
+
+
+@_register("op_text_keywords_rake", _rake_oracle())
+def op_text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, the public
+    co-occurrence degree/frequency method): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands); each word
+    scores degree/frequency over the candidate universe, each phrase
+    sums its words' scores; the corpus's top-K phrases come back with
+    occurrence counts — the metadata-enrichment rung (search facets,
+    topic labels) a curation pass derives without any model.
+
+    Determinism: degree and frequency are integers, the one division
+    micro-rounds per WORD (order-free bigint phrase sums — a float
+    per-phrase sum would be association-order dependent), and the
+    final top-K orders by (score_micro DESC, phrase). Shuffles: one
+    per-doc window for islands, one word-keyed aggregate, one
+    phrase-keyed aggregate — all partial-aggregated; the global top-K
+    sorts only the distinct-phrase aggregate.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(STOPWORDS))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    content = (
+        tok.filter(~F.col("is_stop"))
+        .withColumn("island", F.col("pos") - F.row_number().over(w_doc))
+    )
+    phrases = content.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    pw = content.select("doc_id", "island", "w").join(
+        phrases.select("doc_id", "island", "plen"), ["doc_id", "island"]
+    )
+    wstats = pw.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    wscore = wstats.select(
+        "w",
+        F.round(
+            (F.col("degree").cast("double") / F.col("freq").cast("double"))
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("s_u"),
+    )
+    pscore = (
+        pw.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("s_u").cast("bigint").alias("score_u"))
+    )
+    agg = (
+        phrases.join(pscore, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.max("score_u").cast("bigint").alias("score_micro"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("score_micro"), F.asc("phrase"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= RAKE_TOP_K)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+    )

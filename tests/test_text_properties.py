@@ -188,3 +188,61 @@ def test_winnowing_matches_python_reference(spark):
         spark_out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     for doc_id, text in rows:
         assert spark_out.get(doc_id, set()) == py_prints(text), (doc_id, text)
+
+
+def test_rake_matches_python_reference(spark, tmp_path):
+    """Bit-exact phrase scores against a pure-Python RAKE on a planted
+    corpus with known phrase structure."""
+    from apitap_spark.operators.textstats import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        op_text_keywords_rake,
+    )
+
+    docs = [
+        (1, "the quick brown fox and the lazy dog"),
+        (2, "quick brown fox is a fast animal"),
+        (3, "the lazy dog sleeps in the warm sun"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    got = {r["phrase"]: r for r in
+           op_text_keywords_rake(spark, str(tmp_path)).collect()}
+
+    # python replay
+    stop = set(STOPWORDS)
+    phrase_runs = []
+    for _id, text in docs:
+        run = []
+        for w in text.split():
+            if w in stop:
+                if run:
+                    phrase_runs.append(run)
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrase_runs.append(run)
+    freq: dict = {}
+    deg: dict = {}
+    for run in phrase_runs:
+        for w in run:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(run)
+    s_u = {w: round(deg[w] / freq[w] * 1e6) for w in freq}
+    scores: dict = {}
+    occ: dict = {}
+    for run in phrase_runs:
+        ph = " ".join(run)
+        scores[ph] = sum(s_u[w] for w in run)
+        occ[ph] = occ.get(ph, 0) + 1
+    assert len(got) == min(RAKE_TOP_K, len(scores))
+    for ph, r in got.items():
+        assert r["score_micro"] == scores[ph]
+        assert r["n_occurrences"] == occ[ph]
+        assert r["n_words"] == len(ph.split())
+    # multi-word phrases outrank their constituent single words in RAKE
+    assert got["quick brown fox"]["score"] > got.get(
+        "sleeps", got["quick brown fox"]
+    )["score"] or "sleeps" not in got
