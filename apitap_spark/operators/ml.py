@@ -924,3 +924,167 @@ def op_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("imbalance"),
     )
+
+
+PCA_ITERS = 6
+
+
+def _top_pc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    expl AS (
+      SELECT vec_id, i AS pos,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+               AS v_u
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    mu AS (
+      SELECT pos,
+             CAST(SUM(v_u) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE)
+               AS m
+      FROM expl GROUP BY pos
+    ),
+    centered AS (
+      SELECT e.vec_id, e.pos,
+             (CAST(e.v_u AS DOUBLE) / 1000000.0) - mu.m AS x
+      FROM expl e JOIN mu ON mu.pos = e.pos
+    ),
+    nvec AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM expl),
+    dims AS (SELECT DISTINCT pos FROM expl),
+    pc(iter, pos, w_u) AS (
+      SELECT 0, pos, CAST(1000000 AS BIGINT) FROM dims
+      UNION ALL
+      SELECT s.iter + 1, s.pos,
+             CAST(ROUND((s.m / sqrt(CAST(s.nm2_u AS DOUBLE) / 1000000.0))
+                        * 1000000.0, 0) AS BIGINT)
+      FROM (
+        SELECT d.iter, d.pos, d.m,
+               CAST(SUM(CAST(ROUND(d.m * d.m * 1000000.0, 0) AS BIGINT))
+                    OVER (PARTITION BY d.iter) AS BIGINT) AS nm2_u
+        FROM (
+          SELECT dt.iter, c.pos,
+                 CAST(SUM(CAST(ROUND(c.x * (CAST(dt.d_u AS DOUBLE)
+                                            / 1000000.0)
+                                     * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / CAST(nv.n AS DOUBLE) AS m
+          FROM (
+            SELECT p.iter, c2.vec_id,
+                   CAST(SUM(CAST(ROUND(c2.x * (CAST(p.w_u AS DOUBLE)
+                                               / 1000000.0)
+                                        * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                     AS d_u
+            FROM pc p JOIN centered c2 ON c2.pos = p.pos
+            WHERE p.iter < {PCA_ITERS}
+            GROUP BY p.iter, c2.vec_id
+          ) dt
+          JOIN centered c ON c.vec_id = dt.vec_id
+          CROSS JOIN nvec nv
+          GROUP BY dt.iter, c.pos, nv.n
+        ) d
+      ) s
+    )
+    SELECT CAST(pos AS BIGINT) AS pos,
+           CAST(w_u AS DOUBLE) / 1000000.0 AS loading
+    FROM pc WHERE iter = {PCA_ITERS}
+    """
+
+
+@_register("op_embedding_top_pc", _top_pc_oracle())
+def op_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by distributed
+    power iteration — the spectral diagnostic an embedding pipeline
+    runs before whitening or anisotropy correction (contextual
+    embedding spaces are notoriously dominated by one direction; its
+    loading vector IS this output). v_{{t+1}} ∝ (1/n) Σ x̃ (x̃·v_t)
+    without ever materializing the d x d covariance.
+
+    Determinism recipe (kmeans/pagerank family): the mean and the state
+    vector live as micro-unit bigints; each per-row dot and each
+    per-dimension contribution micro-rounds ONCE before its integer sum
+    (float group-sums would be association-order dependent); the
+    normalizer sums squared micro terms per iteration and divides in a
+    fixed chain — so {PCA_ITERS} full iterations replay exactly in the
+    DuckDB recursive CTE. Per round: one (vec)-keyed dot aggregate +
+    one (dim)-keyed sum — shuffle cardinality n + d, no d x d anywhere.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos0", "xv"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xv") * 1000000.0, 0).cast("bigint").alias("v_u"),
+    )
+    mu = expl.groupBy("pos").agg(
+        (
+            F.sum("v_u").cast("double")
+            / F.lit(1000000.0)
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    centered = (
+        expl.join(F.broadcast(mu), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            ((F.col("v_u").cast("double") / F.lit(1000000.0)) - F.col("m")).alias(
+                "x"
+            ),
+        )
+        .localCheckpoint()
+    )
+    n = emb.count()
+    d = centered.agg(F.max("pos")).collect()[0][0]
+    w_u = {p: 1000000 for p in range(1, d + 1)}
+    for _ in range(PCA_ITERS):
+        wdf = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                [(p, u) for p, u in w_u.items()], "pos bigint, w_u long"
+            )
+        )
+        dots = (
+            centered.join(wdf, "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("x")
+                        * (F.col("w_u").cast("double") / F.lit(1000000.0))
+                        * F.lit(1000000.0),
+                        0,
+                    ).cast("bigint")
+                ).alias("d_u")
+            )
+        )
+        dim_sums = (
+            centered.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("x")
+                            * (F.col("d_u").cast("double") / F.lit(1000000.0))
+                            * F.lit(1000000.0),
+                            0,
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                    / F.lit(float(n))
+                ).alias("m")
+            )
+        )
+        rows = dim_sums.collect()
+        nm2_u = sum(_round_away(r["m"] * r["m"] * 1e6) for r in rows)
+        import math
+
+        norm = math.sqrt(nm2_u / 1e6)
+        w_u = {
+            r["pos"]: _round_away((r["m"] / norm) * 1e6) for r in rows
+        }
+    return emb.sparkSession.createDataFrame(
+        [(p, w_u[p] / 1e6) for p in sorted(w_u)], "pos bigint, loading double"
+    )

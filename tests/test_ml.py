@@ -189,3 +189,30 @@ def test_logreg_fixed_matches_python_reference(spark):
     assert got == w_u, f"{got} != {w_u}"
     # and the learned separator must point the right way
     assert got[1] > 0
+
+
+def test_top_pc_finds_planted_direction(spark, tmp_path):
+    """On data stretched along a planted axis, the learned component
+    aligns with it (|cos| > 0.99) and is unit-norm."""
+    import math
+    import random
+
+    from apitap_spark.operators.ml import op_embedding_top_pc
+
+    rng = random.Random(11)
+    d = 16
+    axis = [1.0 if i == 3 else 0.0 for i in range(d)]
+    rows = []
+    for vid in range(200):
+        t = rng.gauss(0, 5.0)          # dominant variance along axis 3
+        noise = [rng.gauss(0, 0.3) for _ in range(d)]
+        rows.append((vid, 0, [t * a + nz for a, nz in zip(axis, noise)]))
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    pc = {r["pos"]: r["loading"]
+          for r in op_embedding_top_pc(spark, str(tmp_path)).collect()}
+    norm = math.sqrt(sum(v * v for v in pc.values()))
+    assert abs(norm - 1.0) < 1e-3          # unit up to micro rounding
+    cos = abs(pc[4])                       # pos is 1-based: axis 3 -> pos 4
+    assert cos / norm > 0.99
