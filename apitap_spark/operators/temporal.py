@@ -187,3 +187,113 @@ def op_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event_type"
         ),
     )
+
+
+def asof_join_forward(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Forward as-of join: attach to each probe row the build row with
+    the SMALLEST ``build_ts >= probe_ts`` for the same key — the
+    conversion-attribution mirror of :func:`asof_join` (what happens
+    NEXT rather than what happened last).
+
+    Same union mechanics, reflected: probe rows (side 0) sort before
+    build rows (side 1) at equal timestamps, and ``first(payload,
+    ignorenulls)`` over [currentRow, unboundedFollowing) picks the
+    earliest at-or-after build row.
+    """
+    payload_cols = payload_cols or [
+        c for c in build.columns if c not in (on, build_ts)
+    ]
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(build_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(
+            F.col(build_ts).alias("_match_ts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_payload"),
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe.columns],
+    )
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None)
+        .cast(b.schema["_payload"].dataType)
+        .alias("_payload"),
+        *[F.col(c) for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = b.unionByName(p).withColumn(
+        "_m", F.first("_payload", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("_side") == 0).select(
+        *probe.columns,
+        F.col("_m._match_ts").alias("match_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+    )
+
+
+@_register(
+    "op_asof_join_forward",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, n.match_ts, n.purchase_value,
+           CAST(date_diff('second', c.ts, n.match_ts) AS BIGINT)
+             AS lag_seconds
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT p.ts AS match_ts, p.purchase_value
+      FROM purchases p
+      WHERE p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.ts LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def op_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click attributed to the user's NEXT
+    purchase at-or-after it, with the conversion lag in seconds —
+    time-to-convert is the mirror question of op_asof_join_attribution
+    and needs the reflected window (first-following, not
+    last-preceding). Clicks that never convert keep NULLs.
+
+    Scale shape identical to the backward as-of: one union + one
+    user-keyed ordered window — a single shuffle; no join at all.
+    Oracle: a LATERAL top-1 probe per click (the semantics, stated
+    directly).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join_forward(clicks, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "match_ts",
+        "purchase_value",
+        (F.col("match_ts").cast("long") - F.col("ts").cast("long"))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )

@@ -191,3 +191,42 @@ def test_label_propagation_python_replay(spark, sf_dir):
     assert got == labels
     # communities genuinely coarsen: fewer communities than users
     assert len(set(got.values())) < len(got)
+
+
+def test_asof_forward_python_replay(spark, sf_dir):
+    """Forward matches equal a per-user Python scan: smallest purchase
+    ts >= click ts; non-converting clicks stay NULL; lag >= 0."""
+    from apitap_spark.operators.temporal import op_asof_join_forward
+    from apitap_spark.session import read_table
+
+    got = {r["event_id"]: r for r in
+           op_asof_join_forward(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").collect()
+    purch: dict = {}
+    for e in ev:
+        if e["event_type"] == "purchase":
+            purch.setdefault(e["user_id"], []).append(e["ts"])
+    for v in purch.values():
+        v.sort()
+    clicks = [e for e in ev if e["event_type"] == "click"]
+    assert len(got) == len(clicks)
+    import bisect
+
+    for e in clicks:
+        r = got[e["event_id"]]
+        ps = purch.get(e["user_id"], [])
+        i = bisect.bisect_left(ps, e["ts"])
+        if i < len(ps):
+            assert r["match_ts"] == ps[i]
+            # both engines truncate EACH timestamp to whole seconds
+            # before differencing (Spark cast-to-long, DuckDB
+            # date_diff boundary counting)
+            assert r["lag_seconds"] == int(
+                (
+                    ps[i].replace(microsecond=0)
+                    - e["ts"].replace(microsecond=0)
+                ).total_seconds()
+            )
+            assert r["lag_seconds"] >= 0
+        else:
+            assert r["match_ts"] is None and r["lag_seconds"] is None
