@@ -636,3 +636,113 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage string, stage_idx bigint, users bigint,"
         " conv_from_prev double, conv_overall double",
     )
+
+
+INCIDENT_MOD = 101  # every 101st error event anchors an incident window
+INCIDENT_PAD_SEC = 3600  # +/- 1 hour around the anchor
+
+
+@_register(
+    "q_interval_overlap_incidents",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second', LAG(ts) OVER w, ts) <= 1800
+                  THEN 0 ELSE 1 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, sid
+    ),
+    incidents AS (
+      SELECT event_id,
+             ts - INTERVAL {INCIDENT_PAD_SEC} SECOND AS i_start,
+             ts + INTERVAL {INCIDENT_PAD_SEC} SECOND AS i_end
+      FROM events
+      WHERE event_type = 'error' AND event_id % {INCIDENT_MOD} = 0
+    )
+    SELECT i.event_id AS incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM incidents i
+    JOIN sessions s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY i.event_id
+    """,
+)
+def q_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (gap-based, 30-min idle)
+    overlapping incident windows (+/- 1h around sampled error events) —
+    'who was active during the outage', the temporal-join shape neither
+    an equi-join nor an as-of covers.
+
+    Scale path: both interval sets explode to the HOUR BUCKETS they
+    cover and equi-join on the bucket before re-checking the exact
+    overlap predicate and deduplicating — the bucket expansion turns an
+    O(N x M) theta join into a co-partitioned hash join whose bucket
+    fan-out is bounded by interval length (sessions are idle-capped,
+    incidents fixed-width). The oracle states the overlap predicate
+    directly; the bucketed plan must agree exactly.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap <= 1800, 0).otherwise(1).alias("is_start"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("sid", F.sum("is_start").over(w2))
+    sessions = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    incidents = (
+        ev.filter(
+            (F.col("event_type") == "error")
+            & (F.col("event_id") % INCIDENT_MOD == 0)
+        )
+        .select(
+            "event_id",
+            (F.col("ts") - F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias(
+                "i_start"
+            ),
+            (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias(
+                "i_end"
+            ),
+        )
+    )
+    bucket_seq = "sequence(date_trunc('hour', {s}), date_trunc('hour', {e}), interval 1 hour)"
+    s_b = sessions.withColumn(
+        "bucket",
+        F.explode(F.expr(bucket_seq.format(s="s_start", e="s_end"))),
+    )
+    i_b = incidents.withColumn(
+        "bucket",
+        F.explode(F.expr(bucket_seq.format(s="i_start", e="i_end"))),
+    )
+    pairs = (
+        i_b.join(s_b, "bucket")
+        .filter(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select("event_id", "user_id", "sid")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("event_id").alias("incident_id")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

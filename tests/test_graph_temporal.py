@@ -230,3 +230,53 @@ def test_asof_forward_python_replay(spark, sf_dir):
             assert r["lag_seconds"] >= 0
         else:
             assert r["match_ts"] is None and r["lag_seconds"] is None
+
+
+def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
+    """The bucketed plan's result equals the naive theta-join computed
+    directly in Spark (no bucketing) — the expansion must neither drop
+    nor duplicate overlaps."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from apitap_spark.plans.timeseries import (
+        INCIDENT_MOD,
+        INCIDENT_PAD_SEC,
+        q_interval_overlap_incidents,
+    )
+    from apitap_spark.session import read_table
+
+    got = {r["incident_id"]: (r["n_sessions"], r["n_users"])
+           for r in q_interval_overlap_incidents(spark, sf_dir).collect()}
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id", "ts", F.when(gap <= 1800, 0).otherwise(1).alias("is_start")
+    )
+    w2 = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        flagged.withColumn("sid", F.sum("is_start").over(w2))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % INCIDENT_MOD == 0)
+    ).select(
+        "event_id",
+        (F.col("ts") - F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias("i_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias("i_end"),
+    )
+    naive = (
+        incidents.crossJoin(sessions)
+        .filter((F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end")))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("ns"), F.countDistinct("user_id").alias("nu"))
+        .collect()
+    )
+    expect = {r["event_id"]: (r["ns"], r["nu"]) for r in naive}
+    assert got == expect and got
