@@ -978,3 +978,66 @@ def op_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - dist.cast("double") / max_len.cast("double")
         ).alias("edit_similarity"),
     )
+
+
+def _keep_best_oracle() -> str:
+    from apitap_spark.operators.textstats import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS.format(thr=0.8)}),
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(v, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    clusters AS (
+      SELECT v AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY v
+    ),
+    scored AS ({_TEXT_ORACLES["op_text_quality_score"]})
+    SELECT c.doc_id, c.cluster_id,
+           s.quality_score,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+              ORDER BY s.quality_score DESC, c.doc_id) = 1) AS is_kept
+    FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+    """
+
+
+@_register("op_dedup_keep_best", _keep_best_oracle())
+def op_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: within each near-dup
+    cluster keep the HIGHEST-quality member (score DESC, doc_id
+    tiebreak) instead of the arbitrary min-id — the curation decision
+    real pipelines make (of five mirrors of an article, keep the
+    cleanest copy, not the numerically smallest URL hash). Composes
+    the LSH cluster components with the C4-style quality score; both
+    oracles are the registered ones, CTE-composed.
+
+    Blank docs (score undefined) are outside the scored universe and
+    drop from the output — by definition never the kept copy.
+
+    Scale: clustering cost is the dedup pipeline's (count-gated CC on
+    the pair graph); the keep decision is one window over CLUSTER
+    members ordered by score — cluster-sized partitions, corpus-size
+    independent.
+    """
+    from apitap_spark.operators.textstats import op_text_quality_score
+
+    clusters = op_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    scored = op_text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    joined = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

@@ -1120,3 +1120,100 @@ def op_text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ZIPF_MAX_POW = 20  # vocab-size checkpoints: 2^1 .. 2^20 words
+
+
+@_register(
+    "op_vocab_coverage_curve",
+    rf"""
+    WITH counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM ranked
+    ),
+    cps AS (
+      SELECT cp FROM (SELECT unnest([{", ".join(str(1 << k) for k in range(1, ZIPF_MAX_POW + 1))}]) AS cp),
+           tot
+      WHERE cp <= 2 * tot.n_types
+    )
+    SELECT CAST(cp AS BIGINT) AS vocab_size,
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM ranked
+            WHERE rk <= cp) AS covered_tokens,
+           t.total AS total_tokens,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM ranked WHERE rk <= cp)
+                AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+    FROM cps CROSS JOIN tot t
+    """,
+)
+def op_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: the fraction of token OCCURRENCES covered by
+    the top-k most frequent word types, at power-of-two vocabulary
+    checkpoints — the curve that sizes a tokenizer vocabulary (where it
+    flattens is where additional vocab entries stop paying for their
+    embedding rows) and quantifies how Zipfian the corpus is.
+
+    Scale: one word-keyed count aggregate; the rank is a window over
+    the TYPE table (vocabulary-sized, not corpus-sized — the only
+    global-ordered structure, and it is orders of magnitude smaller
+    than the corpus at any scale); checkpoints cross-join against the
+    ranked types with a partial-aggregated sum. Integer counts, one
+    division.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    tot_row = ranked.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_types"),
+    ).collect()[0]
+    total, n_types = tot_row["total"], tot_row["n_types"]
+    cps = [1 << k for k in range(1, ZIPF_MAX_POW + 1) if (1 << k) <= 2 * n_types]
+    cp_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(c,) for c in cps], "vocab_size bigint"
+        )
+    )
+    cov = (
+        ranked.crossJoin(cp_df)
+        .filter(F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("c").cast("bigint").alias("covered_tokens"))
+    )
+    # checkpoints beyond the vocabulary still cover everything; emit
+    # them (coalesce handles a checkpoint smaller than any rank only
+    # in degenerate empty corpora)
+    return (
+        cp_df.join(cov, "vocab_size", "left")
+        .select(
+            "vocab_size",
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            F.lit(total).cast("bigint").alias("total_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.lit(float(total))
+            ).alias("coverage"),
+        )
+    )

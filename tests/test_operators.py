@@ -1578,3 +1578,43 @@ def test_lang_confusion_matrix_totals_and_diagonal(spark, sf_dir):
     assert recount == cells
     en_total = sum(n for (lab, _p), n in cells.items() if lab == "en")
     assert cells.get(("en", "en"), 0) / en_total > 0.5
+
+
+def test_keep_best_picks_highest_quality_per_cluster(spark, sf_dir):
+    """Exactly one keeper per cluster; the keeper maximizes
+    (quality_score, -doc_id); cluster membership matches op_dedup_clusters."""
+    from apitap_spark.operators.dedup import op_dedup_clusters, op_dedup_keep_best
+
+    rows = op_dedup_keep_best(spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert by_cluster
+    multi = [c for c in by_cluster.values() if len(c) > 1]
+    assert multi  # near-dup clusters exist
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["is_kept"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+    clusters = {r["doc_id"]: r["cluster_id"]
+                for r in op_dedup_clusters(spark, sf_dir).collect()}
+    for r in rows:
+        assert clusters[r["doc_id"]] == r["cluster_id"]
+
+
+def test_vocab_coverage_monotone_and_saturates(spark, sf_dir):
+    """Coverage is monotone in vocab size, ends at exactly 1.0, and the
+    first checkpoint already covers a Zipfian corpus substantially."""
+    from apitap_spark.operators.textstats import op_vocab_coverage_curve
+
+    rows = sorted(
+        op_vocab_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert a["coverage"] <= b["coverage"] + 1e-12
+        assert a["total_tokens"] == b["total_tokens"]
+    assert rows[-1]["covered_tokens"] == rows[-1]["total_tokens"]
+    assert rows[-1]["coverage"] == 1.0
