@@ -122,3 +122,125 @@ def test_inference_json_roundtrip_parseable(rows):
         tup = coerce_row(r, schema)
         assert len(tup) == len(schema.fields)
         json.dumps(tup)  # all values JSON-serializable
+
+
+def test_cramer_det4_matches_numpy():
+    """The shared fully-parenthesized determinant strings (evaluated by
+    the logreg driver AND spliced into the DuckDB oracle) agree with
+    numpy's LAPACK determinant to relative 1e-9 over random matrices —
+    an independent implementation check on the Cramer replay."""
+    import random
+
+    import numpy as np
+
+    from apitap_spark.operators.ml import _cramer_exprs
+
+    det_a_expr, det_j_exprs = _cramer_exprs()
+    rng = random.Random(3)
+    for _ in range(200):
+        A = [[rng.uniform(-5, 5) for _ in range(4)] for _ in range(4)]
+        g = [rng.uniform(-5, 5) for _ in range(4)]
+        env = {f"a{j}{k}": A[j][k] for j in range(4) for k in range(4)}
+        env.update({f"g{j}": g[j] for j in range(4)})
+        ours = eval(det_a_expr, {"__builtins__": {}}, env)
+        ref = float(np.linalg.det(np.array(A)))
+        assert abs(ours - ref) <= 1e-9 * max(1.0, abs(ref))
+        for j in range(4):
+            Aj = [
+                [g[r] if c == j else A[r][c] for c in range(4)]
+                for r in range(4)
+            ]
+            ours_j = eval(det_j_exprs[j], {"__builtins__": {}}, env)
+            ref_j = float(np.linalg.det(np.array(Aj)))
+            assert abs(ours_j - ref_j) <= 1e-9 * max(1.0, abs(ref_j))
+
+
+def test_round_away_matches_decimal_half_up():
+    """_round_away == decimal ROUND_HALF_UP (the Spark/DuckDB ROUND
+    semantics) including negative halves, where Python's built-in
+    round() banker's-rounds the other way."""
+    import decimal
+    import random
+
+    from apitap_spark.operators.ml import _round_away
+
+    cases = [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999, -0.49999999]
+    rng = random.Random(5)
+    cases += [rng.uniform(-1e6, 1e6) for _ in range(500)]
+    for x in cases:
+        want = int(
+            decimal.Decimal(repr(x)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert _round_away(x) == want, x
+    # the divergence from round() is real on halves
+    assert _round_away(0.5) == 1 and round(0.5) == 0
+
+
+def test_dhash_locality_and_determinism():
+    """Identical grids hash identically; flipping ONE grid cell moves at
+    most its two adjacent comparisons (<= 2 bits in that row)."""
+    import random
+
+    from apitap_spark.operators.multimodal import (
+        PHASH_GH,
+        PHASH_GW,
+        _dhash_grid,
+    )
+
+    rng = random.Random(9)
+    for _ in range(50):
+        grid = [rng.randrange(256) for _ in range(PHASH_GW * PHASH_GH)]
+        h1 = _dhash_grid(grid)
+        assert h1 == _dhash_grid(list(grid))
+        i = rng.randrange(len(grid))
+        g2 = list(grid)
+        g2[i] = (g2[i] + 128) % 256
+        h2 = _dhash_grid(g2)
+        diff = bin((h1[0] ^ h2[0]) | (h1[1] ^ h2[1]) << 32).count("1")
+        assert diff <= 2  # a cell touches at most 2 comparisons
+
+
+def test_semdedup_greedy_is_maximal_independent_set(spark, tmp_path):
+    """On random planted vectors, the kept set is a MAXIMAL independent
+    set of the per-cell >tau graph: no two kept vectors exceed tau, and
+    every dropped vector has a KEPT >tau neighbor (the defining
+    properties of keep-against-kept, violated by the old pairwise rule)."""
+    import math
+    import random
+
+    from apitap_spark.operators.similarity import SEMDEDUP_TAU, op_semantic_dedup
+
+    rng = random.Random(21)
+    rows = []
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(6)]
+    vid = 0
+    for b in base:
+        for _ in range(rng.randrange(1, 5)):   # jittered copies -> dense graph
+            v = [x + rng.gauss(0, 0.35) for x in b]
+            rows.append((vid, 0, v + [0.0] * 56))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in op_semantic_dedup(spark, str(tmp_path)).collect()}
+    vecs = {r[0]: r[2] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    kept = [v for v, k in out.items() if k]
+    dropped = [v for v, k in out.items() if not k]
+    for i, a in enumerate(kept):
+        for b in kept[i + 1:]:
+            assert cos(vecs[a], vecs[b]) <= SEMDEDUP_TAU + 1e-9
+    for v in dropped:
+        assert any(
+            u < v and cos(vecs[u], vecs[v]) > SEMDEDUP_TAU - 1e-9
+            for u in kept
+        )
