@@ -417,3 +417,60 @@ def test_streaming_session_window(spark, tmp_path):
         (1, "2024-01-01T12:00:00"): 1,
         (2, "2024-01-01T10:05:00"): 1,
     }
+
+
+def test_streaming_multimodal_phash(spark, tmp_path):
+    """The perceptual-hash extractor (Arrow-batched mapInPandas) is a
+    narrow stateless transform, so the SAME function runs under
+    readStream — streamed payload hashes equal the batch pass exactly.
+    Proves the multimodal plumbing is streaming-compatible end to end."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.multimodal import (
+        PHASH_SCHEMA,
+        _extract_phash,
+        with_binary_payload,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    docs = [
+        {"doc_id": i, "text": f"payload text number {i} " + "x" * (i * 7), "source": "s"}
+        for i in range(1, 9)
+    ]
+    with open(os.path.join(src, "b0.ndjson"), "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+
+    schema = "doc_id long, text string, source string"
+    batch_df = spark.read.schema(schema).json(src)
+    expected = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"], r["modality"])
+        for r in with_binary_payload(batch_df)
+        .select("doc_id", "payload")
+        .mapInPandas(_extract_phash, schema=PHASH_SCHEMA)
+        .collect()
+    }
+
+    stream = spark.readStream.schema(schema).json(src)
+    hashed = (
+        with_binary_payload(stream)
+        .select("doc_id", "payload")
+        .mapInPandas(_extract_phash, schema=PHASH_SCHEMA)
+    )
+    q = (
+        hashed.writeStream.format("memory")
+        .queryName("stream_phash")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"], r["modality"])
+        for r in spark.sql("SELECT * FROM stream_phash").collect()
+    }
+    assert got == expected and len(got) == len(docs)
