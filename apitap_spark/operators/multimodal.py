@@ -52,12 +52,12 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     downscaled to their high byte — the standard thumbnail-feature
     treatment), palette images (color type 3) at 1/2/4/8-bit index
     depth expanded to RGB via PLTE, sub-byte greyscale (1/2/4-bit,
-    rescaled to full 8-bit range), non-interlaced, all five scanline
-    filters (None/Sub/Up/Average/Paeth). Adam7 interlacing stays
-    NotImplementedError: it reorders scanlines into seven sub-images for
-    progressive rendering — a fidelity-neutral storage variant that web
-    thumbnails almost never use, and a real deployment swaps in Pillow
-    behind the same signature anyway.
+    rescaled to full 8-bit range), all five scanline filters
+    (None/Sub/Up/Average/Paeth), and BOTH interlace modes — Adam7
+    streams decode as seven filtered sub-images whose samples scatter
+    back to their final positions. Only video/JPEG remain
+    NotImplementedError (a real deployment plugs Pillow/ffmpeg behind
+    the same signature).
     """
     import struct
     import zlib
@@ -66,6 +66,7 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG payload")
     pos = 8
     width = height = color_type = bit_depth = None
+    interlace = 0
     idat: list[bytes] = []
     plte = b""
     while pos + 8 <= len(data):
@@ -77,8 +78,8 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if interlace:
-                raise NotImplementedError("Adam7 interlacing")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
             allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
                        4: (8, 16), 6: (8, 16)}
             if color_type not in allowed:
@@ -99,17 +100,68 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("palette PNG missing PLTE chunk")
     n_samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
-    # filtering operates on raw scanline BYTES; the left-neighbor offset
-    # is the whole-bytes-per-pixel (>=1 even for sub-byte depths)
-    stride = (width * n_samples * bit_depth + 7) // 8
     bpp = max(1, (n_samples * bit_depth) // 8)
-    if len(raw) != (stride + 1) * height:
+    if interlace == 0:
+        # filtering operates on raw scanline BYTES; the left-neighbor
+        # offset is whole-bytes-per-pixel (>=1 even for sub-byte depths)
+        stride = (width * n_samples * bit_depth + 7) // 8
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG scanline payload size mismatch")
+        unfiltered, _ = _unfilter(raw, 0, stride, height, bpp)
+        return _expand_samples(
+            unfiltered, width, height, stride, bit_depth, color_type,
+            n_samples, plte,
+        )
+    # Adam7: seven filtered sub-images, each with its OWN scanline
+    # filter chain (prev row resets per pass); samples scatter back to
+    # (x0 + i*dx, y0 + j*dy) in the full image
+    samples = [0] * (width * height * n_samples)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw * n_samples * bit_depth + 7) // 8
+        sub, offset = _unfilter(raw, offset, pstride, ph, bpp)
+        for j in range(ph):
+            row = sub[j * pstride : (j + 1) * pstride]
+            vals = _row_sample_ints(row, pw, n_samples, bit_depth)
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                base = (y * width + x) * n_samples
+                for c in range(n_samples):
+                    samples[base + c] = vals[i * n_samples + c]
+    if offset != len(raw):
+        raise ValueError("PNG interlaced payload size mismatch")
+    return _finalize_samples(
+        samples, width, height, bit_depth, color_type, n_samples, plte
+    )
+
+
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(
+    raw: bytes, offset: int, stride: int, height: int, bpp: int
+) -> tuple[bytes, int]:
+    """Undo scanline filtering for ``height`` lines of ``stride`` bytes
+    starting at ``offset`` (each line prefixed by its filter byte).
+    Returns (unfiltered bytes, next offset)."""
+    need = (stride + 1) * height
+    if offset + need > len(raw):
         raise ValueError("PNG scanline payload size mismatch")
-    unfiltered = bytearray(stride * height)
+    out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -127,12 +179,51 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter {ftype}")
-        unfiltered[y * stride : (y + 1) * stride] = line
+        out[y * stride : (y + 1) * stride] = line
         prev = line
-    return _expand_samples(
-        bytes(unfiltered), width, height, stride, bit_depth, color_type,
-        n_samples, plte,
-    )
+    return bytes(out), offset + need
+
+
+def _row_sample_ints(
+    row: bytes, width: int, n_samples: int, bit_depth: int
+) -> list[int]:
+    """One unfiltered scanline -> native-depth sample ints (row-major,
+    interleaved)."""
+    n = width * n_samples
+    if bit_depth == 8:
+        return list(row[:n])
+    if bit_depth == 16:
+        return [
+            (row[2 * i] << 8) | row[2 * i + 1] for i in range(n)
+        ]
+    per_byte = 8 // bit_depth
+    mask = (1 << bit_depth) - 1
+    return [
+        (row[i // per_byte] >> (8 - bit_depth * ((i % per_byte) + 1))) & mask
+        for i in range(n)
+    ]
+
+
+def _finalize_samples(
+    samples: list[int], width: int, height: int, bit_depth: int,
+    color_type: int, n_samples: int, plte: bytes,
+) -> tuple[int, int, int, bytes]:
+    """Native-depth sample ints -> the decoder's 8-bit output contract
+    (16-bit -> high byte, sub-byte grey rescaled, palette -> RGB)."""
+    if bit_depth == 16:
+        return width, height, n_samples, bytes(v >> 8 for v in samples)
+    if color_type == 3:
+        n_entries = len(plte) // 3
+        out = bytearray(width * height * 3)
+        for i, v in enumerate(samples):
+            if v >= n_entries:
+                raise ValueError(f"palette index {v} out of range")
+            out[i * 3 : i * 3 + 3] = plte[v * 3 : v * 3 + 3]
+        return width, height, 3, bytes(out)
+    if bit_depth < 8:
+        scale = 255 // ((1 << bit_depth) - 1)
+        return width, height, 1, bytes(v * scale for v in samples)
+    return width, height, n_samples, bytes(samples)
 
 
 def _expand_samples(

@@ -1618,3 +1618,96 @@ def test_vocab_coverage_monotone_and_saturates(spark, sf_dir):
         assert a["total_tokens"] == b["total_tokens"]
     assert rows[-1]["covered_tokens"] == rows[-1]["total_tokens"]
     assert rows[-1]["coverage"] == 1.0
+
+
+def _make_png_adam7(width, height, bit_depth, color_type, pixels, plte=None):
+    """Test-local Adam7 encoder: split native-depth samples into the 7
+    passes (filter 0), pack sub-byte rows MSB-first."""
+    import struct
+    import zlib
+
+    from apitap_spark.operators.multimodal import _ADAM7_PASSES, PNG_MAGIC
+
+    n_samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def pack_row(vals):
+        if bit_depth == 8:
+            return bytes(vals)
+        if bit_depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        per_byte = 8 // bit_depth
+        out = bytearray((len(vals) + per_byte - 1) // per_byte)
+        for i, v in enumerate(vals):
+            shift = 8 - bit_depth * ((i % per_byte) + 1)
+            out[i // per_byte] |= (v & ((1 << bit_depth) - 1)) << shift
+        return bytes(out)
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            vals = []
+            for i in range(pw):
+                x = x0 + i * dx
+                base = (y * width + x) * n_samples
+                vals.extend(pixels[base : base + n_samples])
+            raw.append(0)
+            raw.extend(pack_row(vals))
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 1)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("channels,color_type", [(1, 0), (3, 2), (4, 6)])
+def test_decode_png_adam7_roundtrip(channels, color_type):
+    """Adam7-interlaced pixels decode identically to their progressive
+    layout's source image for grey/RGB/RGBA."""
+    import random
+
+    from apitap_spark.operators.multimodal import decode_image
+
+    rng = random.Random(channels)
+    w, h = 9, 7  # odd sizes exercise ragged pass geometry
+    pixels = [rng.randrange(256) for _ in range(w * h * channels)]
+    png = _make_png_adam7(w, h, 8, color_type, pixels)
+    dw, dh, dc, out = decode_image(png)
+    assert (dw, dh, dc) == (w, h, channels)
+    assert list(out) == pixels
+
+
+def test_decode_png_adam7_palette_and_16bit():
+    """Interlaced palette (4-bit) and 16-bit grey follow the same
+    finalization as their progressive forms."""
+    import random
+
+    from apitap_spark.operators.multimodal import decode_image
+
+    rng = random.Random(77)
+    w, h = 6, 5
+    plte = [c for i in range(4) for c in (i * 60, i * 50, i * 40)]
+    idx = [rng.randrange(4) for _ in range(w * h)]
+    png = _make_png_adam7(w, h, 4, 3, idx, plte=plte)
+    dw, dh, dc, out = decode_image(png)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert list(out) == [c for v in idx for c in plte[v * 3 : v * 3 + 3]]
+
+    g16 = [rng.randrange(65536) for _ in range(w * h)]
+    png = _make_png_adam7(w, h, 16, 0, g16)
+    dw, dh, dc, out = decode_image(png)
+    assert (dw, dh, dc) == (w, h, 1)
+    assert list(out) == [v >> 8 for v in g16]
+
+
+def test_decode_png_adam7_tiny_image_skips_empty_passes():
+    """A 1x1 interlaced image lives entirely in pass 1; the six empty
+    passes contribute zero bytes."""
+    from apitap_spark.operators.multimodal import decode_image
+
+    png = _make_png_adam7(1, 1, 8, 0, [200])
+    assert decode_image(png) == (1, 1, 1, bytes([200]))
