@@ -1430,3 +1430,94 @@ def op_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("x_id").cast("double") / F.count("*").cast("double")
         ).alias("recall_at_k"),
     )
+
+
+HARDNEG_TOPK = 5
+HARDNEG_QUERIES = 10
+
+
+def _hardneg_oracle() -> str:
+    cos = (
+        f"{_SQL_DOT.format(a='q.qe', b='c.ce')}"
+        f" / (sqrt({_SQL_NORM2.format(a='q.qe')})"
+        f" * sqrt({_SQL_NORM2.format(a='c.ce')}))"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+      FROM embeddings WHERE vec_id < {HARDNEG_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS ce, label AS c_label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.q_id, c.c_id,
+             CAST(q.q_label AS BIGINT) AS q_label,
+             CAST(c.c_label AS BIGINT) AS neg_label,
+             {cos} AS cos
+      FROM q JOIN c ON c.c_id <> q.q_id AND c.c_label <> q.q_label
+    )
+    SELECT q_id, c_id, q_label, neg_label,
+           ROUND(cos, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT q_id, c_id, q_label, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {HARDNEG_TOPK}
+    """
+
+
+@_register("op_sample_hard_negatives", _hardneg_oracle())
+def op_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each
+    anchor (vec_id < {HARDNEG_QUERIES}), the top-k most similar vectors
+    from OTHER label cells — the near-misses a contrastive /
+    triplet-loss run needs instead of trivial random negatives (the
+    single highest-leverage ingredient in public dense-retrieval
+    recipes, cf. DPR / ANCE). The label stands in for the supervision
+    class (paired document, language, source — whatever the task
+    negates against).
+
+    Scale: the anchor side broadcasts; every candidate scores its local
+    slice and WindowGroupLimit keeps k per anchor — the exact shape of
+    op_ann_cosine_topk with a label-exclusion predicate pushed into the
+    join. Production swaps the exact scan for the IVF probe and mines
+    within probed cells.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+        l2_norm("embedding").alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+        l2_norm("embedding").alias("nc"),
+    )
+    cos = cosine_from_norms("qe", "ce", "nq", "nc").alias("cos")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("q_id") != F.col("c_id"))
+            & (F.col("c_label") != F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "c_id",
+            F.col("q_label").cast("bigint").alias("q_label"),
+            F.col("c_label").cast("bigint").alias("neg_label"),
+            cos,
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= HARDNEG_TOPK)
+        .select(
+            "q_id", "c_id", "q_label", "neg_label",
+            F.round("cos", 6).alias("cosine"), "rk",
+        )
+    )

@@ -746,3 +746,59 @@ def q_interval_overlap_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@_register(
+    "q_scd2_user_status",
+    """
+    WITH changes AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    points AS (
+      SELECT user_id, ts, event_type FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS status,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+             AS is_current
+    FROM points
+    """,
+)
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into status intervals — a row per status CHANGE with
+    [valid_from, valid_to) validity and an is_current flag on the open
+    interval. The classic warehouse-dimension derivation (the reference
+    loads rows; a real deployment wants the dimension table too), and
+    the shape MERGE-based SCD pipelines stage before upserting.
+
+    Two windows over the same (user_id, ts) order — one shuffle total;
+    consecutive duplicate statuses collapse (change points only), so
+    output cardinality is bounded by status volatility, not stream
+    length.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    points = changes.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return points.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

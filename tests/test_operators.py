@@ -1711,3 +1711,68 @@ def test_decode_png_adam7_tiny_image_skips_empty_passes():
 
     png = _make_png_adam7(1, 1, 8, 0, [200])
     assert decode_image(png) == (1, 1, 1, bytes([200]))
+
+
+def test_scd2_intervals_tile_and_collapse(spark, sf_dir):
+    """Per user: intervals are contiguous (valid_to == next valid_from),
+    exactly one open interval, consecutive statuses always differ, and
+    the first interval starts at the user's first event."""
+    from apitap_spark.plans.timeseries import q_scd2_user_status
+    from apitap_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    rows = q_scd2_user_status(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    firsts = {
+        r["user_id"]: r["f"]
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.min("ts").alias("f")).collect()
+    }
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert ivs[0]["valid_from"] == firsts[uid]
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]
+
+
+def test_hard_negatives_exclude_own_label_and_are_hardest(spark, sf_dir):
+    """Every mined negative is cross-label; per anchor the set equals
+    the top-k of a direct cross-label cosine recount."""
+    from apitap_spark.operators.similarity import (
+        HARDNEG_TOPK,
+        op_sample_hard_negatives,
+    )
+    from apitap_spark.session import read_table
+
+    rows = op_sample_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    emb = {r["vec_id"]: (r["label"], r["embedding"])
+           for r in read_table(spark, sf_dir, "embeddings").collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    by_q: dict = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"]
+        assert emb[r["c_id"]][0] == r["neg_label"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, got in by_q.items():
+        q_label, qe = emb[q_id]
+        scored = sorted(
+            (
+                (-cos(qe, ce), c_id)
+                for c_id, (lab, ce) in emb.items()
+                if c_id != q_id and lab != q_label
+            ),
+        )[:HARDNEG_TOPK]
+        assert {c for _s, c in scored} == {r["c_id"] for r in got}
