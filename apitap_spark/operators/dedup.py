@@ -1041,3 +1041,124 @@ def op_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+# --- L99: Bloom-filter membership dedup ------------------------------------
+
+BLOOM_M = 65536  # filter bits
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(j: int):
+    """Bit position j for the normalized-text key: first 60 bits of
+    md5('<j>|' || key), mod BLOOM_M. Identical arithmetic in the DuckDB
+    oracle (CAST('0x'||substr(md5(..),1,15) AS BIGINT) % m)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col("key"))), 1, 15), 16, 10
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS key
+      FROM documents
+    ),
+    hj AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+    refpos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, 15)
+                  AS BIGINT) % {BLOOM_M} AS pos
+      FROM keyed CROSS JOIN hj WHERE doc_id % 2 = 0
+    ),
+    probe AS (SELECT doc_id, source, key FROM keyed WHERE doc_id % 2 = 1),
+    probepos AS (
+      SELECT p.doc_id, p.source, p.key,
+             CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || key), 1, 15)
+                  AS BIGINT) % {BLOOM_M} AS pos
+      FROM probe p CROSS JOIN hj
+    ),
+    phits AS (
+      SELECT pp.doc_id, pp.source, pp.key,
+             CAST(SUM(CASE WHEN rp.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS hit_cnt
+      FROM probepos pp LEFT JOIN refpos rp ON rp.pos = pp.pos
+      GROUP BY pp.doc_id, pp.source, pp.key
+    ),
+    refkeys AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 2 = 0),
+    flagged AS (
+      SELECT h.doc_id, h.source,
+             (h.hit_cnt = {BLOOM_K}) AS bloom_hit,
+             (rk.key IS NOT NULL) AS exact_hit
+      FROM phits h LEFT JOIN refkeys rk ON rk.key = h.key
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           ROUND(CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS fp_rate
+    FROM flagged
+    GROUP BY source
+"""
+
+
+@_register("op_dedup_bloom_filter", _BLOOM_ORACLE)
+def op_dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup audit: build a 65536-bit / k=4
+    filter over the reference half of the corpus (even doc_ids, keyed on
+    whitespace-normalized text) and probe the other half against it,
+    reporting per-source probe counts, Bloom hits, exact hits, and false
+    positives (a Bloom filter has NO false negatives — exact_hits is
+    always <= bloom_hits, which this gate proves corpus-wide).
+
+    This is the 100 TB "dedup against a reference corpus" primitive: the
+    filter is a FIXED-size set of bit positions (<= m = 65536 rows after
+    distinct) regardless of corpus size, broadcast to every executor, so
+    the probe side is a map-side broadcast-hash-join — the trillion-token
+    reference never re-shuffles per batch. The exact-membership leg here
+    is audit-only instrumentation (it quantifies the filter's FP rate);
+    a production probe pass runs without it.
+
+    Beyond-reference operator; the reference has no dedup surface at all
+    (its pipeline is fetch -> SQL -> sink, src/pipeline/runner.rs).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", normalize_ws("text").alias("key"))
+    pos_arr = F.array(*[_bloom_pos(j) for j in range(BLOOM_K)])
+    ref = keyed.filter(F.col("doc_id") % 2 == 0)
+    probe = keyed.filter(F.col("doc_id") % 2 == 1)
+
+    # The filter: distinct set bit positions — bounded by m, broadcast.
+    filter_pos = (
+        ref.select(F.explode(pos_arr).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe_pos = probe.select(
+        "doc_id", "source", "key", F.explode(pos_arr).alias("pos")
+    )
+    phits = (
+        probe_pos.join(F.broadcast(filter_pos), "pos", "left")
+        .groupBy("doc_id", "source", "key")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hit_cnt"))
+    )
+    refkeys = ref.select("key").distinct().withColumn("ex", F.lit(1))
+    flagged = phits.join(refkeys, "key", "left").select(
+        "source",
+        (F.col("hit_cnt") == BLOOM_K).alias("bloom_hit"),
+        F.col("ex").isNotNull().alias("exact_hit"),
+    )
+    fp = F.sum((F.col("bloom_hit") & ~F.col("exact_hit")).cast("int"))
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("bloom_hits"),
+        F.sum(F.col("exact_hit").cast("int")).cast("bigint").alias("exact_hits"),
+        fp.cast("bigint").alias("false_positives"),
+        F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
+    )

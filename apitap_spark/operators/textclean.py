@@ -194,3 +194,107 @@ def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(top_share(F.col("b")))
         .alias("top_bigram_share"),
     )
+
+
+# --- L100: Gopher-rule document filter -------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 8.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+_GOPHER_STOP = ["the", "a", "of", "and", "is", "to", "in"]
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
+
+_GOPHER_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents
+      WHERE LENGTH(TRIM(text)) > 0
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(LEN(t) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(t, w -> LENGTH(w)), 'sum')
+                  AS DOUBLE) / LEN(t) AS mean_len,
+             CAST(LEN(list_filter(t, w -> list_contains([{_GOPHER_STOP_SQL}], w)))
+                  AS BIGINT) AS n_stop,
+             CAST(LEN(list_filter(t, w -> regexp_matches(w, '^[a-z]+$')))
+                  AS DOUBLE) / LEN(t) AS alpha_frac
+      FROM tok
+    )
+    SELECT doc_id, n_words,
+           ROUND(mean_len, 6) AS mean_word_len,
+           n_stop AS n_stopwords,
+           ROUND(alpha_frac, 6) AS alpha_word_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_word_count,
+           (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}) AS r_mean_word_len,
+           (n_stop >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+           (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS r_alpha_words,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+            AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+            AND (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})) AS pass_gopher
+    FROM m
+"""
+
+
+@_register("op_text_gopher_rules", _GOPHER_ORACLE)
+def op_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021 §A1.1):
+    per-document named rule flags — word-count bounds, mean-word-length
+    bounds, minimum stop-word count, minimum alphabetic-word fraction —
+    plus the conjunctive pass verdict. Unlike ``op_text_quality_score``
+    (a weighted composite), this emits each rule's boolean so a curation
+    run can report per-rule rejection rates, the way the Gopher paper
+    tables them. Thresholds are module constants tuned to the synthetic
+    corpus's 10-99-word documents.
+
+    Pure per-document Catalyst array expressions — zero shuffle; a
+    100 TB filter pass costs exactly the scan, and the rule columns are
+    computed once per doc inside a single projection (whole-stage
+    codegen, no Python).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    d = docs.select("doc_id", t.alias("t"))
+    n_words = F.size("t").cast("bigint")
+    mean_len = (
+        F.aggregate("t", F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.size("t")
+    )
+    n_stop = F.size(
+        F.filter("t", lambda w: w.isin(_GOPHER_STOP))
+    ).cast("bigint")
+    alpha_frac = (
+        F.size(F.filter("t", lambda w: w.rlike("^[a-z]+$"))).cast("double")
+        / F.size("t")
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_len"),
+        n_stop.alias("n_stop"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_ml = F.col("mean_len").between(GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN)
+    r_sw = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    r_al = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_len", 6).alias("mean_word_len"),
+        F.col("n_stop").alias("n_stopwords"),
+        F.round("alpha_frac", 6).alias("alpha_word_frac"),
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_word_len"),
+        r_sw.alias("r_stopwords"),
+        r_al.alias("r_alpha_words"),
+        (r_wc & r_ml & r_sw & r_al).alias("pass_gopher"),
+    )

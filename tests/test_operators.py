@@ -1776,3 +1776,102 @@ def test_hard_negatives_exclude_own_label_and_are_hardest(spark, sf_dir):
             ),
         )[:HARDNEG_TOPK]
         assert {c for _s, c in scored} == {r["c_id"] for r in got}
+
+
+def test_bloom_filter_matches_python_recompute(spark, sf_dir):
+    """Full Python re-execution of the Bloom filter: identical hit /
+    false-positive accounting per source, and the no-false-negative
+    invariant (every exact member is a Bloom hit)."""
+    import hashlib
+    import re as _re
+
+    from apitap_spark.operators.dedup import (
+        BLOOM_K,
+        BLOOM_M,
+        op_dedup_bloom_filter,
+    )
+    from apitap_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.strip().lower())
+
+    def positions(key):
+        return {
+            int(hashlib.md5(f"{j}|{key}".encode()).hexdigest()[:15], 16) % BLOOM_M
+            for j in range(BLOOM_K)
+        }
+
+    ref_keys = {norm(r["text"]) for r in docs if r["doc_id"] % 2 == 0}
+    filt = set()
+    for k in ref_keys:
+        filt |= positions(k)
+    expect: dict = {}
+    for r in docs:
+        if r["doc_id"] % 2 == 0:
+            continue
+        key = norm(r["text"])
+        bloom = positions(key) <= filt
+        exact = key in ref_keys
+        assert bloom or not exact  # no false negatives
+        e = expect.setdefault(r["source"], [0, 0, 0, 0])
+        e[0] += 1
+        e[1] += bloom
+        e[2] += exact
+        e[3] += bloom and not exact
+    got = {r["source"]: r for r in op_dedup_bloom_filter(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for src, (n, bh, eh, fp) in expect.items():
+        g = got[src]
+        assert (g["n_probed"], g["bloom_hits"], g["exact_hits"],
+                g["false_positives"]) == (n, bh, eh, fp)
+        assert abs(g["fp_rate"] - round(fp / n, 6)) < 1e-9
+
+
+def test_gopher_rules_match_python_recompute(spark, sf_dir):
+    """Per-document Python recount of every Gopher rule flag."""
+    import re as _re
+
+    from apitap_spark.operators.textclean import (
+        _GOPHER_STOP,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        op_text_gopher_rules,
+    )
+    from apitap_spark.session import read_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    }
+    rows = op_text_gopher_rules(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    passed = 0
+    for r in rows:
+        t = _re.split(r"\s+", docs[r["doc_id"]].strip())
+        n = len(t)
+        mean_len = sum(len(w) for w in t) / n
+        n_stop = sum(w in _GOPHER_STOP for w in t)
+        alpha = sum(bool(_re.fullmatch("[a-z]+", w)) for w in t) / n
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - round(mean_len, 6)) < 1e-9
+        assert r["n_stopwords"] == n_stop
+        assert abs(r["alpha_word_frac"] - round(alpha, 6)) < 1e-9
+        assert r["r_word_count"] == (GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS)
+        assert r["r_mean_word_len"] == (
+            GOPHER_MIN_MEAN_LEN <= mean_len <= GOPHER_MAX_MEAN_LEN
+        )
+        assert r["r_stopwords"] == (n_stop >= GOPHER_MIN_STOPWORDS)
+        assert r["r_alpha_words"] == (alpha >= GOPHER_MIN_ALPHA_FRAC)
+        assert r["pass_gopher"] == (
+            r["r_word_count"] and r["r_mean_word_len"]
+            and r["r_stopwords"] and r["r_alpha_words"]
+        )
+        passed += r["pass_gopher"]
+    assert 0 < passed < len(rows)  # rules discriminate on this corpus
