@@ -614,3 +614,169 @@ def op_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- L101: shuffle-skew key audit ------------------------------------------
+
+SKEW_TOPK = 5
+
+_SKEW_ORACLE = f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows
+      FROM counts
+    ),
+    top AS (
+      SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rnk
+      FROM counts ORDER BY cnt DESC, user_id LIMIT {SKEW_TOPK}
+    )
+    SELECT rnk, user_id, cnt, n_keys, total_rows,
+           ROUND(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+           ROUND(CAST(cnt * n_keys AS DOUBLE) / total_rows, 6) AS skew_vs_mean,
+           CAST(CEIL(CAST(cnt * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE))
+                AS BIGINT) AS salt_parts
+    FROM top CROSS JOIN stats
+"""
+
+
+@_register("op_skew_key_audit", _SKEW_ORACLE)
+def op_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew heavy-hitter audit over the events join key
+    (``user_id``): the top-{K} heaviest keys with their row share,
+    skew-vs-mean ratio, and the salt fan-out (``ceil(cnt / mean)``)
+    that would level each key to average partition load — i.e. the
+    number this engine's salted-join operators (`q_salted_skew_join`,
+    `q_salted_two_phase_agg`) take as their salt factor. Run before a
+    100 TB join, this one aggregation decides between a plain shuffle
+    join, AQE skew splitting, and explicit salting.
+
+    Scale shape: one map-side-combined groupBy over the key, then
+    heavy-hitter extraction via distributed sort+limit (TakeOrdered —
+    NO global window over the billion-key count table); the stats row
+    is a broadcast crossJoin. The rank window runs on the {K}-row
+    limited frame only.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("user_id")).limit(SKEW_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    load = F.col("cnt") * F.col("n_keys")
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rnk",
+            "user_id",
+            "cnt",
+            "n_keys",
+            "total_rows",
+            F.round(F.col("cnt").cast("double") / F.col("total_rows"), 6).alias(
+                "share"
+            ),
+            F.round(load.cast("double") / F.col("total_rows"), 6).alias(
+                "skew_vs_mean"
+            ),
+            F.ceil(
+                load.cast("double") / F.col("total_rows").cast("double")
+            )
+            .cast("bigint")
+            .alias("salt_parts"),
+        )
+    )
+
+
+# --- L102: join-cardinality estimation audit --------------------------------
+
+_CARD_PAIRS = [
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+
+def _card_oracle_one(name, lt, lk, rt, rk):
+    return f"""
+    SELECT '{name}' AS join_pair,
+           a.n_left, a.ndv_left, b.n_right, b.ndv_right,
+           CAST((a.n_left * b.n_right) // GREATEST(a.ndv_left, b.ndv_right)
+                AS BIGINT) AS est_rows,
+           c.actual_rows,
+           ROUND(CAST(c.actual_rows AS DOUBLE)
+                 / ((a.n_left * b.n_right) // GREATEST(a.ndv_left, b.ndv_right)),
+                 6) AS actual_over_est
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+                 CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS ndv_left FROM {lt}) a,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+                 CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv_right FROM {rt}) b,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+          FROM {lt} JOIN {rt} ON {lk} = {rk}) c
+    """
+
+
+_CARD_ORACLE = "\nUNION ALL\n".join(
+    _card_oracle_one(*p) for p in _CARD_PAIRS
+)
+
+
+@_register("op_join_cardinality_audit", _CARD_ORACLE)
+def op_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit for the three FK joins of the
+    schema: per pair, the textbook containment estimate
+    ``|R|·|S| / max(ndv_R, ndv_S)`` next to the ACTUAL join count and
+    their ratio. This is the sanity check a planner (or a human sizing
+    ``spark.sql.shuffle.partitions``) needs before a 100 TB join: an
+    actual/estimate ratio far above 1 flags correlated or skewed keys
+    where the uniform-NDV assumption (and hence the default shuffle
+    sizing) breaks down.
+
+    The estimate legs are single-pass aggregates (count + ndv per
+    side); the actual leg is the real join's count — audit-mode
+    instrumentation (in production you'd run it on a sampled bucket;
+    the estimate legs alone are the cheap path). Integer division is
+    truncating on both engines (operands non-negative: Spark DIV ==
+    DuckDB //).
+    """
+    out = None
+    for name, lt, lk, rt, rk in _CARD_PAIRS:
+        left = read_table(spark, sf_dir, lt)
+        right = read_table(spark, sf_dir, rt)
+        ls = left.agg(
+            F.count("*").cast("bigint").alias("n_left"),
+            F.countDistinct(lk).cast("bigint").alias("ndv_left"),
+        )
+        rs = right.agg(
+            F.count("*").cast("bigint").alias("n_right"),
+            F.countDistinct(rk).cast("bigint").alias("ndv_right"),
+        )
+        actual = (
+            left.join(right, F.col(lk) == F.col(rk))
+            .agg(F.count("*").cast("bigint").alias("actual_rows"))
+        )
+        est = F.expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+        row = (
+            ls.crossJoin(rs)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_pair"),
+                "n_left",
+                "ndv_left",
+                "n_right",
+                "ndv_right",
+                est.cast("bigint").alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.col("actual_rows").cast("double") / est, 6
+                ).alias("actual_over_est"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

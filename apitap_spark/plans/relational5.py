@@ -432,3 +432,58 @@ def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(lg), F.lit(0)).cast("bigint").alias(lg)
           for lg in PIVOT_LANGS],
     )
+
+
+@_register(
+    "q_try_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / l_quantity, 6) AS unit_price,
+           CAST(NULL AS DOUBLE) AS div_by_zero,
+           TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS BIGINT)
+             AS qty_roundtrip,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_number,
+           string_split(l_returnflag || ' ' || l_linestatus, ' ')[1]
+             AS first_flag_word,
+           CAST(NULL AS VARCHAR) AS oob_element,
+           CASE WHEN l_quantity > 0 THEN CAST(NULL AS BIGINT)
+                ELSE 9223372036854775807 END AS add_overflow
+    FROM lineitem
+    WHERE l_orderkey < 400
+    """,
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe TRY_* scalar family (SURVEY §2.2 Q12): try_divide
+    (including a guaranteed division by zero), try_cast round-trip and
+    failing cast, try_element_at in and out of bounds, and try_add at
+    bigint overflow — every error lane returns NULL instead of failing
+    the job, which is what a 100 TB ingest of dirty data needs (one bad
+    cell must not kill a 6-hour stage). The oracle states the expected
+    NULL semantics directly (DuckDB auto-promotes to HUGEINT, so the
+    overflow lane is CASE-encoded rather than re-triggered).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    qty = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", qty), 6).alias("unit_price"),
+        F.try_divide(F.col("l_extendedprice"), qty - qty).alias("div_by_zero"),
+        F.try_to_number(
+            qty.cast("long").cast("string"), F.lit("999")
+        ).cast("bigint").alias("qty_roundtrip"),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_number"),
+        F.try_element_at(
+            F.split(F.concat_ws(" ", "l_returnflag", "l_linestatus"), " "),
+            F.lit(1),
+        ).alias("first_flag_word"),
+        F.try_element_at(
+            F.split(F.concat_ws(" ", "l_returnflag", "l_linestatus"), " "),
+            F.lit(99),
+        ).alias("oob_element"),
+        F.when(
+            qty > 0, F.try_add(F.lit(9223372036854775807), qty.cast("long"))
+        )
+        .otherwise(F.lit(9223372036854775807))
+        .alias("add_overflow"),
+    )

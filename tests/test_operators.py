@@ -1875,3 +1875,53 @@ def test_gopher_rules_match_python_recompute(spark, sf_dir):
         )
         passed += r["pass_gopher"]
     assert 0 < passed < len(rows)  # rules discriminate on this corpus
+
+
+def test_skew_audit_matches_python_recount(spark, sf_dir):
+    """Top-K heavy hitters, shares and salt fan-out recomputed in Python."""
+    import math
+    from collections import Counter
+
+    from apitap_spark.operators.quality import SKEW_TOPK, op_skew_key_audit
+    from apitap_spark.session import read_table
+
+    cnt = Counter(
+        r["user_id"] for r in read_table(spark, sf_dir, "events").collect()
+    )
+    total = sum(cnt.values())
+    n_keys = len(cnt)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOPK]
+    rows = sorted(op_skew_key_audit(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    assert len(rows) == SKEW_TOPK
+    for rnk, (r, (uid, c)) in enumerate(zip(rows, top), start=1):
+        assert (r["rnk"], r["user_id"], r["cnt"]) == (rnk, uid, c)
+        assert (r["n_keys"], r["total_rows"]) == (n_keys, total)
+        assert abs(r["share"] - round(c / total, 6)) < 1e-9
+        assert abs(r["skew_vs_mean"] - round(c * n_keys / total, 6)) < 1e-9
+        assert r["salt_parts"] == math.ceil((c * n_keys) / total)
+
+
+def test_join_cardinality_audit_matches_python_recount(spark, sf_dir):
+    """Containment estimate and actual join counts recomputed in Python."""
+    from collections import Counter
+
+    from apitap_spark.operators.quality import (
+        _CARD_PAIRS,
+        op_join_cardinality_audit,
+    )
+    from apitap_spark.session import read_table
+
+    got = {r["join_pair"]: r for r in op_join_cardinality_audit(spark, sf_dir).collect()}
+    assert set(got) == {p[0] for p in _CARD_PAIRS}
+    for name, lt, lk, rt, rk in _CARD_PAIRS:
+        lvals = [r[lk] for r in read_table(spark, sf_dir, lt).collect()]
+        rvals = [r[rk] for r in read_table(spark, sf_dir, rt).collect()]
+        rc = Counter(rvals)
+        actual = sum(rc[v] for v in lvals)
+        est = (len(lvals) * len(rvals)) // max(len(set(lvals)), len(set(rvals)))
+        g = got[name]
+        assert (g["n_left"], g["n_right"]) == (len(lvals), len(rvals))
+        assert (g["ndv_left"], g["ndv_right"]) == (len(set(lvals)), len(set(rvals)))
+        assert g["est_rows"] == est
+        assert g["actual_rows"] == actual
+        assert abs(g["actual_over_est"] - round(actual / est, 6)) < 1e-9
