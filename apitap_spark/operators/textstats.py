@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apitap_spark.functions.text import normalize_ws, token_count, tokens
+from apitap_spark.functions.text import (
+    normalize_ws,
+    shingle_grams,
+    token_count,
+    tokens,
+)
 from apitap_spark.session import read_table
 
 QUERIES: dict = {}
@@ -1215,5 +1220,238 @@ def op_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("covered_tokens", F.lit(0)).cast("double")
                 / F.lit(float(total))
             ).alias("coverage"),
+        )
+    )
+
+
+# --- L103: collocation mining (lift-based, log-free PMI analogue) -----------
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOPK = 20
+
+_COLLOC_ORACLE = rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM tok, UNNEST(t) AS u(w) GROUP BY w
+    ),
+    bi AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM tok,
+           UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 0) + 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS u(g)
+      GROUP BY g
+    ),
+    totals AS (
+      SELECT (SELECT CAST(SUM(n_w) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bi) AS n_bi
+    ),
+    scored AS (
+      SELECT string_split(b.g, ' ')[1] AS w1,
+             string_split(b.g, ' ')[2] AS w2,
+             b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+             CAST(b.n_ab * t.n_uni * t.n_uni AS DOUBLE)
+               / CAST(t.n_bi * a.n_w * c.n_w AS DOUBLE) AS lift_raw
+      FROM bi b
+      JOIN uni a ON a.w = string_split(b.g, ' ')[1]
+      JOIN uni c ON c.w = string_split(b.g, ' ')[2]
+      CROSS JOIN totals t
+      WHERE b.n_ab >= {COLLOC_MIN_SUPPORT}
+    ),
+    top AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift_raw DESC, w1, w2)
+                     AS BIGINT) AS rnk
+      FROM scored ORDER BY lift_raw DESC, w1, w2 LIMIT {COLLOC_TOPK}
+    )
+    SELECT rnk, w1, w2, n_ab, n_a, n_b, ROUND(lift_raw, 6) AS lift
+    FROM top
+"""
+
+
+@_register("op_text_collocations_lift", _COLLOC_ORACLE)
+def op_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-K adjacent word pairs by LIFT
+    ``P(ab) / (P(a)·P(b)) = n_ab·N_uni² / (N_bi·n_a·n_b)`` with a
+    minimum-support floor — the PMI collocation ranking with the log
+    dropped (log is monotone, so the ranking is identical, and the
+    score stays a single exactly-reproducible IEEE division of two
+    exact bigint products; ln/exp are engine-specific at the last ulp
+    and banned from oracle-checked outputs).
+
+    Scale shape: unigram and bigram counts are map-side-combined
+    groupBys (two linear shuffles over the token stream); the pair
+    table joins the vocab-sized unigram counts twice (vocab, not
+    corpus, sized); totals ride a broadcast crossJoin; and the top-K is
+    a distributed sort+limit (TakeOrdered), NOT a global window — the
+    rank is stamped on the K surviving rows only.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    bi = (
+        docs.select(F.explode(shingle_grams("text", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "n_ab",
+        )
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("bigint").alias("n_uni")
+    ).crossJoin(
+        docs.select(F.explode(shingle_grams("text", 2)).alias("g"))
+        .agg(F.count("*").cast("bigint").alias("n_bi"))
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+                / (F.col("n_bi") * F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift_raw"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift_raw"), "w1", "w2").limit(COLLOC_TOPK)
+    w = Window.orderBy(F.desc("lift_raw"), "w1", "w2")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "rnk",
+        "w1",
+        "w2",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round("lift_raw", 6).alias("lift"),
+    )
+
+
+# --- L104: count-min-sketch heavy-hitter audit ------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 15
+
+_CMS_ORACLE = rf"""
+    WITH tok AS (
+      SELECT string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM tok, UNNEST(t) AS u(w) GROUP BY w
+    ),
+    depths AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+    cells AS (
+      SELECT d,
+             CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || w), 1, 15)
+                  AS BIGINT) % {CMS_WIDTH} AS cell,
+             CAST(SUM(n_w) AS BIGINT) AS cell_cnt
+      FROM uni CROSS JOIN depths
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, n_w,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_w DESC, w) AS BIGINT) AS rnk
+      FROM uni ORDER BY n_w DESC, w LIMIT {CMS_TOPK}
+    )
+    SELECT t.rnk, t.w AS token, t.n_w AS exact_cnt,
+           MIN(c.cell_cnt) AS cms_est,
+           MIN(c.cell_cnt) - t.n_w AS overestimate
+    FROM top t
+    CROSS JOIN depths dd
+    JOIN cells c
+      ON c.d = dd.d
+     AND c.cell = CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || '|' || t.w),
+                                      1, 15) AS BIGINT) % {CMS_WIDTH}
+    GROUP BY t.rnk, t.w, t.n_w
+"""
+
+
+@_register("op_text_heavy_hitters_cms", _CMS_ORACLE)
+def op_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter audit: build a depth-4 x
+    width-1024 CMS over the corpus token stream (md5-derived row
+    hashes, identical arithmetic in the oracle), then report the
+    exact top-K tokens next to their CMS estimate and the collision
+    overestimate (CMS never underestimates — ``cms_est >= exact_cnt``
+    by construction, proven corpus-wide by the pytest).
+
+    This is the mergeable-sketch pattern for streaming/sharded
+    frequency: the sketch is a FIXED d·w-cell table (4096 rows here)
+    regardless of corpus size, each cell a map-side-combined SUM — at
+    100 TB every executor folds its partition into 4096 partials, the
+    reduce is tiny, and sketches from different days/shards merge by
+    cell-wise addition. The probe side touches only the K audited
+    tokens against the 4096-row broadcast sketch.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+
+    def cms_cell(d, word_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}|"), F.col(word_col))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        )
+
+    depth_cells = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), cms_cell(d, "w").alias("cell"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        uni.select(F.explode(depth_cells).alias("dc"), "n_w")
+        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.sum("n_w").cast("bigint").alias("cell_cnt"))
+    )
+    top = uni.orderBy(F.desc("n_w"), "w").limit(CMS_TOPK)
+    from pyspark.sql import Window
+
+    wdw = Window.orderBy(F.desc("n_w"), "w")
+    ranked = top.withColumn("rnk", F.row_number().over(wdw).cast("bigint"))
+    probes = ranked.select(
+        "rnk", "w", "n_w", F.explode(depth_cells).alias("dc")
+    ).select("rnk", "w", "n_w", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "cell"])
+        .groupBy("rnk", "w", "n_w")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+        .select(
+            "rnk",
+            F.col("w").alias("token"),
+            F.col("n_w").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n_w")).alias("overestimate"),
         )
     )

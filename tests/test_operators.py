@@ -1925,3 +1925,82 @@ def test_join_cardinality_audit_matches_python_recount(spark, sf_dir):
         assert g["est_rows"] == est
         assert g["actual_rows"] == actual
         assert abs(g["actual_over_est"] - round(actual / est, 6)) < 1e-9
+
+
+def test_collocations_match_python_recount(spark, sf_dir):
+    """Top-K lift ranking recomputed in Python from raw token streams."""
+    import re as _re
+
+    from apitap_spark.operators.textstats import (
+        COLLOC_MIN_SUPPORT,
+        COLLOC_TOPK,
+        op_text_collocations_lift,
+    )
+    from apitap_spark.session import read_table
+
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for r in read_table(spark, sf_dir, "documents").collect():
+        t = _re.split(r"\s+", r["text"].strip())
+        if not r["text"].strip():
+            continue
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    scored = [
+        (
+            (n_ab * n_uni * n_uni) / (n_bi * uni[a] * uni[b]),
+            a,
+            b,
+            n_ab,
+        )
+        for (a, b), n_ab in bi.items()
+        if n_ab >= COLLOC_MIN_SUPPORT
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    rows = sorted(
+        op_text_collocations_lift(spark, sf_dir).collect(), key=lambda r: r["rnk"]
+    )
+    assert len(rows) == min(COLLOC_TOPK, len(scored))
+    for r, (lift, a, b, n_ab) in zip(rows, scored):
+        assert (r["w1"], r["w2"], r["n_ab"]) == (a, b, n_ab)
+        assert (r["n_a"], r["n_b"]) == (uni[a], uni[b])
+        assert abs(r["lift"] - round(lift, 6)) < 1e-9
+
+
+def test_cms_never_underestimates_and_matches_python(spark, sf_dir):
+    """CMS estimates recomputed in Python; overestimate >= 0 everywhere."""
+    import hashlib
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from apitap_spark.operators.textstats import (
+        CMS_DEPTH,
+        CMS_TOPK,
+        CMS_WIDTH,
+        op_text_heavy_hitters_cms,
+    )
+    from apitap_spark.session import read_table
+
+    uni = Counter()
+    for r in read_table(spark, sf_dir, "documents").collect():
+        if r["text"].strip():
+            uni.update(_re.split(r"\s+", r["text"].strip()))
+
+    def cell(d, w):
+        return int(hashlib.md5(f"{d}|{w}".encode()).hexdigest()[:15], 16) % CMS_WIDTH
+
+    sketch = defaultdict(int)
+    for w, c in uni.items():
+        for d in range(CMS_DEPTH):
+            sketch[(d, cell(d, w))] += c
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    rows = sorted(
+        op_text_heavy_hitters_cms(spark, sf_dir).collect(), key=lambda r: r["rnk"]
+    )
+    assert len(rows) == len(top)
+    for r, (w, c) in zip(rows, top):
+        est = min(sketch[(d, cell(d, w))] for d in range(CMS_DEPTH))
+        assert (r["token"], r["exact_cnt"], r["cms_est"]) == (w, c, est)
+        assert r["overestimate"] == est - c >= 0
