@@ -783,3 +783,138 @@ def op_dedup_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "d1", "d2", hamming.cast("bigint").alias("hamming")
     ).filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+
+
+# --- L105: audio VAD plumbing (PCM framing + energy-threshold activity) -----
+
+AUDIO_FRAME = 40  # samples (bytes) per frame; ragged tail frame dropped
+AUDIO_CENTER = 100  # DC offset removed from each unsigned 8-bit sample
+AUDIO_VAD_THRESH = 36500  # frame active iff sum((b-center)^2) >= thresh
+
+
+def _audio_vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched VAD over (doc_id, payload): treat the payload as
+    unsigned 8-bit PCM, frame it, compute per-frame energy, threshold
+    into active/silent, and reduce to per-doc segment stats (active
+    count + longest active run). A real audio path swaps the byte
+    reader for a wav/flac decoder — framing, energy, thresholding and
+    the run-length reduction are unchanged."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "n_samples": [],
+            "n_frames": [],
+            "n_active": [],
+            "longest_run": [],
+            "total_energy": [],
+            "mean_frame_energy": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            nf = len(data) // AUDIO_FRAME
+            energies = [
+                sum(
+                    (b - AUDIO_CENTER) * (b - AUDIO_CENTER)
+                    for b in data[i * AUDIO_FRAME : (i + 1) * AUDIO_FRAME]
+                )
+                for i in range(nf)
+            ]
+            active = [e >= AUDIO_VAD_THRESH for e in energies]
+            longest = run = 0
+            for a in active:
+                run = run + 1 if a else 0
+                longest = max(longest, run)
+            total = sum(energies)
+            # integer half-up mean at 1e-6, same arithmetic as the oracle
+            mean = (
+                float((total * 2_000_000 + nf) // (2 * nf)) / 1_000_000.0
+                if nf
+                else 0.0
+            )
+            out["doc_id"].append(int(doc_id))
+            out["n_samples"].append(len(data))
+            out["n_frames"].append(nf)
+            out["n_active"].append(sum(active))
+            out["longest_run"].append(longest)
+            out["total_energy"].append(total)
+            out["mean_frame_energy"].append(mean)
+        yield pd.DataFrame(out)
+
+
+_AUDIO_VAD_ORACLE = f"""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, n, text,
+             unnest(range(0, n // {AUDIO_FRAME})) AS fi
+      FROM sized
+    ),
+    e AS (
+      SELECT doc_id, n, fi,
+             list_aggregate(list_transform(
+               range(fi * {AUDIO_FRAME} + 1, fi * {AUDIO_FRAME} + {AUDIO_FRAME} + 1),
+               i -> (ascii(substr(text, CAST(i AS BIGINT), 1)) - {AUDIO_CENTER})
+                  * (ascii(substr(text, CAST(i AS BIGINT), 1)) - {AUDIO_CENTER})),
+               'sum') AS energy
+      FROM frames
+    ),
+    runs AS (
+      SELECT doc_id,
+             fi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+      FROM e WHERE energy >= {AUDIO_VAD_THRESH}
+    ),
+    run_lens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_samples,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN energy >= {AUDIO_VAD_THRESH} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_active,
+             CAST(SUM(energy) AS BIGINT) AS total_energy
+      FROM e GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_samples, p.n_frames, p.n_active,
+           CAST(COALESCE((SELECT MAX(run_len) FROM run_lens r
+                          WHERE r.doc_id = p.doc_id), 0) AS BIGINT) AS longest_run,
+           p.total_energy,
+           CAST((p.total_energy * 2000000 + p.n_frames)
+                // (2 * p.n_frames) AS DOUBLE) / 1000000.0 AS mean_frame_energy
+    FROM per_doc p
+"""
+
+
+@_register("op_multimodal_audio_vad", _AUDIO_VAD_ORACLE)
+def op_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio voice-activity-detection plumbing: binary payload → unsigned
+    8-bit PCM samples → fixed-size frames → per-frame energy
+    sum((b-center)^2) → threshold → per-doc active-frame count and
+    longest active run (the segment a clip extractor would cut).
+
+    Completes the multimodal family's audio lane next to the image
+    (decode/resize/phash) and video (frame-sample) lanes: the codec is
+    the ASCII stand-in (this container has no audio libs), but the
+    framing, energy, thresholding, run-length reduction, and the
+    mapInPandas Arrow plumbing are the real pipeline. Docs shorter than
+    one frame yield n_frames=0 and are dropped (no energy defined) —
+    the synthetic corpus has none.
+
+    Scale shape: narrow mapInPandas transformation, zero shuffle — each
+    executor streams Arrow batches through the Python worker and emits
+    ONE row per doc; 100 TB of audio costs the scan plus the decode.
+    All arithmetic is exact-integer until one final fixed-point
+    division, so the SQL oracle replays it bit-for-bit.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        _audio_vad,
+        schema=(
+            "doc_id bigint, n_samples bigint, n_frames bigint, "
+            "n_active bigint, longest_run bigint, total_energy bigint, "
+            "mean_frame_energy double"
+        ),
+    ).filter(F.col("n_frames") > 0)

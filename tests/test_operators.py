@@ -2004,3 +2004,48 @@ def test_cms_never_underestimates_and_matches_python(spark, sf_dir):
         est = min(sketch[(d, cell(d, w))] for d in range(CMS_DEPTH))
         assert (r["token"], r["exact_cnt"], r["cms_est"]) == (w, c, est)
         assert r["overestimate"] == est - c >= 0
+
+
+def test_audio_vad_matches_python_recount(spark, sf_dir):
+    """Per-doc frame energies, VAD flags and longest-run recomputed
+    independently from the raw text bytes."""
+    from apitap_spark.operators.multimodal import (
+        AUDIO_CENTER,
+        AUDIO_FRAME,
+        AUDIO_VAD_THRESH,
+        op_multimodal_audio_vad,
+    )
+    from apitap_spark.session import read_table
+
+    texts = {
+        r["doc_id"]: r["text"].encode()
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    rows = {r["doc_id"]: r for r in op_multimodal_audio_vad(spark, sf_dir).collect()}
+    assert set(rows) == {d for d, t in texts.items() if len(t) >= AUDIO_FRAME}
+    saw_active = saw_silent = False
+    for doc_id, r in rows.items():
+        data = texts[doc_id]
+        nf = len(data) // AUDIO_FRAME
+        energies = [
+            sum((b - AUDIO_CENTER) ** 2 for b in data[i * AUDIO_FRAME:(i + 1) * AUDIO_FRAME])
+            for i in range(nf)
+        ]
+        flags = [e >= AUDIO_VAD_THRESH for e in energies]
+        longest = run = 0
+        for a in flags:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        assert r["n_samples"] == len(data)
+        assert r["n_frames"] == nf
+        assert r["n_active"] == sum(flags)
+        assert r["longest_run"] == longest
+        assert r["total_energy"] == sum(energies)
+        total = sum(energies)
+        assert r["mean_frame_energy"] == float(
+            (total * 2_000_000 + nf) // (2 * nf)
+        ) / 1_000_000.0
+        assert r["longest_run"] <= r["n_active"] <= r["n_frames"]
+        saw_active |= sum(flags) > 0
+        saw_silent |= sum(flags) < nf
+    assert saw_active and saw_silent  # threshold discriminates
