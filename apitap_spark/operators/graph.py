@@ -416,3 +416,109 @@ def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("v").alias("user_id"), F.col("label").cast("bigint").alias("community")
     )
+
+
+# --- L107: triangle counting over the bounded-degree co-activity graph ------
+
+TRI_NEXT_K = 2  # connect each user to the next K users (by id) in its bucket
+TRI_TOPK = 10
+
+_TRI_ORACLE = f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tri),
+    pernode AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (
+        SELECT a AS user_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, n_tri,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tri DESC, user_id) AS BIGINT) AS rnk
+      FROM pernode ORDER BY n_tri DESC, user_id LIMIT {TRI_TOPK}
+    )
+    SELECT rnk, user_id, n_tri, total_triangles
+    FROM top CROSS JOIN tot
+"""
+
+
+@_register("op_graph_triangles", _TRI_ORACLE)
+def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (clustering-structure audit) over the
+    co-activity graph, completing the graph-analytics family next to
+    connected components, PageRank, and label propagation: users active
+    in the same (hour, event_type) bucket connect to their next
+    2 id-neighbors within the bucket (bounded-degree
+    construction — edge count stays LINEAR in bucket membership where
+    the full co-activity clique is quadratic, the same sparsification
+    every production co-occurrence graph applies). Triangles are
+    enumerated with the classic oriented join: every edge is stored
+    (u < v), so each triangle (a < b < c) is produced exactly once by
+    joining (a,b)x(b,c) against the closing edge (a,c) — no /6
+    dedup factor, no symmetric blowup.
+
+    Output: the 10 most triangle-dense users (their local
+    clustering hubs) plus the global triangle count on every row.
+
+    Scale shape: bucket ranking is a window bounded by per-bucket
+    membership (hour x type granularity keeps it far from the user
+    table size); the oriented 3-way self-join shuffles on edge
+    endpoints (u < v orientation halves the join input and makes the
+    heaviest node a join KEY only for its lower-id neighbors — the
+    standard skew guard for triangle joins); per-node counts are one
+    map-side-combined aggregate, and the top-K is sort+limit.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    ranked = grp.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka"))
+    c = ranked.select("b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc"))
+    e = (
+        a.join(c, ["b", "event_type"])
+        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    tot = tri.agg(F.count("*").cast("bigint").alias("total_triangles"))
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    top = pernode.orderBy(F.desc("n_tri"), "user_id").limit(TRI_TOPK)
+    wr = Window.orderBy(F.desc("n_tri"), "user_id")
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select("rnk", "user_id", "n_tri", "total_triangles")
+    )

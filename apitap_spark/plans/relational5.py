@@ -487,3 +487,50 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(9223372036854775807))
         .alias("add_overflow"),
     )
+
+
+@_register(
+    "q_window_distinct_count",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(DISTINCT o_orderpriority) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_distinct_prio,
+           CAST(COUNT(DISTINCT o_orderstatus) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS rolling3_distinct_status
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT(DISTINCT) (SURVEY §2.2 Q7 breadth): running
+    distinct-priority count per customer plus a rolling 3-row distinct
+    status count. Spark has no DISTINCT window aggregate, so the
+    operator is expressed as ``size(array_distinct(collect_list(...)
+    over w))`` — the collected frame is per-customer-prefix sized
+    (bounded by the partition, not the table), and array_distinct/size
+    are order-insensitive so AQE re-partitioning cannot perturb the
+    result. The oracle uses DuckDB's native DISTINCT window aggregate.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_roll = (
+        Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.array_distinct(F.collect_list("o_orderpriority").over(w_run)))
+        .cast("bigint")
+        .alias("run_distinct_prio"),
+        F.size(F.array_distinct(F.collect_list("o_orderstatus").over(w_roll)))
+        .cast("bigint")
+        .alias("rolling3_distinct_status"),
+    )

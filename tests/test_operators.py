@@ -2049,3 +2049,46 @@ def test_audio_vad_matches_python_recount(spark, sf_dir):
         saw_active |= sum(flags) > 0
         saw_silent |= sum(flags) < nf
     assert saw_active and saw_silent  # threshold discriminates
+
+
+def test_triangles_match_python_recount(spark, sf_dir):
+    """Edge construction and triangle enumeration recomputed in Python
+    (adjacency-set intersection), including per-node participation."""
+    from collections import Counter, defaultdict
+
+    from apitap_spark.operators.graph import (
+        TRI_NEXT_K,
+        TRI_TOPK,
+        op_graph_triangles,
+    )
+    from apitap_spark.session import read_table
+
+    buckets = defaultdict(set)
+    for r in read_table(spark, sf_dir, "events").collect():
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(b, r["event_type"])].add(r["user_id"])
+    edges = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for v in ms[i + 1 : i + 1 + TRI_NEXT_K]:
+                edges.add((u, v))
+    nbr = defaultdict(set)
+    for u, v in edges:
+        nbr[u].add(v)
+    tris = [
+        (a, b, c)
+        for (a, b) in edges
+        for c in nbr[b]
+        if c in nbr[a]
+    ]
+    part = Counter()
+    for t in tris:
+        part.update(t)
+    top = sorted(part.items(), key=lambda kv: (-kv[1], kv[0]))[:TRI_TOPK]
+    rows = sorted(op_graph_triangles(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    assert len(rows) == min(TRI_TOPK, len(top))
+    assert tris  # graph actually has triangles at this SF
+    for rnk, (r, (uid, n)) in enumerate(zip(rows, top), start=1):
+        assert (r["rnk"], r["user_id"], r["n_tri"]) == (rnk, uid, n)
+        assert r["total_triangles"] == len(tris)
