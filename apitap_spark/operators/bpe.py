@@ -615,3 +615,85 @@ def op_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# --- L108: decode-roundtrip audit (tokenizer lifecycle closure) -------------
+
+_BPE_ROUNDTRIP_ORACLE = (
+    _BPE_CTE_PREFIX
+    + _BPE_ENCODE_CTES
+    + r""",
+    decoded AS (
+      SELECT d.doc_id,
+             array_to_string(list(s.sym ORDER BY x.i), '') AS dec
+      FROM doc_seqs d,
+           unnest(range(1, len(d.ids) + 1)) AS x(i)
+      JOIN sym_ids s ON s.sym_id = d.ids[x.i]
+      GROUP BY d.doc_id
+    )
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dec.dec =
+                  regexp_replace(TRIM(doc.text), '\s+', '', 'g')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(LENGTH(dec.dec)) AS BIGINT) AS total_decoded_chars
+    FROM decoded dec JOIN documents doc ON doc.doc_id = dec.doc_id
+    GROUP BY doc.source
+    """
+)
+
+
+@_register("op_bpe_decode_roundtrip", _BPE_ROUNDTRIP_ORACLE)
+def op_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer decode-roundtrip audit, closing the BPE lifecycle
+    (learn → budget → encode → pack → DECODE): rebuild every document
+    from its dense token-id sequence alone (ids → symbols via the
+    inverted id table → in-order concatenation) and compare against the
+    whitespace-stripped source text. ``n_roundtrip_ok == n_docs`` per
+    source proves the id assignment is invertible and the encode path
+    is lossless — the check a training-data pipeline runs before
+    shipping a tokenizer+corpus pair (a lossy tokenizer silently
+    corrupts every downstream training token).
+
+    Scale shape: decode is one explode of the id stream, one broadcast
+    join against the vocabulary-sized id table, and one per-doc ordered
+    re-assembly (the exact inverse of encode's shuffle shape — O(tokens)
+    linear, no pairwise work); the verdict aggregate is map-side
+    combined per source.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    seqs, sym_ids = bpe_encode(docs)
+    exploded = seqs.select(
+        "doc_id", F.posexplode("token_ids").alias("i", "sym_id")
+    )
+    decoded = (
+        exploded.join(F.broadcast(sym_ids), "sym_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("dec")
+        )
+    )
+    stripped = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.trim("text"), r"\s+", "").alias("src_stripped"),
+    )
+    return (
+        decoded.join(stripped, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("dec") == F.col("src_stripped")).cast("int"))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.length("dec")).cast("bigint").alias("total_decoded_chars"),
+        )
+    )

@@ -2092,3 +2092,29 @@ def test_triangles_match_python_recount(spark, sf_dir):
     for rnk, (r, (uid, n)) in enumerate(zip(rows, top), start=1):
         assert (r["rnk"], r["user_id"], r["n_tri"]) == (rnk, uid, n)
         assert r["total_triangles"] == len(tris)
+
+
+def test_bpe_decode_roundtrip_is_lossless(spark, sf_dir):
+    """Every doc decodes back to its whitespace-stripped text, and the
+    per-source totals match an independent recount."""
+    import re as _re
+    from collections import Counter
+
+    from apitap_spark.operators.bpe import op_bpe_decode_roundtrip
+    from apitap_spark.session import read_table
+
+    docs = [
+        r
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    ]
+    n_by_src = Counter(r["source"] for r in docs)
+    chars_by_src = Counter()
+    for r in docs:
+        chars_by_src[r["source"]] += len(_re.sub(r"\s+", "", r["text"].strip()))
+    rows = {r["source"]: r for r in op_bpe_decode_roundtrip(spark, sf_dir).collect()}
+    assert set(rows) == set(n_by_src)
+    for src, r in rows.items():
+        assert r["n_docs"] == n_by_src[src]
+        assert r["n_roundtrip_ok"] == r["n_docs"]  # lossless everywhere
+        assert r["total_decoded_chars"] == chars_by_src[src]
