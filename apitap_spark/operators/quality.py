@@ -780,3 +780,106 @@ def op_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- L110: k-anonymity audit over quasi-identifier groups -------------------
+
+KANON_K = 5
+
+_KANON_ORACLE = f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           (COUNT(*) >= {KANON_K}) AS k_anonymous,
+           CAST(CASE WHEN COUNT(*) >= {KANON_K} THEN 0 ELSE COUNT(*) END
+                AS BIGINT) AS n_suppressed
+    FROM documents
+    GROUP BY source, lang
+"""
+
+
+@_register("op_kanonymity_audit", _KANON_ORACLE)
+def op_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (source, lang) quasi-identifier pair:
+    each equivalence class with fewer than k=5 members is flagged and
+    its rows counted as requiring suppression (or generalization)
+    before release — the privacy gate that complements op_text_pii_scrub:
+    scrubbing removes direct identifiers, k-anonymity catches documents
+    re-identifiable through rare METADATA combinations (Sweeney 2002,
+    the canonical definition).
+
+    One map-side-combined aggregate over the quasi-identifier columns —
+    at 100 TB the audit costs the scan; the output is
+    equivalence-class-sized (|sources| x |langs|).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("group_n"),
+        (F.count("*") >= KANON_K).alias("k_anonymous"),
+        F.when(F.count("*") >= KANON_K, F.lit(0))
+        .otherwise(F.count("*"))
+        .cast("bigint")
+        .alias("n_suppressed"),
+    )
+
+
+# --- L111: embedding per-dimension profile (dead/collapsed dim QA) ----------
+
+DIM_SCALE = 1000  # fixed-point milli-units: bounds n*s2 and s1^2 within int64
+
+_DIMPROF_ORACLE = f"""
+    WITH expl AS (
+      SELECT i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {DIM_SCALE}.0, 0)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(v) AS BIGINT) AS min_milli,
+           CAST(MAX(v) AS BIGINT) AS max_milli,
+           CAST(SUM(v) AS DOUBLE) / {DIM_SCALE}.0 / CAST(COUNT(*) AS DOUBLE)
+             AS mean_value,
+           CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS DOUBLE)
+             / {DIM_SCALE * DIM_SCALE}.0
+             / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS variance
+    FROM expl GROUP BY dim
+"""
+
+
+@_register("op_embedding_dim_profile", _DIMPROF_ORACLE)
+def op_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: n/min/max/mean/population
+    variance for each of the d dimensions — the embedding-QA pass run
+    before ANN indexing (a dead dimension wastes index bits; a
+    collapsed one distorts every cosine; a saturated one hints at a
+    truncated upstream encoder).
+
+    Fixed-point determinism: each component is rounded ONCE to integer
+    milli-units; n, Σv and Σv² are exact bigint sums (order-independent
+    — milli scale keeps n·Σv² and (Σv)² inside int64 at corpus scale
+    where micro would overflow), and mean/variance are derived at the
+    END in a fixed IEEE chain, so the oracle matches bit-for-bit.
+    One explode + one map-side-combined d-group aggregate; output is
+    d rows regardless of corpus size.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    expl = emb.select(F.posexplode("embedding").alias("p", "x")).select(
+        (F.col("p") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * DIM_SCALE, 0).cast("long").alias("v"),
+    )
+    n = F.count("*").cast("bigint")
+    s1 = F.sum("v")
+    s2 = F.sum(F.col("v") * F.col("v"))
+    return expl.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        F.min("v").cast("bigint").alias("min_milli"),
+        F.max("v").cast("bigint").alias("max_milli"),
+        (s1.cast("double") / F.lit(float(DIM_SCALE)) / n.cast("double")).alias(
+            "mean_value"
+        ),
+        (
+            (n * s2 - s1 * s1).cast("double")
+            / F.lit(float(DIM_SCALE * DIM_SCALE))
+            / (n * n).cast("double")
+        ).alias("variance"),
+    )

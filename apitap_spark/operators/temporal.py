@@ -297,3 +297,83 @@ def op_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lag_seconds"),
     )
+
+
+# --- L109: conversation/trace assembly (SFT-style session records) ----------
+
+TRACE_GAP_MIN = 30  # session inactivity gap, minutes (same as q_sessionization)
+
+_TRACE_ORACLE = f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {TRACE_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS trace,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+           CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BOOLEAN)
+             AS has_purchase
+    FROM sessions
+    GROUP BY user_id, session_no
+"""
+
+
+@_register("op_trace_assembly", _TRACE_ORACLE)
+def op_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/trace assembly: turn each gap-based user session
+    into ONE ordered training record — the event sequence serialized in
+    time order ('view>click>purchase'), its turn count, duration, and
+    an outcome label (purchase reached). This is the agent-trace /
+    SFT-conversation packing step of an LLM data pipeline: raw event
+    logs in, one ordered text record per interaction episode out, ready
+    for a quality filter (e.g. keep purchase-terminated traces) and the
+    dataset writer.
+
+    Ordering is total — (ts, event_id) — so the serialized trace is
+    deterministic under AQE re-partitioning; the assembly is
+    array_sort(collect_list(struct)) within one user-keyed shuffle (all
+    windows and the rollup share it), the q_sessionization shape plus a
+    per-session ordered fold. Session partitions are bounded by
+    per-user activity, never corpus size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(gap.isNull() | (gap > TRACE_GAP_MIN * 60), 1).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    turn = F.struct(F.col("ts").cast("long").alias("t"), "event_id", "event_type")
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(turn)), lambda s: s["event_type"]
+            ),
+            ">",
+        ).alias("trace"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_sec"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("boolean")
+        .alias("has_purchase"),
+    )

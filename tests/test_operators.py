@@ -2118,3 +2118,105 @@ def test_bpe_decode_roundtrip_is_lossless(spark, sf_dir):
         assert r["n_docs"] == n_by_src[src]
         assert r["n_roundtrip_ok"] == r["n_docs"]  # lossless everywhere
         assert r["total_decoded_chars"] == chars_by_src[src]
+
+
+def test_trace_assembly_matches_python_replay(spark, sf_dir):
+    """Sessions, ordered traces, durations and labels replayed per user."""
+    from collections import defaultdict
+
+    from apitap_spark.operators.temporal import TRACE_GAP_MIN, op_trace_assembly
+    from apitap_spark.session import read_table
+
+    by_user = defaultdict(list)
+    for r in read_table(spark, sf_dir, "events").collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess_no, prev = 0, None
+        sessions = defaultdict(list)
+        for ts, eid, et in evs:
+            if prev is None or (
+                int(ts.timestamp() // 1) - int(prev.timestamp() // 1)
+                > TRACE_GAP_MIN * 60
+            ):
+                sess_no += 1
+            sessions[sess_no].append((ts, eid, et))
+            prev = ts
+        for sn, items in sessions.items():
+            trace = ">".join(et for _, _, et in items)
+            # engines floor each endpoint to epoch seconds, then subtract
+            dur = int(items[-1][0].timestamp() // 1) - int(
+                items[0][0].timestamp() // 1
+            )
+            expect[(uid, sn)] = (
+                len(items),
+                trace,
+                dur,
+                any(et == "purchase" for _, _, et in items),
+            )
+    rows = op_trace_assembly(spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (
+            r["n_turns"],
+            r["trace"],
+            r["duration_sec"],
+            r["has_purchase"],
+        ) == expect[(r["user_id"], r["session_no"])]
+
+
+def test_kanonymity_flags_small_groups(spark, sf_dir):
+    """Group sizes and suppression counts recomputed; audit discriminates."""
+    from collections import Counter
+
+    from apitap_spark.operators.quality import KANON_K, op_kanonymity_audit
+    from apitap_spark.session import read_table
+
+    cnt = Counter(
+        (r["source"], r["lang"])
+        for r in read_table(spark, sf_dir, "documents").collect()
+    )
+    rows = {(r["source"], r["lang"]): r for r in op_kanonymity_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(cnt)
+    flags = set()
+    for key, r in rows.items():
+        n = cnt[key]
+        assert r["group_n"] == n
+        assert r["k_anonymous"] == (n >= KANON_K)
+        assert r["n_suppressed"] == (0 if n >= KANON_K else n)
+        flags.add(r["k_anonymous"])
+    assert flags == {True, False}  # audit discriminates on this corpus
+
+
+def test_embedding_dim_profile_matches_python(spark, sf_dir):
+    """Fixed-point per-dimension stats recomputed with exact int sums."""
+    from collections import defaultdict
+
+    from apitap_spark.operators.quality import DIM_SCALE, op_embedding_dim_profile
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    acc = defaultdict(lambda: [0, 0, 0, None, None])  # n, s1, s2, mn, mx
+    for r in read_table(spark, sf_dir, "embeddings").collect():
+        for i, x in enumerate(r["embedding"], start=1):
+            v = int(
+                decimal.Decimal(float(x) * DIM_SCALE).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            a = acc[i]
+            a[0] += 1
+            a[1] += v
+            a[2] += v * v
+            a[3] = v if a[3] is None else min(a[3], v)
+            a[4] = v if a[4] is None else max(a[4], v)
+    rows = {r["dim"]: r for r in op_embedding_dim_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(acc)
+    for dim, (n, s1, s2, mn, mx) in acc.items():
+        r = rows[dim]
+        assert (r["n_vecs"], r["min_milli"], r["max_milli"]) == (n, mn, mx)
+        assert r["mean_value"] == float(s1) / DIM_SCALE / float(n)
+        assert r["variance"] == float(n * s2 - s1 * s1) / (DIM_SCALE * DIM_SCALE) / float(n * n)
+        assert r["variance"] >= 0
