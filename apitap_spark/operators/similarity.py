@@ -1521,3 +1521,97 @@ def op_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"), "rk",
         )
     )
+
+
+# --- L112: rank-sensitive retrieval-quality audit (precision@k + RR) --------
+
+
+def _mrr_audit_oracle() -> str:
+    lsh = ORACLES["op_ann_lsh_bucketed"]
+    exact = ORACLES["op_ann_cosine_topk"]
+    return f"""
+    WITH lsh AS (SELECT * FROM ({lsh}) t),
+    exact AS (SELECT * FROM ({exact}) t),
+    inter AS (
+      SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS k_lsh,
+             CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inter
+      FROM lsh l
+      LEFT JOIN exact e ON e.q_id = l.q_id AND e.c_id = l.c_id
+      GROUP BY l.q_id
+    ),
+    best AS (
+      SELECT e.q_id,
+             CAST(COALESCE(MIN(l.rk), 0) AS BIGINT) AS best_rank
+      FROM exact e
+      LEFT JOIN lsh l ON l.q_id = e.q_id AND l.c_id = e.c_id
+      WHERE e.rk = 1
+      GROUP BY e.q_id
+    )
+    SELECT i.q_id, i.k_lsh, i.n_inter,
+           ROUND(CAST(i.n_inter AS DOUBLE) / CAST(i.k_lsh AS DOUBLE), 6)
+             AS precision_at_k,
+           b.best_rank,
+           CAST(CASE WHEN b.best_rank = 0 THEN 0
+                     ELSE 1000000 // b.best_rank END AS BIGINT) AS rr_micro
+    FROM inter i JOIN best b ON b.q_id = i.q_id
+    """
+
+
+@_register("op_ann_mrr_audit", _mrr_audit_oracle())
+def op_ann_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive retrieval-quality audit of the LSH index against
+    exact brute-force cosine: per query, precision@k (overlap of the
+    LSH top-k with the exact top-k) and the reciprocal rank of the
+    exact-best neighbor inside the LSH ranking (floor-micro fixed
+    point; 0 = the true nearest neighbor was missed entirely).
+    Complements op_ann_recall_audit (set recall of the IVF index) with
+    the metric that punishes the index for returning the right ids in
+    the wrong ORDER — the failure mode recall cannot see.
+
+    All arithmetic is integer (set intersections over ids, floor
+    division for the reciprocal) except one rounded ratio, so the gate
+    hash-checks end-to-end. Cost is the two composed pipelines' (the
+    exact side is the audit-sample O(Q x N) term, Q = probe set); the
+    audit itself is two id-keyed joins on Q x k rows.
+    """
+    lsh = op_ann_lsh_bucketed(spark, sf_dir).select("q_id", "c_id", "rk")
+    exact = op_ann_cosine_topk(spark, sf_dir).select(
+        "q_id", F.col("c_id").alias("x_id"), F.col("rk").alias("xrk")
+    )
+    inter = (
+        lsh.join(
+            exact,
+            (lsh.q_id == exact.q_id) & (lsh.c_id == exact.x_id),
+            "left",
+        )
+        .select(lsh.q_id, "c_id", "x_id")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k_lsh"),
+            F.count("x_id").cast("bigint").alias("n_inter"),
+        )
+    )
+    best = (
+        exact.filter(F.col("xrk") == 1)
+        .join(
+            lsh.select("q_id", F.col("c_id").alias("x_id"), "rk"),
+            ["q_id", "x_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.coalesce(F.min("rk"), F.lit(0)).cast("bigint").alias("best_rank"))
+    )
+    return inter.join(best, "q_id").select(
+        "q_id",
+        "k_lsh",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("k_lsh").cast("double"), 6
+        ).alias("precision_at_k"),
+        "best_rank",
+        F.when(F.col("best_rank") == 0, F.lit(0))
+        .otherwise(F.expr("1000000 div best_rank"))
+        .cast("bigint")
+        .alias("rr_micro"),
+    )

@@ -2220,3 +2220,37 @@ def test_embedding_dim_profile_matches_python(spark, sf_dir):
         assert r["mean_value"] == float(s1) / DIM_SCALE / float(n)
         assert r["variance"] == float(n * s2 - s1 * s1) / (DIM_SCALE * DIM_SCALE) / float(n * n)
         assert r["variance"] >= 0
+
+
+def test_mrr_audit_consistent_with_component_gates(spark, sf_dir):
+    """Precision/RR recomputed from the two component gates' collected
+    results; invariants: precision in [0,1], rr_micro=1e6 iff best_rank=1."""
+    from apitap_spark.operators.similarity import (
+        op_ann_cosine_topk,
+        op_ann_lsh_bucketed,
+        op_ann_mrr_audit,
+    )
+
+    lsh = {}
+    for r in op_ann_lsh_bucketed(spark, sf_dir).collect():
+        lsh.setdefault(r["q_id"], {})[r["c_id"]] = r["rk"]
+    exact = {}
+    best = {}
+    for r in op_ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+        if r["rk"] == 1:
+            best[r["q_id"]] = r["c_id"]
+    rows = {r["q_id"]: r for r in op_ann_mrr_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(lsh)
+    hit_seen = miss_info = False
+    for q_id, r in rows.items():
+        k = len(lsh[q_id])
+        inter = len(set(lsh[q_id]) & exact.get(q_id, set()))
+        br = lsh[q_id].get(best.get(q_id), 0)
+        assert (r["k_lsh"], r["n_inter"], r["best_rank"]) == (k, inter, br)
+        assert abs(r["precision_at_k"] - round(inter / k, 6)) < 1e-9
+        assert r["rr_micro"] == (0 if br == 0 else 1000000 // br)
+        assert 0 <= r["precision_at_k"] <= 1
+        hit_seen |= br == 1
+        miss_info |= r["n_inter"] < r["k_lsh"]
+    assert hit_seen  # the index does find some true nearest neighbors
