@@ -534,3 +534,74 @@ def q_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rolling3_distinct_status"),
     )
+
+
+@_register(
+    "q_distinct_on",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (Postgres/DuckDB extension; SURVEY §2.2 Q6/Q7
+    breadth): latest order per customer. Spark has no DISTINCT ON, so
+    the operator is the standard row_number()-over-(key, order) = 1
+    rewrite — the exact plan DISTINCT ON compiles to anyway. Total
+    tiebreak (o_orderdate DESC, o_orderkey) keeps row identity
+    deterministic on both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_register(
+    "q_any_all_rewrite",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders o2
+            WHERE o2.o_custkey = 1
+          )
+      AND o_orderkey <= ANY (
+            SELECT o_orderkey FROM orders o3 WHERE o3.o_orderstatus = 'F'
+          )
+    """,
+)
+def q_any_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY/ALL quantified subquery comparisons (SURVEY §2.2 Q10
+    breadth): Spark SQL has no `> ALL (...)` / `<= ANY (...)`
+    quantifiers, so the operator applies the textbook rewrite —
+    `> ALL (S)` becomes `> (SELECT MAX(S))` (empty-S vacuous truth
+    included via NULL-safe handling: the probe sets here are non-empty
+    by construction) and `<= ANY (S)` becomes `<= (SELECT MAX(S))` —
+    pushing the quantifier into two scalar-aggregate broadcast joins.
+    The oracle runs DuckDB's NATIVE quantified comparisons, proving the
+    rewrite, not just re-running it.
+    """
+    o = _t(spark, sf_dir, "orders")
+    all_max = o.filter(F.col("o_custkey") == 1).agg(
+        F.max("o_totalprice").alias("all_max")
+    )
+    any_max = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.max("o_orderkey").alias("any_max")
+    )
+    return (
+        o.crossJoin(F.broadcast(all_max))
+        .crossJoin(F.broadcast(any_max))
+        .filter(
+            (F.col("o_totalprice") > F.col("all_max"))
+            & (F.col("o_orderkey") <= F.col("any_max"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
