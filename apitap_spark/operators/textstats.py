@@ -1350,6 +1350,44 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOPK = 15
 
+def _cms_cell(d: int, word_col: str):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}|"), F.col(word_col))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_depth_cells(word_col: str):
+    return F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_cell(d, word_col).alias("cell"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_cells(words: DataFrame, weight_col: str | None = None) -> DataFrame:
+    """Build the d x w count-min sketch table from a word frame.
+
+    ``words``: a frame with column ``w`` (one row per word occurrence,
+    or per distinct word when ``weight_col`` carries its count). Returns
+    (d, cell, cell_cnt) — at most CMS_DEPTH * CMS_WIDTH rows, the
+    fixed-size mergeable sketch. Cell-wise addition merges sketches
+    across shards/days/micro-batches; the streaming test proves the
+    SAME function accumulates identically under readStream.
+    """
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        words.select(F.explode(_cms_depth_cells("w")).alias("dc"), wcol.alias("_n"))
+        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
+        .agg(F.sum("_n").cast("bigint").alias("cell_cnt"))
+    )
+
+
 _CMS_ORACLE = rf"""
     WITH tok AS (
       SELECT string_split_regex(TRIM(text), '\s+') AS t
@@ -1412,36 +1450,14 @@ def op_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_w"))
     )
 
-    def cms_cell(d, word_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{d}|"), F.col(word_col))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-            % CMS_WIDTH
-        )
-
-    depth_cells = F.array(
-        *[
-            F.struct(F.lit(d).alias("d"), cms_cell(d, "w").alias("cell"))
-            for d in range(CMS_DEPTH)
-        ]
-    )
-    cells = (
-        uni.select(F.explode(depth_cells).alias("dc"), "n_w")
-        .groupBy(F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
-        .agg(F.sum("n_w").cast("bigint").alias("cell_cnt"))
-    )
+    cells = cms_cells(uni, weight_col="n_w")
     top = uni.orderBy(F.desc("n_w"), "w").limit(CMS_TOPK)
     from pyspark.sql import Window
 
     wdw = Window.orderBy(F.desc("n_w"), "w")
     ranked = top.withColumn("rnk", F.row_number().over(wdw).cast("bigint"))
     probes = ranked.select(
-        "rnk", "w", "n_w", F.explode(depth_cells).alias("dc")
+        "rnk", "w", "n_w", F.explode(_cms_depth_cells("w")).alias("dc")
     ).select("rnk", "w", "n_w", F.col("dc.d").alias("d"), F.col("dc.cell").alias("cell"))
     return (
         probes.join(F.broadcast(cells), ["d", "cell"])

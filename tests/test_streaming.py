@@ -474,3 +474,58 @@ def test_streaming_multimodal_phash(spark, tmp_path):
         for r in spark.sql("SELECT * FROM stream_phash").collect()
     }
     assert got == expected and len(got) == len(docs)
+
+
+def test_streaming_cms_sketch_merges_across_microbatches(spark, tmp_path):
+    """The count-min sketch is cell-wise additive, so the SAME cms_cells
+    function running under readStream (update-mode aggregate over two
+    micro-batch files) converges to exactly the batch-built sketch over
+    the union — the mergeability property that lets per-day/per-shard
+    sketches combine at 100 TB."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apitap_spark.functions.text import tokens
+    from apitap_spark.operators.textstats import cms_cells
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [{"doc_id": i, "text": f"alpha beta gamma doc {i} alpha"} for i in range(5)],
+        [{"doc_id": 10 + i, "text": f"beta delta epsilon doc {i}"} for i in range(5)],
+    ]
+    for bi, docs in enumerate(batches):
+        with open(os.path.join(src, f"b{bi}.ndjson"), "w") as fh:
+            for d in docs:
+                fh.write(json.dumps(d) + "\n")
+
+    schema = "doc_id long, text string"
+    words_of = lambda df: df.select(F.explode(tokens("text")).alias("w"))
+
+    batch_cells = {
+        (r["d"], r["cell"]): r["cell_cnt"]
+        for r in cms_cells(words_of(spark.read.schema(schema).json(src))).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        cms_cells(words_of(stream))
+        .writeStream.format("memory")
+        .queryName("stream_cms")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_cells = {
+        (r["d"], r["cell"]): r["cell_cnt"]
+        for r in spark.sql("SELECT * FROM stream_cms").collect()
+    }
+    assert stream_cells == batch_cells
+    assert len(stream_cells) > 0
