@@ -425,3 +425,89 @@ def test_centroid_drift_kxd_aggregates_only(spark, sf_dir):
     p = _plan(op_embedding_centroid_drift(spark, sf_dir))
     assert "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_bloom_filter_broadcasts_and_probe_is_map_side(spark, sf_dir):
+    """The <=m-row bit-position filter rides a BroadcastHashJoin; no
+    cartesian anywhere."""
+    from apitap_spark.operators.dedup import op_dedup_bloom_filter
+
+    p = _plan(op_dedup_bloom_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p  # per-source verdict is map-side combined
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """Pure per-doc projection: no Exchange at all."""
+    from apitap_spark.operators.textclean import op_text_gopher_rules
+
+    p = _plan(op_text_gopher_rules(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "codegen id" in p  # rule columns stay inside whole-stage codegen
+
+
+def test_skew_audit_takeordered_no_global_window_on_counts(spark, sf_dir):
+    """Heavy hitters come from TakeOrdered over the count table, not a
+    global window over every key."""
+    from apitap_spark.operators.quality import op_skew_key_audit
+
+    p = _plan(op_skew_key_audit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_collocations_topk_and_partial_aggs(spark, sf_dir):
+    """Unigram/bigram counts are map-side combined; top-K is
+    TakeOrdered, never a global sort of the pair table."""
+    from apitap_spark.operators.textstats import op_text_collocations_lift
+
+    p = _plan(op_text_collocations_lift(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cms_sketch_fixed_cells_broadcast_probe(spark, sf_dir):
+    """The 4096-cell sketch joins the probe rows via broadcast."""
+    from apitap_spark.operators.textstats import op_text_heavy_hitters_cms
+
+    p = _plan(op_text_heavy_hitters_cms(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_audio_vad_no_shuffle(spark, sf_dir):
+    """Narrow mapInPandas: no Exchange in the plan."""
+    from apitap_spark.operators.multimodal import op_multimodal_audio_vad
+
+    p = _plan(op_multimodal_audio_vad(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_triangles_no_cartesian_oriented_joins(spark, sf_dir):
+    """The 3-way triangle join is equi-keyed (SortMerge/Hash), never a
+    cartesian; per-node counts are map-side combined."""
+    from apitap_spark.operators.graph import op_graph_triangles
+
+    p = _plan(op_graph_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+
+
+def test_dim_profile_single_dim_keyed_aggregate(spark, sf_dir):
+    """One explode + one d-keyed aggregate with map-side combine."""
+    from apitap_spark.operators.quality import op_embedding_dim_profile
+
+    p = _plan(op_embedding_dim_profile(spark, sf_dir))
+    assert "partial_min" in p or "partial_sum" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_decode_roundtrip_broadcasts_id_table(spark, sf_dir):
+    """The vocabulary-sized inverted id table rides a broadcast join."""
+    from apitap_spark.operators.bpe import op_bpe_decode_roundtrip
+
+    p = _plan(op_bpe_decode_roundtrip(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
