@@ -14,6 +14,14 @@ team reviews before spending compute on a training run:
     → MinHash calibration        (dedup.op_minhash_estimate_audit)
     → cluster silhouette         (ml.op_kmeans_silhouette)
     → embedding centroid drift   (ml.op_embedding_centroid_drift)
+    → tokenizer decode roundtrip (bpe.op_bpe_decode_roundtrip)   [hard gate]
+    → LSH rank quality (MRR)     (similarity.op_ann_mrr_audit)   [hard gate]
+    → k-anonymity suppression    (quality.op_kanonymity_audit)
+    → Bloom-filter FP rates      (dedup.op_dedup_bloom_filter)
+    → Gopher rule rejections     (textclean.op_text_gopher_rules)
+    → shuffle-skew heavy keys    (quality.op_skew_key_audit)
+    → join cardinality estimates (quality.op_join_cardinality_audit)
+    → embedding dim profile      (quality.op_embedding_dim_profile)
 
 Run:  python examples/audit_pipeline.py [sf_dir] [out_dir]
 
@@ -74,6 +82,37 @@ def build(spark, sf_dir: str, out_dir: str) -> int:
           f"mean |err| {mean_err:.4f} (bound 0.13)")
     failures += mean_err > 0.13
 
+    from apitap_spark.operators.bpe import op_bpe_decode_roundtrip
+    from apitap_spark.operators.dedup import op_dedup_bloom_filter
+    from apitap_spark.operators.quality import (
+        op_embedding_dim_profile,
+        op_join_cardinality_audit,
+        op_kanonymity_audit,
+        op_skew_key_audit,
+    )
+    from apitap_spark.operators.similarity import op_ann_mrr_audit
+    from apitap_spark.operators.textclean import op_text_gopher_rules
+
+    rt = op_bpe_decode_roundtrip(spark, sf_dir)
+    bad = rt.filter(F.col("n_roundtrip_ok") != F.col("n_docs")).count()
+    rt.write.mode("overwrite").parquet(f"{out_dir}/decode_roundtrip")
+    print(f"[{'FAIL' if bad else ' ok '}] tokenizer roundtrip: "
+          f"{bad} source(s) with lossy decode")
+    failures += bad > 0
+
+    mrr = op_ann_mrr_audit(spark, sf_dir)
+    mean_rr = (mrr.agg(F.avg("rr_micro")).collect()[0][0] or 0.0) / 1e6
+    mrr.write.mode("overwrite").parquet(f"{out_dir}/ann_mrr")
+    print(f"[{'FAIL' if mean_rr < 0.3 else ' ok '}] LSH MRR: "
+          f"mean {mean_rr:.3f}")
+    failures += mean_rr < 0.3
+
+    kanon = op_kanonymity_audit(spark, sf_dir)
+    n_supp = kanon.agg(F.sum("n_suppressed")).collect()[0][0] or 0
+    kanon.write.mode("overwrite").parquet(f"{out_dir}/kanonymity")
+    print(f"[info] k-anonymity: {n_supp} doc(s) in sub-k quasi-id groups "
+          f"(suppress or generalize before release)")
+
     # informational sections — written, summarized, never gating
     for name, df in [
         ("script_profile", op_text_script_profile(spark, sf_dir)),
@@ -83,6 +122,11 @@ def build(spark, sf_dir: str, out_dir: str) -> int:
         ("novelty", op_doc_novelty(spark, sf_dir)),
         ("silhouette", op_kmeans_silhouette(spark, sf_dir)),
         ("centroid_drift", op_embedding_centroid_drift(spark, sf_dir)),
+        ("bloom_fp_rates", op_dedup_bloom_filter(spark, sf_dir)),
+        ("gopher_rules", op_text_gopher_rules(spark, sf_dir)),
+        ("skew_keys", op_skew_key_audit(spark, sf_dir)),
+        ("join_cardinality", op_join_cardinality_audit(spark, sf_dir)),
+        ("embedding_dims", op_embedding_dim_profile(spark, sf_dir)),
     ]:
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
         print(f"[info] {name}: {df.count()} rows -> {out_dir}/{name}")
