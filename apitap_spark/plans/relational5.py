@@ -605,3 +605,49 @@ def q_any_all_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@_register(
+    "q_filtered_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+             AS discounted_revenue,
+           CAST(AVG(l_tax) FILTER (WHERE l_linestatus = 'F') IS NOT NULL
+                AS BOOLEAN) AS has_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause (SQL:2003; SURVEY §2.2 Q6 breadth).
+    Spark SQL has no ``agg(...) FILTER (WHERE ...)``, so the operator
+    applies the standard conditional-aggregation rewrite — COUNT of a
+    WHEN-marker, SUM over a NULL-masked column (NULLs are transparent
+    to SUM/AVG, exactly the FILTER semantics). DECIMAL(18,2) keeps the
+    filtered revenue sum order-independent. The oracle runs DuckDB's
+    NATIVE FILTER clause, so the gate proves the rewrite against an
+    independent implementation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).cast("bigint").alias(
+            "n_bulk"
+        ),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast(DEC),
+            )
+        )
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_tax")))
+        .isNotNull()
+        .alias("has_finished"),
+    )
