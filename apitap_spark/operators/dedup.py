@@ -1162,3 +1162,112 @@ def op_dedup_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.cast("bigint").alias("false_positives"),
         F.round(fp.cast("double") / F.count("*"), 6).alias("fp_rate"),
     )
+
+
+# --- L113: LSH parameter tuning curve (S-curve over observed pairs) ---------
+
+# Alternative (bands, rows/band) splits of the same 128-perm signature
+# budget as op_dedup_minhash_lsh's 32x4.
+LSH_TUNE_CONFIGS = [(64, 2), (32, 4), (16, 8), (8, 16)]
+
+
+def _lsh_tuning_oracle() -> str:
+    jac = ORACLES["op_dedup_ngram_jaccard"]
+    cfg_rows = ", ".join(f"({b}, {r})" for b, r in LSH_TUNE_CONFIGS)
+    return f"""
+    WITH pairs AS (SELECT * FROM ({jac}) t),
+    cfg AS (SELECT * FROM (VALUES {cfg_rows}) c(bands, rpb)),
+    p0 AS (SELECT bands, rpb, jaccard AS s FROM pairs CROSS JOIN cfg),
+    p1 AS (SELECT *, s * s AS x2 FROM p0),
+    p2 AS (SELECT *, x2 * x2 AS x4 FROM p1),
+    p3 AS (SELECT *, x4 * x4 AS x8 FROM p2),
+    p4 AS (SELECT *, x8 * x8 AS x16 FROM p3),
+    p5 AS (SELECT *, 1.0 - (CASE rpb WHEN 2 THEN x2 WHEN 4 THEN x4
+                            WHEN 8 THEN x8 ELSE x16 END) AS t FROM p4),
+    p6 AS (SELECT *, t * t AS t2 FROM p5),
+    p7 AS (SELECT *, t2 * t2 AS t4 FROM p6),
+    p8 AS (SELECT *, t4 * t4 AS t8 FROM p7),
+    p9 AS (SELECT *, t8 * t8 AS t16 FROM p8),
+    p10 AS (SELECT *, t16 * t16 AS t32 FROM p9),
+    p11 AS (SELECT *, t32 * t32 AS t64 FROM p10),
+    p12 AS (SELECT bands, rpb,
+                   1.0 - (CASE bands WHEN 8 THEN t8 WHEN 16 THEN t16
+                          WHEN 32 THEN t32 ELSE t64 END) AS p
+            FROM p11)
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rpb AS BIGINT) AS rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(p * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_catch_micro,
+           CAST(SUM(CAST(ROUND(p * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_catch_prob
+    FROM p12 GROUP BY bands, rpb
+    """
+
+
+@_register("op_lsh_tuning_curve", _lsh_tuning_oracle())
+def op_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter tuning: evaluate the S-curve catch probability
+    ``1 - (1 - s^r)^b`` of every alternative (bands x rows) split of the
+    128-perm signature budget AT THE CORPUS'S OWN observed near-dup
+    pair similarities (the exact-Jaccard rung's pairs), reporting the
+    expected fraction of true pairs each config would catch. This is
+    the design table behind op_dedup_minhash_lsh's 32x4 choice — more
+    bands catch lower-similarity pairs at higher candidate cost, and
+    the right trade-off depends on the corpus's similarity histogram,
+    which is exactly what this gate folds in.
+
+    Determinism without pow(): s^r and (1-s^r)^b are expanded as
+    repeated exact IEEE squarings (x2=x*x, x4=x2*x2, ...; per-config
+    CASE selects the power) — bit-identical across engines where
+    libm pow() is not; per-pair probabilities are micro-rounded ONCE
+    to integers and summed in bigint (order-independent), divided at
+    the end in a fixed IEEE chain.
+
+    Scale: pair count is the dedup rung's output (bounded by true
+    near-dups, not the corpus); the config grid is a 4-row broadcast
+    crossJoin; one map-side-combined aggregate per config.
+    """
+    pairs = op_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("jaccard").alias("s")
+    )
+    cfg = F.broadcast(
+        spark.createDataFrame(LSH_TUNE_CONFIGS, "bands bigint, rpb bigint")
+    )
+    d = pairs.crossJoin(cfg)
+    d = d.withColumn("x2", F.col("s") * F.col("s"))
+    d = d.withColumn("x4", F.col("x2") * F.col("x2"))
+    d = d.withColumn("x8", F.col("x4") * F.col("x4"))
+    d = d.withColumn("x16", F.col("x8") * F.col("x8"))
+    sr = (
+        F.when(F.col("rpb") == 2, F.col("x2"))
+        .when(F.col("rpb") == 4, F.col("x4"))
+        .when(F.col("rpb") == 8, F.col("x8"))
+        .otherwise(F.col("x16"))
+    )
+    d = d.withColumn("t", F.lit(1.0) - sr)
+    d = d.withColumn("t2", F.col("t") * F.col("t"))
+    d = d.withColumn("t4", F.col("t2") * F.col("t2"))
+    d = d.withColumn("t8", F.col("t4") * F.col("t4"))
+    d = d.withColumn("t16", F.col("t8") * F.col("t8"))
+    d = d.withColumn("t32", F.col("t16") * F.col("t16"))
+    d = d.withColumn("t64", F.col("t32") * F.col("t32"))
+    tb = (
+        F.when(F.col("bands") == 8, F.col("t8"))
+        .when(F.col("bands") == 16, F.col("t16"))
+        .when(F.col("bands") == 32, F.col("t32"))
+        .otherwise(F.col("t64"))
+    )
+    d = d.withColumn(
+        "p_micro",
+        F.round((F.lit(1.0) - tb) * F.lit(1000000.0), 0).cast("long"),
+    )
+    n = F.count("*").cast("bigint")
+    sm = F.sum("p_micro").cast("bigint")
+    return d.groupBy("bands", F.col("rpb").alias("rows_per_band")).agg(
+        n.alias("n_pairs"),
+        sm.alias("sum_catch_micro"),
+        (
+            sm.cast("double") / F.lit(1000000.0) / n.cast("double")
+        ).alias("mean_catch_prob"),
+    )

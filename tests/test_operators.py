@@ -2254,3 +2254,46 @@ def test_mrr_audit_consistent_with_component_gates(spark, sf_dir):
         hit_seen |= br == 1
         miss_info |= r["n_inter"] < r["k_lsh"]
     assert hit_seen  # the index does find some true nearest neighbors
+
+
+def test_lsh_tuning_curve_matches_python_and_is_monotone(spark, sf_dir):
+    """Expected catch rates recomputed in Python with identical repeated
+    squaring; more rows per band must catch fewer (or equal) pairs."""
+    import decimal
+
+    from apitap_spark.operators.dedup import (
+        LSH_TUNE_CONFIGS,
+        op_dedup_ngram_jaccard,
+        op_lsh_tuning_curve,
+    )
+
+    sims = [r["jaccard"] for r in op_dedup_ngram_jaccard(spark, sf_dir).collect()]
+    assert sims
+
+    def sq_pow(x, e):  # repeated squaring, exponents are powers of two
+        while e > 1:
+            x = x * x
+            e //= 2
+        return x
+
+    expect = {}
+    for b, r in LSH_TUNE_CONFIGS:
+        total = 0
+        for s in sims:
+            p = 1.0 - sq_pow(1.0 - sq_pow(s, r), b)
+            total += int(
+                decimal.Decimal(p * 1e6).quantize(0, rounding=decimal.ROUND_HALF_UP)
+            )
+        expect[(b, r)] = (len(sims), total)
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in op_lsh_tuning_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(expect)
+    for key, (n, total) in expect.items():
+        g = rows[key]
+        assert (g["n_pairs"], g["sum_catch_micro"]) == (n, total)
+        assert g["mean_catch_prob"] == float(total) / 1e6 / float(n)
+    # S-curve sanity: fewer rows per band -> easier collisions -> higher catch
+    ordered = [rows[(b, r)]["mean_catch_prob"] for b, r in LSH_TUNE_CONFIGS]
+    assert ordered == sorted(ordered, reverse=True)
