@@ -490,7 +490,10 @@ def _round_away(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
 
 
-def _logreg_oracle() -> str:
+def _logreg_cte_prefix() -> str:
+    """Shared recursive-CTE chain: features -> Newton replay -> fin
+    (final micro weights). Both the training gate's oracle and the AUC
+    eval oracle append to it — prefix constant, never string splicing."""
     det_a_expr, det_j_exprs = _cramer_exprs()
     m = "1000000.0"
     fs = [f"(CAST(f{j}_u AS DOUBLE)/{m})" for j in range(_D)]
@@ -523,15 +526,6 @@ def _logreg_oracle() -> str:
         f"w{j} + CAST(ROUND(({det_j_exprs[j]} / {det_a_expr}) * {m}, 0)"
         f" AS BIGINT)"
         for j in range(_D)
-    )
-    wf = [f"(CAST(fin.w{j} AS DOUBLE)/{m})" for j in range(_D)]
-    zf = (f"((({fs[0]}*{wf[0]} + {fs[1]}*{wf[1]})"
-          f" + {fs[2]}*{wf[2]}) + {fs[3]}*{wf[3]})")
-    feat_rows = " UNION ALL ".join(
-        f"SELECT '{name}' AS feature, CAST(fin.w{j} AS DOUBLE)/{m} AS weight,"
-        f" CAST(acc.c AS DOUBLE)/CAST(acc.n AS DOUBLE) AS train_accuracy"
-        f" FROM fin, acc"
-        for j, name in enumerate(_LOGREG_FEATURES)
     )
     return rf"""
     WITH RECURSIVE
@@ -573,8 +567,26 @@ def _logreg_oracle() -> str:
         ) s
       )
     ),
-    fin AS (SELECT w0, w1, w2, w3 FROM newton WHERE iter = {NEWTON_ITERS}),
-    acc AS (
+    fin AS (SELECT w0, w1, w2, w3 FROM newton WHERE iter = {NEWTON_ITERS})
+    """
+
+
+def _logreg_oracle() -> str:
+    m = "1000000.0"
+    fs = [f"(CAST(f{j}_u AS DOUBLE)/{m})" for j in range(_D)]
+    wf = [f"(CAST(fin.w{j} AS DOUBLE)/{m})" for j in range(_D)]
+    zf = (f"((({fs[0]}*{wf[0]} + {fs[1]}*{wf[1]})"
+          f" + {fs[2]}*{wf[2]}) + {fs[3]}*{wf[3]})")
+    feat_rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(fin.w{j} AS DOUBLE)/{m} AS weight,"
+        f" CAST(acc.c AS DOUBLE)/CAST(acc.n AS DOUBLE) AS train_accuracy"
+        f" FROM fin, acc"
+        for j, name in enumerate(_LOGREG_FEATURES)
+    )
+    return (
+        _logreg_cte_prefix()
+        + f"""
+    , acc AS (
       SELECT CAST(SUM(CASE WHEN (CASE WHEN {zf} > 0.0 THEN 1.0 ELSE 0.0 END)
                             = y THEN 1 ELSE 0 END) AS BIGINT) AS c,
              CAST(COUNT(*) AS BIGINT) AS n
@@ -582,6 +594,7 @@ def _logreg_oracle() -> str:
     )
     {feat_rows}
     """
+    )
 
 
 @_register("op_ml_logreg_quality", _logreg_oracle())
@@ -1087,4 +1100,99 @@ def op_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     return emb.sparkSession.createDataFrame(
         [(p, w_u[p] / 1e6) for p in sorted(w_u)], "pos bigint, loading double"
+    )
+
+
+# --- L114: classifier ranking-quality eval (exact Mann-Whitney AUC) ---------
+
+
+def _logreg_auc_oracle() -> str:
+    zsum = " + ".join(f"f{j}_u * fin.w{j}" for j in range(_D))
+    return (
+        _logreg_cte_prefix()
+        + f"""
+    , scored AS (
+      SELECT feat.doc_id, feat.y,
+             CAST({zsum} AS BIGINT) AS z_u2
+      FROM feat, fin
+    ),
+    ranked AS (
+      SELECT y,
+             2 * RANK() OVER (ORDER BY z_u2)
+               + COUNT(*) OVER (PARTITION BY z_u2) - 1 AS r2
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN y = 1.0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS sum_r2_pos,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg, sum_r2_pos,
+           CAST(sum_r2_pos - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM agg
+    """
+    )
+
+
+@_register("op_ml_logreg_eval_auc", _logreg_auc_oracle())
+def op_ml_logreg_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the trained quality classifier:
+    exact Mann-Whitney AUC of the learned linear score against the
+    long-form label. Accuracy (the training gate's metric) saturates
+    once the decision boundary is right; AUC measures the SCORE's
+    ordering quality — the number a pipeline needs before using the
+    score as a soft sampling weight rather than a hard filter.
+
+    Exactness: the score is the all-integer dot product f_u·w_u
+    (micro x micro units — no float before ranking), midrank ties are
+    handled with the doubled-rank trick (r2 = 2·rank + ties - 1, so
+    every quantity stays integer), and AUC = (ΣR2 - n⁺(n⁺+1)) /
+    (2·n⁺·n⁻) is one IEEE division of two exact bigints. The oracle
+    replays training via the shared recursive-CTE prefix and re-derives
+    the ranking independently.
+
+    Scale note: ranking is a global sort of the SCORED frame — run the
+    eval on the audit sample (as here), not the full corpus; training
+    itself stays one aggregation pass per Newton round.
+    """
+    from pyspark.sql import Window
+
+    X = _feature_micro_frame(spark, sf_dir)
+    w_u = train_logreg_newton_fixed(X)
+    z = None
+    for j, wu in enumerate(w_u):
+        term = F.col(f"f{j}_u") * F.lit(int(wu))
+        z = term if z is None else z + term
+    scored = X.select("y", z.cast("long").alias("z_u2"))
+    w_rank = Window.orderBy("z_u2")
+    w_ties = Window.partitionBy("z_u2")
+    ranked = scored.select(
+        "y",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count("*").over(w_ties)
+            - F.lit(1)
+        ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("r2")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_r2_pos"),
+        F.sum((F.col("y") == 1.0).cast("int")).cast("bigint").alias("n_pos"),
+        F.sum((F.col("y") == 0.0).cast("int")).cast("bigint").alias("n_neg"),
+    )
+    num = F.col("sum_r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "sum_r2_pos",
+        num.cast("bigint").alias("auc_num"),
+        (
+            num.cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
     )

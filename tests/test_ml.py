@@ -216,3 +216,41 @@ def test_top_pc_finds_planted_direction(spark, tmp_path):
     assert abs(norm - 1.0) < 1e-3          # unit up to micro rounding
     cos = abs(pc[4])                       # pos is 1-based: axis 3 -> pos 4
     assert cos / norm > 0.99
+
+
+def test_logreg_auc_matches_python_mann_whitney(spark, sf_dir):
+    """Exact midrank Mann-Whitney AUC recomputed in Python from the same
+    integer scores; the score must rank the long-form label well."""
+    from apitap_spark.operators.ml import (
+        _feature_micro_frame,
+        op_ml_logreg_eval_auc,
+        train_logreg_newton_fixed,
+    )
+
+    X = _feature_micro_frame(spark, sf_dir)
+    w_u = train_logreg_newton_fixed(X)
+    data = [
+        (r["y"], sum(r[f"f{j}_u"] * w_u[j] for j in range(len(w_u))))
+        for r in X.collect()
+    ]
+    scores = sorted(z for _, z in data)
+    import bisect
+
+    def r2(z):  # 2*midrank = min_rank + max_rank
+        lo = bisect.bisect_left(scores, z) + 1
+        hi = bisect.bisect_right(scores, z)
+        return lo + hi
+
+    sum_r2 = sum(r2(z) for y, z in data if y == 1.0)
+    n_pos = sum(1 for y, _ in data if y == 1.0)
+    n_neg = len(data) - n_pos
+    num = sum_r2 - n_pos * (n_pos + 1)
+    row = op_ml_logreg_eval_auc(spark, sf_dir).collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["sum_r2_pos"]) == (
+        n_pos,
+        n_neg,
+        sum_r2,
+    )
+    assert row["auc_num"] == num
+    assert row["auc"] == float(num) / float(2 * n_pos * n_neg)
+    assert row["auc"] > 0.95  # the learned score ranks the label well
