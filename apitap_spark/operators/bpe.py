@@ -697,3 +697,122 @@ def op_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("dec")).cast("bigint").alias("total_decoded_chars"),
         )
     )
+
+
+# --- L115: WordPiece-style greedy longest-match encoder ---------------------
+
+_WORDPIECE_ORACLE = (
+    _BPE_CTE_PREFIX
+    + _BPE_ENCODE_CTES
+    + r""",
+    words AS (SELECT DISTINCT wid AS w FROM final),
+    wp(w, pos, toks, unks) AS (
+      SELECT w, 1, 0, 0 FROM words
+      UNION ALL
+      SELECT w, pos + COALESCE(best, 1),
+             toks + CASE WHEN best IS NULL THEN 0 ELSE 1 END,
+             unks + CASE WHEN best IS NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT w, pos, toks, unks,
+               (SELECT MAX(LENGTH(s.sym)) FROM sym_ids s
+                WHERE s.sym = substr(w, pos, LENGTH(s.sym))) AS best
+        FROM wp WHERE pos <= LENGTH(w)
+      )
+    ),
+    done AS (SELECT w, toks, unks FROM wp WHERE pos > LENGTH(w)),
+    corpus AS (
+      SELECT d.source, u.w
+      FROM (SELECT source, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents WHERE LENGTH(TRIM(text)) > 0) d,
+           UNNEST(d.t) AS u(w)
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(done.toks) AS BIGINT) AS wp_tokens,
+           CAST(SUM(done.unks) AS BIGINT) AS wp_unks,
+           CAST(SUM(done.toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS tokens_per_word
+    FROM corpus c JOIN done ON done.w = c.w
+    GROUP BY c.source
+    """
+)
+
+
+@_register("op_wordpiece_encode", _WORDPIECE_ORACLE)
+def op_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenization (greedy longest-match-first against
+    the learned symbol inventory — the second tokenizer FAMILY next to
+    BPE's merge-order application; Schuster & Nakajima 2012 / the BERT
+    tokenizer's inference rule, re-derived from the published
+    algorithm). Per word: scan left to right, at each position take the
+    LONGEST inventory symbol matching the remaining prefix, else emit
+    one unknown character and advance. Per-source output weights the
+    per-word results by corpus occurrences: word counts, WordPiece
+    token counts, unknown-character counts, and tokens/word — directly
+    comparable with the BPE fertility gate to quantify how much the
+    two inference rules disagree under the SAME vocabulary.
+
+    Scale shape: the greedy loop runs over the DISTINCT-WORD table
+    (vocab-sized, never the corpus), max-word-length rounds of pure
+    projections; the symbol inventory is a bounded driver collect
+    (vocab-sized, same pattern as the k-means/argmax probes) compiled
+    into per-length literal IN-lists; the corpus is touched once by a
+    broadcast join of the finished per-word table. The oracle replays
+    the identical greedy scan in a recursive CTE whose longest-match is
+    a correlated MAX over the symbol table.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    syms = [
+        r["sym"]
+        for r in final_vocab.select(F.explode("symbols").alias("sym"))
+        .distinct()
+        .collect()
+    ]
+    by_len: dict[int, list[str]] = {}
+    for sym in syms:
+        by_len.setdefault(len(sym), []).append(sym)
+    lens_desc = sorted(by_len, reverse=True)
+
+    words = final_vocab.select(F.col("w")).distinct()
+    max_len = words.agg(F.max(F.length("w"))).collect()[0][0]
+    state = words.select(
+        "w",
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("toks"),
+        F.lit(0).alias("unks"),
+    )
+    for _ in range(int(max_len)):
+        best = F.coalesce(
+            *[
+                F.when(
+                    F.expr(f"substring(w, pos, {L})").isin(by_len[L]), F.lit(L)
+                )
+                for L in lens_desc
+            ],
+            F.lit(None).cast("int"),
+        )
+        active = F.col("pos") <= F.length("w")
+        matched = active & best.isNotNull()
+        missed = active & best.isNull()
+        state = state.select(
+            "w",
+            F.when(active, F.col("pos") + F.coalesce(best, F.lit(1)))
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            (F.col("toks") + matched.cast("int")).alias("toks"),
+            (F.col("unks") + missed.cast("int")).alias("unks"),
+        )
+    done = state.select("w", "toks", "unks").localCheckpoint()
+    corpus = docs.select("source", F.explode(tokens("text")).alias("w"))
+    n = F.count("*").cast("bigint")
+    return corpus.join(F.broadcast(done), "w").groupBy("source").agg(
+        n.alias("n_words"),
+        F.sum("toks").cast("bigint").alias("wp_tokens"),
+        F.sum("unks").cast("bigint").alias("wp_unks"),
+        (F.sum("toks").cast("double") / n.cast("double")).alias(
+            "tokens_per_word"
+        ),
+    )

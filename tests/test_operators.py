@@ -2297,3 +2297,64 @@ def test_lsh_tuning_curve_matches_python_and_is_monotone(spark, sf_dir):
     # S-curve sanity: fewer rows per band -> easier collisions -> higher catch
     ordered = [rows[(b, r)]["mean_catch_prob"] for b, r in LSH_TUNE_CONFIGS]
     assert ordered == sorted(ordered, reverse=True)
+
+
+def test_wordpiece_matches_python_greedy(spark, sf_dir):
+    """Pure-Python greedy longest-match over the same learned inventory
+    reproduces the per-source token/unk counts exactly."""
+    import re as _re
+    from collections import Counter
+
+    from apitap_spark.operators.bpe import (
+        char_vocab,
+        learn_bpe_with_vocab,
+        op_wordpiece_encode,
+    )
+    from apitap_spark.session import read_table
+
+    docs = [
+        r
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    ]
+    docs_df = read_table(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0"
+    )
+    _m, final_vocab = learn_bpe_with_vocab(char_vocab(docs_df), carry=("w",))
+    syms = {
+        r["sym"]
+        for r in final_vocab.selectExpr("explode(symbols) AS sym").distinct().collect()
+    }
+    max_sym = max(len(s) for s in syms)
+
+    def greedy(w):
+        pos, toks, unks = 0, 0, 0
+        while pos < len(w):
+            for L in range(min(max_sym, len(w) - pos), 0, -1):
+                if w[pos : pos + L] in syms:
+                    pos += L
+                    toks += 1
+                    break
+            else:
+                pos += 1
+                unks += 1
+        return toks, unks
+
+    per_word = {}
+    expect: dict = {}
+    for r in docs:
+        for w in _re.split(r"\s+", r["text"].strip()):
+            if w not in per_word:
+                per_word[w] = greedy(w)
+            t, u = per_word[w]
+            e = expect.setdefault(r["source"], [0, 0, 0])
+            e[0] += 1
+            e[1] += t
+            e[2] += u
+    rows = {r["source"]: r for r in op_wordpiece_encode(spark, sf_dir).collect()}
+    assert set(rows) == set(expect)
+    for src, (n, t, u) in expect.items():
+        g = rows[src]
+        assert (g["n_words"], g["wp_tokens"], g["wp_unks"]) == (n, t, u)
+        assert g["tokens_per_word"] == float(t) / float(n)
+        assert g["wp_tokens"] >= g["n_words"]  # at least one piece per word
