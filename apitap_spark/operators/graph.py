@@ -522,3 +522,88 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("rnk", "user_id", "n_tri", "total_triangles")
     )
+
+
+# --- L117: degree profile of the co-activity graph --------------------------
+
+_DEGREE_ORACLE = f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    deg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS user_id FROM e UNION ALL SELECT v FROM e)
+      GROUP BY user_id
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total_nodes,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS node_share
+    FROM deg GROUP BY degree
+"""
+
+
+@_register("op_graph_degree_profile", _DEGREE_ORACLE)
+def op_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bounded-degree co-activity graph (the
+    edge set op_graph_triangles enumerates): nodes per degree value
+    plus each bucket's share. This is the sizing audit run BEFORE an
+    iterative graph algorithm — max degree bounds the per-round join
+    fan-out of CC/PageRank/LP, and a heavy tail says salt or switch to
+    the star construction. Complements op_skew_key_audit (key skew for
+    relational joins) with the graph-shaped equivalent.
+
+    Degree counts are one union + one map-side-combined aggregate; the
+    histogram rollup shuffles degree-cardinality rows only. The share
+    column's global-window SUM runs over the HISTOGRAM (distinct degree
+    values — dozens), never the node table.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    ranked = grp.withColumn("rk", F.row_number().over(w))
+    a = ranked.select(
+        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
+    )
+    c = ranked.select(
+        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
+    )
+    e = (
+        a.join(c, ["b", "event_type"])
+        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("user_id"))
+        .unionAll(e.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    wall = Window.partitionBy()
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(wall).cast("bigint").alias("total_nodes"),
+        F.round(
+            F.col("n_nodes").cast("double")
+            / F.sum("n_nodes").over(wall).cast("double"),
+            6,
+        ).alias("node_share"),
+    )

@@ -883,3 +883,51 @@ def op_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * n).cast("double")
         ).alias("variance"),
     )
+
+
+# --- L116: l-diversity audit (sensitive-attribute diversity per group) ------
+
+LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_sensitive_values,
+           (COUNT(DISTINCT lang) >= {LDIV_L}) AS l_diverse,
+           ROUND(CAST(MAX(lang_n) AS DOUBLE) / COUNT(*), 6)
+             AS top_sensitive_share
+    FROM (
+      SELECT source, lang,
+             COUNT(*) OVER (PARTITION BY source, lang) AS lang_n
+      FROM documents
+    )
+    GROUP BY source
+"""
+
+
+@_register("op_ldiversity_audit", _LDIV_ORACLE)
+def op_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, the standard
+    successor to k-anonymity): treating ``source`` as the released
+    quasi-identifier and ``lang`` as the sensitive attribute, each
+    source group must contain at least l=3 distinct sensitive values —
+    a k-anonymous group whose members all share one sensitive value
+    still leaks it. Also reports the top sensitive value's share (the
+    homogeneity-attack risk surface).
+
+    One window + one aggregate, both keyed on the group columns —
+    map-side combined, group-cardinality output at any corpus size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lang_n = docs.groupBy("source", "lang").agg(F.count("*").alias("lang_n"))
+    return (
+        lang_n.groupBy("source")
+        .agg(
+            F.sum("lang_n").cast("bigint").alias("group_n"),
+            F.count("*").cast("bigint").alias("n_sensitive_values"),
+            (F.count("*") >= LDIV_L).alias("l_diverse"),
+            F.round(
+                F.max("lang_n").cast("double") / F.sum("lang_n"), 6
+            ).alias("top_sensitive_share"),
+        )
+    )

@@ -2358,3 +2358,59 @@ def test_wordpiece_matches_python_greedy(spark, sf_dir):
         assert (g["n_words"], g["wp_tokens"], g["wp_unks"]) == (n, t, u)
         assert g["tokens_per_word"] == float(t) / float(n)
         assert g["wp_tokens"] >= g["n_words"]  # at least one piece per word
+
+
+def test_ldiversity_matches_python_recount(spark, sf_dir):
+    """Group sizes, distinct sensitive values and top-share recomputed."""
+    from collections import Counter, defaultdict
+
+    from apitap_spark.operators.quality import LDIV_L, op_ldiversity_audit
+    from apitap_spark.session import read_table
+
+    langs = defaultdict(Counter)
+    for r in read_table(spark, sf_dir, "documents").collect():
+        langs[r["source"]][r["lang"]] += 1
+    rows = {r["source"]: r for r in op_ldiversity_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(langs)
+    for src, cnt in langs.items():
+        r = rows[src]
+        n = sum(cnt.values())
+        assert r["group_n"] == n
+        assert r["n_sensitive_values"] == len(cnt)
+        assert r["l_diverse"] == (len(cnt) >= LDIV_L)
+        assert abs(r["top_sensitive_share"] - round(max(cnt.values()) / n, 6)) < 1e-9
+
+
+def test_degree_profile_matches_triangle_edge_set(spark, sf_dir):
+    """Degree histogram recomputed from the same Python edge
+    construction the triangle test uses; shares sum to 1."""
+    from collections import Counter, defaultdict
+
+    from apitap_spark.operators.graph import TRI_NEXT_K, op_graph_degree_profile
+    from apitap_spark.session import read_table
+
+    buckets = defaultdict(set)
+    for r in read_table(spark, sf_dir, "events").collect():
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(b, r["event_type"])].add(r["user_id"])
+    edges = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for v in ms[i + 1 : i + 1 + TRI_NEXT_K]:
+                edges.add((u, v))
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    hist = Counter(deg.values())
+    total = sum(hist.values())
+    rows = {r["degree"]: r for r in op_graph_degree_profile(spark, sf_dir).collect()}
+    assert set(rows) == set(hist)
+    share_sum = 0.0
+    for d, n in hist.items():
+        r = rows[d]
+        assert (r["n_nodes"], r["total_nodes"]) == (n, total)
+        assert abs(r["node_share"] - round(n / total, 6)) < 1e-9
+        share_sum += r["node_share"]
+    assert abs(share_sum - 1.0) < 1e-3
