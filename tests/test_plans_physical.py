@@ -511,3 +511,47 @@ def test_decode_roundtrip_broadcasts_id_table(spark, sf_dir):
     p = _plan(op_bpe_decode_roundtrip(spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_injection_on_selective_join(spark, sf_dir):
+    """Catalyst's runtime-filter rule injects a bloom_filter_agg on the
+    selective dimension side and a might_contain probe into the fact
+    scan's filter when the join is too big to broadcast — the mechanism
+    that prunes most of a 100 TB fact scan before the shuffle. Verified
+    live with thresholds lowered to make the small test tables eligible
+    (confs restored afterwards)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = _plan(j)
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+        assert "partial_bloom_filter_agg" in p  # map-side sketch build
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
