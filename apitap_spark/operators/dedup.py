@@ -1271,3 +1271,137 @@ def op_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sm.cast("double") / F.lit(1000000.0) / n.cast("double")
         ).alias("mean_catch_prob"),
     )
+
+
+# --- L118: content-defined chunking (storage-dedup primitive) ---------------
+
+CDC_K = 8  # rolling window (chars)
+CDC_DIV = 32  # boundary iff window-hash % DIV == 0 (expected chunk ~DIV chars)
+
+_CDC_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, source, text, LENGTH(text) AS n
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    b AS (
+      SELECT doc_id, source, text, n,
+             list_sort(list_filter(list_transform(range({CDC_K}, n),
+               p -> CASE WHEN CAST('0x' || substr(md5(substr(text,
+                              CAST(p AS BIGINT) - {CDC_K - 1}, {CDC_K})), 1, 15)
+                              AS BIGINT) % {CDC_DIV} = 0
+                    THEN p ELSE NULL END), x -> x IS NOT NULL)) AS bpos
+      FROM d
+    ),
+    st AS (
+      SELECT doc_id, source, text, n,
+             list_prepend(CAST(0 AS BIGINT), bpos) AS starts,
+             list_append(bpos, CAST(n AS BIGINT)) AS ends
+      FROM b
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(substr(text, CAST(starts[i] + 1 AS BIGINT),
+                        CAST(ends[i] - starts[i] AS BIGINT))) AS ch,
+             ends[i] - starts[i] AS clen
+      FROM st, unnest(range(1, len(starts) + 1)) AS u(i)
+    ),
+    freq AS (SELECT ch, COUNT(*) AS f FROM chunks GROUP BY ch)
+    SELECT c.source,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.clen) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunk_instances,
+           ROUND(CAST(SUM(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio,
+           CAST(SUM(c.clen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_chunk_len
+    FROM chunks c JOIN freq f ON f.ch = c.ch
+    GROUP BY c.source
+"""
+
+
+@_register("op_cdc_chunking", _CDC_ORACLE)
+def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, re-derived
+    from the published scheme): cut each document where the rolling
+    window hash of the trailing K chars is ≡ 0 mod DIV, then dedup at
+    CHUNK granularity across the corpus — the storage/transfer dedup
+    primitive (backup stores, artifact caches, WARC dedup) that
+    fixed-window passage chunking cannot provide, because content-
+    defined boundaries survive insertions: an edited document re-aligns
+    at the next boundary instead of shifting every subsequent chunk.
+    Per source: chunk instance counts, corpus-duplicated instances,
+    dup ratio, and mean chunk length.
+
+    The boundary scan is a pure per-doc array expression (O(len), no
+    Python, no shuffle); the only shuffle is the chunk-hash frequency
+    groupBy — the exact-dedup shape at chunk granularity. md5-derived
+    window hashes keep both engines bit-identical.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n = F.length("text")
+    bpos = F.sort_array(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(CDC_K), n - 1),
+                lambda p: F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.substring(
+                                    "text", p - (CDC_K - 1), F.lit(CDC_K)
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % CDC_DIV
+                    == 0,
+                    p.cast("long"),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    st = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n.cast("long").alias("n"),
+        F.concat(F.array(F.lit(0).cast("long")), bpos).alias("starts"),
+        F.concat(bpos, F.array(n.cast("long"))).alias("ends"),
+    )
+    chunks = st.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                "starts",
+                "ends",
+                lambda s, e: F.struct(
+                    F.md5(F.substring("text", (s + 1).cast("int"), (e - s).cast("int"))).alias("ch"),
+                    (e - s).alias("clen"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "source", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    freq = chunks.groupBy("ch").agg(F.count("*").alias("f"))
+    joined = chunks.join(freq, "ch")
+    dup = F.sum((F.col("f") > 1).cast("int"))
+    cnt = F.count("*")
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        cnt.cast("bigint").alias("n_chunks"),
+        F.sum("clen").cast("bigint").alias("total_chars"),
+        dup.cast("bigint").alias("dup_chunk_instances"),
+        F.round(dup.cast("double") / cnt, 6).alias("dup_ratio"),
+        (F.sum("clen").cast("double") / cnt.cast("double")).alias(
+            "mean_chunk_len"
+        ),
+    )

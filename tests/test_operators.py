@@ -2414,3 +2414,69 @@ def test_degree_profile_matches_triangle_edge_set(spark, sf_dir):
         assert abs(r["node_share"] - round(n / total, 6)) < 1e-9
         share_sum += r["node_share"]
     assert abs(share_sum - 1.0) < 1e-3
+
+
+def test_cdc_chunking_matches_python_and_boundary_stability(spark, sf_dir):
+    """Python recount of boundaries/chunks/dup stats, plus the CDC
+    selling point: inserting a prefix into a doc re-aligns chunking at
+    the next boundary (suffix chunks identical), where fixed windows
+    shift everything."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from apitap_spark.operators.dedup import CDC_DIV, CDC_K, op_cdc_chunking
+    from apitap_spark.session import read_table
+
+    docs = [
+        r
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    ]
+
+    def h(window: str) -> int:
+        return int(hashlib.md5(window.encode()).hexdigest()[:15], 16) % CDC_DIV
+
+    def chunk(text: str) -> list[str]:
+        npos = [
+            p
+            for p in range(CDC_K, len(text))  # p < n: no empty tail chunk
+            if h(text[p - CDC_K : p]) == 0
+        ]
+        starts = [0] + npos
+        ends = npos + [len(text)]
+        return [text[s:e] for s, e in zip(starts, ends)]
+
+    freq = Counter()
+    per_source = defaultdict(lambda: [set(), 0, 0])
+    all_chunks = []
+    for r in docs:
+        cs = chunk(r["text"])
+        all_chunks.append((r["source"], r["doc_id"], cs))
+        freq.update(hashlib.md5(c.encode()).hexdigest() for c in cs)
+    expect = {}
+    for src, doc_id, cs in all_chunks:
+        e = expect.setdefault(src, [set(), 0, 0, 0])
+        e[0].add(doc_id)
+        e[1] += len(cs)
+        e[2] += sum(len(c) for c in cs)
+        e[3] += sum(
+            freq[hashlib.md5(c.encode()).hexdigest()] > 1 for c in cs
+        )
+    rows = {r["source"]: r for r in op_cdc_chunking(spark, sf_dir).collect()}
+    assert set(rows) == set(expect)
+    for src, (ids, n_chunks, chars, dups) in expect.items():
+        g = rows[src]
+        assert (g["n_docs"], g["n_chunks"], g["total_chars"]) == (
+            len(ids),
+            n_chunks,
+            chars,
+        )
+        assert g["dup_chunk_instances"] == dups
+        assert abs(g["dup_ratio"] - round(dups / n_chunks, 6)) < 1e-9
+        assert g["mean_chunk_len"] == chars / n_chunks
+
+    # boundary stability under prefix insertion
+    text = docs[0]["text"]
+    shifted = "zq" + text
+    orig, edited = chunk(text), chunk(shifted)
+    assert orig[-1] == edited[-1]  # suffix chunks re-align after the edit
