@@ -816,3 +816,84 @@ def op_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+# --- L119: deterministic training-shuffle shard plan ------------------------
+
+SHUFFLE_SEED = 42
+SHUFFLE_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+    WITH packed AS (SELECT * FROM ({_BPE_PACK_ORACLE}) t),
+    keyed AS (
+      SELECT row_id, n_tokens,
+             CAST('0x' || substr(md5('{SHUFFLE_SEED}|' ||
+                  CAST(row_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {SHUFFLE_SHARDS} AS shard
+      FROM packed
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM keyed)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(all_tokens AS DOUBLE), 6)
+             AS token_share
+    FROM keyed CROSS JOIN tot
+    GROUP BY shard, all_tokens
+"""
+
+
+@_register("op_training_shuffle_plan", _SHUFFLE_ORACLE)
+def op_training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data shuffle: every packed SEQ_LEN row is
+    assigned to a shard by a seeded content-independent hash
+    (md5(seed|row_id) mod S) — the reproducible global shuffle a
+    training run needs (epoch order must not follow document order, and
+    re-running the pipeline must yield the SAME order for exact
+    restart/repro). Output is the shard balance report: rows and tokens
+    per shard with each shard's token share — imbalance here means GPU
+    data-loader stalls.
+
+    Scale shape: hash-mod assignment IS the distributed shuffle (no
+    global sort, no global window, unlike rank-based shuffles); the
+    balance report is one map-side-combined aggregate over shard
+    (S rows out). Composes the whole BPE chain: learn → encode → pack →
+    shuffle — the oracle nests the pack replay and re-derives the
+    assignment.
+    """
+    packed = op_bpe_pack_training_rows(spark, sf_dir).select(
+        "row_id", "n_tokens"
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{SHUFFLE_SEED}|"),
+                        F.col("row_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SHUFFLE_SHARDS
+    )
+    keyed = packed.select("row_id", "n_tokens", shard.alias("shard"))
+    tot = keyed.agg(F.sum("n_tokens").cast("bigint").alias("all_tokens"))
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "all_tokens")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / F.col("all_tokens").cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .select("shard", "n_rows", "shard_tokens", "token_share")
+    )

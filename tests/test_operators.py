@@ -2480,3 +2480,45 @@ def test_cdc_chunking_matches_python_and_boundary_stability(spark, sf_dir):
     shifted = "zq" + text
     orig, edited = chunk(text), chunk(shifted)
     assert orig[-1] == edited[-1]  # suffix chunks re-align after the edit
+
+
+def test_training_shuffle_plan_deterministic_and_complete(spark, sf_dir):
+    """Shard assignment recomputed in Python from the packed rows; two
+    runs agree (seeded determinism) and every row is assigned."""
+    import hashlib
+    from collections import defaultdict
+
+    from apitap_spark.operators.bpe import (
+        SHUFFLE_SEED,
+        SHUFFLE_SHARDS,
+        op_bpe_pack_training_rows,
+        op_training_shuffle_plan,
+    )
+
+    packed = [
+        (r["row_id"], r["n_tokens"])
+        for r in op_bpe_pack_training_rows(spark, sf_dir).collect()
+    ]
+    expect = defaultdict(lambda: [0, 0])
+    for row_id, n_tok in packed:
+        sh = (
+            int(
+                hashlib.md5(f"{SHUFFLE_SEED}|{row_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            % SHUFFLE_SHARDS
+        )
+        expect[sh][0] += 1
+        expect[sh][1] += n_tok
+    total = sum(t for _, t in packed)
+    rows = {r["shard"]: r for r in op_training_shuffle_plan(spark, sf_dir).collect()}
+    rows2 = {r["shard"]: r for r in op_training_shuffle_plan(spark, sf_dir).collect()}
+    assert {k: (v["n_rows"], v["shard_tokens"]) for k, v in rows.items()} == {
+        k: (v["n_rows"], v["shard_tokens"]) for k, v in rows2.items()
+    }  # deterministic across runs
+    assert set(rows) == set(expect)
+    assert sum(r["n_rows"] for r in rows.values()) == len(packed)
+    for sh, (n, t) in expect.items():
+        g = rows[sh]
+        assert (g["n_rows"], g["shard_tokens"]) == (n, t)
+        assert abs(g["token_share"] - round(t / total, 6)) < 1e-9
