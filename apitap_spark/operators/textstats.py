@@ -1298,22 +1298,21 @@ def op_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n_w"))
     )
-    bi = (
+    bi_counts = (
         docs.select(F.explode(shingle_grams("text", 2)).alias("g"))
         .groupBy("g")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
-        .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
-        .select(
-            F.split("g", " ").getItem(0).alias("w1"),
-            F.split("g", " ").getItem(1).alias("w2"),
-            "n_ab",
-        )
+        .localCheckpoint()  # one bigram scan feeds both totals and pairs
+    )
+    bi = bi_counts.filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT).select(
+        F.split("g", " ").getItem(0).alias("w1"),
+        F.split("g", " ").getItem(1).alias("w2"),
+        "n_ab",
     )
     totals = uni.agg(
         F.sum("n_w").cast("bigint").alias("n_uni")
     ).crossJoin(
-        docs.select(F.explode(shingle_grams("text", 2)).alias("g"))
-        .agg(F.count("*").cast("bigint").alias("n_bi"))
+        bi_counts.agg(F.sum("n_ab").cast("bigint").alias("n_bi"))
     )
     scored = (
         bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_a"), "w1")
