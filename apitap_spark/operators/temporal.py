@@ -306,8 +306,9 @@ TRACE_GAP_MIN = 30  # session inactivity gap, minutes (same as q_sessionization)
 _TRACE_ORACLE = f"""
     WITH gaps AS (
       SELECT user_id, event_id, ts, event_type,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL {TRACE_GAP_MIN} MINUTE
+             CASE WHEN date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > {TRACE_GAP_MIN} * 60
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
@@ -361,7 +362,9 @@ def op_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_no"),
     )
-    turn = F.struct(F.col("ts").cast("long").alias("t"), "event_id", "event_type")
+    # order by MICROsecond timestamp: the oracle's ORDER BY ts compares
+    # full precision, and second-floored keys could invert sub-second ties
+    turn = F.struct(F.unix_micros("ts").alias("t"), "event_id", "event_type")
     return sessions.groupBy("user_id", "session_no").agg(
         F.count("*").cast("bigint").alias("n_turns"),
         F.array_join(

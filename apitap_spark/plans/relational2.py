@@ -497,8 +497,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+             CASE WHEN date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > 1800
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_start
       FROM events
