@@ -14,6 +14,7 @@ from apitap_spark.plans import (
     relational3,
     relational4,
     relational5,
+    relational6,
     timeseries,
 )
 
@@ -23,6 +24,7 @@ QUERIES = {
     **relational3.QUERIES,
     **relational4.QUERIES,
     **relational5.QUERIES,
+    **relational6.QUERIES,
     **timeseries.QUERIES,
 }
 ORACLES = {
@@ -31,6 +33,7 @@ ORACLES = {
     **relational3.ORACLES,
     **relational4.ORACLES,
     **relational5.ORACLES,
+    **relational6.ORACLES,
     **timeseries.ORACLES,
 }
 

@@ -1,0 +1,214 @@
+"""Sixth-wave SQL-surface depth: QUALIFY rewrite, named WINDOW clause,
+higher-order array functions, and the MAP-type function family.
+
+Same contract as relational.py: DataFrame API / Spark SQL + DuckDB
+oracle. The QUALIFY and map gates prove a Spark REWRITE against the
+other engine's NATIVE feature (the q_distinct_on / q_filtered_agg
+pattern); the named-window gate runs IDENTICAL SQL text in both
+engines (the q_group_by_all pattern).
+
+Reference parity: the reference's embedded DataFusion 47 session
+(reference README.md:98-101) exposes these families via SQL; here each
+is a Catalyst plan with the physical shape a 100 TB run needs (window
+top-k -> WindowGroupLimit pushdown, HOFs -> codegen'd array
+expressions, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.plans.relational import _t
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_register(
+    "q_qualify_clause",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    QUALIFY rn <= 3
+    """,
+)
+def q_qualify_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause (Snowflake/DuckDB/BigQuery; SURVEY §2.2 Q7
+    breadth). Spark SQL has no QUALIFY, so the operator applies the
+    standard rewrite — compute the window function in a projection,
+    then filter on it — which is exactly what engines with native
+    QUALIFY desugar to. The oracle runs DuckDB's NATIVE QUALIFY (with
+    an alias reference, its strictest form), proving the rewrite
+    against an independent implementation.
+
+    Scale: Catalyst turns rn<=3-after-row_number into
+    WindowGroupLimit, pushing the top-k below the full window sort —
+    each partition keeps 3 rows instead of sorting everything. The
+    o_orderkey tiebreak makes price ties deterministic.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_NAMED_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                OVER wsum AS BIGINT) AS run_cents
+    FROM {orders} WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wsum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("q_window_named", _NAMED_WINDOW_SQL.format(orders="orders"))
+def q_window_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003) — one window definition shared by
+    several functions, IDENTICAL SQL text in both engines (the
+    q_group_by_all pattern): Spark and DuckDB parse the same statement,
+    so the gate proves parser + window semantics jointly.
+
+    The running sum goes through cents (ROUND(price*100) AS BIGINT)
+    so the prefix sums are exact integers — a running DOUBLE sum would
+    be order-dependent within frame evaluation. Catalyst fuses all
+    three functions over the shared (partition, order) into a single
+    Window exchange+sort: one shuffle for the whole select list.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_nw_orders")
+    return spark.sql(_NAMED_WINDOW_SQL.format(orders="_nw_orders"))
+
+
+@_register(
+    "q_higher_order_array",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qty) AS BIGINT) AS n_items,
+           CAST(list_aggregate(qty, 'sum') AS BIGINT) AS total_qty,
+           CAST(len(list_filter(qty, x -> x > 25)) AS BIGINT) AS n_bulk,
+           len(list_filter(qty, x -> x >= 49)) > 0 AS has_jumbo,
+           array_to_string(list_transform(qty, x -> CAST(x * x AS VARCHAR)),
+                           ',') AS sq_csv
+    FROM per_order WHERE l_orderkey <= 2000
+    """,
+)
+def q_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY §2.2 Q12 breadth):
+    transform / filter / aggregate / exists with lambda expressions —
+    Spark's HOFs vs DuckDB's list_* lambda family as the oracle.
+
+    collect_list has NO order guarantee under AQE re-partitioning, so
+    the array is array_sort'ed before any positional use (the repo-wide
+    rule); quantities are integral doubles cast to BIGINT so the fold
+    is exact integer math. HOFs evaluate inside codegen with no
+    per-element UDF calls — at 100 TB this is a narrow map stage after
+    the one groupBy shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("bigint"))
+        ).alias("qty")
+    )
+    return per_order.filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey",
+        F.size("qty").cast("bigint").alias("n_items"),
+        F.aggregate(
+            "qty", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_qty"),
+        F.size(F.filter("qty", lambda x: x > 25)).cast("bigint").alias(
+            "n_bulk"
+        ),
+        F.exists("qty", lambda x: x >= 49).alias("has_jumbo"),
+        F.array_join(
+            F.transform("qty", lambda x: (x * x).cast("string")), ","
+        ).alias("sq_csv"),
+    )
+
+
+@_register(
+    "q_map_functions",
+    """
+    WITH per AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           string_agg(source, ',' ORDER BY source) AS sources_csv,
+           CAST(COALESCE(SUM(CASE WHEN source = 'src3' THEN c END), 0)
+                AS BIGINT) AS src3_docs,
+           CAST(SUM(c) AS BIGINT) AS n_docs
+    FROM per GROUP BY lang
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function family (SURVEY §2.2 Q12 breadth):
+    map_from_entries / map_keys / map_values / try_element_at /
+    aggregate-over-values, exercised as a per-language source
+    histogram held in a real Catalyst MapType column.
+
+    The gate-checked projection is scalar (maps are engine-internal;
+    the oracle recomputes the same facts relationally), so the gate
+    proves the map construction and lookups without putting an
+    unorderable map column through the driver comparator.
+    try_element_at (not element_at) because ANSI mode — Spark 4's
+    default — raises on missing map keys; the gate pins the NULL-safe
+    lookup contract.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = per.groupBy("lang").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("source", "c")))
+        ).alias("src_map")
+    )
+    return m.select(
+        "lang",
+        F.size("src_map").cast("bigint").alias("n_sources"),
+        F.array_join(F.array_sort(F.map_keys("src_map")), ",").alias(
+            "sources_csv"
+        ),
+        F.coalesce(
+            F.try_element_at("src_map", F.lit("src3")), F.lit(0)
+        ).cast("bigint").alias("src3_docs"),
+        F.aggregate(
+            F.map_values("src_map"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_docs"),
+    )
