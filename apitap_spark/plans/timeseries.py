@@ -802,3 +802,102 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+# --- EWMA smoothing (exact fixed-point, truncated kernel) ----------------
+
+EWMA_LAGS = 16  # kernel length; alpha = 1/2 so weights are 2^(K-1-i)
+
+
+def _ewma_oracle() -> str:
+    k = EWMA_LAGS
+    num = " + ".join(
+        f"COALESCE(LAG(v_cents, {i}) OVER w, 0) * {1 << (k - 1 - i)}"
+        for i in range(k)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(v_cents, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (k - 1 - i)} ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hour_epoch,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    weighted AS (
+      SELECT event_type, hour_epoch, v_cents,
+             CAST({num} AS BIGINT) AS num,
+             CAST({den} AS BIGINT) AS den
+      FROM bucketed
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch)
+    )
+    SELECT event_type, CAST(hour_epoch AS BIGINT) AS hour_epoch, v_cents,
+           CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT)
+             AS ewma_cents
+    FROM weighted
+    """
+
+
+@_register("q_ewma_smoothing", _ewma_oracle())
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the hourly per-type value series — the
+    monitoring/forecast-baseline primitive (alpha = 1/2), computed
+    EXACTLY: alpha = 1/2 makes every kernel weight a power of two, so
+    a 16-tap truncated kernel is pure BIGINT arithmetic (weight
+    2^(15-i) on lag i, normalized by the sum of weights actually
+    present near the series head). The tail beyond 16 taps carries
+    weight < 2^-16 — below cent resolution, so truncation loses
+    nothing representable. No pow()/exp() anywhere (1-ulp
+    engine-specific); the single double division at the end has exact
+    integer operands (num < 2^53) and IEEE division is correctly
+    rounded in both engines.
+
+    Scale shape: one partial-agg groupBy collapses the raw stream to
+    (type, hour) cardinality, then ONE window sort per type computes
+    all 16 lags — Catalyst evaluates the whole kernel in a single
+    Window operator pass, not 16 self-joins.
+    """
+    k = EWMA_LAGS
+    ev = read_table(spark, sf_dir, "events")
+    bucketed = (
+        ev.select(
+            "event_type",
+            _epoch_hour().alias("hour_epoch"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.sum("c").cast("bigint").alias("v_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_epoch")
+    num = sum(
+        (
+            F.coalesce(F.lag("v_cents", i).over(w), F.lit(0))
+            * F.lit(1 << (k - 1 - i))
+            for i in range(k)
+        ),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(
+                F.lag("v_cents", i).over(w).isNotNull(),
+                F.lit(1 << (k - 1 - i)),
+            ).otherwise(F.lit(0))
+            for i in range(k)
+        ),
+        F.lit(0),
+    )
+    return bucketed.select(
+        "event_type",
+        F.col("hour_epoch").cast("bigint").alias("hour_epoch"),
+        "v_cents",
+        F.floor(
+            num.cast("bigint").cast("double")
+            / den.cast("bigint").cast("double")
+        )
+        .cast("bigint")
+        .alias("ewma_cents"),
+    )

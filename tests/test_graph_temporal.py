@@ -280,3 +280,39 @@ def test_interval_overlap_matches_naive_theta_join(spark, sf_dir):
     )
     expect = {r["event_id"]: (r["ns"], r["nu"]) for r in naive}
     assert got == expect and got
+
+
+def test_ewma_python_replay(spark, sf_dir):
+    """Triangulate q_ewma_smoothing against an independent pure-Python
+    truncated-kernel replay (weights 2^(15-i), floor division)."""
+    from apitap_spark.plans.timeseries import EWMA_LAGS, q_ewma_smoothing
+    from apitap_spark.session import read_table
+
+    out = {
+        (r.event_type, r.hour_epoch): (r.v_cents, r.ewma_cents)
+        for r in q_ewma_smoothing(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in ev.collect():
+        series.setdefault(r.event_type, {}).setdefault(r.h, 0)
+        series[r.event_type][r.h] += r.c
+    k = EWMA_LAGS
+    n_checked = 0
+    for et, by_hour in series.items():
+        hours = sorted(by_hour)
+        for idx, h in enumerate(hours):
+            vals = [by_hour[hours[idx - i]] for i in range(min(idx + 1, k))]
+            num = sum(v * (1 << (k - 1 - i)) for i, v in enumerate(vals))
+            den = sum(1 << (k - 1 - i) for i in range(len(vals)))
+            import math
+
+            expect = math.floor(num / den)
+            got = out[(et, h)]
+            assert got == (by_hour[h], expect), (et, h, got)
+            n_checked += 1
+    assert n_checked == len(out) and n_checked > 0
