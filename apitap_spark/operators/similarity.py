@@ -1615,3 +1615,237 @@ def op_ann_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rr_micro"),
     )
+
+
+# --- kNN graph + DBSCAN (exact pairwise rung over a bounded pool) --------
+
+KNN_GRAPH_POOL = 500
+KNN_GRAPH_K = 4
+
+# Shared pairwise-cosine CTE prefix (factored constant — never derive an
+# oracle by slicing another oracle's SQL string).
+_KNN_CTE_PREFIX = f"""
+    WITH pool AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KNN_GRAPH_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+               / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+                  * sqrt({_SQL_NORM2.format(a="b.embedding")})) AS cos
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    )
+"""
+
+
+@_register(
+    "op_embedding_knn_graph",
+    _KNN_CTE_PREFIX
+    + f""",
+    ranked AS (
+      SELECT v1, v2, cos,
+             ROW_NUMBER() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) AS rk
+      FROM sims
+    ),
+    knn AS (SELECT v1, v2, cos, rk FROM ranked WHERE rk <= {KNN_GRAPH_K})
+    SELECT k.v1 AS src, k.v2 AS dst, ROUND(k.cos, 6) AS cosine,
+           CAST(k.rk AS BIGINT) AS rk,
+           EXISTS(SELECT 1 FROM knn r WHERE r.v1 = k.v2 AND r.v2 = k.v1)
+             AS mutual
+    FROM knn k
+    """,
+)
+def op_embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the embedding corpus (k=4,
+    cosine), with the mutual-kNN flag — the construction step behind
+    graph-based ANN indexes (HNSW/NSG base layers), kNN classifiers,
+    and mutual-kNN clustering; complements op_ann_cosine_topk (query →
+    corpus) by building the corpus → corpus structure.
+
+    Exact all-pairs over a bounded pool (vec_id < KNN_GRAPH_POOL) — the
+    oracle-able rung; at corpus scale the same ranked-join runs over
+    LSH/IVF candidate pairs (op_ann_lsh_bucketed / op_ann_ivf_label)
+    exactly as the dedup ladder swaps exact Jaccard for MinHash.
+    Per-side norms are precomputed (cosine_from_norms) so the pairwise
+    kernel is dot-only; the top-k is WindowGroupLimit-pruned; the
+    mutual flag is one broadcast self-join of the tiny kNN edge list
+    (N*k rows) — no second pairwise pass.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < KNN_GRAPH_POOL
+    )
+    side = emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
+    a = side.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    sims = a.join(b, F.col("v1") != F.col("v2")).select(
+        "v1", "v2", cosine_from_norms("ea", "eb", "na", "nb").alias("cos")
+    )
+    w = Window.partitionBy("v1").orderBy(F.desc("cos"), F.asc("v2"))
+    knn = (
+        sims.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .localCheckpoint()  # tiny (N*k); feeds both sides of the mutual join
+    )
+    rev = knn.select(
+        F.col("v2").alias("v1"), F.col("v1").alias("v2"), F.lit(1).alias("m")
+    )
+    return (
+        knn.join(F.broadcast(rev), ["v1", "v2"], "left")
+        .select(
+            F.col("v1").alias("src"),
+            F.col("v2").alias("dst"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+            F.col("m").isNotNull().alias("mutual"),
+        )
+    )
+
+
+DBSCAN_POOL = 400
+DBSCAN_TAU = 0.3  # cosine >= tau <=> within eps (eps = 1 - tau)
+DBSCAN_MIN_NBRS = 3  # classic minPts=4 counting the point itself
+
+_DBSCAN_CTE_PREFIX = f"""
+    WITH RECURSIVE pool AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {DBSCAN_POOL}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      WHERE {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+              / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+                 * sqrt({_SQL_NORM2.format(a="b.embedding")}))
+            >= {DBSCAN_TAU}
+    ),
+    deg AS (
+      SELECT v1 AS v, CAST(COUNT(*) AS BIGINT) AS n_nbrs
+      FROM pairs GROUP BY v1
+    ),
+    allv AS (
+      SELECT p.vec_id AS v, COALESCE(d.n_nbrs, 0) AS n_nbrs
+      FROM pool p LEFT JOIN deg d ON p.vec_id = d.v
+    ),
+    core AS (SELECT v FROM allv WHERE n_nbrs >= {DBSCAN_MIN_NBRS}),
+    core_edges AS (
+      SELECT v1, v2 FROM pairs
+      WHERE v1 IN (SELECT v FROM core) AND v2 IN (SELECT v FROM core)
+    ),
+    reach(v, lab) AS (
+      SELECT v, v FROM core
+      UNION
+      SELECT e.v2, r.lab FROM reach r JOIN core_edges e ON e.v1 = r.v
+    ),
+    core_lab AS (SELECT v, MIN(lab) AS cluster FROM reach GROUP BY v),
+    border_lab AS (
+      SELECT p.v1 AS v, MIN(cl.cluster) AS cluster
+      FROM pairs p JOIN core_lab cl ON p.v2 = cl.v
+      WHERE p.v1 NOT IN (SELECT v FROM core)
+      GROUP BY p.v1
+    )
+"""
+
+
+@_register(
+    "op_dbscan_clusters",
+    _DBSCAN_CTE_PREFIX
+    + """
+    SELECT a.v AS vec_id, a.n_nbrs,
+           CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                WHEN b.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM allv a
+    LEFT JOIN core_lab c ON a.v = c.v
+    LEFT JOIN border_lab b ON a.v = b.v
+    """,
+)
+def op_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN) over embedding cosine
+    similarity — the density complement to centroid k-means
+    (op_kmeans_refine): cores are points with >= DBSCAN_MIN_NBRS
+    neighbors at cosine >= DBSCAN_TAU, clusters are connected
+    components of the core-core graph (labeled by min core id),
+    non-core points with a core neighbor are borders (adopting the
+    smallest adjacent cluster label — the deterministic resolution of
+    DBSCAN's order-dependent border tie), everything else is noise
+    (cluster -1).
+
+    Exact all-pairs over a bounded pool — the oracle-able rung; at
+    corpus scale the eps-neighborhood pair list comes from the LSH
+    prefilter and the same degree/component/border joins run
+    unchanged. Components reuse the pointer-doubling
+    connected_components (O(log n) rounds); the oracle replays them
+    as a recursive min-label closure.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < DBSCAN_POOL
+    )
+    side = emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
+    a = side.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, F.col("v1") != F.col("v2"))
+        .filter(
+            cosine_from_norms("ea", "eb", "na", "nb") >= F.lit(DBSCAN_TAU)
+        )
+        .select("v1", "v2")
+        # Tiny pair list feeds degree, core filter, core-edge filter,
+        # the component loop, AND the border join — score once.
+        .localCheckpoint()
+    )
+    deg = pairs.groupBy(F.col("v1").alias("v")).agg(
+        F.count("*").cast("bigint").alias("n_nbrs")
+    )
+    allv = (
+        side.select(F.col("vec_id").alias("v"))
+        .join(deg, "v", "left")
+        .select("v", F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"))
+    )
+    core = allv.filter(F.col("n_nbrs") >= DBSCAN_MIN_NBRS).select("v")
+    core_edges = (
+        pairs.join(F.broadcast(core.select(F.col("v").alias("v1"))), "v1")
+        .join(F.broadcast(core.select(F.col("v").alias("v2"))), "v2")
+        .select(F.col("v1").alias("src"), F.col("v2").alias("dst"))
+    )
+    from apitap_spark.operators.graph import connected_components
+
+    comp = connected_components(core, core_edges)
+    border = (
+        pairs.join(
+            comp.select(F.col("v").alias("v2"), F.col("component")), "v2"
+        )
+        .join(core.select(F.col("v").alias("v1")), "v1", "left_anti")
+        .groupBy(F.col("v1").alias("v"))
+        .agg(F.min("component").alias("b_cluster"))
+    )
+    return (
+        allv.join(comp.withColumnRenamed("component", "c_cluster"), "v", "left")
+        .join(border, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            "n_nbrs",
+            F.when(F.col("c_cluster").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("c_cluster", "b_cluster", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )

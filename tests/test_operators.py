@@ -2522,3 +2522,104 @@ def test_training_shuffle_plan_deterministic_and_complete(spark, sf_dir):
         g = rows[sh]
         assert (g["n_rows"], g["shard_tokens"]) == (n, t)
         assert abs(g["token_share"] - round(t / total, 6)) < 1e-9
+
+
+def test_knn_graph_numpy_replay(spark, sf_dir):
+    """Triangulate op_embedding_knn_graph against a numpy replay:
+    same top-k sets, ranks, and mutual flags."""
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_POOL,
+        op_embedding_knn_graph,
+    )
+    from apitap_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {KNN_GRAPH_POOL}")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    order = np.argsort(ids)
+    ids, C = ids[order], C[np.ix_(order, order)]
+    expect = {}
+    for i, v in enumerate(ids):
+        sims = [(-C[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        sims.sort()
+        expect[v] = [d for _, d in sims[:KNN_GRAPH_K]]
+    got = op_embedding_knn_graph(spark, sf_dir).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, {})[r.rk] = r
+    assert set(by_src) == set(expect)
+    for v, nbrs in expect.items():
+        assert [by_src[v][k].dst for k in sorted(by_src[v])] == nbrs
+    for r in got:
+        assert r.mutual == (r.src in expect[r.dst])
+
+
+def test_dbscan_numpy_replay(spark, sf_dir):
+    """Triangulate op_dbscan_clusters against a numpy/union-find replay,
+    and assert the planted structure is non-vacuous (cores AND borders
+    AND noise all present at both driver SFs)."""
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        DBSCAN_MIN_NBRS,
+        DBSCAN_POOL,
+        DBSCAN_TAU,
+        op_dbscan_clusters,
+    )
+    from apitap_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id < {DBSCAN_POOL}")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    M = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    np.fill_diagonal(C, -2.0)
+    A = C >= DBSCAN_TAU
+    deg = {v: int(A[i].sum()) for i, v in enumerate(ids)}
+    core = {v for v in ids if deg[v] >= DBSCAN_MIN_NBRS}
+    parent = {v: v for v in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    idx = {v: i for i, v in enumerate(ids)}
+    for u in core:
+        for v in core:
+            if u < v and A[idx[u], idx[v]]:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+    comp = {v: min(u for u in core if find(u) == find(v)) for v in core}
+    got = {r.vec_id: r for r in op_dbscan_clusters(spark, sf_dir).collect()}
+    assert set(got) == set(ids)
+    roles = {"core": 0, "border": 0, "noise": 0}
+    for v in ids:
+        r = got[v]
+        assert r.n_nbrs == deg[v], v
+        if v in core:
+            assert r.role == "core" and r.cluster == comp[v], v
+        else:
+            nbr_cores = [u for u in core if A[idx[v], idx[u]]]
+            if nbr_cores:
+                assert r.role == "border", v
+                assert r.cluster == min(comp[u] for u in nbr_cores), v
+            else:
+                assert r.role == "noise" and r.cluster == -1, v
+        roles[r.role] += 1
+    assert all(roles.values()), roles
