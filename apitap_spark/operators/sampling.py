@@ -310,3 +310,129 @@ def op_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("split_set", ",").alias("splits"),
         )
     )
+
+
+# --- Preference-pair construction (DPO/RLHF reward-data shaping) ---------
+
+_DPO_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+      FROM tok GROUP BY doc_id, lang, source
+    ),
+    scored AS (
+      SELECT doc_id, lang, source,
+             CAST(FLOOR(1000000.0 * CAST(n_types AS DOUBLE)
+                        / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS score_micro
+      FROM per_doc
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score_micro DESC, doc_id) AS rk_top,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY score_micro ASC, doc_id DESC) AS rk_bot
+      FROM scored
+    )
+    SELECT t.lang, t.source, t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           t.score_micro AS chosen_micro, b.score_micro AS rejected_micro,
+           t.score_micro - b.score_micro AS margin_micro
+    FROM ranked t
+    JOIN ranked b ON t.lang = b.lang AND t.source = b.source
+    WHERE t.rk_top = 1 AND b.rk_bot = 1 AND t.score_micro > b.score_micro
+"""
+
+
+@_register("op_sample_dpo_pairs", _DPO_ORACLE)
+def op_sample_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the data-shaping step of
+    DPO/RLHF reward training: within each (lang, source) stratum,
+    pair the highest-scoring document (chosen) with the lowest
+    (rejected) and carry the score margin. The score here is the
+    type-token ratio in exact micro fixed point (FLOOR(1e6·types/
+    tokens): one correctly-rounded IEEE division of exact integers —
+    bit-identical both engines); production swaps in any reward model
+    without touching the pairing plan.
+
+    Determinism: chosen ties break toward the smaller doc_id, rejected
+    ties toward the LARGER (opposite ends, so a two-doc tie still
+    yields distinct docs); strata where best == worst (no signal, or a
+    single doc) emit no pair — a margin-zero pair teaches nothing.
+
+    Scale shape: one token-explode aggregation, then two row_number
+    windows over the SAME (lang, source) partitioning — Catalyst
+    computes both in one Window sort — and a self-join of two
+    1-row-per-stratum sides. Stratum cardinality, not corpus size,
+    bounds everything after the first groupBy.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    from apitap_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens("text")).alias("w")
+    )
+    per_doc = tok.groupBy("doc_id", "lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_types"),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double")
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    part = ["lang", "source"]
+    w_top = Window.partitionBy(*part).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy(*part).orderBy(
+        F.asc("score_micro"), F.desc("doc_id")
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w_top).alias("rk_top"),
+        F.row_number().over(w_bot).alias("rk_bot"),
+    ).localCheckpoint()  # tiny after the window filters; feeds both sides
+    top = ranked.filter(F.col("rk_top") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score_micro").alias("chosen_micro"),
+    )
+    bot = ranked.filter(F.col("rk_bot") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score_micro").alias("rejected_micro"),
+    )
+    return (
+        top.join(bot, ["lang", "source"])
+        .filter(F.col("chosen_micro") > F.col("rejected_micro"))
+        .select(
+            "lang",
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_micro",
+            "rejected_micro",
+            (F.col("chosen_micro") - F.col("rejected_micro")).alias(
+                "margin_micro"
+            ),
+        )
+    )

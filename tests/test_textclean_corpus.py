@@ -302,3 +302,36 @@ def test_audit_example_end_to_end(spark, sf_dir, tmp_path):
         "novelty", "silhouette", "centroid_drift",
     ):
         assert spark.read.parquet(f"{out}/{section}").count() > 0
+
+
+def test_dpo_pairs_python_recount(spark, sf_dir):
+    """Triangulate op_sample_dpo_pairs: independent Python recount of
+    TTR micro scores and argmax/argmin pairing per stratum."""
+    import math
+
+    from apitap_spark.operators.sampling import op_sample_dpo_pairs
+    from apitap_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    scores = {}
+    for r in docs:
+        if not r.text or not r.text.strip():
+            continue
+        toks = r.text.strip().split()
+        micro = math.floor(1000000.0 * float(len(set(toks))) / float(len(toks)))
+        scores.setdefault((r.lang, r.source), []).append((r.doc_id, micro))
+    expect = {}
+    for key, docs_in in scores.items():
+        chosen = min(docs_in, key=lambda d: (-d[1], d[0]))
+        rejected = min(docs_in, key=lambda d: (d[1], -d[0]))
+        if chosen[1] > rejected[1]:
+            expect[key] = (chosen, rejected)
+    got = {
+        (r.lang, r.source): r for r in op_sample_dpo_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect) and got
+    for key, (c, rej) in expect.items():
+        r = got[key]
+        assert (r.chosen_doc, r.chosen_micro) == c, key
+        assert (r.rejected_doc, r.rejected_micro) == rej, key
+        assert r.margin_micro == c[1] - rej[1] > 0
