@@ -1548,8 +1548,10 @@ def op_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the IN-list filter prunes the exploded token stream
     to query terms before any shuffle; df/dl/stats are one aggregation
-    each; the global top-k is a single WindowGroupLimit (at 100 TB
-    swap for the per-partition top-k + merge the repo uses elsewhere).
+    each; the global top-k is TakeOrderedAndProject (per-partition
+    heads, driver merge of k rows) with the row_number ranking applied
+    only to the k survivors — no global-partition window ever sees the
+    full scored corpus.
     """
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
@@ -1594,10 +1596,13 @@ def op_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum("term_micro").cast("bigint").alias("score_micro"),
     )
+    # Distributed top-k FIRST (TakeOrderedAndProject: per-partition heads
+    # merged on the driver — a global-partition window would funnel every
+    # scored doc through one task), then rank the k survivors.
+    topk = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(
+        BM25_TOP_K
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= BM25_TOP_K)
-    )
+    return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -555,3 +555,94 @@ def test_runtime_bloom_filter_injection_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_qualify_rewrite_window_group_limit(spark, sf_dir):
+    """The QUALIFY rewrite must compile to WindowGroupLimit (per-group
+    top-k pruned below the window sort), with the date filter pushed
+    to the scan."""
+    from apitap_spark.plans.relational6 import q_qualify_clause
+
+    p = _plan(q_qualify_clause(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "PushedFilters:" in p and "o_orderdate" in p.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_named_window_single_window_exchange(spark, sf_dir):
+    """All three functions over the shared named window definition must
+    ride ONE hash exchange on o_custkey (no per-function re-shuffle)."""
+    import re
+
+    from apitap_spark.plans.relational6 import q_window_named
+
+    p = _plan(q_window_named(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_higher_order_array_jvm_only(spark, sf_dir):
+    """Lambda HOFs must stay JVM-side (no Python eval node) with
+    map-side partial aggregation for the collect_list."""
+    from apitap_spark.plans.relational6 import q_higher_order_array
+
+    p = _plan(q_higher_order_array(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_collect_list" in p or "ObjectHashAggregate" in p
+    # the l_orderkey filter prunes BEFORE the aggregation shuffle
+    assert "PushedFilters:" in p and "l_orderkey" in p.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_map_functions_jvm_only(spark, sf_dir):
+    """MAP construction/lookups are Catalyst expressions — no Python."""
+    from apitap_spark.plans.relational6 import q_map_functions
+
+    p = _plan(q_map_functions(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    """The 16-tap kernel must evaluate in ONE Window operator (one sort
+    per event_type), not 16 self-joins; bucketing pre-aggregates
+    map-side."""
+    from apitap_spark.plans.timeseries import q_ewma_smoothing
+
+    p = _plan(q_ewma_smoothing(spark, sf_dir))
+    import re
+
+    assert p.count("Window") - p.count("WindowGroupLimit") >= 1
+    assert "partial_sum" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2  # groupBy + window
+
+
+def test_bm25_topk_take_ordered(spark, sf_dir):
+    """BM25 global top-k is TakeOrderedAndProject (distributed heads +
+    driver merge — never a global-partition window over all scored
+    docs); df side broadcasts; everything stays JVM-side."""
+    from apitap_spark.operators.textstats import op_text_bm25_topk
+
+    p = _plan(op_text_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_knn_graph_mutual_broadcast_over_checkpointed_edges(spark, sf_dir):
+    """The mutual flag joins the checkpointed N*k edge list against its
+    broadcast reverse — the visible plan is exactly [checkpoint scan +
+    BroadcastHashJoin LeftOuter], proving no second pairwise pass (the
+    localCheckpoint truncates the scoring lineage, so any pairwise
+    re-execution would surface as a join/window above the scan)."""
+    from apitap_spark.operators.similarity import op_embedding_knn_graph
+
+    p = _plan(op_embedding_knn_graph(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    assert "WindowGroupLimit" not in p  # ranking happened pre-checkpoint
+
+
+def test_dpo_pairs_two_window_sorts_one_partitioning(spark, sf_dir):
+    """Both rankings partition by the same (lang, source) keys: one hash
+    exchange feeds both Window sorts; the pairing join is broadcast."""
+    from apitap_spark.operators.sampling import op_sample_dpo_pairs
+
+    p = _plan(op_sample_dpo_pairs(spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
