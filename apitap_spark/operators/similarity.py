@@ -1849,3 +1849,213 @@ def op_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster"),
         )
     )
+
+
+# --- Greedy graph-ANN search (HNSW base-layer walk over the kNN graph) ---
+
+GREEDY_POOL = 400
+GREEDY_K = 4
+GREEDY_ENTRY = 0  # fixed entry point (HNSW-style deterministic entry)
+GREEDY_QLO, GREEDY_QHI = 400, 410  # query vectors OUTSIDE the pool
+
+
+def _greedy_cte_prefix() -> str:
+    """Shared CTE chain: pool, kNN out-edges, query-to-pool cosines."""
+    return f"""
+    WITH RECURSIVE pool AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {GREEDY_POOL}
+    ),
+    sims AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             {_SQL_DOT.format(a="a.embedding", b="b.embedding")}
+               / (sqrt({_SQL_NORM2.format(a="a.embedding")})
+                  * sqrt({_SQL_NORM2.format(a="b.embedding")})) AS cos
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT v1, v2 FROM (
+        SELECT v1, v2,
+               ROW_NUMBER() OVER (PARTITION BY v1 ORDER BY cos DESC, v2) AS rk
+        FROM sims
+      ) WHERE rk <= {GREEDY_K}
+    ),
+    queries AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id >= {GREEDY_QLO} AND vec_id < {GREEDY_QHI}
+    ),
+    qsims AS (
+      SELECT q.q_id, p.vec_id AS c_id,
+             {_SQL_DOT.format(a="q.qe", b="p.embedding")}
+               / (sqrt({_SQL_NORM2.format(a="q.qe")})
+                  * sqrt({_SQL_NORM2.format(a="p.embedding")})) AS cos
+      FROM queries q CROSS JOIN pool p
+    ),
+    walk(q_id, cur, cos_cur, steps) AS (
+      SELECT q_id, CAST({GREEDY_ENTRY} AS BIGINT), cos, 0
+      FROM qsims WHERE c_id = {GREEDY_ENTRY}
+      UNION ALL
+      SELECT q_id, c_id, cos, steps + 1 FROM (
+        SELECT w.q_id, s.c_id, s.cos, w.steps,
+               ROW_NUMBER() OVER (PARTITION BY w.q_id
+                                  ORDER BY s.cos DESC, s.c_id) AS rk
+        FROM walk w
+        JOIN knn e ON e.v1 = w.cur
+        JOIN qsims s ON s.q_id = w.q_id AND s.c_id = e.v2
+        WHERE s.cos > w.cos_cur
+      ) WHERE rk = 1
+    ),
+    final AS (
+      SELECT q_id, cur, cos_cur, steps FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY steps DESC) AS rk
+        FROM walk
+      ) WHERE rk = 1
+    ),
+    exact AS (
+      SELECT q_id, c_id AS exact_id, cos AS exact_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, c_id) AS rk
+        FROM qsims
+      ) WHERE rk = 1
+    )
+"""
+
+
+@_register(
+    "op_ann_greedy_graph_search",
+    _greedy_cte_prefix()
+    + """
+    SELECT f.q_id, f.cur AS found_id, CAST(f.steps AS BIGINT) AS steps,
+           CAST(FLOOR(1000000.0 * f.cos_cur) AS BIGINT) AS found_cos_micro,
+           e.exact_id, (f.cur = e.exact_id) AS is_exact,
+           CAST(FLOOR(1000000.0 * e.exact_cos) AS BIGINT)
+             - CAST(FLOOR(1000000.0 * f.cos_cur) AS BIGINT) AS gap_micro
+    FROM final f JOIN exact e ON f.q_id = e.q_id
+    """,
+)
+def op_ann_greedy_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first graph search — the HNSW/NSG base-layer walk:
+    from a fixed entry vertex, repeatedly hop to the out-neighbor (in
+    the k=4 cosine kNN graph) that is strictly closer to the query;
+    stop at a local optimum. Self-auditing output: each query carries
+    the brute-force exact best, whether the walk reached it, and the
+    similarity gap in micro units when it didn't.
+
+    Determinism: moves require STRICTLY greater cosine (bit-identical
+    doubles both engines) with min-id tiebreak on the argmax, so walk
+    paths are unique; the walk terminates because cosine strictly
+    increases (path length <= pool size, in practice a handful of
+    hops). The oracle replays the walk as a recursive CTE whose
+    recursive member does the same argmax via ROW_NUMBER.
+
+    Scale shape: the kNN graph (N*k edges) and per-query frontier are
+    the iterative driver-probe pattern (pagerank/kmeans): each round is
+    one join frontier -> out-edges -> query-candidate scores, advancing
+    every active query in parallel; rounds are O(path length), not
+    O(N). At corpus scale the same loop runs over an LSH/IVF-built
+    approximate kNN graph (op_embedding_knn_graph's scale path) with a
+    beam (ef > 1) instead of a single cursor.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") < GREEDY_POOL).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("n")
+    )
+    a = pool.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    w_knn = Window.partitionBy("v1").orderBy(F.desc("cos"), F.asc("v2"))
+    knn = (
+        a.join(b, F.col("v1") != F.col("v2"))
+        .select("v1", "v2", cosine_from_norms("ea", "eb", "na", "nb").alias("cos"))
+        .withColumn("rk", F.row_number().over(w_knn))
+        .filter(F.col("rk") <= GREEDY_K)
+        .select("v1", "v2")
+        .localCheckpoint()  # N*k edges; probed every round
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= GREEDY_QLO) & (F.col("vec_id") < GREEDY_QHI)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm("embedding").alias("nq"),
+    )
+    qsims = (
+        F.broadcast(queries)
+        .crossJoin(pool.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            F.col("n").alias("nc"),
+        ))
+        .select(
+            "q_id",
+            "c_id",
+            cosine_from_norms("qe", "ce", "nq", "nc").alias("cos"),
+        )
+        .localCheckpoint()  # Q x N scores; probed every round + exact audit
+    )
+    state = (
+        qsims.filter(F.col("c_id") == GREEDY_ENTRY)
+        .select(
+            "q_id",
+            F.lit(GREEDY_ENTRY).cast("bigint").alias("cur"),
+            F.col("cos").alias("cos_cur"),
+            F.lit(0).alias("steps"),
+        )
+        .localCheckpoint()
+    )
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    for _ in range(GREEDY_POOL):  # safety bound; cosine strictly increases
+        nxt = (
+            state.join(knn, state.cur == knn.v1)
+            .join(
+                qsims.select(
+                    F.col("q_id").alias("sq"), "c_id", F.col("cos")
+                ),
+                (F.col("q_id") == F.col("sq")) & (F.col("c_id") == F.col("v2")),
+            )
+            .filter(F.col("cos") > F.col("cos_cur"))
+            .withColumn("rk", F.row_number().over(w_q))
+            .filter(F.col("rk") == 1)
+            .select(
+                "q_id",
+                F.col("c_id").cast("bigint").alias("cur"),
+                F.col("cos").alias("cos_cur"),
+                (F.col("steps") + 1).alias("steps"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        # advanced queries replace their state; converged ones keep it
+        state = (
+            state.join(nxt.select("q_id"), "q_id", "left_anti")
+            .unionByName(nxt)
+            .localCheckpoint()
+        )
+    w_exact = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    exact = (
+        qsims.withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_id",
+            F.col("c_id").alias("exact_id"),
+            F.col("cos").alias("exact_cos"),
+        )
+    )
+    micro = lambda c: F.floor(F.lit(1000000.0) * F.col(c)).cast("bigint")
+    return state.join(exact, "q_id").select(
+        "q_id",
+        F.col("cur").alias("found_id"),
+        F.col("steps").cast("bigint").alias("steps"),
+        micro("cos_cur").alias("found_cos_micro"),
+        "exact_id",
+        (F.col("cur") == F.col("exact_id")).alias("is_exact"),
+        (micro("exact_cos") - micro("cos_cur")).alias("gap_micro"),
+    )

@@ -2623,3 +2623,68 @@ def test_dbscan_numpy_replay(spark, sf_dir):
                 assert r.role == "noise" and r.cluster == -1, v
         roles[r.role] += 1
     assert all(roles.values()), roles
+
+
+def test_greedy_graph_search_python_replay(spark, sf_dir):
+    """Triangulate op_ann_greedy_graph_search with an independent Python
+    walk over the numpy-built kNN graph."""
+    import math
+
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        GREEDY_ENTRY,
+        GREEDY_K,
+        GREEDY_POOL,
+        GREEDY_QHI,
+        GREEDY_QLO,
+        op_ann_greedy_graph_search,
+    )
+    from apitap_spark.session import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").filter(
+        f"vec_id < {GREEDY_QHI}"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def _cos(a, b):
+        # index-order fold for dot AND norms — the engines' convention;
+        # a BLAS dot would differ in the last ulp and flip strict '>'
+        return float(
+            np.cumsum(a * b)[-1]
+            / (np.sqrt(np.cumsum(a * a)[-1]) * np.sqrt(np.cumsum(b * b)[-1]))
+        )
+
+    ids = sorted(v for v in vecs if v < GREEDY_POOL)
+    idx = {v: i for i, v in enumerate(ids)}
+    C = np.empty((len(ids), len(ids)))
+    for i, u in enumerate(ids):
+        for j, v in enumerate(ids):
+            if i != j:
+                C[i, j] = _cos(vecs[u], vecs[v])
+    knn = {
+        v: [
+            ids[j]
+            for j in sorted(
+                (j for j in range(len(ids)) if j != idx[v]),
+                key=lambda j: (-C[idx[v], j], ids[j]),
+            )[:GREEDY_K]
+        ]
+        for v in ids
+    }
+    got = {r.q_id: r for r in op_ann_greedy_graph_search(spark, sf_dir).collect()}
+    assert set(got) == set(range(GREEDY_QLO, GREEDY_QHI))
+    for q in range(GREEDY_QLO, GREEDY_QHI):
+        qcos = {v: _cos(vecs[q], vecs[v]) for v in ids}
+        cur, steps = GREEDY_ENTRY, 0
+        while True:
+            better = [(-qcos[n], n) for n in knn[cur] if qcos[n] > qcos[cur]]
+            if not better:
+                break
+            cur, steps = min(better)[1], steps + 1
+        exact = min(ids, key=lambda v: (-qcos[v], v))
+        r = got[q]
+        assert (r.found_id, r.steps, r.exact_id) == (cur, steps, exact), q
+        assert r.is_exact == (cur == exact)
+        assert r.found_cos_micro == math.floor(1000000.0 * qcos[cur])
+        assert r.gap_micro >= 0
