@@ -1013,3 +1013,140 @@ def op_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv.alias("tv_micro"),
         (tv <= TCLOSE_T_MICRO).alias("t_close"),
     )
+
+
+# --- Embedding outlier detection (diagonal Mahalanobis, exact) -----------
+
+MAHA_TOP_K = 20
+
+
+_MAHA_ORACLE = f"""
+    WITH expl AS (
+      SELECT vec_id, i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {DIM_SCALE}.0, 0)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    stats AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS BIGINT) AS vn
+      FROM expl GROUP BY dim
+    ),
+    arrs AS (
+      SELECT MAX(n) AS n,
+             list(s ORDER BY dim) AS s_arr,
+             list(vn ORDER BY dim) AS vn_arr
+      FROM stats
+    ),
+    milli AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                            * {DIM_SCALE}.0, 0) AS BIGINT))
+               AS m
+      FROM embeddings
+    ),
+    dist AS (
+      SELECT vec_id,
+             list_aggregate(
+               list_transform(range(1, len(m) + 1),
+                 i -> CASE WHEN vn_arr[i] = 0 THEN 0.0
+                           ELSE CAST((n * m[i] - s_arr[i])
+                                     * (n * m[i] - s_arr[i]) AS DOUBLE)
+                                / CAST(vn_arr[i] AS DOUBLE) END),
+               'sum') AS d2
+      FROM milli CROSS JOIN arrs
+    )
+    SELECT vec_id, CAST(FLOOR(1000000.0 * d2) AS BIGINT) AS dist_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT vec_id, d2,
+             ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id) AS rk
+      FROM dist
+    ) WHERE rk <= {MAHA_TOP_K}
+"""
+
+
+@_register("op_embedding_outliers_mahalanobis", _MAHA_ORACLE)
+def op_embedding_outliers_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding outlier detection — top-K vectors by squared
+    diagonal-covariance Mahalanobis distance (per-dimension z² summed
+    over dims): the standard pre-training sweep for corrupt encoders,
+    mis-scaled batches, and off-manifold junk that poisons both ANN
+    recall and contrastive training; consumes the same per-dim moments
+    op_embedding_dim_profile reports.
+
+    Exactness: components round ONCE to milli ints; per-dim Σv / Σv²
+    are exact BIGINT, so the standardized term (n·m−S)²/VN is a ratio
+    of exact integers ((n·m−S)² stays exact through the double cast at
+    any SF where VN fits int64; milli scale chosen for exactly that
+    headroom). The over-dims sum is an index-ordered fold (F.aggregate
+    == list_aggregate — the repo's dot-product convention), dead dims
+    (VN=0) contribute 0 by definition, and the result floors ONCE to
+    micro units.
+
+    Scale shape: one explode + d-group aggregate for the moments
+    (d rows — broadcast back as two literal-sized arrays on a one-row
+    frame), then a zero-shuffle per-vector fold and a distributed
+    TakeOrderedAndProject top-K. Two corpus scans total, no window
+    over the full corpus.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    expl = emb.select(F.posexplode("embedding").alias("p", "x")).select(
+        (F.col("p") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * DIM_SCALE, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    stats = expl.groupBy("dim").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        (
+            F.count("*") * F.sum(F.col("v") * F.col("v"))
+            - F.sum("v") * F.sum("v")
+        )
+        .cast("bigint")
+        .alias("vn"),
+    )
+    arrs = stats.agg(
+        F.sort_array(F.collect_list(F.struct("dim", "s", "vn"))).alias("st")
+    ).select(
+        F.transform("st", lambda s: s.s).alias("s_arr"),
+        F.transform("st", lambda s: s.vn).alias("vn_arr"),
+    )
+    n = F.lit(n_vecs).cast("bigint")
+    milli = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * DIM_SCALE, 0).cast("long"),
+        ).alias("m"),
+    )
+
+    def term(acc, i):
+        mi = F.element_at("m", i.cast("int"))
+        si = F.element_at("s_arr", i.cast("int"))
+        vni = F.element_at("vn_arr", i.cast("int"))
+        diff = n * mi - si
+        return acc + F.when(vni == 0, F.lit(0.0)).otherwise(
+            (diff * diff).cast("double") / vni.cast("double")
+        )
+
+    dist = milli.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("m")), F.lit(0.0), term
+        ).alias("d2"),
+    )
+    topk = dist.orderBy(F.desc("d2"), F.asc("vec_id")).limit(MAHA_TOP_K)
+    w = Window.orderBy(F.desc("d2"), F.asc("vec_id"))
+    return topk.select(
+        "vec_id",
+        F.floor(F.lit(1000000.0) * F.col("d2")).cast("bigint").alias(
+            "dist_micro"
+        ),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

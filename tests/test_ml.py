@@ -254,3 +254,49 @@ def test_logreg_auc_matches_python_mann_whitney(spark, sf_dir):
     assert row["auc_num"] == num
     assert row["auc"] == float(num) / float(2 * n_pos * n_neg)
     assert row["auc"] > 0.95  # the learned score ranks the label well
+
+
+def test_mahalanobis_outliers_python_replay(spark, sf_dir):
+    """Triangulate op_embedding_outliers_mahalanobis: independent Python
+    fold replay (same milli rounding, same index-order sum)."""
+    import math
+
+    from apitap_spark.operators.quality import (
+        MAHA_TOP_K,
+        op_embedding_outliers_mahalanobis,
+    )
+    from apitap_spark.session import read_table
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    import decimal
+
+    def milli(x):
+        # engine ROUND(x*1000, 0): HALF_UP on the double product
+        return int(
+            decimal.Decimal(repr(float(x) * 1000.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    M = {r.vec_id: [milli(x) for x in r.embedding] for r in rows}
+    n = len(M)
+    d = len(next(iter(M.values())))
+    S = [sum(m[i] for m in M.values()) for i in range(d)]
+    Q = [sum(m[i] * m[i] for m in M.values()) for i in range(d)]
+    VN = [n * Q[i] - S[i] * S[i] for i in range(d)]
+    dist = {}
+    for v, m in M.items():
+        acc = 0.0
+        for i in range(d):
+            if VN[i] != 0:
+                diff = n * m[i] - S[i]
+                acc = acc + float(diff * diff) / float(VN[i])
+        dist[v] = acc
+    expect = sorted(dist, key=lambda v: (-dist[v], v))[:MAHA_TOP_K]
+    got = sorted(
+        op_embedding_outliers_mahalanobis(spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [r.vec_id for r in got] == expect
+    for r in got:
+        assert r.dist_micro == math.floor(1000000.0 * dist[r.vec_id])
