@@ -212,3 +212,28 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("n_docs"),
     )
+
+
+_GROUPING_ID_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM {orders}
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@_register("q_grouping_id", _GROUPING_ID_SQL.format(orders="orders"))
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers over ROLLUP (SQL:1999; SURVEY §2.2 Q6 depth)
+    — the function that disambiguates "NULL because subtotal" from
+    "NULL because the data is NULL", which q_rollup_revenue /
+    q_grouping_sets leave ambiguous. IDENTICAL SQL text in both
+    engines (the q_group_by_all pattern). DECIMAL(18,2) keeps the
+    per-stratum sums order-independent; the Expand + partial-agg plan
+    is the same single-shuffle shape as plain ROLLUP.
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gid_orders")
+    return spark.sql(_GROUPING_ID_SQL.format(orders="_gid_orders"))
