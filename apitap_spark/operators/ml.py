@@ -1196,3 +1196,114 @@ def op_ml_logreg_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+# --- Market-basket association rules (A-priori support/confidence/lift) --
+
+BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM b),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_i FROM b GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, n_ab FROM pair
+      UNION ALL
+      SELECT p2, p1, n_ab FROM pair
+    )
+    SELECT r.antecedent, r.consequent, r.n_ab AS support_n,
+           CAST(FLOOR(1000000.0 * CAST(r.n_ab AS DOUBLE)
+                      / CAST(ia.n_i AS DOUBLE)) AS BIGINT)
+             AS confidence_micro,
+           CAST(FLOOR(1000000.0 * CAST(r.n_ab * n.n_baskets AS DOUBLE)
+                      / CAST(ia.n_i * ic.n_i AS DOUBLE)) AS BIGINT)
+             AS lift_micro
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.antecedent
+    JOIN item ic ON ic.l_partkey = r.consequent
+    CROSS JOIN n
+"""
+
+
+@_register("op_basket_association_rules", _BASKET_ORACLE)
+def op_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — A-priori support counting over
+    order baskets (the relational sibling of op_text_collocations_lift,
+    which mines adjacent token pairs): distinct (order, part) baskets,
+    co-occurrence pairs above BASKET_MIN_SUPPORT, and per-directed-rule
+    confidence n_ab/n_a and lift n_ab·N/(n_a·n_b), each a single FLOOR
+    of one correctly-rounded division of exact BIGINTs.
+
+    Scale shape: the pair generation is the standard self-join on the
+    basket key — cost Σ(basket_size²), bounded by the max basket (7
+    lines in TPC-H shape), NOT corpus². The HAVING prunes to frequent
+    pairs before the item-count joins; item counts and the scalar
+    basket total broadcast. This is exactly distributed A-priori's
+    candidate-pair stage; FP-Growth only wins when baskets are huge.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_baskets = b.select("l_orderkey").distinct().count()
+    item = b.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_i")
+    )
+    a_side = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    c_side = b.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pair = (
+        a_side.join(c_side, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    rules = pair.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pair.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "n_ab",
+        )
+    )
+    ia = item.select(F.col("l_partkey").alias("antecedent"), F.col("n_i").alias("n_a"))
+    ic = item.select(F.col("l_partkey").alias("consequent"), F.col("n_i").alias("n_c"))
+    N = F.lit(n_baskets).cast("bigint")
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").alias("support_n"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_ab").cast("double")
+                / F.col("n_a").cast("double")
+            )
+            .cast("bigint")
+            .alias("confidence_micro"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n_ab") * N).cast("double")
+                / (F.col("n_a") * F.col("n_c")).cast("double")
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )

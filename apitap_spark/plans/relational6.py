@@ -237,3 +237,103 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_gid_orders")
     return spark.sql(_GROUPING_ID_SQL.format(orders="_gid_orders"))
+
+
+_RFM_SEGMENT_CASE = """CASE
+             WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champion'
+             WHEN r_score >= 4 AND f_score >= 4 THEN 'loyal_recent'
+             WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+             WHEN r_score >= 4 THEN 'recent'
+             WHEN f_score >= 4 THEN 'frequent'
+             WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+             ELSE 'regular' END"""
+
+
+@_register(
+    "q_rfm_segmentation",
+    f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(MAX(datediff('day', TIMESTAMP '1970-01-01 00:00:00',
+                               o_orderdate)) AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(last_day) AS ref_day FROM cust),
+    base AS (
+      SELECT o_custkey, ref_day - last_day AS recency_days,
+             frequency, monetary_cents
+      FROM cust CROSS JOIN ref
+    ),
+    scored AS (
+      SELECT *,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey)
+                  AS BIGINT) AS m_score
+      FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           {_RFM_SEGMENT_CASE} AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic warehouse scoring
+    workload: recency (days since last order, against the corpus max
+    date), frequency (order count), monetary (exact cents), each
+    quintile-scored with NTILE(5) and a custkey tiebreak (identical
+    NTILE remainder semantics both engines, proven by
+    q_window_ntile_percentile), then bucketed into named segments.
+    Score direction: 5 = best (most recent / most frequent / highest
+    spend).
+
+    Determinism: days are integer epoch-days (the _epoch_hour
+    convention), money is ROUND(price*100) BIGINT cents, and every
+    tie in the three global sorts is broken by o_custkey.
+
+    Scale shape: one groupBy collapses orders to customer cardinality;
+    the three NTILEs share one global sort each over the collapsed
+    frame (fine at dimension cardinality; at 100 TB of CUSTOMERS swap
+    NTILE for percentile_approx thresholds and a broadcast CASE — the
+    segment logic is unchanged).
+    """
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.floor(F.col("o_orderdate").cast("long") / 86400))
+        .cast("bigint")
+        .alias("last_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    ref = cust.agg(F.max("last_day").alias("ref_day"))
+    base = cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        (F.col("ref_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = base.select(
+        "*",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return scored.withColumn("segment", F.expr(_RFM_SEGMENT_CASE))

@@ -300,3 +300,110 @@ def test_mahalanobis_outliers_python_replay(spark, sf_dir):
     assert [r.vec_id for r in got] == expect
     for r in got:
         assert r.dist_micro == math.floor(1000000.0 * dist[r.vec_id])
+
+
+def test_basket_rules_python_recount(spark, sf_dir):
+    """Triangulate op_basket_association_rules with a Python recount."""
+    import math
+
+    from apitap_spark.operators.ml import (
+        BASKET_MIN_SUPPORT,
+        op_basket_association_rules,
+    )
+    from apitap_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n = len(baskets)
+    item, pair = {}, {}
+    for parts in baskets.values():
+        for p in parts:
+            item[p] = item.get(p, 0) + 1
+        sp = sorted(parts)
+        for i, p1 in enumerate(sp):
+            for p2 in sp[i + 1 :]:
+                pair[(p1, p2)] = pair.get((p1, p2), 0) + 1
+    expect = {}
+    for (p1, p2), c in pair.items():
+        if c >= BASKET_MIN_SUPPORT:
+            for a, b in ((p1, p2), (p2, p1)):
+                expect[(a, b)] = (
+                    c,
+                    math.floor(1000000.0 * float(c) / float(item[a])),
+                    math.floor(1000000.0 * float(c * n) / float(item[a] * item[b])),
+                )
+    got = {
+        (r.antecedent, r.consequent): (
+            r.support_n,
+            r.confidence_micro,
+            r.lift_micro,
+        )
+        for r in op_basket_association_rules(spark, sf_dir).collect()
+    }
+    assert got == expect and got
+
+
+def test_rfm_segmentation_python_replay(spark, sf_dir):
+    """Triangulate q_rfm_segmentation: Python ntile + segment replay."""
+    from apitap_spark.plans.relational6 import q_rfm_segmentation
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    o = read_table(spark, sf_dir, "orders").collect()
+    cust = {}
+    for r in o:
+        day = int(r.o_orderdate.timestamp()) // 86400
+        cents = int(
+            decimal.Decimal(repr(r.o_totalprice * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        k = r.o_custkey
+        last, freq, money = cust.get(k, (-1, 0, 0))
+        cust[k] = (max(last, day), freq + 1, money + cents)
+    ref = max(v[0] for v in cust.values())
+    base = {
+        k: (ref - last, freq, money) for k, (last, freq, money) in cust.items()
+    }
+
+    def ntile(keys_sorted):
+        n = len(keys_sorted)
+        out, start = {}, 0
+        for t in range(1, 6):
+            size = n // 5 + (1 if t <= n % 5 else 0)
+            for k in keys_sorted[start : start + size]:
+                out[k] = t
+            start += size
+        return out
+
+    r_s = ntile(sorted(base, key=lambda k: (-base[k][0], k)))
+    f_s = ntile(sorted(base, key=lambda k: (base[k][1], k)))
+    m_s = ntile(sorted(base, key=lambda k: (base[k][2], k)))
+    got = {r.o_custkey: r for r in q_rfm_segmentation(spark, sf_dir).collect()}
+    assert set(got) == set(base)
+    segs = set()
+    for k, (rec, freq, money) in base.items():
+        g = got[k]
+        assert (g.recency_days, g.frequency, g.monetary_cents) == (rec, freq, money), k
+        assert (g.r_score, g.f_score, g.m_score) == (r_s[k], f_s[k], m_s[k]), k
+        r5, f5 = r_s[k], f_s[k]
+        if r5 >= 4 and f5 >= 4 and m_s[k] >= 4:
+            exp = "champion"
+        elif r5 >= 4 and f5 >= 4:
+            exp = "loyal_recent"
+        elif r5 <= 2 and f5 >= 4:
+            exp = "at_risk_loyal"
+        elif r5 >= 4:
+            exp = "recent"
+        elif f5 >= 4:
+            exp = "frequent"
+        elif r5 <= 2 and f5 <= 2:
+            exp = "hibernating"
+        else:
+            exp = "regular"
+        assert g.segment == exp, k
+        segs.add(exp)
+    assert len(segs) >= 3  # the segmentation actually discriminates
