@@ -901,3 +901,90 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ewma_cents"),
     )
+
+
+# --- Time-weighted average (TWAP) ----------------------------------------
+
+
+@_register(
+    "q_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_us(ts), event_id)
+               AS next_us
+      FROM events
+    ),
+    held AS (
+      SELECT event_type, v_cents, next_us - us AS dur_us
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(FLOOR(1000000.0 * CAST(SUM(v_cents * dur_us) AS DOUBLE)
+                      / CAST(SUM(dur_us) AS DOUBLE)) AS BIGINT)
+             AS twap_cents_micro,
+           CAST(FLOOR(1000000.0 * CAST(SUM(v_cents) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+             AS mean_cents_micro
+    FROM held GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per event type — the
+    irregular-series aggregate that OHLC/EWMA don't cover: each
+    observation is weighted by how long it was the CURRENT value
+    (hold-until-next semantics), so a burst of readings no longer
+    dominates the mean. Reported next to the unweighted mean, the pair
+    quantifies sampling bias in the feed.
+
+    Exactness: timestamps are integer MICROseconds (unix_micros ==
+    DuckDB epoch_us — events carry sub-second precision, so
+    second-floored casts would alias distinct timestamps and make the
+    LEAD ordering ambiguous); values are exact cents; Σ(v·dur) and
+    Σdur are order-independent BIGINT sums (≤ max_cents·span_us ≈
+    2.4e17, inside int64 at any SF of this corpus); each output ratio
+    floors ONCE after one correctly-rounded division.
+
+    Scale shape: ONE window sort per event_type computes the hold
+    durations, then a map-side-combined groupBy on the same key — the
+    sort partitioning is reused, no second shuffle. Per-key series at
+    100 TB partition cleanly by (type, day) with a boundary fix-up row.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    held = seq.filter(F.col("next_us").isNotNull()).select(
+        "event_type",
+        "v_cents",
+        (F.col("next_us") - F.col("us")).alias("dur_us"),
+    )
+    return held.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.col("v_cents") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+        )
+        .cast("bigint")
+        .alias("twap_cents_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum("v_cents").cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_cents_micro"),
+    )

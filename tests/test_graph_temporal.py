@@ -316,3 +316,45 @@ def test_ewma_python_replay(spark, sf_dir):
             assert got == (by_hour[h], expect), (et, h, got)
             n_checked += 1
     assert n_checked == len(out) and n_checked > 0
+
+
+def test_twap_python_replay(spark, sf_dir):
+    """Triangulate q_time_weighted_avg: independent Python hold-duration
+    replay in exact integers, and the weighted/unweighted pair must
+    actually differ somewhere (non-vacuous weighting)."""
+    import math
+
+    from apitap_spark.plans.timeseries import q_time_weighted_avg
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", F.unix_micros("ts").alias("us")
+    ).collect()
+    series = {}
+    for r in ev:
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        series.setdefault(r.event_type, []).append((r.us, r.event_id, cents))
+    got = {r.event_type: r for r in q_time_weighted_avg(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    differs = False
+    for et, rows in series.items():
+        rows.sort()
+        wsum = dsum = vsum = 0
+        for (us, _, v), (nxt, _, _) in zip(rows, rows[1:]):
+            dur = nxt - us
+            wsum += v * dur
+            dsum += dur
+            vsum += v
+        n = len(rows) - 1
+        g = got[et]
+        assert (g.n_intervals, g.total_dur_us) == (n, dsum), et
+        assert g.twap_cents_micro == math.floor(1000000.0 * float(wsum) / float(dsum))
+        assert g.mean_cents_micro == math.floor(1000000.0 * float(vsum) / float(n))
+        differs = differs or g.twap_cents_micro != g.mean_cents_micro
+    assert differs
