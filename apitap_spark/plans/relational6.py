@@ -337,3 +337,102 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_score"),
     )
     return scored.withColumn("segment", F.expr(_RFM_SEGMENT_CASE))
+
+
+AB_CONVERT_CENTS = 150.0  # conversion: event value above this threshold
+AB_CHI2_95_MICRO = 3_841_459  # chi-square(1 df) 95% critical value, micro
+
+
+@_register(
+    "q_ab_test_chi2",
+    f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND value > {AB_CONVERT_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_conv,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 AND value <= {AB_CONVERT_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a_rest,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 AND value > {AB_CONVERT_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_conv,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 AND value <= {AB_CONVERT_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_rest
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, a_conv, a_rest, b_conv, b_rest,
+           CAST(FLOOR(1000000.0
+                 * (CAST(a_conv + a_rest + b_conv + b_rest AS DOUBLE)
+                    * CAST(a_conv * b_rest - a_rest * b_conv AS DOUBLE)
+                    / CAST(a_conv + a_rest AS DOUBLE)
+                    / CAST(b_conv + b_rest AS DOUBLE))
+                 * (CAST(a_conv * b_rest - a_rest * b_conv AS DOUBLE)
+                    / CAST(a_conv + b_conv AS DOUBLE)
+                    / CAST(a_rest + b_rest AS DOUBLE))) AS BIGINT)
+             AS chi2_micro,
+           (CAST(FLOOR(1000000.0
+                 * (CAST(a_conv + a_rest + b_conv + b_rest AS DOUBLE)
+                    * CAST(a_conv * b_rest - a_rest * b_conv AS DOUBLE)
+                    / CAST(a_conv + a_rest AS DOUBLE)
+                    / CAST(b_conv + b_rest AS DOUBLE))
+                 * (CAST(a_conv * b_rest - a_rest * b_conv AS DOUBLE)
+                    / CAST(a_conv + b_conv AS DOUBLE)
+                    / CAST(a_rest + b_rest AS DOUBLE))) AS BIGINT)
+            > {AB_CHI2_95_MICRO}) AS significant
+    FROM cells
+    """,
+)
+def q_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test per event type — the
+    experimentation-platform primitive: users split into variants by
+    id parity, conversions = events above a value threshold, and the
+    2×2 contingency table scored with the chi-square statistic
+    N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) against the 95% critical value
+    (3.841459, 1 df).
+
+    Exactness without overflow: (ad−bc)²·N would leave int64 at large
+    SFs under ANSI mode, so the statistic is evaluated as a FIXED
+    left-associated chain of correctly-rounded double divisions of
+    exact integer cross-products — (N·(ad−bc)/(a+b)/(c+d)) ·
+    ((ad−bc)/(a+c)/(b+d)) — identical op order in both engines, then
+    ONE micro floor. The squared term appears as the product of the
+    two halves, each exactly representable (cross-products < 2^53).
+
+    Scale shape: one map-side-combined conditional aggregation over a
+    single scan — 4 counters per event type; the test itself is
+    arithmetic on a type-cardinality frame.
+    """
+    ev = _t(spark, sf_dir, "events")
+    va = F.col("user_id") % 2 == 0
+    conv = F.col("value") > AB_CONVERT_CENTS
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.when(va & conv, 1).otherwise(0)).cast("bigint").alias("a_conv"),
+        F.sum(F.when(va & ~conv, 1).otherwise(0)).cast("bigint").alias("a_rest"),
+        F.sum(F.when(~va & conv, 1).otherwise(0)).cast("bigint").alias("b_conv"),
+        F.sum(F.when(~va & ~conv, 1).otherwise(0)).cast("bigint").alias("b_rest"),
+    )
+    n = (
+        F.col("a_conv") + F.col("a_rest") + F.col("b_conv") + F.col("b_rest")
+    ).cast("double")
+    adbc = (
+        F.col("a_conv") * F.col("b_rest") - F.col("a_rest") * F.col("b_conv")
+    ).cast("double")
+    t1 = (
+        n
+        * adbc
+        / (F.col("a_conv") + F.col("a_rest")).cast("double")
+        / (F.col("b_conv") + F.col("b_rest")).cast("double")
+    )
+    t2 = (
+        adbc
+        / (F.col("a_conv") + F.col("b_conv")).cast("double")
+        / (F.col("a_rest") + F.col("b_rest")).cast("double")
+    )
+    chi2 = F.floor(F.lit(1000000.0) * t1 * t2).cast("bigint")
+    return cells.select(
+        "event_type",
+        "a_conv",
+        "a_rest",
+        "b_conv",
+        "b_rest",
+        chi2.alias("chi2_micro"),
+        (chi2 > AB_CHI2_95_MICRO).alias("significant"),
+    )

@@ -988,3 +988,92 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_cents_micro"),
     )
+
+
+# --- CUSUM change-point detection (closed form, exact integers) ----------
+
+CUSUM_K = 12  # alarm when S_t exceeds K * (n * mean) in scaled units
+
+
+@_register(
+    "q_cusum_changepoint",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s
+      FROM b GROUP BY 1
+    ),
+    d AS (
+      SELECT b.event_type, h, v, s,
+             SUM(n * v - s) OVER (PARTITION BY b.event_type ORDER BY h) AS c
+      FROM b JOIN st USING (event_type)
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS hour_epoch, v AS v_cents,
+           CAST(c - LEAST(0, MIN(c) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS cusum_scaled,
+           (CAST(c - LEAST(0, MIN(c) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS BIGINT) > {CUSUM_K} * s) AS alarm
+    FROM d
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection over the hourly per-type
+    value series — the drift monitor that catches slow upward shifts a
+    fixed z-score threshold (q_timeseries_anomaly) misses, because
+    deviations ACCUMULATE: S_t = max(0, S_{t-1} + (x_t − mean)).
+
+    The recursion is not window-expressible, but its closed form is:
+    S_t = C_t − min(0, min_{j≤t} C_j) with C the running sum of
+    deviations (the min INCLUDES the current row — at a new running
+    low the statistic resets to 0, exactly the recursion's max(0,·);
+    the pure-Python recursive replay in tests pins this) — one running
+    SUM plus one running MIN, both exact BIGINT (deviations are scaled
+    by n: n·v − Σv avoids the mean division entirely). Alarm when S exceeds K·(n·mean) = K·Σv — scaled units
+    keep the whole gate division-free. K=12 fires on real drift hours
+    at every SF while most rows stay quiet (non-vacuous both ways).
+
+    Scale shape: hourly pre-aggregation collapses the stream, then two
+    window functions share ONE sort per event_type; the per-type
+    scalars join broadcast. Same single-shuffle shape as q_ewma.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            _epoch_hour().alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    st = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    w_sum = Window.partitionBy("event_type").orderBy("h")
+    w_min = w_sum.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = b.join(F.broadcast(st), "event_type").select(
+        "event_type",
+        "h",
+        "v",
+        "s",
+        F.sum(F.col("n") * F.col("v") - F.col("s")).over(w_sum).alias("c"),
+    )
+    cusum = (
+        F.col("c") - F.least(F.lit(0).cast("bigint"), F.min("c").over(w_min))
+    ).cast("bigint")
+    return d.select(
+        "event_type",
+        F.col("h").cast("bigint").alias("hour_epoch"),
+        F.col("v").alias("v_cents"),
+        cusum.alias("cusum_scaled"),
+        (cusum > CUSUM_K * F.col("s")).alias("alarm"),
+    )

@@ -358,3 +358,89 @@ def test_twap_python_replay(spark, sf_dir):
         assert g.mean_cents_micro == math.floor(1000000.0 * float(vsum) / float(n))
         differs = differs or g.twap_cents_micro != g.mean_cents_micro
     assert differs
+
+
+def test_cusum_python_replay(spark, sf_dir):
+    """Triangulate q_cusum_changepoint: the recursive CUSUM definition
+    S_t = max(0, S_{t-1} + dev_t) replayed in Python must equal the
+    windowed closed form, with alarms and quiet rows both present."""
+    from apitap_spark.plans.timeseries import CUSUM_K, q_cusum_changepoint
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+        "value",
+    ).collect()
+    hourly = {}
+    for r in ev:
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        hourly[(r.event_type, r.h)] = hourly.get((r.event_type, r.h), 0) + cents
+    series = {}
+    for (et, h), v in hourly.items():
+        series.setdefault(et, []).append((h, v))
+    got = {
+        (r.event_type, r.hour_epoch): r
+        for r in q_cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hourly)
+    saw_alarm = saw_quiet = False
+    for et, pts in series.items():
+        pts.sort()
+        n, s = len(pts), sum(v for _, v in pts)
+        cusum = 0
+        for h, v in pts:
+            cusum = max(0, cusum + (n * v - s))
+            r = got[(et, h)]
+            assert (r.v_cents, r.cusum_scaled) == (v, cusum), (et, h)
+            assert r.alarm == (cusum > CUSUM_K * s)
+            saw_alarm |= r.alarm
+            saw_quiet |= not r.alarm
+    assert saw_quiet
+    if str(sf_dir).rstrip("/").endswith("sf0.01"):
+        assert saw_alarm
+
+
+def test_ab_chi2_python_replay(spark, sf_dir):
+    """Triangulate q_ab_test_chi2: exact contingency recount + the same
+    fixed-order float chain."""
+    import math
+
+    from apitap_spark.plans.relational6 import (
+        AB_CHI2_95_MICRO,
+        AB_CONVERT_CENTS,
+        q_ab_test_chi2,
+    )
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    cells = {}
+    for r in ev:
+        a, b, c, d = cells.get(r.event_type, (0, 0, 0, 0))
+        if r.user_id % 2 == 0:
+            if r.value > AB_CONVERT_CENTS:
+                a += 1
+            else:
+                b += 1
+        elif r.value > AB_CONVERT_CENTS:
+            c += 1
+        else:
+            d += 1
+        cells[r.event_type] = (a, b, c, d)
+    got = {r.event_type: r for r in q_ab_test_chi2(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for et, (a, b, c, d) in cells.items():
+        adbc = float(a * d - b * c)
+        t1 = float(a + b + c + d) * adbc / float(a + b) / float(c + d)
+        t2 = adbc / float(a + c) / float(b + d)
+        expect = math.floor(1000000.0 * t1 * t2)
+        r = got[et]
+        assert (r.a_conv, r.a_rest, r.b_conv, r.b_rest) == (a, b, c, d), et
+        assert r.chi2_micro == expect and r.chi2_micro >= 0
+        assert r.significant == (r.chi2_micro > AB_CHI2_95_MICRO)
