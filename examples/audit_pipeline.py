@@ -22,6 +22,9 @@ team reviews before spending compute on a training run:
     → shuffle-skew heavy keys    (quality.op_skew_key_audit)
     → join cardinality estimates (quality.op_join_cardinality_audit)
     → embedding dim profile      (quality.op_embedding_dim_profile)
+    → t-closeness distance       (quality.op_tcloseness_audit)
+    → embedding outlier sweep    (quality.op_embedding_outliers_mahalanobis)
+    → CUSUM drift alarms         (plans.timeseries.q_cusum_changepoint)
 
 Run:  python examples/audit_pipeline.py [sf_dir] [out_dir]
 
@@ -93,6 +96,12 @@ def build(spark, sf_dir: str, out_dir: str) -> int:
     from apitap_spark.operators.similarity import op_ann_mrr_audit
     from apitap_spark.operators.textclean import op_text_gopher_rules
 
+    from apitap_spark.operators.quality import (
+        op_embedding_outliers_mahalanobis as _op_maha,
+        op_tcloseness_audit as _op_tclose,
+    )
+    from apitap_spark.plans.timeseries import q_cusum_changepoint as _q_cusum
+
     rt = op_bpe_decode_roundtrip(spark, sf_dir)
     bad = rt.filter(F.col("n_roundtrip_ok") != F.col("n_docs")).count()
     rt.write.mode("overwrite").parquet(f"{out_dir}/decode_roundtrip")
@@ -127,6 +136,9 @@ def build(spark, sf_dir: str, out_dir: str) -> int:
         ("skew_keys", op_skew_key_audit(spark, sf_dir)),
         ("join_cardinality", op_join_cardinality_audit(spark, sf_dir)),
         ("embedding_dims", op_embedding_dim_profile(spark, sf_dir)),
+        ("tcloseness", _op_tclose(spark, sf_dir)),
+        ("embedding_outliers", _op_maha(spark, sf_dir)),
+        ("cusum_alarms", _q_cusum(spark, sf_dir).filter(F.col("alarm"))),
     ]:
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
         print(f"[info] {name}: {df.count()} rows -> {out_dir}/{name}")
