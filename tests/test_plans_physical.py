@@ -646,3 +646,80 @@ def test_dpo_pairs_two_window_sorts_one_partitioning(spark, sf_dir):
     p = _plan(op_sample_dpo_pairs(spark, sf_dir))
     assert "BatchEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rfm_collapses_before_global_sorts(spark, sf_dir):
+    """RFM: orders collapse to customer cardinality (partial agg) before
+    the NTILE sorts; the scalar ref date broadcasts."""
+    from apitap_spark.plans.relational6 import q_rfm_segmentation
+
+    p = _plan(q_rfm_segmentation(spark, sf_dir))
+    assert "partial_" in p  # map-side combine on the customer groupBy
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_basket_rules_broadcast_item_counts(spark, sf_dir):
+    """Basket rules: the pair self-join shuffles on the basket key once;
+    item counts and the rule join sides broadcast."""
+    from apitap_spark.operators.ml import op_basket_association_rules
+
+    p = _plan(op_basket_association_rules(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_twap_one_sort_reused_by_groupby(spark, sf_dir):
+    """TWAP: the lead() window and the groupBy share the event_type
+    hash partitioning — exactly one exchange in the plan."""
+    import re
+
+    from apitap_spark.plans.timeseries import q_time_weighted_avg
+
+    p = _plan(q_time_weighted_avg(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "partial_" in p  # final agg still partial/final
+
+
+def test_cusum_single_window_sort(spark, sf_dir):
+    """CUSUM: running sum + running min share ONE Window sort per
+    event_type; per-type scalars broadcast."""
+    from apitap_spark.plans.timeseries import q_cusum_changepoint
+
+    p = _plan(q_cusum_changepoint(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_ab_chi2_single_scan_single_aggregate(spark, sf_dir):
+    """Chi-square A/B: one scan, one partial/final aggregate, all four
+    cells as conditional sums — no joins, no Python."""
+    import re
+
+    from apitap_spark.plans.relational6 import q_ab_test_chi2
+
+    p = _plan(q_ab_test_chi2(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    assert "Join" not in p and "BatchEvalPython" not in p
+
+
+def test_tcloseness_grid_broadcasts(spark, sf_dir):
+    """t-closeness: everything after the (QI, sensitive) count is
+    broadcast-sized — the grid joins must all be broadcast."""
+    from apitap_spark.operators.quality import op_tcloseness_audit
+
+    p = _plan(op_tcloseness_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mahalanobis_takeordered_no_global_window(spark, sf_dir):
+    """Mahalanobis outliers: stats ride one aggregate, the fold is
+    JVM-side, and the top-K is TakeOrderedAndProject (never a
+    global-partition window over all vectors)."""
+    from apitap_spark.operators.quality import (
+        op_embedding_outliers_mahalanobis,
+    )
+
+    p = _plan(op_embedding_outliers_mahalanobis(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
