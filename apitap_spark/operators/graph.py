@@ -607,3 +607,135 @@ def op_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("node_share"),
     )
+
+
+# --- Link prediction (common-neighbor / Jaccard) -------------------------
+
+LINKPRED_TOP_K = 20
+
+_LINKPRED_ORACLE = f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+    cn AS (
+      SELECT a.u AS u, b.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT cn.u, cn.v, cn.cn, du.d + dv.d - cn.cn AS un
+      FROM cn
+      JOIN deg du ON du.node = cn.u
+      JOIN deg dv ON dv.node = cn.v
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+    )
+    SELECT u, v, cn AS common_neighbors, CAST(un AS BIGINT) AS union_size,
+           CAST(FLOOR(1000000.0 * CAST(cn AS DOUBLE) / CAST(un AS DOUBLE))
+                AS BIGINT) AS jaccard_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY FLOOR(1000000.0 * CAST(cn AS DOUBLE) / CAST(un AS DOUBLE))
+                   DESC, u, v) AS rk
+      FROM cand
+    ) WHERE rk <= {LINKPRED_TOP_K}
+"""
+
+
+@_register("op_graph_link_prediction", _LINKPRED_ORACLE)
+def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-activity graph — common-neighbor /
+    Jaccard scoring of NON-adjacent user pairs (the classic
+    Liben-Nowell–Kleinberg baseline behind friend-of-friend
+    recommendation and graph densification): pairs that share
+    neighbors but no edge, scored cn/(deg_u+deg_v−cn) in exact micro
+    units, top-K reported.
+
+    Scale shape: the candidate generation is the standard
+    triangle-closing join — neighbor lists self-joined THROUGH the
+    shared neighbor, so cost is Σ deg(w)² over hub nodes (the
+    bounded-degree construction caps deg), never |V|². The existing-
+    edge exclusion is a broadcast anti-join against the canonical
+    u<v edge list; degrees broadcast; top-K is TakeOrdered.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    ranked = grp.withColumn("rk", F.row_number().over(w))
+    a = ranked.select(
+        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
+    )
+    c = ranked.select(
+        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
+    )
+    e = (
+        a.join(c, ["b", "event_type"])
+        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # feeds und, the anti-join, and degrees
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    x = und.select(F.col("u").alias("cu"), F.col("v").alias("w"))
+    y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    cn = (
+        x.join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    cand = (
+        cn.join(e, ["u", "v"], "left_anti")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            (F.col("du") + F.col("dv") - F.col("cn")).cast("bigint").alias("un"),
+        )
+    )
+    jacc = F.floor(
+        F.lit(1000000.0) * F.col("cn").cast("double") / F.col("un").cast("double")
+    ).cast("bigint")
+    scored = cand.select(
+        "u",
+        "v",
+        F.col("cn").alias("common_neighbors"),
+        F.col("un").alias("union_size"),
+        jacc.alias("jaccard_micro"),
+    )
+    topk = scored.orderBy(
+        F.desc("jaccard_micro"), F.asc("u"), F.asc("v")
+    ).limit(LINKPRED_TOP_K)
+    w_rk = Window.orderBy(F.desc("jaccard_micro"), F.asc("u"), F.asc("v"))
+    return topk.withColumn(
+        "rk", F.row_number().over(w_rk).cast("bigint")
+    )

@@ -380,3 +380,82 @@ def op_trace_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("boolean")
         .alias("has_purchase"),
     )
+
+
+# --- First-order Markov journey model ------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n, o.n_from,
+           CAST(FLOOR(1000000.0 * CAST(t.n AS DOUBLE)
+                      / CAST(o.n_from AS DOUBLE)) AS BIGINT) AS prob_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY t.from_type
+                                   ORDER BY t.n DESC, t.to_type)
+                AS BIGINT) AS rk
+    FROM trans t JOIN tot o USING (from_type)
+"""
+
+
+@_register("op_markov_transitions", _MARKOV_ORACLE)
+def op_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user journeys — the event-type
+    transition matrix behind next-action prediction, funnel-dropout
+    diagnosis, and journey simulation: consecutive event pairs per
+    user (micro-precision ordering with event_id tiebreak — the
+    op_trace_assembly convention), row-normalized to transition
+    probabilities in exact micro units, ranked per source state.
+
+    Scale shape: ONE window sort per user computes successors (the
+    sessionization partitioning, reused); the transition matrix is
+    |states|² — the groupBy collapses the stream to a broadcast-sized
+    frame and every later join is on that tiny matrix.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    w_rk = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n").cast("double")
+                / F.col("n_from").cast("double")
+            )
+            .cast("bigint")
+            .alias("prob_micro"),
+            F.row_number().over(w_rk).cast("bigint").alias("rk"),
+        )
+    )

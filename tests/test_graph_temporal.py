@@ -444,3 +444,86 @@ def test_ab_chi2_python_replay(spark, sf_dir):
         assert (r.a_conv, r.a_rest, r.b_conv, r.b_rest) == (a, b, c, d), et
         assert r.chi2_micro == expect and r.chi2_micro >= 0
         assert r.significant == (r.chi2_micro > AB_CHI2_95_MICRO)
+
+
+def test_markov_transitions_python_recount(spark, sf_dir):
+    """Triangulate op_markov_transitions with a Python chain recount;
+    per-row probabilities must sum to ~1 per source state."""
+    import math
+
+    from apitap_spark.operators.temporal import op_markov_transitions
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    chains = {}
+    for r in ev:
+        chains.setdefault(r.user_id, []).append((r.us, r.event_id, r.event_type))
+    trans = {}
+    for rows in chains.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in trans.items():
+        totals[a] = totals.get(a, 0) + n
+    got = {(r.from_type, r.to_type): r for r in op_markov_transitions(spark, sf_dir).collect()}
+    assert set(got) == set(trans)
+    for (a, b), n in trans.items():
+        r = got[(a, b)]
+        assert (r.n, r.n_from) == (n, totals[a])
+        assert r.prob_micro == math.floor(1000000.0 * float(n) / float(totals[a]))
+    for a in totals:
+        s = sum(r.prob_micro for (x, _), r in got.items() if x == a)
+        assert 1_000_000 - len(totals) <= s <= 1_000_000  # floors sum just under 1
+
+
+def test_link_prediction_python_recount(spark, sf_dir):
+    """Triangulate op_graph_link_prediction: adjacency recount of
+    common-neighbor Jaccard over non-edges."""
+    import math
+
+    from apitap_spark.operators.graph import (
+        LINKPRED_TOP_K,
+        TRI_NEXT_K,
+        op_graph_link_prediction,
+    )
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct().collect()
+    buckets = {}
+    for r in ev:
+        buckets.setdefault((r.b, r.event_type), []).append(r.user_id)
+    edges = set()
+    for members in buckets.values():
+        members.sort()
+        for i, u in enumerate(members):
+            for v in members[i + 1 : i + 1 + TRI_NEXT_K]:
+                edges.add((u, v))
+    nbrs = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    scores = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if cn:
+                un = len(nbrs[u]) + len(nbrs[v]) - cn
+                scores[(u, v)] = (
+                    cn,
+                    un,
+                    math.floor(1000000.0 * float(cn) / float(un)),
+                )
+    expect = sorted(scores, key=lambda p: (-scores[p][2], p))[:LINKPRED_TOP_K]
+    got = sorted(op_graph_link_prediction(spark, sf_dir).collect(), key=lambda r: r.rk)
+    assert [(r.u, r.v) for r in got] == expect
+    for r in got:
+        cn, un, jm = scores[(r.u, r.v)]
+        assert (r.common_neighbors, r.union_size, r.jaccard_micro) == (cn, un, jm)
