@@ -527,3 +527,47 @@ def test_link_prediction_python_recount(spark, sf_dir):
     for r in got:
         cn, un, jm = scores[(r.u, r.v)]
         assert (r.common_neighbors, r.union_size, r.jaccard_micro) == (cn, un, jm)
+
+
+def test_seasonal_anomaly_python_recount(spark, sf_dir):
+    """Triangulate q_seasonal_anomaly: integer moment recount per
+    (type, hour-of-day) slot; anomalies sparse but present at sf0.01."""
+    from apitap_spark.plans.timeseries import SEASONAL_Z, q_seasonal_anomaly
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+        "value",
+    ).collect()
+    hourly = {}
+    for r in ev:
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        hourly[(r.event_type, r.h)] = hourly.get((r.event_type, r.h), 0) + cents
+    slots = {}
+    for (et, h), v in hourly.items():
+        n, s, q = slots.get((et, h % 24), (0, 0, 0))
+        slots[(et, h % 24)] = (n + 1, s + v, q + v * v)
+    got = {
+        (r.event_type, r.hour_epoch): r
+        for r in q_seasonal_anomaly(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hourly)
+    n_anom = 0
+    for (et, h), v in hourly.items():
+        n, s, q = slots[(et, h % 24)]
+        dev2 = (n * v - s) ** 2
+        thr = SEASONAL_Z * SEASONAL_Z * (n * q - s * s)
+        r = got[(et, h)]
+        assert (r.v_cents, r.dev2_scaled, r.threshold_scaled) == (v, dev2, thr)
+        assert r.is_anomaly == (dev2 > thr)
+        n_anom += r.is_anomaly
+    assert n_anom < len(hourly) // 20  # sparse by construction
+    if str(sf_dir).rstrip("/").endswith("sf0.01"):
+        assert n_anom > 0

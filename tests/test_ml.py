@@ -407,3 +407,70 @@ def test_rfm_segmentation_python_replay(spark, sf_dir):
         assert g.segment == exp, k
         segs.add(exp)
     assert len(segs) >= 3  # the segmentation actually discriminates
+
+
+def test_zorder_audit_python_replay(spark, sf_dir):
+    """Triangulate op_zorder_layout_audit: Python Morton/ntile/zone-map
+    replay, and Z-order must beat the linear layout on the box query."""
+    from apitap_spark.operators.quality import (
+        ZORDER_BOX_DEN,
+        ZORDER_BOX_NUM,
+        ZORDER_FILES,
+        op_zorder_layout_audit,
+    )
+    from apitap_spark.session import read_table
+
+    rows = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("long").alias("sec")
+    ).collect()
+    recs = [
+        (r.o_custkey & 65535, (r.sec // 86400) & 65535, r.o_orderkey)
+        for r in rows
+    ]
+
+    def morton(ck, d):
+        z = 0
+        for i in range(16):
+            z += ((ck >> i) & 1) << (2 * i)
+            z += ((d >> i) & 1) << (2 * i + 1)
+        return z
+
+    cks = [c for c, _, _ in recs]
+    ds = [d for _, d, _ in recs]
+    cklo = min(cks) + (max(cks) - min(cks)) * ZORDER_BOX_NUM // ZORDER_BOX_DEN
+    ckhi = min(cks) + (max(cks) - min(cks)) * (ZORDER_BOX_NUM + 1) // ZORDER_BOX_DEN
+    dlo = min(ds) + (max(ds) - min(ds)) * ZORDER_BOX_NUM // ZORDER_BOX_DEN
+    dhi = min(ds) + (max(ds) - min(ds)) * (ZORDER_BOX_NUM + 1) // ZORDER_BOX_DEN
+
+    def ntile_files(order_key):
+        srt = sorted(recs, key=order_key)
+        n = len(srt)
+        files, start = [], 0
+        for t in range(ZORDER_FILES):
+            size = n // ZORDER_FILES + (1 if t < n % ZORDER_FILES else 0)
+            files.append(srt[start : start + size])
+            start += size
+        return files
+
+    expect = {}
+    for name, key in (
+        ("zorder", lambda r: (morton(r[0], r[1]), r[2])),
+        ("linear", lambda r: (r[0], r[2])),
+    ):
+        scanned = rows_sc = 0
+        files = ntile_files(key)
+        for fr in files:
+            if not fr:
+                continue
+            a, b = min(c for c, _, _ in fr), max(c for c, _, _ in fr)
+            c2, d2 = min(d for _, d, _ in fr), max(d for _, d, _ in fr)
+            if a <= ckhi and b >= cklo and c2 <= dhi and d2 >= dlo:
+                scanned += 1
+                rows_sc += len(fr)
+        expect[name] = (ZORDER_FILES, scanned, rows_sc, len(recs))
+    got = {
+        r.layout: (r.n_files, r.files_scanned, r.rows_scanned, r.total_rows)
+        for r in op_zorder_layout_audit(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got["zorder"][2] < got["linear"][2]  # z-order prunes more rows
