@@ -1307,3 +1307,111 @@ def op_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micro"),
         )
     )
+
+
+# --- OLS linear trend (closed form, exact cross-products) ----------------
+
+_TREND_ORACLE = """
+    WITH b AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, y,
+             h - MIN(h) OVER (PARTITION BY event_type) AS x
+      FROM b
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM x GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_micro,
+           CAST(FLOOR(1000000.0 * CAST(sy * sxx - sx * sxy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS intercept_micro,
+           CAST(FLOOR(1000000.0
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * syy - sy * sy AS DOUBLE)) AS BIGINT)
+             AS r2_micro
+    FROM m
+"""
+
+
+@_register("op_ml_linear_trend", _TREND_ORACLE)
+def op_ml_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS linear trend — the closed-form regression that
+    anchors forecasting/capacity dashboards (next to the Newton-trained
+    classifier in op_ml_logreg_quality): slope, intercept, and R² of
+    hourly value against the hour index, per event type.
+
+    Exactness: x recenters to hours-since-series-start (keeps every
+    cross-product inside int64 under ANSI), the five moments are exact
+    BIGINT sums, and slope/intercept/R² are closed forms —
+    (nΣxy−ΣxΣy)/(nΣxx−Σx²), (ΣyΣxx−ΣxΣxy)/(nΣxx−Σx²),
+    slope·(nΣxy−ΣxΣy)/(nΣyy−Σy²) — each evaluated in ONE fixed
+    left-associated chain of correctly-rounded double divisions and
+    floored ONCE to micro units. R² needs num² ~ 1e29 which overflows
+    int64, so it stays a product of two exact-integer ratios instead.
+
+    Scale shape: hourly pre-aggregation, a per-type MIN window on the
+    collapsed frame, then one map-side-combined moment aggregate —
+    series count, not corpus size, bounds the regression itself.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").cast("bigint").alias("y"))
+    )
+    x = b.select(
+        "event_type",
+        "y",
+        (
+            F.col("h")
+            - F.min("h").over(Window.partitionBy("event_type"))
+        ).alias("x"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    iden = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
+    sden = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias(
+            "slope_micro"
+        ),
+        F.floor(F.lit(1000000.0) * iden / den).cast("bigint").alias(
+            "intercept_micro"
+        ),
+        F.floor(F.lit(1000000.0) * num / den * num / sden)
+        .cast("bigint")
+        .alias("r2_micro"),
+    )

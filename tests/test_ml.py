@@ -474,3 +474,60 @@ def test_zorder_audit_python_replay(spark, sf_dir):
     }
     assert got == expect
     assert got["zorder"][2] < got["linear"][2]  # z-order prunes more rows
+
+
+def test_linear_trend_python_replay(spark, sf_dir):
+    """Triangulate op_ml_linear_trend: numpy lstsq must agree with the
+    closed form to float precision, and the exact integer moments must
+    match a Python recount bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from apitap_spark.operators.ml import op_ml_linear_trend
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+        "value",
+    ).collect()
+    hourly = {}
+    for r in ev:
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        hourly[(r.event_type, r.h)] = hourly.get((r.event_type, r.h), 0) + cents
+    series = {}
+    for (et, h), y in hourly.items():
+        series.setdefault(et, []).append((h, y))
+    got = {r.event_type: r for r in op_ml_linear_trend(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        h0 = min(h for h, _ in pts)
+        xs = [h - h0 for h, _ in pts]
+        ys = [y for _, y in pts]
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        syy = sum(v * v for v in ys)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = got[et]
+        assert r.n == n
+        assert r.slope_micro == math.floor(1000000.0 * float(num) / float(den))
+        assert r.intercept_micro == math.floor(
+            1000000.0 * float(sy * sxx - sx * sxy) / float(den)
+        )
+        assert r.r2_micro == math.floor(
+            1000000.0 * float(num) / float(den) * float(num)
+            / float(n * syy - sy * sy)
+        )
+        slope_np, icept_np = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        assert abs(r.slope_micro / 1e6 - slope_np) < 1e-3 * max(1.0, abs(slope_np))
+        assert abs(r.intercept_micro / 1e6 - icept_np) < 1e-2 * max(1.0, abs(icept_np))
+        assert 0 <= r.r2_micro <= 1_000_000
