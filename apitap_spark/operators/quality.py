@@ -1306,3 +1306,87 @@ def op_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("total_rows"),
         )
     )
+
+
+# --- Right-to-erasure impact audit (GDPR cascade planning) ---------------
+
+ERASURE_MOD = 97  # principals to erase: id % ERASURE_MOD == 0
+
+_ERASURE_ORACLE = f"""
+    WITH aff_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey % {ERASURE_MOD} = 0
+    )
+    SELECT 'events' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN user_id % {ERASURE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_affected
+    FROM events
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c_custkey % {ERASURE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey % {ERASURE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM aff_orders)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+"""
+
+
+@_register("op_erasure_impact", _ERASURE_ORACLE)
+def op_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) impact audit — the deletion
+    PLANNER's evidence table, completing the privacy family
+    (PII scrub → k-anon/l-div/t-closeness → erasure): given a
+    deterministic principal set (id % ERASURE_MOD == 0 stands in for
+    the deletion-request list), count the blast radius per table,
+    including the FK CASCADE one hop down (lineitems of affected
+    orders). A real deletion job diffs these counts after running to
+    prove completeness.
+
+    Scale shape: direct tables are single-scan conditional aggregates
+    (the predicate is row-local modular arithmetic — no set
+    materialization, no shuffle); the cascade table probes the
+    affected-orders key list, which Spark plans as a broadcast/bloom
+    semi-probe into the lineitem scan. Output is one row per table.
+    """
+    direct = []
+    for tbl, key in (
+        ("events", "user_id"),
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+    ):
+        direct.append(
+            read_table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("table_name"),
+                F.count("*").cast("bigint").alias("rows_total"),
+                F.sum(
+                    (F.col(key) % ERASURE_MOD == 0).cast("int")
+                ).cast("bigint").alias("rows_affected"),
+            )
+        )
+    orders = read_table(spark, sf_dir, "orders")
+    aff_orders = orders.filter(
+        F.col("o_custkey") % ERASURE_MOD == 0
+    ).select("o_orderkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    hit = li.join(
+        F.broadcast(aff_orders),
+        li.l_orderkey == aff_orders.o_orderkey,
+        "left_semi",
+    ).count()
+    casc = li.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("rows_total"),
+        F.lit(hit).cast("bigint").alias("rows_affected"),
+    )
+    out = direct[0]
+    for d in direct[1:]:
+        out = out.unionByName(d)
+    return out.unionByName(casc)

@@ -459,3 +459,72 @@ def op_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rk).cast("bigint").alias("rk"),
         )
     )
+
+
+# --- Top-K user journey paths --------------------------------------------
+
+PATH_MAX_EVENTS = 8
+PATH_TOP_K = 10
+
+_PATHS_ORACLE = f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rk
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM ranked WHERE rk <= {PATH_MAX_EVENTS} GROUP BY user_id
+    ),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths GROUP BY 1
+    )
+    SELECT path, n_users, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_users DESC, path) AS rk
+      FROM counted
+    ) WHERE rk <= {PATH_TOP_K}
+"""
+
+
+@_register("op_journey_paths", _PATHS_ORACLE)
+def op_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K user journey paths — the full-sequence complement to
+    op_markov_transitions' one-step matrix: each user's first
+    PATH_MAX_EVENTS event types joined in time order (micro-precision
+    + event_id tiebreak) into a path string, counted across users,
+    top-K reported. This is the journey-mining table behind "most
+    common first sessions" product dashboards.
+
+    Scale shape: one window sort per user (WindowGroupLimit prunes at
+    rk <= PATH_MAX_EVENTS before the aggregation), an ordered
+    array_sort fold per user — NOT collect_list order (never
+    guaranteed under AQE) — and a path-cardinality count; the top-K is
+    TakeOrdered on the counted frame.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= PATH_MAX_EVENTS)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    topk = counted.orderBy(F.desc("n_users"), F.asc("path")).limit(PATH_TOP_K)
+    w_rk = Window.orderBy(F.desc("n_users"), F.asc("path"))
+    return topk.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))

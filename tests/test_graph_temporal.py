@@ -571,3 +571,55 @@ def test_seasonal_anomaly_python_recount(spark, sf_dir):
     assert n_anom < len(hourly) // 20  # sparse by construction
     if str(sf_dir).rstrip("/").endswith("sf0.01"):
         assert n_anom > 0
+
+
+def test_erasure_impact_python_recount(spark, sf_dir):
+    """Triangulate op_erasure_impact: direct recount of the blast
+    radius per table, including the lineitem cascade."""
+    from apitap_spark.operators.quality import ERASURE_MOD, op_erasure_impact
+    from apitap_spark.session import read_table
+
+    got = {
+        r.table_name: (r.rows_total, r.rows_affected)
+        for r in op_erasure_impact(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").collect()
+    cu = read_table(spark, sf_dir, "customer").collect()
+    orders = read_table(spark, sf_dir, "orders").collect()
+    li = read_table(spark, sf_dir, "lineitem").collect()
+    aff_orders = {r.o_orderkey for r in orders if r.o_custkey % ERASURE_MOD == 0}
+    expect = {
+        "events": (len(ev), sum(r.user_id % ERASURE_MOD == 0 for r in ev)),
+        "customer": (len(cu), sum(r.c_custkey % ERASURE_MOD == 0 for r in cu)),
+        "orders": (len(orders), len(aff_orders)),
+        "lineitem": (len(li), sum(r.l_orderkey in aff_orders for r in li)),
+    }
+    assert got == expect
+    assert all(a > 0 for _, a in got.values())  # non-vacuous blast radius
+
+
+def test_journey_paths_python_recount(spark, sf_dir):
+    """Triangulate op_journey_paths with a Python sequence recount."""
+    from apitap_spark.operators.temporal import (
+        PATH_MAX_EVENTS,
+        PATH_TOP_K,
+        op_journey_paths,
+    )
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    chains = {}
+    for r in ev:
+        chains.setdefault(r.user_id, []).append((r.us, r.event_id, r.event_type))
+    counts = {}
+    for rows in chains.values():
+        rows.sort()
+        path = ">".join(t for _, _, t in rows[:PATH_MAX_EVENTS])
+        counts[path] = counts.get(path, 0) + 1
+    expect = sorted(counts, key=lambda p: (-counts[p], p))[:PATH_TOP_K]
+    got = sorted(op_journey_paths(spark, sf_dir).collect(), key=lambda r: r.rk)
+    assert [r.path for r in got] == expect
+    for r in got:
+        assert r.n_users == counts[r.path]
