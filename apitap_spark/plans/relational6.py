@@ -436,3 +436,96 @@ def q_ab_test_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_micro"),
         (chi2 > AB_CHI2_95_MICRO).alias("significant"),
     )
+
+
+@_register(
+    "q_cohort_ltv",
+    """
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+    sizes AS (
+      SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM cohort GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.m0, om.m - c.m0 AS age,
+             CAST(SUM(om.cents) AS BIGINT) AS rev_cents,
+             CAST(COUNT(DISTINCT om.o_custkey) AS BIGINT) AS active_users
+      FROM om JOIN cohort c USING (o_custkey) GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT m0, age, rev_cents, active_users,
+             CAST(SUM(rev_cents) OVER (PARTITION BY m0 ORDER BY age)
+                  AS BIGINT) AS cum_rev_cents
+      FROM rev
+    )
+    SELECT cum.m0 AS cohort_month, CAST(cum.age AS BIGINT) AS age,
+           rev_cents, active_users, cum_rev_cents, s.cohort_users,
+           CAST(FLOOR(1000.0 * CAST(cum_rev_cents AS DOUBLE)
+                      / CAST(s.cohort_users AS DOUBLE)) AS BIGINT)
+             AS ltv_milli_cents
+    FROM cum JOIN sizes s ON s.m0 = cum.m0
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the revenue deepening of q_retention_cohorts'
+    activity counts: customers cohorted by first-order month, each
+    cohort's revenue tracked by age (months since acquisition) as both
+    the per-age increment and the running cumulative, normalized to
+    lifetime value per acquired user (milli-cents, one floored
+    division). This is the payback-period table every growth dashboard
+    is built on.
+
+    Exactness: months are integer year*12+month (identical calendar
+    fields on the normalized timestamps both engines), money is exact
+    cents, the cumulative is a BIGINT running sum over the tiny
+    (cohort, age) frame, and the only division happens once at the
+    end.
+
+    Scale shape: first-order month is one groupBy over orders; the
+    cohort join is broadcast (customer-cardinality keyed); the
+    (cohort, age) matrix and its window are dimension-sized.
+    """
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    cohort = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = cohort.groupBy("m0").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        om.join(cohort, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+            F.countDistinct("o_custkey").cast("bigint").alias("active_users"),
+        )
+    )
+    w = Window.partitionBy("m0").orderBy("age")
+    cum = rev.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(sizes), "m0").select(
+        F.col("m0").alias("cohort_month"),
+        F.col("age").cast("bigint").alias("age"),
+        "rev_cents",
+        "active_users",
+        "cum_rev_cents",
+        "cohort_users",
+        F.floor(
+            F.lit(1000.0)
+            * F.col("cum_rev_cents").cast("double")
+            / F.col("cohort_users").cast("double")
+        )
+        .cast("bigint")
+        .alias("ltv_milli_cents"),
+    )

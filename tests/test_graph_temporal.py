@@ -623,3 +623,52 @@ def test_journey_paths_python_recount(spark, sf_dir):
     assert [r.path for r in got] == expect
     for r in got:
         assert r.n_users == counts[r.path]
+
+
+def test_cohort_ltv_python_recount(spark, sf_dir):
+    """Triangulate q_cohort_ltv with a Python cohort/age recount;
+    cumulative must be monotone per cohort."""
+    import math
+
+    from apitap_spark.plans.relational6 import q_cohort_ltv
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("mo"), "o_totalprice"
+    ).collect()
+    om = []
+    for r in o:
+        cents = int(
+            decimal.Decimal(repr(r.o_totalprice * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        om.append((r.o_custkey, r.y * 12 + r.mo, cents))
+    m0 = {}
+    for ck, m, _ in om:
+        m0[ck] = min(m0.get(ck, m), m)
+    sizes = {}
+    for ck, c0 in m0.items():
+        sizes[c0] = sizes.get(c0, 0) + 1
+    rev, active = {}, {}
+    for ck, m, cents in om:
+        key = (m0[ck], m - m0[ck])
+        rev[key] = rev.get(key, 0) + cents
+        active.setdefault(key, set()).add(ck)
+    got = {(r.cohort_month, r.age): r for r in q_cohort_ltv(spark, sf_dir).collect()}
+    assert set(got) == set(rev)
+    for c0 in sizes:
+        ages = sorted(a for (c, a) in rev if c == c0)
+        cum = 0
+        prev_ltv = -1
+        for a in ages:
+            cum += rev[(c0, a)]
+            r = got[(c0, a)]
+            assert (r.rev_cents, r.active_users) == (rev[(c0, a)], len(active[(c0, a)]))
+            assert (r.cum_rev_cents, r.cohort_users) == (cum, sizes[c0])
+            assert r.ltv_milli_cents == math.floor(1000.0 * float(cum) / float(sizes[c0]))
+            assert r.ltv_milli_cents >= prev_ltv  # LTV curves never decrease
+            prev_ltv = r.ltv_milli_cents
