@@ -1415,3 +1415,122 @@ def op_ml_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r2_micro"),
     )
+
+
+# --- Two-sample Kolmogorov-Smirnov test (exact integer ECDFs) ------------
+
+_KS_ORACLE = """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+             user_id % 2 AS g
+      FROM events
+    ),
+    n AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM v GROUP BY 1
+    ),
+    pts AS (
+      SELECT event_type, x,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM v GROUP BY 1, 2
+    ),
+    ecdf AS (
+      SELECT event_type, x,
+             CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY x)
+                  AS BIGINT) AS ia,
+             CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY x)
+                  AS BIGINT) AS ib
+      FROM pts
+    ),
+    d AS (
+      SELECT e.event_type,
+             CAST(MAX(ABS(ia * nb - ib * na)) AS BIGINT) AS d_num,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM ecdf e JOIN n ON n.event_type = e.event_type
+      GROUP BY 1
+    )
+    SELECT event_type, na, nb, d_num,
+           CAST(FLOOR(1000000.0 * CAST(d_num AS DOUBLE)
+                      / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE))
+                AS BIGINT) AS d_micro,
+           (CAST(d_num AS DOUBLE) / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE)
+            > 1.36 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na AS DOUBLE)
+                          / CAST(nb AS DOUBLE))) AS significant
+    FROM d
+"""
+
+
+@_register("op_ab_test_ks", _KS_ORACLE)
+def op_ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per event type — the
+    DISTRIBUTION-shift complement to q_ab_test_chi2's proportion test:
+    D = max |ECDF_A − ECDF_B| between the id-parity variants, against
+    the α=0.05 critical value 1.36·√((n+m)/nm).
+
+    Exact ECDFs without sorting row-at-a-time: values collapse to
+    per-value counts, a single windowed running sum per variant builds
+    both ECDFs on the distinct-value frame, and the sup-gap clears to
+    max |i·m − j·n| — exact BIGINT cross-products. The final D and the
+    critical-value compare use fixed left-associated chains (sqrt is
+    correctly-rounded IEEE, unlike pow/ln — the repo-wide rule).
+
+    Scale shape: one conditional count per (type, value), ONE window
+    sort per type over distinct values (not raw rows), one max-
+    aggregate. The heavy stream collapses before any sort.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        (F.col("user_id") % 2).alias("g"),
+    )
+    n = v.groupBy("event_type").agg(
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("na"),
+        F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("nb"),
+    )
+    pts = v.groupBy("event_type", "x").agg(
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("ca"),
+        F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("cb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    ecdf = pts.select(
+        "event_type",
+        F.sum("ca").over(w).cast("bigint").alias("ia"),
+        F.sum("cb").over(w).cast("bigint").alias("ib"),
+    )
+    d = (
+        ecdf.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.abs(F.col("ia") * F.col("nb") - F.col("ib") * F.col("na"))
+            )
+            .cast("bigint")
+            .alias("d_num"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    dd = (
+        F.col("d_num").cast("double")
+        / F.col("na").cast("double")
+        / F.col("nb").cast("double")
+    )
+    crit = F.lit(1.36) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double")
+        / F.col("na").cast("double")
+        / F.col("nb").cast("double")
+    )
+    return d.select(
+        "event_type",
+        "na",
+        "nb",
+        "d_num",
+        F.floor(F.lit(1000000.0) * dd).cast("bigint").alias("d_micro"),
+        (dd > crit).alias("significant"),
+    )

@@ -529,3 +529,37 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_milli_cents"),
     )
+
+
+_NULLS_ORDER_SQL = """
+    WITH s AS (
+      SELECT o_orderpriority, o_orderkey,
+             LEAD(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+               AS next_cents
+      FROM {orders} WHERE o_custkey <= 100
+    )
+    SELECT o_orderpriority, o_orderkey, next_cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY next_cents ASC NULLS FIRST, o_orderkey)
+                AS BIGINT) AS rk_nulls_first,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY next_cents DESC NULLS LAST, o_orderkey)
+                AS BIGINT) AS rk_nulls_last
+    FROM s
+"""
+
+
+@_register("q_nulls_ordering", _NULLS_ORDER_SQL.format(orders="orders"))
+def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST sort ordering (SQL:2003) —
+    IDENTICAL statement text both engines, on a genuinely nullable
+    column (LEAD at each partition tail). This surface is a real
+    portability trap: Spark's ascending default is NULLS FIRST while
+    DuckDB/Postgres default to NULLS LAST, so any query relying on the
+    default silently reorders between engines — the gate pins the
+    EXPLICIT modifiers as the engine-portable form (repo rule: never
+    depend on null-ordering defaults).
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_no_orders")
+    return spark.sql(_NULLS_ORDER_SQL.format(orders="_no_orders"))

@@ -531,3 +531,44 @@ def test_linear_trend_python_replay(spark, sf_dir):
         assert abs(r.slope_micro / 1e6 - slope_np) < 1e-3 * max(1.0, abs(slope_np))
         assert abs(r.intercept_micro / 1e6 - icept_np) < 1e-2 * max(1.0, abs(icept_np))
         assert 0 <= r.r2_micro <= 1_000_000
+
+
+def test_ks_test_python_replay(spark, sf_dir):
+    """Triangulate op_ab_test_ks against scipy-free Python ECDF replay."""
+    import math
+
+    from apitap_spark.operators.ml import op_ab_test_ks
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    samples = {}
+    for r in ev:
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        samples.setdefault(r.event_type, ([], []))[r.user_id % 2].append(cents)
+    got = {r.event_type: r for r in op_ab_test_ks(spark, sf_dir).collect()}
+    assert set(got) == set(samples)
+    for et, (a, b) in samples.items():
+        a.sort()
+        b.sort()
+        na, nb = len(a), len(b)
+        import bisect
+
+        d_num = 0
+        for x in sorted(set(a) | set(b)):
+            ia = bisect.bisect_right(a, x)
+            ib = bisect.bisect_right(b, x)
+            d_num = max(d_num, abs(ia * nb - ib * na))
+        r = got[et]
+        assert (r.na, r.nb, r.d_num) == (na, nb, d_num), et
+        assert r.d_micro == math.floor(
+            1000000.0 * float(d_num) / float(na) / float(nb)
+        )
+        dd = float(d_num) / float(na) / float(nb)
+        crit = 1.36 * math.sqrt(float(na + nb) / float(na) / float(nb))
+        assert r.significant == (dd > crit)
