@@ -1390,3 +1390,88 @@ def op_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in direct[1:]:
         out = out.unionByName(d)
     return out.unionByName(casc)
+
+
+# --- Benford first-digit audit (fraud / synthetic-data QA) ---------------
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9 — fixed literals shared by both
+# engines, so no log() ever executes inside an oracle-checked expression.
+BENFORD_MICRO = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def _benford_cases() -> str:
+    return " ".join(
+        f"WHEN first_digit = {d} THEN {BENFORD_MICRO[d - 1]}"
+        for d in range(1, 10)
+    )
+
+
+_BENFORD_ORACLE = f"""
+    WITH x AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM events WHERE value > 0
+    ),
+    c AS (
+      SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM x GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT first_digit, n_obs,
+           CAST(FLOOR(1000000.0 * CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE))
+                AS BIGINT) AS share_micro,
+           CAST(CASE {_benford_cases()} END AS BIGINT)
+             AS benford_micro,
+           CAST(FLOOR(1000000.0 * CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE))
+                - CASE {_benford_cases()} END AS BIGINT)
+             AS diff_micro
+    FROM c CROSS JOIN t
+"""
+
+
+@_register("op_benford_audit", _BENFORD_ORACLE)
+def op_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over event values — the classic
+    fabricated-data / synthetic-distribution detector: observed
+    first-digit shares of the cent amounts against Benford's law,
+    with the per-digit deviation. (This corpus's uniform-ish synthetic
+    values deviate hard from Benford — exactly the signal the audit
+    exists to raise; natural transaction data tracks the law.)
+
+    The Benford expectations log10(1+1/d) are FIXED micro literals
+    shared by both engines (the repo-wide no-log()-in-oracles rule);
+    first digits come from the decimal string head (identical
+    bigint-to-string rendering both engines); shares floor once.
+
+    Scale shape: a one-column projection, a 9-group map-side-combined
+    count, a broadcast scalar total. One scan, nothing else.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    x = ev.select(
+        F.substring(
+            F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    c = x.groupBy("first_digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    share = F.floor(
+        F.lit(1000000.0)
+        * F.col("n_obs").cast("double")
+        / F.col("n").cast("double")
+    ).cast("bigint")
+    benford = F.element_at(
+        F.array(*[F.lit(v) for v in BENFORD_MICRO]),
+        F.col("first_digit").cast("int"),
+    ).cast("bigint")
+    return c.crossJoin(F.broadcast(t)).select(
+        "first_digit",
+        "n_obs",
+        share.alias("share_micro"),
+        benford.alias("benford_micro"),
+        (share - benford).cast("bigint").alias("diff_micro"),
+    )

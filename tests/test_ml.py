@@ -572,3 +572,39 @@ def test_ks_test_python_replay(spark, sf_dir):
         dd = float(d_num) / float(na) / float(nb)
         crit = 1.36 * math.sqrt(float(na + nb) / float(na) / float(nb))
         assert r.significant == (dd > crit)
+
+
+def test_benford_audit_python_recount(spark, sf_dir):
+    """Triangulate op_benford_audit: Python first-digit recount against
+    the fixed micro literals; shares must sum to ~1."""
+    import math
+
+    from apitap_spark.operators.quality import BENFORD_MICRO, op_benford_audit
+    from apitap_spark.session import read_table
+
+    import decimal
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    counts = {}
+    for r in ev:
+        if r.value <= 0:
+            continue
+        cents = int(
+            decimal.Decimal(repr(r.value * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        d = int(str(cents)[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = sum(counts.values())
+    got = {r.first_digit: r for r in op_benford_audit(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        r = got[d]
+        share = math.floor(1000000.0 * float(c) / float(n))
+        assert (r.n_obs, r.share_micro) == (c, share), d
+        assert r.benford_micro == BENFORD_MICRO[d - 1]
+        assert r.diff_micro == share - BENFORD_MICRO[d - 1]
+        exact = math.floor(1000000 * math.log10(1 + 1 / d))
+        assert abs(r.benford_micro - exact) <= 1  # literals match the law
+    assert 1_000_000 - 9 <= sum(r.share_micro for r in got.values()) <= 1_000_000
