@@ -1458,7 +1458,12 @@ def op_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = x.groupBy("first_digit").agg(
         F.count("*").cast("bigint").alias("n_obs")
     )
-    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    # total as a window over the 9-row aggregate — a second aggregate
+    # branch would re-execute the scan (plan-asserted single scan)
+    c = c.withColumn(
+        "n",
+        F.sum("n_obs").over(Window.partitionBy(F.lit(1))).cast("bigint"),
+    )
     share = F.floor(
         F.lit(1000000.0)
         * F.col("n_obs").cast("double")
@@ -1468,7 +1473,7 @@ def op_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(v) for v in BENFORD_MICRO]),
         F.col("first_digit").cast("int"),
     ).cast("bigint")
-    return c.crossJoin(F.broadcast(t)).select(
+    return c.select(
         "first_digit",
         "n_obs",
         share.alias("share_micro"),

@@ -723,3 +723,88 @@ def test_mahalanobis_takeordered_no_global_window(spark, sf_dir):
     p = _plan(op_embedding_outliers_mahalanobis(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_markov_window_and_matrix_broadcast(spark, sf_dir):
+    """Markov: one window sort per user; the transition matrix joins
+    its row totals broadcast; no Python."""
+    from apitap_spark.operators.temporal import op_markov_transitions
+
+    p = _plan(op_markov_transitions(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_journey_paths_window_group_limit(spark, sf_dir):
+    """Journey paths: the first-N truncation must prune below the
+    per-user window sort (WindowGroupLimit), and the top-K is
+    TakeOrdered."""
+    from apitap_spark.operators.temporal import op_journey_paths
+
+    p = _plan(op_journey_paths(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_seasonal_anomaly_broadcast_slots(spark, sf_dir):
+    """Seasonal anomaly: (type, hod) stats join back broadcast onto the
+    checkpointed hourly frame; the gate is division-free (no doubles
+    in the projection)."""
+    from apitap_spark.plans.timeseries import q_seasonal_anomaly
+
+    p = _plan(q_seasonal_anomaly(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_linear_trend_single_moment_aggregate(spark, sf_dir):
+    """OLS trend: the five moments ride ONE partial/final aggregate
+    after the per-type MIN window."""
+    from apitap_spark.operators.ml import op_ml_linear_trend
+
+    p = _plan(op_ml_linear_trend(spark, sf_dir))
+    assert "partial_sum" in p
+    assert "Join" not in p  # recentering is a window, never a self-join
+
+
+def test_ks_window_on_distinct_values_only(spark, sf_dir):
+    """KS: the ECDF window sorts the per-(type, value) collapsed frame,
+    with map-side partial counts before it; totals broadcast."""
+    from apitap_spark.operators.ml import op_ab_test_ks
+
+    p = _plan(op_ab_test_ks(spark, sf_dir))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_cohort_ltv_broadcast_sizes(spark, sf_dir):
+    """Cohort LTV: cohort sizes and the (cohort, age) matrix stay
+    broadcast-sized after the orders groupBys."""
+    from apitap_spark.plans.relational6 import q_cohort_ltv
+
+    p = _plan(q_cohort_ltv(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "partial_" in p
+
+
+def test_benford_single_scan(spark, sf_dir):
+    """Benford: one scan, a 9-group aggregate, a broadcast scalar —
+    nothing else."""
+    import re
+
+    from apitap_spark.operators.quality import op_benford_audit
+
+    p = _plan(op_benford_audit(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_erasure_direct_tables_no_join(spark, sf_dir):
+    """Erasure audit: the three direct tables are conditional aggregates
+    over their own scans (modular predicate, no set materialization);
+    only the cascade hop joins."""
+    from apitap_spark.operators.quality import op_erasure_impact
+
+    p = _plan(op_erasure_impact(spark, sf_dir))
+    assert p.count(") Scan parquet") >= 4  # events/customer/orders/lineitem
+    assert "BatchEvalPython" not in p
