@@ -529,3 +529,72 @@ def test_streaming_cms_sketch_merges_across_microbatches(spark, tmp_path):
     }
     assert stream_cells == batch_cells
     assert len(stream_cells) > 0
+
+
+def test_stream_hourly_monitor_feed_equals_batch(spark, tmp_path):
+    """The hourly cents pre-aggregate that feeds the monitoring family
+    (EWMA / CUSUM / seasonal / TWAP baselines) must be computable
+    incrementally: streaming it in two micro-batches (complete mode)
+    yields exactly the batch groupBy's integers."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events")
+    b1 = [
+        _ev(1, "2024-01-01T00:10:00Z", value=1.25),
+        _ev(2, "2024-01-01T00:40:00Z", value=2.50),
+        _ev(3, "2024-01-01T01:05:00Z", typ="view", value=3.75),
+    ]
+    b2 = [
+        _ev(4, "2024-01-01T00:55:00Z", value=4.00),  # late into hour 0
+        _ev(5, "2024-01-01T02:20:00Z", typ="view", value=0.30),
+    ]
+    _write_events(src, "b1.json", b1)
+
+    def hourly(df):
+        return (
+            df.select(
+                "event_type",
+                F.floor(F.col("ts").cast("long") / 3600)
+                .cast("bigint")
+                .alias("h"),
+                F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+            )
+            .groupBy("event_type", "h")
+            .agg(F.sum("c").cast("bigint").alias("v_cents"))
+        )
+
+    stream = hourly(read_event_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hourly_feed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _write_events(src, "b2.json", b2)
+    q2 = (
+        stream.writeStream.format("memory")
+        .queryName("hourly_feed2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    streamed = {
+        (r["event_type"], r["h"]): r["v_cents"]
+        for r in spark.sql("SELECT * FROM hourly_feed2").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [
+            (e["event_id"], e["ts"], e["user_id"], e["event_type"], e["value"], e["props"])
+            for e in b1 + b2
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r["event_type"], r["h"]): r["v_cents"]
+        for r in hourly(batch_df).collect()
+    }
+    assert streamed == batch and len(batch) == 3
+    assert batch[("click", 473352)] == 775  # 125 + 250 + 400 cents in hour 0
