@@ -528,3 +528,91 @@ def op_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = counted.orderBy(F.desc("n_users"), F.asc("path")).limit(PATH_TOP_K)
     w_rk = Window.orderBy(F.desc("n_users"), F.asc("path"))
     return topk.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+
+
+# --- Leakage-free churn label construction -------------------------------
+
+CHURN_HORIZON_DAYS = 3
+
+_CHURN_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id, event_type,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS day
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS maxd FROM d),
+    before AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(MAX(day) AS BIGINT) AS last_day,
+             CAST(MAX(maxd) - {CHURN_HORIZON_DAYS} AS BIGINT) AS cutoff_day
+      FROM d CROSS JOIN mx
+      WHERE day <= maxd - {CHURN_HORIZON_DAYS}
+      GROUP BY 1, 2
+    ),
+    after AS (
+      SELECT DISTINCT user_id, event_type
+      FROM d CROSS JOIN mx WHERE day > maxd - {CHURN_HORIZON_DAYS}
+    )
+    SELECT b.user_id, b.event_type, b.n_before,
+           b.cutoff_day - b.last_day AS recency_days,
+           (a.user_id IS NULL) AS churned
+    FROM before b
+    LEFT JOIN after a
+      ON a.user_id = b.user_id AND a.event_type = b.event_type
+"""
+
+
+@_register("op_churn_labels", _CHURN_ORACLE)
+def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free churn label construction — the supervised-label
+    side of op_feature_snapshot's point-in-time features: per
+    (user, activity type), features come ONLY from events at or before
+    the cutoff (corpus max day minus the horizon) and the label ONLY
+    from events after it (churned = no such activity in the horizon
+    window). Per-activity grain because this corpus's users are active
+    daily overall — type-level lapse is where the real signal lives
+    (both label classes present at every SF; whole-user churn is
+    vacuously zero here and the docstring says so).
+
+    Scale shape: one projection to (user, type, day), a broadcast
+    scalar max, one aggregate per side of the cutoff, and a broadcast
+    left join of the tiny after-set — the label table costs two
+    passes over the pre-projected frame.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    )
+    mx = d.agg(F.max("day").alias("maxd"))
+    dd = d.crossJoin(F.broadcast(mx))
+    cut = F.col("maxd") - CHURN_HORIZON_DAYS
+    before = (
+        dd.filter(F.col("day") <= cut)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.max("day").cast("bigint").alias("last_day"),
+            (F.max("maxd") - CHURN_HORIZON_DAYS).cast("bigint").alias(
+                "cutoff_day"
+            ),
+        )
+    )
+    after = (
+        dd.filter(F.col("day") > cut)
+        .select("user_id", "event_type")
+        .distinct()
+        .withColumn("seen_after", F.lit(1))
+    )
+    return (
+        before.join(F.broadcast(after), ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            "n_before",
+            (F.col("cutoff_day") - F.col("last_day")).alias("recency_days"),
+            F.col("seen_after").isNull().alias("churned"),
+        )
+    )

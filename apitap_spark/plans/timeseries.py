@@ -1164,3 +1164,64 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev > thr).alias("is_anomaly"),
         )
     )
+
+
+# --- Gaps and islands ----------------------------------------------------
+
+
+@_register(
+    "q_gaps_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             datediff('day', TIMESTAMP '1970-01-01 00:00:00', ts) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS BIGINT) AS start_day,
+           CAST(MAX(day) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS len_days,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY MIN(day))
+                AS BIGINT) AS island_no
+    FROM g GROUP BY user_id, grp
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the canonical SQL pattern for maximal
+    consecutive runs (here: each user's unbroken streaks of active
+    days), via the classic value-minus-row_number grouping constant.
+    Every streak/uptime/retention-run feature starts here; the repo
+    already uses the trick inside the BPE merge fold, and this gate
+    pins it as a first-class relational surface.
+
+    Scale shape: a distinct projection collapses events to (user, day),
+    ONE window sort per user assigns the island constant, and the
+    island aggregate + numbering reuse the same user partitioning —
+    a single shuffle end to end.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    isl = g.groupBy("user_id", "grp").agg(
+        F.min("day").cast("bigint").alias("start_day"),
+        F.max("day").cast("bigint").alias("end_day"),
+        F.count("*").cast("bigint").alias("len_days"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("start_day")
+    return isl.select(
+        "user_id",
+        "start_day",
+        "end_day",
+        "len_days",
+        F.row_number().over(w2).cast("bigint").alias("island_no"),
+    )

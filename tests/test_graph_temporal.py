@@ -672,3 +672,74 @@ def test_cohort_ltv_python_recount(spark, sf_dir):
             assert r.ltv_milli_cents == math.floor(1000.0 * float(cum) / float(sizes[c0]))
             assert r.ltv_milli_cents >= prev_ltv  # LTV curves never decrease
             prev_ltv = r.ltv_milli_cents
+
+
+def test_gaps_islands_python_recount(spark, sf_dir):
+    """Triangulate q_gaps_islands: Python run-detection over distinct
+    active days; islands tile each user's day set exactly."""
+    from apitap_spark.plans.timeseries import q_gaps_islands
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    ).distinct().collect()
+    days = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(r.day)
+    expect = {}
+    for u, ds in days.items():
+        run, no = [], 0
+        for d in sorted(ds):
+            if run and d == run[-1] + 1:
+                run.append(d)
+            else:
+                if run:
+                    no += 1
+                    expect[(u, no)] = (run[0], run[-1], len(run))
+                run = [d]
+        no += 1
+        expect[(u, no)] = (run[0], run[-1], len(run))
+    got = {
+        (r.user_id, r.island_no): (r.start_day, r.end_day, r.len_days)
+        for r in q_gaps_islands(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sum(l for _, _, l in got.values()) == sum(len(d) for d in days.values())
+
+
+def test_churn_labels_python_recount(spark, sf_dir):
+    """Triangulate op_churn_labels: leakage split recount — features
+    strictly pre-cutoff, labels strictly post-cutoff, both classes
+    present."""
+    from apitap_spark.operators.temporal import (
+        CHURN_HORIZON_DAYS,
+        op_churn_labels,
+    )
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+    ).collect()
+    maxd = max(r.day for r in ev)
+    cut = maxd - CHURN_HORIZON_DAYS
+    before, after = {}, set()
+    for r in ev:
+        k = (r.user_id, r.event_type)
+        if r.day <= cut:
+            n, last = before.get(k, (0, -1))
+            before[k] = (n + 1, max(last, r.day))
+        else:
+            after.add(k)
+    got = {
+        (r.user_id, r.event_type): r for r in op_churn_labels(spark, sf_dir).collect()
+    }
+    assert set(got) == set(before)
+    classes = set()
+    for k, (n, last) in before.items():
+        r = got[k]
+        assert (r.n_before, r.recency_days) == (n, cut - last), k
+        assert r.churned == (k not in after)
+        classes.add(r.churned)
+    assert classes == {True, False}
