@@ -616,3 +616,89 @@ def op_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seen_after").isNull().alias("churned"),
         )
     )
+
+
+# --- Nearest as-of join (third leg of the as-of family) ------------------
+
+_NEAREST_ORACLE = """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts, n.match_ts, n.purchase_value,
+           n.delta_micros, n.direction
+    FROM clicks c LEFT JOIN LATERAL (
+      SELECT p.ts AS match_ts, p.purchase_value,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS delta_micros,
+             CASE WHEN p.ts <= c.ts THEN 'backward' ELSE 'forward' END
+               AS direction
+      FROM purchases p WHERE p.user_id = c.user_id
+      ORDER BY ABS(epoch_us(p.ts) - epoch_us(c.ts)), epoch_us(p.ts)
+      LIMIT 1
+    ) n ON TRUE
+"""
+
+
+@_register("op_asof_join_nearest", _NEAREST_ORACLE)
+def op_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join — the third leg of the as-of family
+    (backward = op_asof_join_attribution, forward =
+    op_asof_join_forward): each click matched to the user's CLOSEST
+    purchase in either direction, with the signed micro-second delta
+    and the direction label; exact-distance ties resolve backward
+    (the earlier event — same rule the oracle states as ORDER BY
+    |Δ|, ts).
+
+    Mechanics: ONE backward pass + ONE forward pass (each the
+    union-sort window, no join), then a row-local argmin of the two
+    candidate deltas — nearest semantics without any |Δ|-bounded
+    band join. Micro-precision timestamps throughout (events carry
+    sub-second ts; second-floored deltas would alias the tiebreak).
+
+    Scale: two user-keyed window sorts — the same single-shuffle shape
+    as each one-sided as-of; the combine step is a projection.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    back = asof_join(clicks, purchases, on="user_id").select(
+        "event_id",
+        F.col("match_ts").alias("b_ts"),
+        F.col("purchase_value").alias("b_val"),
+    )
+    fwd = asof_join_forward(clicks, purchases, on="user_id").select(
+        "event_id",
+        F.col("match_ts").alias("f_ts"),
+        F.col("purchase_value").alias("f_val"),
+    )
+    both = clicks.join(back, "event_id").join(fwd, "event_id")
+    d_b = F.unix_micros("ts") - F.unix_micros("b_ts")  # >= 0
+    d_f = F.unix_micros("f_ts") - F.unix_micros("ts")  # >= 0
+    take_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (d_b <= d_f)
+    )
+    match_ts = F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+    value = F.when(take_back, F.col("b_val")).otherwise(F.col("f_val"))
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        match_ts.alias("match_ts"),
+        value.alias("purchase_value"),
+        (F.unix_micros(match_ts) - F.unix_micros("ts"))
+        .cast("bigint")
+        .alias("delta_micros"),
+        F.when(match_ts.isNull(), F.lit(None).cast("string"))
+        .when(match_ts <= F.col("ts"), "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )

@@ -743,3 +743,42 @@ def test_churn_labels_python_recount(spark, sf_dir):
         assert r.churned == (k not in after)
         classes.add(r.churned)
     assert classes == {True, False}
+
+
+def test_asof_nearest_python_replay(spark, sf_dir):
+    """Triangulate op_asof_join_nearest: per-click Python scan of the
+    user's purchases picking min(|delta|, ts); both directions must
+    appear."""
+    from apitap_spark.operators.temporal import op_asof_join_nearest
+    from apitap_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("us"),
+    ).collect()
+    purchases = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            k = (r.user_id, r.us)
+            purchases[k] = max(purchases.get(k, float("-inf")), r.value)
+    by_user = {}
+    for (u, us), v in purchases.items():
+        by_user.setdefault(u, []).append((us, v))
+    got = {r.event_id: r for r in op_asof_join_nearest(spark, sf_dir).collect()}
+    dirs = set()
+    n_checked = 0
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        g = got[r.event_id]
+        cands = by_user.get(r.user_id, [])
+        if not cands:
+            assert g.match_ts is None and g.direction is None
+            continue
+        best = min(cands, key=lambda c: (abs(c[0] - r.us), c[0]))
+        assert g.delta_micros == best[0] - r.us, r.event_id
+        assert g.purchase_value == best[1]
+        assert g.direction == ("backward" if best[0] <= r.us else "forward")
+        dirs.add(g.direction)
+        n_checked += 1
+    assert n_checked and dirs == {"backward", "forward"}
