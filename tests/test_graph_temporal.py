@@ -782,3 +782,52 @@ def test_asof_nearest_python_replay(spark, sf_dir):
         dirs.add(g.direction)
         n_checked += 1
     assert n_checked and dirs == {"backward", "forward"}
+
+
+def test_modularity_python_recount(spark, sf_dir):
+    """Triangulate op_graph_modularity: Python recount of weighted
+    modularity over the LP communities. On this hub-dominated star
+    graph the LP partition scores slightly NEGATIVE Q (hubs bridge
+    communities) — exactly the degenerate-partition signal the audit
+    exists to surface; the test pins the exact integers and the
+    theoretical Q range."""
+    from apitap_spark.operators.graph import op_graph_label_propagation, op_graph_modularity
+    from apitap_spark.session import read_table
+
+    comm = {
+        r.user_id: r.community
+        for r in op_graph_label_propagation(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").collect()
+    groups = {}
+    for e in ev:
+        b = e.ts.replace(minute=0, second=0, microsecond=0)
+        groups.setdefault((b, e.event_type), set()).add(e.user_id)
+    w = {}
+    for members in groups.values():
+        hub = min(members)
+        for u in members:
+            if u != hub:
+                w[(u, hub)] = w.get((u, hub), 0) + 1
+                w[(hub, u)] = w.get((hub, u), 0) + 1
+    two_m = sum(w.values())
+    in_w, tot_w, nodes = {}, {}, {}
+    for u, c in comm.items():
+        nodes[c] = nodes.get(c, 0) + 1
+        tot_w.setdefault(c, 0)
+    for (u, v), wt in w.items():
+        tot_w[comm[u]] = tot_w.get(comm[u], 0) + wt
+        if comm[u] == comm[v]:
+            in_w[comm[u]] = in_w.get(comm[u], 0) + wt
+    got = {r.community: r for r in op_graph_modularity(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    q_num = 0
+    for c in nodes:
+        r = got[c]
+        expect = (nodes[c], in_w.get(c, 0), tot_w[c], two_m,
+                  two_m * in_w.get(c, 0) - tot_w[c] * tot_w[c])
+        assert (r.n_nodes, r.in_w, r.tot_w, r.two_m, r.contrib_num) == expect, c
+        q_num += r.contrib_num
+    q = q_num / (two_m * two_m)
+    assert -0.5 <= q < 1  # theoretical modularity range
+    assert any(r.in_w > 0 for r in got.values())  # non-vacuous partition
