@@ -878,3 +878,148 @@ def op_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib_num"),
         )
     )
+
+
+# --- HITS hubs & authorities (bipartite purchase graph) ------------------
+
+HITS_ITERS = 6
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    """Recursive-CTE replay of the integer HITS iteration.
+
+    The a-normalization subquery appears verbatim in both the h-raw
+    computation and its mean (factored here through Python f-strings, the
+    sanctioned alternative to string-splicing a shared prefix), because a
+    recursive member is a single SELECT and the working table may be
+    referenced from any nesting depth.
+    """
+    n, s = HITS_ITERS, HITS_SCALE
+    araw = f"""SELECT e1.p, CAST(SUM(i1.h) AS BIGINT) AS a_raw
+        FROM e e1 JOIN it i1 ON i1.c = e1.c WHERE i1.iter < {n}
+        GROUP BY e1.p"""
+    anorm = f"""SELECT ar.p,
+          CAST((ar.a_raw * {s}) // GREATEST(m.ma, 1) AS BIGINT) AS a
+        FROM ({araw}) ar
+        CROSS JOIN (SELECT CAST(CAST(SUM(a_raw) AS BIGINT) // COUNT(*)
+                         AS BIGINT) AS ma
+                    FROM ({araw})) m"""
+    hraw = f"""SELECT e2.c AS c, CAST(SUM(an.a) AS BIGINT) AS h_raw
+        FROM e e2 JOIN ({anorm}) an ON an.p = e2.p GROUP BY e2.c"""
+    return f"""
+    WITH RECURSIVE
+    e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT DISTINCT c FROM e),
+    it(iter, c, h) AS (
+      SELECT 0, c, CAST({s} AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT p0.iter + 1, p0.c,
+             CAST((hr.h_raw * {s}) // GREATEST(t.mh, 1) AS BIGINT)
+      FROM (SELECT * FROM it WHERE iter < {n}) p0
+      JOIN ({hraw}) hr ON hr.c = p0.c
+      CROSS JOIN (SELECT CAST(CAST(SUM(h_raw) AS BIGINT) // COUNT(*)
+                       AS BIGINT) AS mh
+                  FROM ({hraw})) t
+    ),
+    fh AS (SELECT c, h FROM it WHERE iter = {n}),
+    far AS (SELECT e.p, CAST(SUM(f.h) AS BIGINT) AS a_raw
+            FROM e JOIN fh f ON f.c = e.c GROUP BY e.p),
+    fa AS (SELECT p, CAST((a_raw * {s}) // GREATEST(
+             (SELECT CAST(CAST(SUM(a_raw) AS BIGINT) // COUNT(*) AS BIGINT)
+              FROM far), 1) AS BIGINT) AS a FROM far)
+    SELECT 'hub' AS kind, c AS id, h AS score_micro FROM fh
+    UNION ALL
+    SELECT 'authority' AS kind, p AS id, a AS score_micro FROM fa
+    """
+
+
+def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) on a bipartite edge list
+    ``(c, p)``: hub scores live on ``c``, authority scores on ``p``.
+
+    Each iteration is two broadcast-free aggregate half-steps —
+    a_raw(p) = Σ_{c→p} h(c), then h_raw(c) = Σ_{c→p} a(p) — with a
+    mean-normalization between them that keeps every score an int64
+    micro (score*1e6, mean ≈ 1e6): m = Σ//count, score = raw*SCALE//m.
+    Truncating div on non-negative operands matches DuckDB ``//``
+    exactly, so the whole iteration replays in a recursive CTE. L1-mean
+    normalization replaces the classical L2 norm: the *ranking* is
+    identical (normalization is a positive per-side scalar) and the
+    arithmetic stays rational — the same trade op_graph_pagerank makes.
+
+    Scale shape: the edge list is checkpointed once; each half-step is
+    one shuffle keyed by the side being scored (cardinality = node
+    count, not edge count after the map-side combine); the
+    normalization constant is a 1-row aggregate broadcast back. Worst
+    case int64 headroom: raw ≤ Σ_side score ≈ n_side·1e6, so
+    raw*SCALE ≤ n_side·1e12 — safe through sf10.
+    """
+    e = edges.select("c", "p").distinct().localCheckpoint()
+    h = e.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("bigint").alias("h")
+    )
+
+    def a_step(h_df: DataFrame) -> DataFrame:
+        a_raw = (
+            e.join(h_df, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("a_raw"))
+        )
+        ma = a_raw.agg(
+            F.expr("greatest(sum(a_raw) div count(*), 1L)").alias("ma")
+        )
+        return a_raw.crossJoin(F.broadcast(ma)).select(
+            "p", F.expr(f"(a_raw * {HITS_SCALE}L) div ma").alias("a")
+        )
+
+    for _ in range(n_iter):
+        a = a_step(h)
+        h_raw = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h_raw"))
+        )
+        mh = h_raw.agg(
+            F.expr("greatest(sum(h_raw) div count(*), 1L)").alias("mh")
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(mh))
+            .select("c", F.expr(f"(h_raw * {HITS_SCALE}L) div mh").alias("h"))
+            .localCheckpoint()
+        )
+    a = a_step(h)  # authorities from the converged hub vector
+    return h.select(
+        F.lit("hub").alias("kind"),
+        F.col("c").alias("id"),
+        F.col("h").alias("score_micro"),
+    ).unionByName(
+        a.select(
+            F.lit("authority").alias("kind"),
+            F.col("p").alias("id"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+
+
+@_register("op_graph_hits", _hits_oracle())
+def op_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the customer→part purchase bipartite
+    graph — the third iterative-graph operator (next to PageRank and
+    label propagation): hubs are broad buyers, authorities are parts
+    bought by the strongest hubs. The link-analysis scorer a corpus
+    curation pipeline uses when importance flows BOTH ways (e.g. site ↔
+    document quality priors), where PageRank's single score conflates
+    the two roles.
+
+    Hash-exact via the integer iteration in :func:`hits` replayed by a
+    DuckDB recursive CTE; pytest triangulates with a pure-Python
+    power-iteration recount and asserts rank agreement with float HITS.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+    )
+    return hits(edges)

@@ -831,3 +831,60 @@ def test_modularity_python_recount(spark, sf_dir):
     q = q_num / (two_m * two_m)
     assert -0.5 <= q < 1  # theoretical modularity range
     assert any(r.in_w > 0 for r in got.values())  # non-vacuous partition
+
+
+def test_hits_python_recount(spark, sf_dir):
+    """Triangulate op_graph_hits: a pure-Python integer replay of the
+    mean-normalized iteration must match bit-for-bit, and the integer
+    ranking must agree with a float L2-normalized HITS power iteration
+    on the top/bottom of each side (the normalization only rescales)."""
+    from apitap_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        op_graph_hits,
+    )
+    from apitap_spark.session import read_table
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    }
+    by_p, by_c = {}, {}
+    for c, p in pairs:
+        by_p.setdefault(p, []).append(c)
+        by_c.setdefault(c, []).append(p)
+    h = {c: HITS_SCALE for c in by_c}
+    for _ in range(HITS_ITERS):
+        a_raw = {p: sum(h[c] for c in cs) for p, cs in by_p.items()}
+        ma = max(sum(a_raw.values()) // len(a_raw), 1)
+        a = {p: (v * HITS_SCALE) // ma for p, v in a_raw.items()}
+        h_raw = {c: sum(a[p] for p in ps) for c, ps in by_c.items()}
+        mh = max(sum(h_raw.values()) // len(h_raw), 1)
+        h = {c: (v * HITS_SCALE) // mh for c, v in h_raw.items()}
+    a_raw = {p: sum(h[c] for c in cs) for p, cs in by_p.items()}
+    ma = max(sum(a_raw.values()) // len(a_raw), 1)
+    a = {p: (v * HITS_SCALE) // ma for p, v in a_raw.items()}
+
+    rows = op_graph_hits(spark, sf_dir).collect()
+    got_h = {r.id: r.score_micro for r in rows if r.kind == "hub"}
+    got_a = {r.id: r.score_micro for r in rows if r.kind == "authority"}
+    assert got_h == h
+    assert got_a == a
+
+    # float L2 power iteration: ranking must agree at the extremes
+    fh = {c: 1.0 for c in by_c}
+    for _ in range(30):
+        fa = {p: sum(fh[c] for c in cs) for p, cs in by_p.items()}
+        na = sum(v * v for v in fa.values()) ** 0.5
+        fa = {p: v / na for p, v in fa.items()}
+        fh = {c: sum(fa[p] for p in ps) for c, ps in by_c.items()}
+        nh = sum(v * v for v in fh.values()) ** 0.5
+        fh = {c: v / nh for c, v in fh.items()}
+    top_int = max(got_h, key=lambda c: (got_h[c], -c))
+    top_flt = max(fh, key=lambda c: (fh[c], -c))
+    assert top_int == top_flt
+    bot_int = min(got_h, key=lambda c: (got_h[c], c))
+    bot_flt = min(fh, key=lambda c: (fh[c], c))
+    assert bot_int == bot_flt
