@@ -11,6 +11,7 @@ from apitap_spark.operators import (
     corpus,
     curation,
     dedup,
+    features,
     graph,
     incremental,
     ml,
@@ -42,6 +43,7 @@ for _mod in (
     corpus,
     quality,
     bpe,
+    features,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

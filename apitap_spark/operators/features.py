@@ -1,0 +1,305 @@
+"""Training-feature engineering operators: target encoding and
+resampling-based uncertainty (Poisson bootstrap).
+
+Both are staples of the feature/eval layer of a training-data pipeline
+(the reference stops at transform+load — `/root/reference/README.md`
+roadmap's "transformations" line — so these extend the beyond-reference
+L-family): leave-one-out target encoding turns a categorical column
+into a leakage-safe numeric feature, and the deterministic Poisson
+bootstrap puts an exact, replayable confidence band on a per-group
+mean without a second pass over the data.
+
+Exactness discipline (the repo-wide fixed-point rules): targets are
+micro/cent integers from ONE rounding, every sum is an int64, every
+division happens once at the end in an identical left-associated IEEE
+chain in both engines, and the bootstrap's randomness is the shared
+60-bit md5 hash (`conv(substr(md5(x),1,15),16,10)` == DuckDB
+`CAST('0x' || ...)`), so the DuckDB oracles are hash-exact replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- Leave-one-out target encoding ---------------------------------------
+
+TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
+
+_TE_ORACLE = f"""
+    WITH y AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y_cents
+      FROM orders
+    ),
+    per_cat AS (
+      SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+             CAST(SUM(y_cents) AS BIGINT) AS s_cat
+      FROM y GROUP BY cat
+    ),
+    gl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(y_cents) AS BIGINT) AS g_all
+      FROM y
+    )
+    SELECT y.o_orderkey, y.cat, y.y_cents, p.n_cat,
+           CASE WHEN p.n_cat > 1 THEN
+             CAST(FLOOR(1000000.0 * CAST(p.s_cat - y.y_cents AS DOUBLE)
+                        / CAST(p.n_cat - 1 AS DOUBLE)) AS BIGINT)
+           END AS loo_micro,
+           CAST(FLOOR(1000000.0
+                      * (CAST(p.s_cat - y.y_cents AS DOUBLE)
+                         + {TE_SMOOTH_M}.0 * (CAST(g.g_all AS DOUBLE)
+                                              / CAST(g.n_all AS DOUBLE)))
+                      / CAST(p.n_cat - 1 + {TE_SMOOTH_M} AS DOUBLE))
+                AS BIGINT) AS smoothed_micro
+    FROM y JOIN per_cat p USING (cat) CROSS JOIN gl g
+"""
+
+
+@_register("op_target_encoding", _TE_ORACLE)
+def op_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the leakage-safe way to hand a tree/linear model a
+    high-cardinality categorical: each row's code is the mean target of
+    its category EXCLUDING the row itself ((S_c − y_i)/(n_c − 1)), plus
+    a prior-smoothed variant ((S_c − y_i + m·ȳ)/(n_c − 1 + m), m=20)
+    that shrinks rare categories toward the global mean.
+
+    Exact: the target is rounded once to cents, category sums S_c and
+    the global sum are int64 aggregates, and each row's code is ONE
+    left-associated double chain floored to micros — bit-identical in
+    both engines. The n_cat>1 guard keeps singleton categories NULL
+    (both engines) instead of dividing by zero.
+
+    Scale shape: one partial-aggregated groupBy over the category key
+    (5 rows here, bounded by category cardinality at any scale), a
+    broadcast join of those stats back onto the fact scan, and a 1-row
+    global aggregate broadcast — encoding 100 TB costs one scan plus
+    two kilobyte-scale broadcasts; no shuffle of the fact table.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    y = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y_cents"),
+    )
+    per_cat = y.groupBy("cat").agg(
+        F.count("*").cast("bigint").alias("n_cat"),
+        F.sum("y_cents").cast("bigint").alias("s_cat"),
+    )
+    glob = y.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("y_cents").cast("bigint").alias("g_all"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    loo = F.floor(
+        F.lit(1000000.0)
+        * (F.col("s_cat") - F.col("y_cents")).cast("double")
+        / (F.col("n_cat") - F.lit(1)).cast("double")
+    ).cast("bigint")
+    smoothed = F.floor(
+        F.lit(1000000.0)
+        * (
+            (F.col("s_cat") - F.col("y_cents")).cast("double")
+            + F.lit(float(TE_SMOOTH_M)) * (d("g_all") / d("n_all"))
+        )
+        / (F.col("n_cat") - F.lit(1) + F.lit(TE_SMOOTH_M)).cast("double")
+    ).cast("bigint")
+    return (
+        y.join(F.broadcast(per_cat), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "cat",
+            "y_cents",
+            "n_cat",
+            F.when(F.col("n_cat") > 1, loo).alias("loo_micro"),
+            smoothed.alias("smoothed_micro"),
+        )
+    )
+
+
+# --- Deterministic Poisson bootstrap CI ----------------------------------
+
+BOOT_B = 24  # resamples; CI band = 2nd..23rd order statistic (~92%)
+
+# Poisson(1) CDF thresholds, shared literally by both engines: weight k
+# is assigned when the 60-bit uniform falls in [CDF(k-1), CDF(k)).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+)
+_TWO60 = 1152921504606846976.0  # 2^60 as a double literal
+
+
+def _boot_weight_sql(u_expr: str) -> str:
+    """CASE ladder mapping a uniform [0,1) double to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_POIS_CDF)} END"
+
+
+def _boot_oracle() -> str:
+    u = (
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || "
+        "CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / "
+        f"{_TWO60!r}"
+    )
+    return f"""
+    WITH w AS (
+      SELECT d.source, d.n_chars, t.b,
+             CAST({_boot_weight_sql(u)} AS BIGINT) AS w
+      FROM documents d CROSS JOIN (SELECT * FROM range(0, {BOOT_B})) t(b)
+    ),
+    bmeans AS (
+      SELECT source, b, CAST(SUM(w) AS BIGINT) AS n_eff,
+             CASE WHEN SUM(w) > 0 THEN
+               CAST(FLOOR(1000000.0 * CAST(SUM(w * n_chars) AS DOUBLE)
+                          / CAST(SUM(w) AS DOUBLE)) AS BIGINT)
+             END AS mean_micro
+      FROM w GROUP BY source, b
+    ),
+    ranked AS (
+      SELECT source, mean_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY COALESCE(mean_micro, -1), b) AS rn
+      FROM bmeans
+    ),
+    band AS (
+      SELECT source,
+             MAX(CASE WHEN rn = 2 THEN mean_micro END) AS lo_micro,
+             MAX(CASE WHEN rn = {BOOT_B - 1} THEN mean_micro END) AS hi_micro
+      FROM ranked GROUP BY source
+    ),
+    pt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(1000000.0 * CAST(SUM(n_chars) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS point_micro
+      FROM documents GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.point_micro, band.lo_micro, band.hi_micro,
+           CAST(band.hi_micro - band.lo_micro AS BIGINT) AS spread_micro
+    FROM pt p JOIN band USING (source)
+    """
+
+
+@_register("op_bootstrap_ci_mean", _boot_oracle())
+def op_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source confidence band on mean document length via the
+    DETERMINISTIC Poisson bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams" — the bootstrap that works in
+    one distributed pass: each row joins resample b with weight ~
+    Poisson(1) instead of materializing B resamples).
+
+    Determinism/exactness: the Poisson draw inverts the shared 60-bit
+    md5 uniform through a literal CDF ladder (same constants in both
+    engines, compared as doubles), resample sums are int64, and the
+    band is the 2nd/23rd order statistic of the B=24 resample means —
+    order statistics, not moments, so no further arithmetic can drift.
+
+    Scale shape: a flat ×B row expansion feeding a partial-aggregated
+    groupBy(source, b) — the shuffle carries B·|sources| aggregate rows,
+    not the corpus; the band is a window over that tiny frame. At 100 TB
+    this is exactly one corpus scan with map-side combine.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(_TWO60)
+    )
+    w_col = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w_col = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w_col)
+    expanded = docs.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select("source", "n_chars", "b", w_col.cast("bigint").alias("w"))
+    bmeans = expanded.groupBy("source", "b").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.when(
+            F.sum("w") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w").cast("double")
+            ).cast("bigint"),
+        ).alias("mean_micro"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.coalesce("mean_micro", F.lit(-1)), "b"
+        )
+    )
+    band = (
+        bmeans.withColumn("rn", rn)
+        .groupBy("source")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_micro"))).alias(
+                "lo_micro"
+            ),
+            F.max(
+                F.when(F.col("rn") == BOOT_B - 1, F.col("mean_micro"))
+            ).alias("hi_micro"),
+        )
+    )
+    pt = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum("n_chars").cast("double")
+            / F.count("*").cast("double")
+        )
+        .cast("bigint")
+        .alias("point_micro"),
+    )
+    return pt.join(band, "source").select(
+        "source",
+        "n_docs",
+        "point_micro",
+        "lo_micro",
+        "hi_micro",
+        (F.col("hi_micro") - F.col("lo_micro")).cast("bigint").alias(
+            "spread_micro"
+        ),
+    )
