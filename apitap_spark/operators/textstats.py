@@ -1606,3 +1606,110 @@ def op_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return topk.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# --- Readability scoring (Flesch / Flesch-Kincaid, rational form) --------
+
+_READABILITY_ORACLE = r"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS n_words,
+             CAST(LENGTH(regexp_replace(LOWER(text), '[aeiouy]+', '#', 'g'))
+                  - LENGTH(regexp_replace(LOWER(text), '[aeiouy]+', '', 'g'))
+                  AS BIGINT) AS n_syllables,
+             GREATEST(CAST(LENGTH(text)
+                  - LENGTH(regexp_replace(text, '[.!?]', '', 'g'))
+                  AS BIGINT), 1) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           CASE WHEN n_words > 0 THEN
+             CAST(FLOOR(1000.0 * ((206.835
+                    - (1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))))
+                    - (84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)))))
+                  AS BIGINT)
+           END AS flesch_milli,
+           CASE WHEN n_words > 0 THEN
+             CAST(FLOOR(1000.0 * (((0.39 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE)))
+                    + (11.8 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)))) - 15.59))
+                  AS BIGINT)
+           END AS fk_grade_milli
+    FROM c
+"""
+
+
+@_register("op_text_readability", _READABILITY_ORACLE)
+def op_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document — the
+    classic readability rung of a quality-filter ladder (alongside
+    op_text_quality_score's ratio heuristics): both formulas are purely
+    RATIONAL (literal coefficients, two ratios), so unlike
+    entropy-based scores they survive the no-log/no-exp oracle
+    discipline bit-exactly.
+
+    Syllables are approximated as vowel-group runs ([aeiouy]+), counted
+    without extracting: len(runs→'#') − len(runs→'') = run count, two
+    regexp_replace passes that Java regex and RE2 agree on. Sentences
+    are terminal-punctuation counts floored at 1 (this corpus has
+    none — every doc scores as one long sentence, which the audit
+    rightly flags as low readability). The scoring chain is one
+    explicitly-parenthesized IEEE double expression, identical in both
+    engines.
+
+    Scale shape: a single narrow projection over the corpus scan — no
+    shuffle, no UDF; whole-stage codegen end to end.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    syl = (
+        F.length(F.regexp_replace(low, "[aeiouy]+", "#"))
+        - F.length(F.regexp_replace(low, "[aeiouy]+", ""))
+    ).cast("bigint")
+    sent = F.greatest(
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "[.!?]", ""))
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    c = docs.select(
+        "doc_id",
+        w.alias("n_words"),
+        syl.alias("n_syllables"),
+        sent.alias("n_sentences"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    wps = d("n_words") / d("n_sentences")
+    spw = d("n_syllables") / d("n_words")
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    (F.lit(206.835) - (F.lit(1.015) * wps))
+                    - (F.lit(84.6) * spw)
+                )
+            ).cast("bigint"),
+        ).alias("flesch_milli"),
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    ((F.lit(0.39) * wps) + (F.lit(11.8) * spw))
+                    - F.lit(15.59)
+                )
+            ).cast("bigint"),
+        ).alias("fk_grade_milli"),
+    )

@@ -563,3 +563,51 @@ def q_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _t(spark, sf_dir, "orders").createOrReplaceTempView("_no_orders")
     return spark.sql(_NULLS_ORDER_SQL.format(orders="_no_orders"))
+
+
+PAGE_SIZE = 20
+PAGE_OFFSET = 40  # pages 1-2 already served; gate returns page 3
+
+
+@_register(
+    "q_keyset_pagination",
+    f"""
+    SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
+    """,
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — the scale-safe form of the
+    reference's LimitOffset/PageNumber pagination surface
+    (`/root/reference/src/http/fetcher.rs` pagination enums) applied to
+    SQL: OFFSET n forces every executor to produce and discard n rows,
+    while the seek predicate `(date, key) > cursor` prunes at the scan.
+
+    The gate serves page 3 (rows 41–60) of orders ordered by
+    (o_orderdate, o_orderkey): the cursor is the lexicographic MAX
+    tuple of the first two pages — a distributed top-k
+    (TakeOrderedAndProject over {PAGE_OFFSET} rows, never a global
+    sort) reduced to a 1-row broadcast — and the page itself is a
+    filtered top-k. The oracle is the equivalent naive LIMIT/OFFSET,
+    proving the seek rewrite returns the identical page.
+    """
+    o = _t(spark, sf_dir, "orders")
+    first_pages = (
+        o.select("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_OFFSET)
+    )
+    cursor = first_pages.agg(
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("c")
+    )
+    return (
+        o.crossJoin(F.broadcast(cursor))
+        .filter(
+            F.struct("o_orderdate", "o_orderkey") > F.col("c")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_SIZE)
+    )

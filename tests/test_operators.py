@@ -2688,3 +2688,68 @@ def test_greedy_graph_search_python_replay(spark, sf_dir):
         assert r.is_exact == (cur == exact)
         assert r.found_cos_micro == math.floor(1000000.0 * qcos[cur])
         assert r.gap_micro >= 0
+
+
+def test_readability_python_recount(spark, sf_dir):
+    """Recount op_text_readability in Python (re-based syllable runs,
+    math.floor chains) and pin the formula constants."""
+    import math
+    import re
+
+    from apitap_spark.operators.textstats import op_text_readability
+    from apitap_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r for r in op_text_readability(spark, sf_dir).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for r in docs:
+        w = len(re.split(r"\s+", r.text.strip()))
+        syl = len(re.findall(r"[aeiouy]+", r.text.lower()))
+        s = max(len(re.findall(r"[.!?]", r.text)), 1)
+        g = got[r.doc_id]
+        assert (g.n_words, g.n_syllables, g.n_sentences) == (w, syl, s)
+        if w > 0:
+            assert g.flesch_milli == math.floor(
+                1000.0
+                * ((206.835 - (1.015 * (float(w) / float(s))))
+                   - (84.6 * (float(syl) / float(w))))
+            )
+            assert g.fk_grade_milli == math.floor(
+                1000.0
+                * (((0.39 * (float(w) / float(s)))
+                    + (11.8 * (float(syl) / float(w)))) - 15.59)
+            )
+    # corpus is punctuation-free: every doc is "one long sentence" and
+    # readability is poor (negative Flesch) — the audit's finding
+    assert all(g.n_sentences == 1 for g in got.values())
+    # long docs go negative, short ones stay positive — real spread
+    assert any(g.flesch_milli < 0 for g in got.values())
+    assert any(g.flesch_milli > 0 for g in got.values())
+
+
+def test_keyset_pagination_equals_offset(spark, sf_dir):
+    """The seek-method page must equal the naive sort-offset page, and
+    the physical plan must use a distributed top-k (TakeOrderedAndProject),
+    not a global Sort+Exchange."""
+    from apitap_spark.plans.relational6 import (
+        PAGE_OFFSET,
+        PAGE_SIZE,
+        q_keyset_pagination,
+    )
+    from apitap_spark.session import read_table
+
+    got = q_keyset_pagination(spark, sf_dir).collect()
+    naive = (
+        read_table(spark, sf_dir, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(PAGE_OFFSET + PAGE_SIZE)
+        .collect()[PAGE_OFFSET:]
+    )
+    assert [(r.o_orderkey, r.o_orderdate) for r in got] == [
+        (r.o_orderkey, r.o_orderdate) for r in naive
+    ]
+    assert len(got) == PAGE_SIZE
+    plan = q_keyset_pagination(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
