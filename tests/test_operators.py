@@ -2753,3 +2753,92 @@ def test_keyset_pagination_equals_offset(spark, sf_dir):
     assert len(got) == PAGE_SIZE
     plan = q_keyset_pagination(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fd_audit_python_recount(spark, sf_dir):
+    """Recount every FD candidate in Python dicts; key-backed FDs must
+    hold, behavioral ones must be violated."""
+    from apitap_spark.operators.quality import FD_CANDIDATES, op_fd_audit
+    from apitap_spark.session import read_table
+
+    got = {r.fd: r for r in op_fd_audit(spark, sf_dir).collect()}
+    assert set(got) == {name for name, *_ in FD_CANDIDATES}
+    for name, table, lhs, rhs in FD_CANDIDATES:
+        rows = read_table(spark, sf_dir, table).selectExpr(
+            f"{lhs} AS x", f"{rhs} AS y"
+        ).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r.x, set()).add(r.y)
+        counts = {}
+        for r in rows:
+            counts[r.x] = counts.get(r.x, 0) + 1
+        r = got[name]
+        viol = sum(1 for ys in groups.values() if len(ys) > 1)
+        assert (r.n_rows, r.n_lhs, r.n_violating_lhs, r.max_rhs_per_lhs) == (
+            len(rows),
+            len(groups),
+            viol,
+            max(len(ys) for ys in groups.values()),
+        ), name
+        assert r.holds == (viol == 0)
+    # structural expectations: true keys hold, behavioral FDs do not
+    assert got["orders_key_status"].holds
+    assert got["nation_key_region"].holds
+    assert not got["orders_cust_priority"].holds
+    assert not got["events_user_type"].holds
+    # genuine audit finding: unlike real TPC-H, the synthetic lineitem
+    # REUSES (l_orderkey, l_linenumber) across parts — the composite
+    # "key" is violated, exactly what an FD audit exists to catch
+    assert not got["lineitem_line_part"].holds
+    assert got["lineitem_line_part"].n_violating_lhs > 0
+
+
+def test_label_noise_subset_of_cosine_pairs(spark, sf_dir):
+    """op_label_noise_pairs must be exactly the label-mismatched subset
+    of op_dedup_embedding_cosine's pair set, cosine values identical."""
+    from apitap_spark.operators.similarity import (
+        op_dedup_embedding_cosine,
+        op_label_noise_pairs,
+    )
+    from apitap_spark.session import read_table
+
+    lab = {
+        r.vec_id: r.label
+        for r in read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    base = {
+        (r.v1, r.v2): r.cosine
+        for r in op_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    noise = {
+        (r.v1, r.v2): (r.label1, r.label2, r.cosine)
+        for r in op_label_noise_pairs(spark, sf_dir).collect()
+    }
+    expect = {
+        k: (lab[k[0]], lab[k[1]], c)
+        for k, c in base.items()
+        if lab[k[0]] != lab[k[1]]
+    }
+    assert noise == expect
+    assert len(noise) > 0  # the audit has real findings on this corpus
+
+
+def test_relational_division_python_recount(spark, sf_dir):
+    """Recount Codd division: customers covering every priority class."""
+    from apitap_spark.plans.relational6 import q_relational_division
+    from apitap_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    allp = {r.o_orderpriority for r in orders}
+    cov = {}
+    for r in orders:
+        cov.setdefault(r.o_custkey, set()).add(r.o_orderpriority)
+    expect = {k for k, v in cov.items() if v == allp}
+    got = {r.c_custkey for r in q_relational_division(spark, sf_dir).collect()}
+    assert got == expect
+    assert 0 < len(got) < len(cov)  # non-vacuous, non-total
