@@ -1572,3 +1572,116 @@ def op_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --- KMV (k-minimum-values) distinct-count sketch audit ------------------
+
+KMV_K = 64
+_KMV_TWO60 = "1152921504606846976.0"  # 2^60 as a double literal
+
+_KMV_ORACLE = f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM du
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM du GROUP BY event_type
+    ),
+    kk AS (
+      SELECT event_type, CAST(MAX(hv) AS BIGINT) AS h_k
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    est AS (
+      SELECT e.event_type, e.n_exact, CAST({KMV_K} AS BIGINT) AS k, kk.h_k,
+             CASE WHEN e.n_exact < {KMV_K} THEN e.n_exact
+                  ELSE CAST(FLOOR(({KMV_K - 1}.0 * {_KMV_TWO60})
+                                  / CAST(kk.h_k AS DOUBLE)) AS BIGINT)
+             END AS kmv_estimate
+      FROM ex e JOIN kk USING (event_type)
+    )
+    SELECT event_type, n_exact, k, h_k, kmv_estimate,
+           CAST(FLOOR(1000000.0
+                      * ABS(CAST(kmv_estimate - n_exact AS DOUBLE))
+                      / CAST(n_exact AS DOUBLE)) AS BIGINT)
+             AS rel_err_micro
+    FROM est
+"""
+
+
+@_register("op_distinct_kmv_estimate", _KMV_ORACLE)
+def op_distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, audited against the
+    exact count — the mergeable cardinality estimator (Bar-Yossef et
+    al.; the θ-sketch family) whose state is just the k smallest hash
+    values, so unlike HLL (op_approx_aggregates, rows-only by necessity)
+    it is HASH-EXACT across engines: the estimate (k−1)·2⁶⁰/h_k is pure
+    order statistics of the shared 60-bit md5 hash plus one fixed
+    double-division chain. Per event_type: exact distinct users, the
+    k-th smallest hash, the KMV estimate, and its relative error.
+
+    Scale shape: the distinct-pair groupBy is the only corpus-sized
+    shuffle; the per-group k-smallest selection is written as a
+    rank-filter here (group count is tiny) and at fleet scale becomes
+    the classic two-phase partial top-k (each partition keeps its k
+    smallest, merge keeps the k smallest of those) — the sketch's whole
+    point is that k values per group are all that ever moves.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("hv")
+    )
+    kk = (
+        h.withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").cast("bigint").alias("h_k"))
+    )
+    ex = du.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    est = ex.join(kk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "h_k",
+        F.when(F.col("n_exact") < KMV_K, F.col("n_exact"))
+        .otherwise(
+            F.floor(
+                (F.lit(float(KMV_K - 1)) * F.lit(float(_KMV_TWO60)))
+                / F.col("h_k").cast("double")
+            ).cast("bigint")
+        )
+        .alias("kmv_estimate"),
+    )
+    return est.select(
+        "event_type",
+        "n_exact",
+        "k",
+        "h_k",
+        "kmv_estimate",
+        F.floor(
+            F.lit(1000000.0)
+            * F.abs((F.col("kmv_estimate") - F.col("n_exact")).cast("double"))
+            / F.col("n_exact").cast("double")
+        )
+        .cast("bigint")
+        .alias("rel_err_micro"),
+    )

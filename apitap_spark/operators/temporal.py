@@ -702,3 +702,114 @@ def op_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("forward")
         .alias("direction"),
     )
+
+
+# --- Interval union (merge overlapping windows, exact coverage) ----------
+
+IU_PAD_SEC = 3600  # incident window: error ts +/- 1 hour
+
+
+_INTERVAL_UNION_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) - CAST({IU_PAD_SEC} AS BIGINT) * 1000000 AS s,
+             epoch_us(ts) + CAST({IU_PAD_SEC} AS BIGINT) * 1000000 AS t,
+             event_id
+      FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+      SELECT user_id, s, t,
+             MAX(t) OVER (PARTITION BY user_id ORDER BY s, t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM e
+    ),
+    f AS (
+      SELECT user_id, s, t,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+               AS is_new
+      FROM m
+    ),
+    isl AS (
+      SELECT user_id, s, t,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, t
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM f
+    ),
+    per_island AS (
+      SELECT user_id, island, MIN(s) AS i_start, MAX(t) AS i_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(SUM(i_end - i_start) // 1000000 AS BIGINT) AS covered_seconds
+    FROM per_island GROUP BY user_id
+"""
+
+
+@_register("op_interval_union_coverage", _INTERVAL_UNION_ORACLE)
+def op_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union — merge overlapping windows and measure exact
+    covered time (the sweep the incident-overlap join and gaps-and-
+    islands both stop short of): each user's ±1 h error windows merge
+    into maximal islands via the classic running-max-of-end sweep
+    (new island ⇔ start > max end of all earlier intervals), and the
+    union length is Σ (island_end − island_start) in exact epoch
+    seconds. The building block for downtime accounting, dedup of
+    padded retrieval windows, and billing coverage.
+
+    Scale shape: one window pass partitioned by the entity key (two
+    frames over the same sort), then a two-level aggregate — per-key
+    interval counts bound the partition size, no global sort. Integer
+    epoch arithmetic end to end.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    e = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - IU_PAD_SEC * 1_000_000).alias("s"),
+        (F.unix_micros("ts") + IU_PAD_SEC * 1_000_000).alias("t"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = e.select(
+        "user_id",
+        "s",
+        "t",
+        F.when(
+            F.max("t").over(w_prev).isNull()
+            | (F.col("s") > F.max("t").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = f.withColumn("island", F.sum("is_new").over(w_run))
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("t").alias("i_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.expr("sum(i_end - i_start) div 1000000L")
+        .cast("bigint")
+        .alias("covered_seconds"),
+    )

@@ -888,3 +888,95 @@ def test_hits_python_recount(spark, sf_dir):
     bot_int = min(got_h, key=lambda c: (got_h[c], c))
     bot_flt = min(fh, key=lambda c: (fh[c], c))
     assert bot_int == bot_flt
+
+
+def test_interval_union_python_recount(spark, sf_dir):
+    """Replay the merge-overlapping-intervals sweep in Python."""
+    from apitap_spark.operators.temporal import (
+        IU_PAD_SEC,
+        op_interval_union_coverage,
+    )
+    from apitap_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    pad = IU_PAD_SEC * 1_000_000
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.us - pad, r.us + pad, r.event_id))
+    expect = {}
+    merged_any = False
+    for u, ivals in by_user.items():
+        ivals.sort()
+        islands = []
+        for s, t, _ in ivals:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t)
+                islands[-1][2] += 1
+                merged_any = True
+            else:
+                islands.append([s, t, 1])
+        expect[u] = (
+            len(ivals),
+            len(islands),
+            sum(t - s for s, t, _ in islands),
+        )
+    got = {
+        r.user_id: (r.n_windows, r.n_islands, r.covered_us)
+        for r in op_interval_union_coverage(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert merged_any  # at least one overlap actually merged
+    for r in op_interval_union_coverage(spark, sf_dir).collect():
+        assert r.covered_seconds == r.covered_us // 1_000_000
+        assert r.n_islands <= r.n_windows
+
+
+def test_kmv_python_recount(spark, sf_dir):
+    """Recount the KMV sketch in Python (hashlib md5 order statistics)
+    and bound its error: k=64 gives ~12.6% std error, so the estimate
+    must land within 50% of truth on every group."""
+    import hashlib
+    import math
+
+    from apitap_spark.operators.quality import KMV_K, op_distinct_kmv_estimate
+    from apitap_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .collect()
+    )
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, set()).add(r.user_id)
+    got = {r.event_type: r for r in op_distinct_kmv_estimate(spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    two60 = 1152921504606846976.0
+    for et, users in groups.items():
+        hs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+        r = got[et]
+        assert r.n_exact == len(users)
+        assert r.k == KMV_K
+        if len(users) >= KMV_K:
+            hk = hs[KMV_K - 1]
+            assert r.h_k == hk
+            assert r.kmv_estimate == math.floor(
+                (float(KMV_K - 1) * two60) / float(hk)
+            )
+            assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 0.5
+        else:
+            assert r.kmv_estimate == r.n_exact
+        assert r.rel_err_micro == math.floor(
+            1000000.0
+            * abs(float(r.kmv_estimate - r.n_exact))
+            / float(r.n_exact)
+        )
