@@ -657,3 +657,40 @@ def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         covered, c.c_custkey == covered.o_custkey
     ).select("c_custkey", "c_name")
+
+
+@_register(
+    "q_aggregate_modern_family",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 5.0) AS BIGINT) AS n_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           bool_or(value > 9.5) AS any_extreme,
+           MAX({'v': value, 'e': event_id}).e AS argmax_id,
+           MIN({'v': value, 'e': event_id}).e AS argmin_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q_aggregate_modern_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate-function surface (SURVEY §2.2 Q6 breadth):
+    count_if, bool_and/bool_or, and deterministic argmax/argmin. The
+    arg-extremes deliberately use the struct-extremum trick — MAX over
+    a (value, id) tuple — rather than max_by(id, value), because
+    max_by's tie-break is UNSPECIFIED in both engines (and DuckDB's
+    max_by cannot take a composite key at all): the tuple form carries
+    the id as a total tie-break, making the answer engine-portable.
+    All five are single-pass partial aggregates — one shuffle keyed by
+    the group column, the q1 scale shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 5.0).cast("bigint").alias("n_high"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 9.5).alias("any_extreme"),
+        F.max(F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")))[
+            "e"
+        ].alias("argmax_id"),
+        F.min(F.struct(F.col("value").alias("v"), F.col("event_id").alias("e")))[
+            "e"
+        ].alias("argmin_id"),
+    )
