@@ -52,13 +52,35 @@ _ROUND1_BACKLOG = {
     "op_split_train_valid_test", "op_stratified_sample", "op_kmeans_refine",
 }
 
-# Harness-crash gates whose FIX landed this round (round-3 pandas
-# sort_values crash on array columns -> array_join serialization).  A
-# deterministic harness crash normally tiers BEHIND never-tested gates
-# (see tier 3 below) because re-running an unchanged gate re-crashes;
-# these changed, so one front-of-window re-proof converts the judge's
-# standing red rows.  Remove entries once their driver row is green.
-_REPROVE_FIXED = {"op_ann_pq_codes", "op_text_inverted_index"}
+# Round-3-era gates the round-4 driver window displaced TWICE: round 4
+# added 99 gates and tier-2 preserved *module registration* order, so
+# newer gates in earlier-registered modules (plans -> dedup -> similarity
+# -> textstats ...) kept jumping these older gates in late-registered
+# modules (quality, ml, bpe).  Round-4 verdict task #1: front them the way
+# _ROUND1_BACKLOG fronted the round-1 stragglers.  Derived from git
+# (first commit mentioning each gate predates the round-3 marker 70ddb80)
+# and matching the judge's own list.  op_text_compression_ratio is the
+# 15th round-3 straggler but has no oracle by design (zlib codec), so it
+# stays in the rows-only tier.
+_ROUND3_BACKLOG = {
+    "op_bpe_learn_merges", "op_bpe_apply_tokens", "op_bpe_encode_docs",
+    "op_bpe_pack_training_rows", "op_data_profile", "op_data_validate",
+    "op_dataset_diff", "op_fk_integrity", "op_length_filter_bounds",
+    "op_lm_perplexity", "op_ml_logreg_quality", "op_numeric_correlation",
+    "op_robust_stats", "op_shard_plan",
+}
+
+# Gates first registered in round 5 or later.  Never-tested gates age by
+# round: these wait BEHIND every older never-tested gate so that adding a
+# new operator can never displace one that has already waited a round
+# (the starvation mode the round-4 verdict flagged).  Append here when
+# registering a new gate.
+_NEW_GATES: set[str] = set()
+
+# Harness-crash gates whose FIX landed this round: one front-of-window
+# re-proof converts a standing red row.  Empty when nothing is pending
+# (round-4 verdict: both round-3 members went green, so cleared).
+_REPROVE_FIXED: set[str] = set()
 
 
 def _gate_priority(names: list[str]) -> list[str]:
@@ -72,25 +94,33 @@ def _gate_priority(names: list[str]) -> list[str]:
     0. gates whose most recent driver row is a genuine red (an oracle ran
        and mismatched — must be re-proven),
     1. round-1 backlog gates with no driver row yet (_ROUND1_BACKLOG),
-    2. newer oracle-able gates with no driver row yet, plus previously
-       rows-only gates that have since GAINED an oracle (re-run now
-       yields a hash verdict — new information),
-    3. gates whose most recent row is a HARNESS error (the driver's
+    2. round-3 backlog gates with no driver row yet (_ROUND3_BACKLOG) —
+       the 14 oracle-able stragglers the round-4 window displaced twice,
+    3. other oracle-able gates with no driver row yet EXCEPT gates first
+       registered this round (_NEW_GATES), plus previously rows-only
+       gates that have since GAINED an oracle (re-run now yields a hash
+       verdict — new information).  Never-tested gates age by round:
+       older gates outrank newer ones, so within this tier registration
+       order approximates age and _NEW_GATES waits in tier 4,
+    4. never-tested oracle-able gates first registered this round
+       (_NEW_GATES) — they must not displace gates already waiting,
+    5. gates whose most recent row is a HARNESS error (the driver's
        comparator crashed — a traceback in ``err`` rather than an oracle
        verdict).  These re-run after never-tested gates, not before: a
        deterministic harness crash would otherwise camp at tier 0 every
        round and starve the never-tested queue — the same starvation
        mode the round-2 fix removed for ``no_oracle`` (round-3 ADVICE),
-    4. gates with no driver row and no oracle (one rows-only row is worth
+    6. gates with no driver row and no oracle (one rows-only row is worth
        recording, but never at the cost of an oracle-able gate),
-    5. gates whose most recent row is ``err='no_oracle'`` and that still
+    7. gates whose most recent row is ``err='no_oracle'`` and that still
        have no oracle (a re-run carries no new information, so they must
        NOT camp in tier 0 and starve never-tested gates — round-2
        verdict fix #2),
-    6. gates whose most recent driver row is green (rotate to the back).
+    8. gates whose most recent driver row is green (rotate to the back).
 
     Across rounds this guarantees every gate — including ones added later —
-    eventually gets a green driver row, without further list maintenance.
+    eventually gets a green driver row, with the only maintenance being
+    one _NEW_GATES entry per newly registered gate.
     """
     import glob
     import json
@@ -130,12 +160,16 @@ def _gate_priority(names: list[str]) -> list[str]:
         if state is None:
             if name in _ROUND1_BACKLOG:
                 return 1
-            return 2 if name in oracled else 4
+            if name in _ROUND3_BACKLOG:
+                return 2
+            if name not in oracled:
+                return 6
+            return 4 if name in _NEW_GATES else 3
         if state == "no_oracle":
-            return 2 if name in oracled else 5
+            return 3 if name in oracled else 7
         if state == "harness_err" and name in _REPROVE_FIXED:
             return 0  # crash cause fixed this round: re-prove up front
-        return {"red": 0, "harness_err": 3, "green": 6}[state]
+        return {"red": 0, "harness_err": 5, "green": 8}[state]
 
     return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
 

@@ -808,3 +808,37 @@ def test_erasure_direct_tables_no_join(spark, sf_dir):
     p = _plan(op_erasure_impact(spark, sf_dir))
     assert p.count(") Scan parquet") >= 4  # events/customer/orders/lineitem
     assert "BatchEvalPython" not in p
+
+
+def test_logreg_auc_global_window_scoped_to_audit_frame(spark, sf_dir):
+    """op_ml_logreg_eval_auc's global rank window is documented as
+    audit-sample-only (ml.py: 'run the eval on the audit sample (as
+    here), not the full corpus'). Two guards so a refactor can't
+    silently send a corpus-sized frame through the unpartitioned sort:
+
+    1. plan: no Generate (explode) node — the window input stays one
+       row per document, never per-token/per-pair multiplication;
+    2. row count: rows entering the window (n_pos + n_neg in the
+       1-row output) equal the bounded audit frame exactly — the
+       non-empty-text documents of the SF under test.
+    """
+    import pyspark.sql.functions as F
+
+    from apitap_spark.operators.ml import op_ml_logreg_eval_auc
+    from apitap_spark.session import read_table
+
+    df = op_ml_logreg_eval_auc(spark, sf_dir)
+    p = _plan(df)
+    assert "Generate" not in p  # no explode upstream of the global window
+    # the global sort is the rank window's single partition; formatted
+    # explain keeps Exchange arguments in the details section, so count
+    # SinglePartition argument lines rather than inline node text
+    assert p.count("Arguments: SinglePartition") == 1
+
+    row = df.collect()[0]
+    audit_rows = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .count()
+    )
+    assert row["n_pos"] + row["n_neg"] == audit_rows
