@@ -75,7 +75,11 @@ _ROUND3_BACKLOG = {
 # new operator can never displace one that has already waited a round
 # (the starvation mode the round-4 verdict flagged).  Append here when
 # registering a new gate.
-_NEW_GATES: set[str] = set()
+_NEW_GATES: set[str] = {
+    # round 5: the shadowed conditional-min funnel, re-registered under
+    # its own name after the q_event_funnel duplicate-registration fix
+    "q_funnel_conditional_min",
+}
 
 # Harness-crash gates whose FIX landed this round: one front-of-window
 # re-proof converts a standing red row.  Empty when nothing is pending

@@ -1,0 +1,56 @@
+"""Gate-registry invariants.
+
+Round-5 root cause: ``q_event_funnel`` was registered by BOTH
+``plans/relational2.py`` and ``plans/timeseries.py``; the dict-merge in
+``plans/__init__.py`` let the later module silently shadow the earlier
+one, so a committed, oracled gate stopped being the one the driver (and
+bench) actually ran — the 9.2x "drift" on that gate between the round-3
+and round-4 freezes was an identity change, not a perf regression.
+These tests make any future name collision a hard failure.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def _per_module_names() -> list[str]:
+    import apitap_spark.operators as ops_pkg
+    import apitap_spark.plans as plans_pkg
+
+    names: list[str] = []
+    for pkg in (plans_pkg, ops_pkg):
+        for attr in dir(pkg):
+            mod = getattr(pkg, attr)
+            if attr.startswith("_") or attr in ("QUERIES", "ORACLES"):
+                continue
+            q = getattr(mod, "QUERIES", None)
+            if isinstance(q, dict):
+                names.extend(q)
+    return names
+
+
+def test_no_duplicate_gate_registrations():
+    dups = {n: c for n, c in Counter(_per_module_names()).items() if c > 1}
+    assert not dups, f"gate names registered by more than one module: {dups}"
+
+
+def test_merged_registry_loses_nothing():
+    """The merged QUERIES dicts must contain every per-module gate —
+    i.e. the dict merge shadowed nothing."""
+    from apitap_spark.operators import QUERIES as OPS
+    from apitap_spark.plans import QUERIES as REL
+
+    merged = set(REL) | set(OPS)
+    assert merged == set(_per_module_names())
+
+
+def test_every_oracle_has_a_query():
+    from apitap_spark.operators import ORACLES as OPSO
+    from apitap_spark.operators import QUERIES as OPS
+    from apitap_spark.plans import ORACLES as RELO
+    from apitap_spark.plans import QUERIES as REL
+
+    queries = set(REL) | set(OPS)
+    oracles = set(RELO) | set(OPSO)
+    assert oracles <= queries, sorted(oracles - queries)
