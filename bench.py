@@ -19,6 +19,27 @@ import sys
 import time
 
 
+# Queries that drifted >30% between the round-3 and round-4 controlled
+# freezes (plus q_setop_except, the worst drift in the round-4 driver
+# run). Each gets THREE timed runs per bench so the freeze record can
+# separate run-to-run noise from a real plan regression without
+# re-deriving the list (round-4 verdict #7). q_event_funnel's 9.2x entry
+# was root-caused separately (duplicate registration, fixed round 5) but
+# stays listed so the freeze documents the post-fix timing of both
+# funnels.
+DRIFT_WATCHLIST = [
+    "q_event_funnel", "q_funnel_conditional_min", "op_semantic_dedup",
+    "op_ann_cosine_topk", "op_crosslingual_neardup",
+    "op_contamination_ngram", "op_data_profile", "q_window_range_time",
+    "op_corpus_curation", "op_split_train_valid_test",
+    "op_ml_logreg_quality", "op_data_validate", "op_dedup_ngram_jaccard",
+    "op_ann_ivfpq_search", "op_length_histogram", "op_bpe_learn_merges",
+    "op_ann_pq_adc", "q_setop_except",
+]
+
+SINK_RUNS = 3
+
+
 def main(out_path: str | None = None) -> None:
     """Run the suite; write the full JSON artifact to ``out_path``.
 
@@ -67,6 +88,21 @@ def main(out_path: str | None = None) -> None:
         # pressure (each op is an independent job in production).
         spark.catalog.clearCache()
 
+    # Drift watchlist: two more timed runs each (first run already sits in
+    # ``timings``), so the freeze carries {query: [t1, t2, t3]} and a
+    # future judge can read noise vs regression straight off the medians.
+    watchlist_runs: dict[str, list[float]] = {}
+    for name in DRIFT_WATCHLIST:
+        if name not in qs:
+            continue
+        runs = [timings[name]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 4))
+            spark.catalog.clearCache()
+        watchlist_runs[name] = runs
+
     # Headline metric: the BASELINE-comparable "transform & load, complex
     # SQL" scenario (reference: ~5-6 s for ~100K rows, BASELINE.md) — the
     # four TPC-H-style core transforms over ~600K-row lineitem at sf0.1.
@@ -93,18 +129,25 @@ def main(out_path: str | None = None) -> None:
                 "l_extendedprice")
         .limit(sink_rows)
     )
-    with tempfile.TemporaryDirectory() as td:
-        writer = JdbcMergeWriter(
-            (lambda p: (lambda: __import__("duckdb").connect(p)))(
-                os.path.join(td, "bench.duckdb")
-            ),
-            "bench_sink",
-            dialect=DuckDbDialect(),
-            mode=WriteMode.APPEND,
-        )
-        t0 = time.perf_counter()
-        writer.write(sink_df)
-        sink_sec = time.perf_counter() - t0
+    # Three independent sink runs (fresh DuckDB file each): round-3 -> 4
+    # sink "drift" (89.5K -> 76K rows/s) reproduced as ±20% swings between
+    # controlled freezes with byte-identical sink code, so a single run
+    # cannot separate noise from regression — publish the median.
+    sink_runs: list[float] = []
+    for i in range(SINK_RUNS):
+        with tempfile.TemporaryDirectory() as td:
+            writer = JdbcMergeWriter(
+                (lambda p: (lambda: __import__("duckdb").connect(p)))(
+                    os.path.join(td, "bench.duckdb")
+                ),
+                "bench_sink",
+                dialect=DuckDbDialect(),
+                mode=WriteMode.APPEND,
+            )
+            t0 = time.perf_counter()
+            writer.write(sink_df)
+            sink_runs.append(time.perf_counter() - t0)
+    sink_sec = sorted(sink_runs)[len(sink_runs) // 2]
     sink_rows_per_sec = round(sink_rows / sink_sec)
 
     # Training-data pipeline throughput: docs/sec through the composed
@@ -174,6 +217,8 @@ def main(out_path: str | None = None) -> None:
                 "q1_rows_per_sec": rows_per_sec,
                 "sink_rows_per_sec": sink_rows_per_sec,
                 "sink_rows": sink_rows,
+                "sink_runs_sec": [round(s, 4) for s in sink_runs],
+                "watchlist_runs": watchlist_runs,
                 "curation_docs_per_sec": curation_docs_per_sec,
                 "dedup_docs_per_sec": dedup_docs_per_sec,
                 "bpe_docs_per_sec": bpe_docs_per_sec,
