@@ -133,8 +133,13 @@ def main(out_path: str | None = None) -> None:
     # sink "drift" (89.5K -> 76K rows/s) reproduced as ±20% swings between
     # controlled freezes with byte-identical sink code, so a single run
     # cannot separate noise from regression — publish the median.
+    # An isolated fresh-JVM probe showed the write path is JIT-warmup
+    # bound (35K -> 79K rows/s monotone over 4 consecutive writes), so
+    # one UNTIMED warmup write precedes the timed runs: the baseline's
+    # "sustained 25-50K rows/sec" is a steady-state figure and the timed
+    # median should measure the same regime.
     sink_runs: list[float] = []
-    for i in range(SINK_RUNS):
+    for i in range(-1, SINK_RUNS):
         with tempfile.TemporaryDirectory() as td:
             writer = JdbcMergeWriter(
                 (lambda p: (lambda: __import__("duckdb").connect(p)))(
@@ -146,7 +151,8 @@ def main(out_path: str | None = None) -> None:
             )
             t0 = time.perf_counter()
             writer.write(sink_df)
-            sink_runs.append(time.perf_counter() - t0)
+            if i >= 0:  # i == -1 is the untimed JIT-warmup write
+                sink_runs.append(time.perf_counter() - t0)
     sink_sec = sorted(sink_runs)[len(sink_runs) // 2]
     sink_rows_per_sec = round(sink_rows / sink_sec)
 
