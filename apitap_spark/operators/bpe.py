@@ -882,18 +882,27 @@ def op_training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         % SHUFFLE_SHARDS
     )
     keyed = packed.select("row_id", "n_tokens", shard.alias("shard"))
-    tot = keyed.agg(F.sum("n_tokens").cast("bigint").alias("all_tokens"))
-    return (
-        keyed.crossJoin(F.broadcast(tot))
-        .groupBy("shard", "all_tokens")
-        .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
-            F.round(
-                F.sum("n_tokens").cast("double")
-                / F.col("all_tokens").cast("double"),
-                6,
-            ).alias("token_share"),
-        )
-        .select("shard", "n_rows", "shard_tokens", "token_share")
+    # Total tokens via a window over the S-row shard aggregate (the
+    # op_benford_audit pattern): a separate agg-then-crossJoin would
+    # materialize the whole learn->encode->pack chain TWICE — round-5
+    # plan audit caught exactly that (2x Window/Generate nodes).  The
+    # global window is over SHUFFLE_SHARDS rows, not the corpus.
+    from pyspark.sql import Window
+
+    per_shard = keyed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    all_tokens = F.sum("shard_tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ).cast("bigint")
+    return per_shard.select(
+        "shard",
+        "n_rows",
+        "shard_tokens",
+        F.round(
+            F.col("shard_tokens").cast("double")
+            / all_tokens.cast("double"),
+            6,
+        ).alias("token_share"),
     )

@@ -842,3 +842,81 @@ def test_logreg_auc_global_window_scoped_to_audit_frame(spark, sf_dir):
         .count()
     )
     assert row["n_pos"] + row["n_neg"] == audit_rows
+
+
+def test_target_encoding_broadcasts_stats_no_fact_shuffle_join(spark, sf_dir):
+    """LOO target encoding: category stats and the global mean come back
+    onto the fact scan as broadcasts — the fact table itself is never
+    shuffle-joined (docstring: 'encoding 100 TB costs one scan plus two
+    kilobyte-scale broadcasts')."""
+    from apitap_spark.operators.features import op_target_encoding
+
+    p = _plan(op_target_encoding(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # per-category stats
+    assert "SortMergeJoin" not in p  # fact side never shuffle-joined
+    assert "partial_sum" in p  # stats aggregate map-side combines
+
+
+def test_bootstrap_ci_expansion_jvm_side_with_partial_agg(spark, sf_dir):
+    """Poisson bootstrap: the xB expansion is a JVM-side Generate and the
+    resample means partial-aggregate before the shuffle — the shuffle
+    carries B x |sources| rows, never the expanded corpus."""
+    from apitap_spark.operators.features import op_bootstrap_ci_mean
+
+    p = _plan(op_bootstrap_ci_mean(spark, sf_dir))
+    assert "Generate" in p  # the xB expansion is a JVM-side explode
+    assert "partial_sum" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_kanonymity_single_scan_partial_agg(spark, sf_dir):
+    """k-anonymity: one map-side-combined aggregate over the
+    quasi-identifier pair — the audit costs exactly the scan."""
+    from apitap_spark.operators.quality import op_kanonymity_audit
+
+    p = _plan(op_kanonymity_audit(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "partial_count" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_training_shuffle_single_pass_over_pack_chain(spark, sf_dir):
+    """Seeded shard assignment is hash-mod, not rank: relative to the
+    upstream pack chain it may add exactly ONE window and ONE
+    single-partition exchange — both over the S-row shard aggregate,
+    never the packed corpus. Round-5 plan audit caught the previous
+    agg-then-crossJoin formulation materializing the whole
+    learn->encode->pack chain twice (2x Window/Generate nodes)."""
+    import re
+
+    from apitap_spark.operators.bpe import (
+        op_bpe_pack_training_rows,
+        op_training_shuffle_plan,
+    )
+
+    def facts(df):
+        p = _plan(df)
+        return (
+            len(re.findall(r"^\(\d+\) Window", p, re.M)),
+            p.count("Arguments: SinglePartition"),
+            len(re.findall(r"^\(\d+\) Generate", p, re.M)),
+        )
+
+    pack_win, pack_single, pack_gen = facts(
+        op_bpe_pack_training_rows(spark, sf_dir)
+    )
+    shuf_win, shuf_single, shuf_gen = facts(
+        op_training_shuffle_plan(spark, sf_dir)
+    )
+    assert shuf_win == pack_win + 1  # the S-row token-share window
+    assert shuf_single == pack_single + 1  # its bounded exchange
+    assert shuf_gen == pack_gen  # pack chain materialized exactly once
+
+
+def test_wordpiece_encode_jvm_side(spark, sf_dir):
+    """WordPiece greedy longest-match runs in Catalyst expressions, not a
+    Python UDF — the hot tokenizer path stays inside codegen."""
+    from apitap_spark.operators.bpe import op_wordpiece_encode
+
+    p = _plan(op_wordpiece_encode(spark, sf_dir))
+    assert "BatchEvalPython" not in p
