@@ -464,6 +464,36 @@ _TRI_ORACLE = f"""
 """
 
 
+def tri_pernode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-checkpointed per-node triangle counts — the full oriented-join
+    plan, factored out so physical-plan tests can assert on it (the
+    gate's localCheckpoint truncates the visible plan)."""
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    ranked = grp.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka"))
+    c = ranked.select("b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc"))
+    e = (
+        a.join(c, ["b", "event_type"])
+        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+
+
 @_register("op_graph_triangles", _TRI_ORACLE)
 def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting (clustering-structure audit) over the
@@ -490,30 +520,16 @@ def op_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard skew guard for triangle joins); per-node counts are one
     map-side-combined aggregate, and the top-K is sort+limit.
     """
-    ev = read_table(spark, sf_dir, "events")
-    grp = ev.select(
-        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
-    ).distinct()
-    w = Window.partitionBy("b", "event_type").orderBy("user_id")
-    ranked = grp.withColumn("rk", F.row_number().over(w))
-    a = ranked.select("b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka"))
-    c = ranked.select("b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc"))
-    e = (
-        a.join(c, ["b", "event_type"])
-        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
-    tot = tri.agg(F.count("*").cast("bigint").alias("total_triangles"))
-    pernode = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
-        .groupBy("user_id")
-        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    # Checkpoint the node-cardinality per-node counts so the expensive
+    # oriented 3-way join is enumerated exactly ONCE: the lazy
+    # formulation fed the triangle frame to both the global count and
+    # the per-node aggregate, running the triangle join twice (round-5
+    # plan audit). The global total then falls out of pernode for free:
+    # every triangle contributes exactly 3 exploded rows, so
+    # total = Σ n_tri / 3 — exact integer division.
+    pernode = tri_pernode_counts(spark, sf_dir).localCheckpoint()
+    tot = pernode.agg(
+        F.expr("sum(n_tri) div 3").cast("bigint").alias("total_triangles")
     )
     top = pernode.orderBy(F.desc("n_tri"), "user_id").limit(TRI_TOPK)
     wr = Window.orderBy(F.desc("n_tri"), "user_id")
@@ -962,10 +978,16 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
     )
 
     def a_step(h_df: DataFrame) -> DataFrame:
+        # Checkpoint the node-keyed raw scores BEFORE deriving the
+        # normalization constant: lazily, the 1-row aggregate and the
+        # rescale projection would each re-run the edge join + combine
+        # (round-5 plan audit found every half-step shuffling twice).
+        # The checkpoint is node-cardinality — tiny next to the join.
         a_raw = (
             e.join(h_df, "c")
             .groupBy("p")
             .agg(F.sum("h").cast("bigint").alias("a_raw"))
+            .localCheckpoint()
         )
         ma = a_raw.agg(
             F.expr("greatest(sum(a_raw) div count(*), 1L)").alias("ma")
@@ -980,14 +1002,13 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
             e.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("h_raw"))
+            .localCheckpoint()
         )
         mh = h_raw.agg(
             F.expr("greatest(sum(h_raw) div count(*), 1L)").alias("mh")
         )
-        h = (
-            h_raw.crossJoin(F.broadcast(mh))
-            .select("c", F.expr(f"(h_raw * {HITS_SCALE}L) div mh").alias("h"))
-            .localCheckpoint()
+        h = h_raw.crossJoin(F.broadcast(mh)).select(
+            "c", F.expr(f"(h_raw * {HITS_SCALE}L) div mh").alias("h")
         )
     a = a_step(h)  # authorities from the converged hub vector
     return h.select(

@@ -487,12 +487,20 @@ def test_audio_vad_no_shuffle(spark, sf_dir):
 
 def test_triangles_no_cartesian_oriented_joins(spark, sf_dir):
     """The 3-way triangle join is equi-keyed (SortMerge/Hash), never a
-    cartesian; per-node counts are map-side combined."""
-    from apitap_spark.operators.graph import op_graph_triangles
+    cartesian; per-node counts are map-side combined. Asserted on the
+    un-checkpointed helper — the gate's localCheckpoint truncates the
+    visible plan (round-5: checkpointing pernode is what makes the
+    triangle join enumerate once instead of twice)."""
+    from apitap_spark.operators.graph import (
+        op_graph_triangles,
+        tri_pernode_counts,
+    )
 
+    ph = _plan(tri_pernode_counts(spark, sf_dir))
+    assert "CartesianProduct" not in ph
+    assert "partial_count" in ph
     p = _plan(op_graph_triangles(spark, sf_dir))
     assert "CartesianProduct" not in p
-    assert "partial_count" in p
 
 
 def test_dim_profile_single_dim_keyed_aggregate(spark, sf_dir):
