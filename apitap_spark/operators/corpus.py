@@ -164,7 +164,9 @@ def op_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
-    )
+    ).localCheckpoint()
+    # ^ source-cardinality; feeds tot, shared, AND tot2's re-derivation —
+    # without the checkpoint the corpus tokenization pass runs 4x.
     tot = per_source.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.count("*").cast("bigint").alias("n_sources"),
@@ -481,7 +483,7 @@ def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint()  # feeds tot AND rates: one tokenization pass, not two
     tot = per_source.agg(
         F.sum("n_tokens").alias("total_tokens"),
         F.count("*").cast("bigint").alias("n_sources"),

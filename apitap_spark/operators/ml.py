@@ -920,7 +920,9 @@ def op_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster")
     sizes = assigned.groupBy(
         F.col("cluster").cast("bigint").alias("cell")
-    ).agg(F.count("*").cast("bigint").alias("n"))
+    ).agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    # ^ k rows; feeds tot AND the share projection — without the
+    # checkpoint the quantizer-assignment scan runs twice.
     tot = sizes.agg(
         F.sum("n").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("k"),

@@ -662,7 +662,13 @@ def op_skew_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     limited frame only.
     """
     ev = read_table(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    # Checkpoint the key-count table: both the stats row and the top-K
+    # extraction consume it, and lazily each would re-run the corpus
+    # scan + key groupBy. |keys| rows spill-safely via MEMORY_AND_DISK;
+    # one materialization replaces two corpus aggregations.
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).localCheckpoint()
     stats = counts.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
@@ -984,9 +990,13 @@ def op_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first groupBy is broadcast-sized.
     """
     docs = read_table(spark, sf_dir, "documents")
+    # Checkpoint the contingency table: it feeds FOUR consumers (g, lt,
+    # n, and the grid join) and is |sources|x|langs| rows — without the
+    # checkpoint each consumer lazily re-runs the corpus scan + groupBy
+    # (round-5 plan audit: 4 corpus scans for one audit).
     c = docs.groupBy("source", "lang").agg(
         F.count("*").cast("bigint").alias("n_gl")
-    )
+    ).localCheckpoint()
     g = c.groupBy("source").agg(F.sum("n_gl").cast("bigint").alias("n_g"))
     lt = c.groupBy("lang").agg(F.sum("n_gl").cast("bigint").alias("n_l"))
     n = c.agg(F.sum("n_gl").cast("bigint").alias("n"))

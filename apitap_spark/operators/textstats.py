@@ -1297,6 +1297,8 @@ def op_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n_w"))
+        .localCheckpoint()  # vocab-cardinality; feeds totals + TWO joins —
+        # without it the corpus token explode runs three times
     )
     bi_counts = (
         docs.select(F.explode(shingle_grams("text", 2)).alias("g"))
