@@ -493,7 +493,10 @@ def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:
         # integer div, not floor(double /): Column `/` casts to double and
         # loses exactness for hash-derived doc_ids above 2^53
         "b", F.expr(f"doc_id div {PACK_BUCKET}")
-    )
+    ).localCheckpoint()
+    # ^ feeds both the bucket-total branch and the doc-offset probe —
+    # without the checkpoint the ENTIRE upstream encode chain (learn ->
+    # apply -> encode) lazily re-runs once per consumer.
     btotals = with_eos.groupBy("b").agg(F.sum("n").alias("bt"))
     offsets = btotals.withColumn(
         "boff",

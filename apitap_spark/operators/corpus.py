@@ -647,7 +647,9 @@ def op_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         (F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int") / (256 // SHARD_BUCKETS))
         .cast("int"),
-    )
+    ).localCheckpoint()
+    # ^ doc-cardinality (id, ntok, hkey, bucket); feeds the phase-1
+    # bucket totals AND the phase-2 probe — one tokenization pass, not two
     offsets = (
         base.groupBy("bucket")
         .agg(F.sum("ntok").alias("btok"))

@@ -1271,6 +1271,10 @@ def op_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+        .localCheckpoint()
+        # ^ the HAVING-filtered pair table is tiny; without the
+        # checkpoint the union's two branches each re-run the basket
+        # self-join + groupBy (the expensive half of the gate).
     )
     rules = pair.select(
         F.col("p1").alias("antecedent"),
