@@ -707,12 +707,16 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # feeds und, the anti-join, and degrees
     )
+    # und feeds both sides of the triangle-closing self-join; deg is
+    # broadcast twice (du, dv). Checkpoint both or each consumer re-runs
+    # the union+distinct shuffle (4x) / the degree groupBy (2x) — the
+    # round-5 double-materialization sweep.
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
-    )
+    ).localCheckpoint()
     x = und.select(F.col("u").alias("cu"), F.col("v").alias("w"))
     y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
     cn = (
