@@ -1812,12 +1812,22 @@ def op_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = pairs.groupBy(F.col("v1").alias("v")).agg(
         F.count("*").cast("bigint").alias("n_nbrs")
     )
+    # allv feeds the core filter AND the final role join; core feeds the
+    # core-edge filter (twice), the component loop's node set, and the
+    # border anti-join. Both are node-cardinality — checkpoint them or
+    # every consumer re-runs the vector scan + degree groupBy (round-5
+    # double-materialization sweep).
     allv = (
         side.select(F.col("vec_id").alias("v"))
         .join(deg, "v", "left")
         .select("v", F.coalesce("n_nbrs", F.lit(0)).cast("bigint").alias("n_nbrs"))
+        .localCheckpoint()
     )
-    core = allv.filter(F.col("n_nbrs") >= DBSCAN_MIN_NBRS).select("v")
+    core = (
+        allv.filter(F.col("n_nbrs") >= DBSCAN_MIN_NBRS)
+        .select("v")
+        .localCheckpoint()
+    )
     core_edges = (
         pairs.join(F.broadcast(core.select(F.col("v").alias("v1"))), "v1")
         .join(F.broadcast(core.select(F.col("v").alias("v2"))), "v2")
