@@ -918,3 +918,110 @@ def op_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_frame_energy double"
         ),
     ).filter(F.col("n_frames") > 0)
+
+
+# --- Video container metadata probe (codec-free) --------------------------
+#
+# The pixel/audio DECODE path for video stays behind decode_image's
+# documented NotImplementedError boundary (no codec libraries in this
+# environment; a deployment plugs ffmpeg there). Container METADATA,
+# however, needs no codec: MP4/ISO-BMFF box headers and AVI RIFF headers
+# are plain struct layouts (ISO/IEC 14496-12 §4.2; Microsoft AVI RIFF
+# spec), and duration/resolution/track-count is what a training-data
+# pipeline filters on before paying for any decode. Pure stdlib, bounded
+# work per file (top-level box walk), per-row fallback on malformed
+# input — the same contract as _extract_features.
+
+MP4_CONTAINER_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4V ")
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for ISO-BMFF boxes in
+    data[start:end]. Handles 64-bit largesize; stops on truncation."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _probe_mp4(data: bytes) -> dict | None:
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    out: dict = {
+        "container": "mp4",
+        "brand": data[8:12].decode("latin-1"),
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+    }
+    for btype, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _mp4_boxes(data, b0, b1):
+            if ctype == b"mvhd" and c1 - c0 >= 20:
+                ver = data[c0]
+                if ver == 1 and c1 - c0 >= 28:
+                    scale = int.from_bytes(data[c0 + 20 : c0 + 24], "big")
+                    dur = int.from_bytes(data[c0 + 24 : c0 + 32], "big")
+                else:
+                    scale = int.from_bytes(data[c0 + 12 : c0 + 16], "big")
+                    dur = int.from_bytes(data[c0 + 16 : c0 + 20], "big")
+                if scale:
+                    out["duration_ms"] = (dur * 1000) // scale
+            elif ctype == b"trak":
+                out["n_tracks"] += 1
+                for ttype, t0, t1 in _mp4_boxes(data, c0, c1):
+                    if ttype == b"tkhd" and t1 - t0 >= 84:
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w = int.from_bytes(data[t1 - 8 : t1 - 4], "big") >> 16
+                        h = int.from_bytes(data[t1 - 4 : t1], "big") >> 16
+                        if w and h and not out["width"]:
+                            out["width"], out["height"] = w, h
+    return out
+
+
+def _probe_avi(data: bytes) -> dict | None:
+    if len(data) < 64 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    # avih (MainAVIHeader) follows 'LIST....hdrlavih<size>' at offset 12
+    idx = data.find(b"avih", 12, 4096)
+    if idx < 0 or idx + 48 > len(data):
+        return None
+    u32 = lambda o: int.from_bytes(data[o : o + 4], "little")  # noqa: E731
+    us_per_frame, total_frames = u32(idx + 8), u32(idx + 24)
+    return {
+        "container": "avi",
+        "brand": "avi ",
+        "duration_ms": (us_per_frame * total_frames) // 1000
+        if us_per_frame
+        else None,
+        "width": u32(idx + 40) or None,
+        "height": u32(idx + 44) or None,
+        "n_tracks": u32(idx + 32),
+    }
+
+
+def probe_video_container(payload: bytes) -> dict | None:
+    """Container-level video metadata without any codec: MP4/ISO-BMFF
+    (ftyp brand, mvhd duration, first tkhd resolution, track count) and
+    AVI RIFF (avih header). Returns None for non-video payloads — the
+    caller treats that as per-row fallback, mirroring decode_image's
+    contract. Frame DECODE remains the documented NotImplementedError
+    boundary."""
+    try:
+        return _probe_mp4(payload) or _probe_avi(payload)
+    except (IndexError, ValueError, OverflowError):
+        return None
