@@ -868,8 +868,13 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join) — inherent to any calibration audit; production
     amortizes it over a rotating pair sample.
     """
+    # Checkpoint the pair list (round-5 double-materialization sweep):
+    # it feeds cand's two union branches AND the final comparison join —
+    # lazily the dominant df-capped shingle self-join ran three times
+    # (sf0.1: 12.3s -> 6.9s). sh_all itself persists inside
+    # _df_capped_shingles, so its reuse is already cached.
     sh_all = _df_capped_shingles(spark, sf_dir)
-    pairs = _jaccard_pairs(sh_all, None, AUDIT_JACCARD_THR)
+    pairs = _jaccard_pairs(sh_all, None, AUDIT_JACCARD_THR).localCheckpoint()
     cand = (
         pairs.select(F.col("d1").alias("doc_id"))
         .union(pairs.select(F.col("d2").alias("doc_id")))
