@@ -70,3 +70,46 @@ def test_every_gate_listed_in_coverage_md():
         cov = fh.read()
     missing = [n for n in list(REL) + list(OPS) if f"`{n}`" not in cov]
     assert not missing, f"gates without a COVERAGE.md row: {missing}"
+
+
+def test_rotation_fronts_oldest_untested_gates():
+    """The driver samples the first 50 queries() entries. Invariants the
+    round-5 rotation fix established: every backlog gate with no driver
+    row yet sits inside the window; gates first registered this round
+    (_NEW_GATES) sit behind every older never-tested gate; and the
+    oracle_sql() ordering mirrors queries() so the driver pairs them."""
+    import glob
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    oracles = entry.oracle_sql()
+    seen: set = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            seen |= set(json.load(fh))
+
+    window = names[:50]
+    untested = [n for n in names if n not in seen]
+    # backlog sets front the window for as long as they stay untested
+    for backlog in (entry._ROUND1_BACKLOG, entry._ROUND3_BACKLOG):
+        for n in backlog:
+            if n in untested and n in names:
+                assert n in window, f"backlog gate {n} missed the window"
+    # this round's new gates never displace older never-tested gates
+    older_untested = [
+        n for n in untested if n not in entry._NEW_GATES and n in oracles
+    ]
+    for n in entry._NEW_GATES:
+        if n in untested and older_untested:
+            assert names.index(n) > max(
+                names.index(o) for o in older_untested
+            ), f"new gate {n} jumped older never-tested gates"
+    # oracle ordering mirrors queries ordering (driver zips the dicts)
+    assert list(oracles) == [n for n in names if n in oracles]
