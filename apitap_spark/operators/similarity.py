@@ -1099,6 +1099,13 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = sides.alias("a"), sides.alias("b")
     cos = cosine_from_norms("a.embedding", "b.embedding", "a.n", "b.n")
+    # pairs IS checkpointed: A/B-timed both ways at sf0.1 under the
+    # release_persisted regime — checkpointed 3.5s warm vs 4.2-4.6s lazy
+    # (the self-join recompute for the second consumer costs more than
+    # materializing the O(sum|cell|^2) pair list). The r4->r5 freeze
+    # "regression" (2.79->4.00s) was byte-identical code both rounds; the
+    # cause was accumulated localCheckpoint storage pressure in the bench
+    # loop, fixed by session.release_persisted() between gates.
     pairs = a.join(
         b,
         (F.col("a.cluster") == F.col("b.cluster"))

@@ -63,6 +63,29 @@ def get_session(
     return builder.getOrCreate()
 
 
+def release_persisted(spark: SparkSession) -> int:
+    """Unpersist every RDD still pinned in storage memory; returns count.
+
+    ``spark.catalog.clearCache()`` only drops catalog-cached *Datasets*;
+    ``DataFrame.localCheckpoint()`` pins RDD-level blocks that linger
+    until ContextCleaner GC. In a long-lived session running many
+    independent operator jobs (the bench suite, a pipeline scheduler),
+    those blocks accumulate and later jobs execute under storage-memory
+    pressure. Calling this BETWEEN jobs is safe — nothing references the
+    finished job's frames — but never mid-job: unpersisting a
+    localCheckpointed RDD whose lineage was truncated discards data that
+    cannot be recomputed.
+    """
+    jsc = spark.sparkContext._jsc.sc()
+    jmap = jsc.getPersistentRDDs()
+    n = 0
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+        n += 1
+    return n
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing engine quirks.
 

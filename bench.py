@@ -54,7 +54,7 @@ def main(out_path: str | None = None) -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from apitap_spark.session import get_session
+    from apitap_spark.session import get_session, release_persisted
 
     spark = get_session(app_name="apitap-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,24 +83,34 @@ def main(out_path: str | None = None) -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
-        # Ops persist() intermediates for intra-plan reuse; release them so
-        # later queries aren't timed under accumulated storage-memory
-        # pressure (each op is an independent job in production).
+        # Ops persist()/localCheckpoint() intermediates for intra-plan
+        # reuse; release them so later queries aren't timed under
+        # accumulated storage-memory pressure (each op is an independent
+        # job in production). clearCache() alone is NOT enough: it drops
+        # catalog-cached Datasets but localCheckpoint blocks are RDD-level
+        # persistence freed only by ContextCleaner GC (round-5 ADVICE) —
+        # release_persisted() unpersists them explicitly, which is safe
+        # here because the gate's job has fully completed.
         spark.catalog.clearCache()
+        release_persisted(spark)
 
-    # Drift watchlist: two more timed runs each (first run already sits in
-    # ``timings``), so the freeze carries {query: [t1, t2, t3]} and a
-    # future judge can read noise vs regression straight off the medians.
+    # Drift watchlist: THREE timed runs each, all taken here in the
+    # post-suite regime (warm JIT, warm page cache), so the three samples
+    # share one regime and the median is meaningful (round-5 ADVICE: the
+    # old version mixed the mid-suite timing with two post-suite runs —
+    # e.g. op_ann_cosine_topk [1.05, 0.59, 0.55] is two regimes, not
+    # noise). The mid-suite timing stays available in ``queries``.
     watchlist_runs: dict[str, list[float]] = {}
     for name in DRIFT_WATCHLIST:
         if name not in qs:
             continue
-        runs = [timings[name]]
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 4))
             spark.catalog.clearCache()
+            release_persisted(spark)
         watchlist_runs[name] = runs
 
     # Headline metric: the BASELINE-comparable "transform & load, complex
