@@ -465,9 +465,13 @@ _TRI_ORACLE = f"""
 
 
 def tri_pernode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Un-checkpointed per-node triangle counts — the full oriented-join
-    plan, factored out so physical-plan tests can assert on it (the
-    gate's localCheckpoint truncates the visible plan)."""
+    """Per-node triangle counts with the per-node AGGREGATE left
+    un-checkpointed, factored out so physical-plan tests can assert on
+    the oriented-join shape (the gate's downstream localCheckpoint
+    truncates the visible plan). Note the edge list ``e`` itself IS
+    still localCheckpointed here — calling this helper eagerly runs the
+    edge-build job and the visible plan starts at the RDD scan above
+    ``e``; only the join/aggregate ABOVE it is assertable."""
     ev = read_table(spark, sf_dir, "events")
     grp = ev.select(
         F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"

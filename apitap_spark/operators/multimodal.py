@@ -948,6 +948,10 @@ def _mp4_boxes(data: bytes, start: int, end: int):
                 return
             size = int.from_bytes(data[pos + 8 : pos + 16], "big")
             body = pos + 16
+            # a largesize in [8,16) passes the generic size<8 check but
+            # puts body_start past body_end (header alone is 16 bytes)
+            if size < 16:
+                return
         elif size == 0:  # box extends to end of enclosing container
             size = end - pos
         if size < 8 or pos + size > end:
@@ -973,9 +977,17 @@ def _probe_mp4(data: bytes) -> dict | None:
         for ctype, c0, c1 in _mp4_boxes(data, b0, b1):
             if ctype == b"mvhd" and c1 - c0 >= 20:
                 ver = data[c0]
-                if ver == 1 and c1 - c0 >= 28:
-                    scale = int.from_bytes(data[c0 + 20 : c0 + 24], "big")
-                    dur = int.from_bytes(data[c0 + 24 : c0 + 32], "big")
+                scale = 0
+                dur = 0
+                if ver == 1:
+                    # v1 duration is 8 bytes at body offset 24-32: a
+                    # 28-31-byte body would read past the box end into
+                    # sibling-box bytes — treat truncated v1 as
+                    # malformed (duration stays None), never decode the
+                    # v0 offsets of a v1 layout
+                    if c1 - c0 >= 32:
+                        scale = int.from_bytes(data[c0 + 20 : c0 + 24], "big")
+                        dur = int.from_bytes(data[c0 + 24 : c0 + 32], "big")
                 else:
                     scale = int.from_bytes(data[c0 + 12 : c0 + 16], "big")
                     dur = int.from_bytes(data[c0 + 16 : c0 + 20], "big")

@@ -76,16 +76,32 @@ class FetchStats:
 
 @dataclass
 class RetryPolicy:
-    """Exponential backoff bounds (reference src/utils/http_retry.rs:96-114)."""
+    """Exponential backoff bounds (reference src/utils/http_retry.rs:96-114).
+
+    Like the reference's ``ExponentialBackoff`` (jitter on by default,
+    src/utils/http_retry.rs:100-105), each delay is jittered uniformly
+    in [min_delay_sec, base] so concurrent fetchers hitting the same
+    rate-limited API don't retry in lockstep. ``jitter_seed`` makes the
+    sequence reproducible for tests; None draws fresh randomness.
+    """
 
     max_attempts: int = 3
     min_delay_sec: float = 1.0
     max_delay_sec: float = 5.0
+    jitter: bool = True
+    jitter_seed: int | None = None
 
     def delays(self) -> Iterator[float]:
+        import random
+
+        rng = random.Random(self.jitter_seed)
         d = self.min_delay_sec
         for _ in range(self.max_attempts - 1):
-            yield min(d, self.max_delay_sec)
+            base = min(d, self.max_delay_sec)
+            if self.jitter and base > self.min_delay_sec:
+                yield rng.uniform(self.min_delay_sec, base)
+            else:
+                yield base
             d *= 2
 
 

@@ -139,6 +139,23 @@ def test_retry_exhausted(spark, api):
     api.fail_next = 0
 
 
+def test_retry_delays_jittered_within_bounds():
+    # Reference ExponentialBackoff jitters by default
+    # (src/utils/http_retry.rs:100-105): every delay must land in
+    # [min, min(2^k * min, max)], and a fixed seed must reproduce.
+    pol = RetryPolicy(
+        max_attempts=6, min_delay_sec=1.0, max_delay_sec=5.0, jitter_seed=7
+    )
+    ds = list(pol.delays())
+    assert len(ds) == 5
+    caps = [1.0, 2.0, 4.0, 5.0, 5.0]
+    for d, cap in zip(ds, caps):
+        assert 1.0 <= d <= cap
+    assert ds == list(pol.delays())  # seeded -> reproducible
+    nojit = RetryPolicy(max_attempts=4, jitter=False)
+    assert list(nojit.delays()) == [1.0, 2.0, 4.0]
+
+
 def test_register_and_sql(spark, api):
     src = HttpSource(
         name="posts",

@@ -93,6 +93,37 @@ def test_mp4_probe_64bit_mvhd_version1():
     assert meta["n_tracks"] == 0
 
 
+def test_truncated_v1_mvhd_yields_no_duration():
+    # A version-1 mvhd whose body is only 28 bytes: the 8-byte duration
+    # at offset 24-32 would read past the box into the sibling box —
+    # duration must stay None (malformed-input fallback), not decode
+    # garbage like 8589934592026 ms (round-5 ADVICE repro).
+    short_v1 = b"\x01" + bytes(3) + bytes(16) + (600).to_bytes(4, "big") + bytes(4)
+    assert len(short_v1) == 28
+    sibling = _box(b"free", (0xFFFFFFFF).to_bytes(4, "big") * 4)
+    data = (
+        _box(b"ftyp", b"mp42" + bytes(4) + b"mp42")
+        + _box(b"moov", _box(b"mvhd", short_v1) + sibling)
+    )
+    meta = probe_video_container(data)
+    assert meta is not None and meta["duration_ms"] is None
+
+
+def test_largesize_smaller_than_header_stops_cleanly():
+    # size==1 promises a 64-bit largesize; a decoded largesize in [8,16)
+    # would put body_start past body_end (header alone is 16 bytes) —
+    # the walk must stop, not yield an inverted range.
+    bogus = (
+        (1).to_bytes(4, "big")
+        + b"moov"
+        + (12).to_bytes(8, "big")  # largesize 12 < 16-byte header
+        + bytes(32)
+    )
+    data = _box(b"ftyp", b"isom" + bytes(4) + b"isom") + bogus
+    meta = probe_video_container(data)
+    assert meta is not None and meta["n_tracks"] == 0
+
+
 def test_avi_probe_reads_header():
     meta = probe_video_container(_minimal_avi())
     assert meta == {
