@@ -79,6 +79,15 @@ _NEW_GATES: set[str] = {
     # round 5: the shadowed conditional-min funnel, re-registered under
     # its own name after the q_event_funnel duplicate-registration fix
     "q_funnel_conditional_min",
+    # round 6: seven new operators — sized so the whole never-tested set
+    # (18 backlog + these) stays within the driver's 50-row window
+    "op_histogram_drift_l1",
+    "op_cramers_v_association",
+    "op_graph_bfs_hops",
+    "op_knn_label_accuracy",
+    "op_embedding_rp_sketch",
+    "op_gini_best_split",
+    "op_dedup_substring_spans",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

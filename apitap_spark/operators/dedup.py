@@ -1452,3 +1452,135 @@ def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     return cdc_dedup_report(cdc_chunks_frame(docs, fast=False))
+
+
+# --- L119: exact repeated-substring spans (Lee et al. 2021 style) -----------
+
+SPAN_L = 40  # minimum duplicated substring length (chars)
+
+_SPAN_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, text, LENGTH(text) AS n FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+             md5(substr(text, CAST(p AS BIGINT), {SPAN_L})) AS gk
+      FROM d, unnest(range(1, n - {SPAN_L} + 2)) AS u(p)
+      WHERE n >= {SPAN_L}
+    ),
+    dupk AS (
+      SELECT gk FROM grams GROUP BY gk HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    cand AS (
+      SELECT g.doc_id, g.source, g.p FROM grams g JOIN dupk USING (gk)
+    ),
+    isl AS (
+      SELECT doc_id, source, p,
+             SUM(CASE WHEN prev_p IS NULL OR p - prev_p > {SPAN_L}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT doc_id, source, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev_p
+        FROM cand
+      )
+    ),
+    spans AS (
+      SELECT doc_id, source,
+             MAX(p) - MIN(p) + {SPAN_L} AS covered
+      FROM isl GROUP BY doc_id, source, island
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(SUM(covered) AS BIGINT) AS dup_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id, source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(pd.doc_id) AS BIGINT) AS n_dup_docs,
+           CAST(COALESCE(SUM(pd.n_spans), 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(SUM(pd.dup_chars), 0) AS BIGINT) AS dup_chars,
+           CAST(SUM(d.n) AS BIGINT) AS total_chars,
+           CAST(COALESCE(SUM(pd.dup_chars), 0) * 1000000 // SUM(d.n)
+                AS BIGINT) AS dup_ratio_micro
+    FROM d LEFT JOIN per_doc pd ON pd.doc_id = d.doc_id
+    GROUP BY d.source
+"""
+
+
+@_register("op_dedup_substring_spans", _SPAN_ORACLE)
+def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring audit in the style of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): find every position whose SPAN_L-char substring
+    recurs in ANOTHER document, merge overlapping positions into
+    maximal duplicated spans (gaps-and-islands), and report per source
+    how much of the text is cross-document boilerplate — the signal
+    ExactSubstr dedup trims before training. Unlike document-level
+    MinHash (op_dedup_minhash_lsh), this catches templated
+    headers/footers inside otherwise-unique documents.
+
+    Exactness: positions and span lengths are integers; the ratio is
+    integer division — hash-stable by construction. The md5 gram key
+    matches DuckDB bit-for-bit.
+
+    Scale shape: the gram explode is linear in corpus chars (the
+    suffix-array of the paper re-expressed as a shingle join); the only
+    wide operation is the gram-key groupBy (map-side combined) and the
+    candidate semi-join back — both keyed by gram hash, so they
+    partition evenly; islands are per-doc windows over candidate
+    positions (sparse — only duplicated positions flow into the
+    window). At 100 TB, cap gram df like op_dedup_ngram_jaccard if a
+    pathological gram floods a partition.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").cast("long").alias("n")
+    ).localCheckpoint()  # feeds grams AND the per-source denominator
+    grams = d.filter(F.col("n") >= SPAN_L).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n") - SPAN_L + 1))
+        .alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "source",
+        "p",
+        F.md5(F.expr(f"substr(text, p, {SPAN_L})")).alias("gk"),
+    )
+    dupk = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("dd"))
+        .filter(F.col("dd") > 1)
+        .select("gk")
+    )
+    cand = grams.join(dupk, "gk").select("doc_id", "source", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = cand.withColumn("prev_p", F.lag("p").over(w)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull() | (F.col("p") - F.col("prev_p") > SPAN_L),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "source", "island").agg(
+        (F.max("p") - F.min("p") + SPAN_L).alias("covered")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("covered").cast("bigint").alias("dup_chars"),
+        F.count("*").cast("bigint").alias("n_spans"),
+    )
+    joined = d.select("doc_id", "source", "n").join(per_doc, "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("dup_chars").cast("bigint").alias("n_dup_docs"),
+        F.coalesce(F.sum("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.sum("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
+        F.sum("n").cast("bigint").alias("total_chars"),
+        F.expr(
+            "CAST(coalesce(sum(dup_chars), 0L) * 1000000L div sum(n) AS BIGINT)"
+        ).alias("dup_ratio_micro"),
+    )

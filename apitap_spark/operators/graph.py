@@ -1059,3 +1059,111 @@ def op_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
     )
     return hits(edges)
+
+
+# --- Bounded multi-source BFS (graph distance features) -------------------
+
+BFS_SEED_MOD = 97  # seeds: user_id % MOD == 0 (deterministic ~1%)
+BFS_MAX_HOPS = 4
+
+_BFS_EDGE_CTES = """
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e0 AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type AND c.rk - a.rk = 1
+    ),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    nodes AS (SELECT DISTINCT u AS v FROM e)
+"""
+
+_BFS_ORACLE = (
+    _BFS_EDGE_CTES
+    + f""",
+    l0 AS (SELECT v FROM nodes WHERE v % {BFS_SEED_MOD} = 0),
+    l1 AS (SELECT DISTINCT e.v FROM e JOIN l0 ON e.u = l0.v),
+    l2 AS (SELECT DISTINCT e.v FROM e JOIN l1 ON e.u = l1.v),
+    l3 AS (SELECT DISTINCT e.v FROM e JOIN l2 ON e.u = l2.v),
+    l4 AS (SELECT DISTINCT e.v FROM e JOIN l3 ON e.u = l3.v)
+    SELECT v AS user_id,
+           CAST(CASE WHEN v IN (SELECT v FROM l0) THEN 0
+                     WHEN v IN (SELECT v FROM l1) THEN 1
+                     WHEN v IN (SELECT v FROM l2) THEN 2
+                     WHEN v IN (SELECT v FROM l3) THEN 3
+                     ELSE 4 END AS BIGINT) AS hops
+    FROM nodes
+    WHERE v IN (SELECT v FROM l0) OR v IN (SELECT v FROM l1)
+       OR v IN (SELECT v FROM l2) OR v IN (SELECT v FROM l3)
+       OR v IN (SELECT v FROM l4)
+"""
+)
+
+
+@_register("op_graph_bfs_hops", _BFS_ORACLE)
+def op_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS over the co-activity graph: hop distance
+    from every node to the nearest SEED user (user_id % 97 == 0),
+    capped at BFS_MAX_HOPS — the "distance to a labeled anchor" feature
+    a curation pipeline derives when only a sparse seed set is labeled
+    (distance to known-spam accounts, to verified publishers, to
+    moderated communities). Unreached nodes are excluded (distance is
+    undefined, not 0).
+
+    Both engines compute hops as min level over DISTINCT per-level
+    frontier sets — no path enumeration, so a dense graph cannot blow
+    up the oracle, and the Spark loop is R bounded rounds.
+
+    Scale shape: the edge list is built once and checkpointed; each
+    round is one join keyed by the frontier (node-cardinality DISTINCT
+    set, broadcast) against the edge list + a distinct — the textbook
+    frontier BFS where per-round cost is O(edges touched), and R is a
+    constant. State per round is one (node) set, never paths.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    ranked = grp.withColumn("rk", F.row_number().over(w))
+    a = ranked.select(
+        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
+    )
+    c = ranked.select(
+        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
+    )
+    e0 = (
+        a.join(c, ["b", "event_type"])
+        .filter(F.col("rkc") - F.col("rka") == 1)
+        .select("u", "v")
+    )
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # probed once per BFS round
+    )
+    nodes = e.select("u").distinct().select(F.col("u").alias("v"))
+    level = nodes.filter(F.col("v") % BFS_SEED_MOD == 0).localCheckpoint()
+    # dist accumulates (v, hops); per round the NEW frontier is the
+    # neighbor set minus everything already labeled (classic BFS).
+    dist = level.select("v", F.lit(0).cast("bigint").alias("hops"))
+    for r in range(1, BFS_MAX_HOPS + 1):
+        nbrs = (
+            e.join(F.broadcast(level.select(F.col("v").alias("u"))), "u")
+            .select("v")
+            .distinct()
+        )
+        level = nbrs.join(
+            F.broadcast(dist.select("v")), "v", "left_anti"
+        ).localCheckpoint()  # feeds dist AND next round's probe
+        dist = dist.unionByName(
+            level.select("v", F.lit(r).cast("bigint").alias("hops"))
+        )
+    return dist.select(F.col("v").alias("user_id"), "hops")

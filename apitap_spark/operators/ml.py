@@ -1682,3 +1682,142 @@ def op_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_micro"),
     )
+
+
+# --- Decision-stump feature screening (Gini split gain) --------------------
+
+GINI_DIMS = 8  # screen embedding dims 1..8 (1-indexed)
+GINI_THRESHOLDS = [t * 50 for t in range(-4, 5)]  # millis: -200..200 step 50
+GINI_QSCALE = 1000
+
+
+def _gini_oracle() -> str:
+    thr_rows = ", ".join(f"({t})" for t in GINI_THRESHOLDS)
+    return f"""
+    WITH x AS (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y, d,
+             CAST(ROUND(CAST(embedding[d] AS DOUBLE) * {GINI_QSCALE}, 0)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, {GINI_DIMS} + 1)) AS u(d)
+    ),
+    grid AS (SELECT * FROM x CROSS JOIN (VALUES {thr_rows}) AS t(thr)),
+    cells AS (
+      SELECT d, thr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN xm <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN xm <= thr THEN y ELSE 0 END) AS BIGINT) AS pl
+      FROM grid GROUP BY d, thr
+    ),
+    gains AS (
+      SELECT d, thr, n, nl, n - nl AS nr,
+             CAST(ROUND(2.0 * (
+               CAST(p * (n - p) AS DOUBLE) / CAST(n AS DOUBLE)
+               - CASE WHEN nl = 0 THEN 0.0 ELSE
+                   CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE) END
+               - CASE WHEN n - nl = 0 THEN 0.0 ELSE
+                   CAST((p - pl) * ((n - nl) - (p - pl)) AS DOUBLE)
+                   / CAST(n - nl AS DOUBLE) END
+             ) / CAST(n AS DOUBLE) * 1000000, 0) AS BIGINT) AS gain_micro
+      FROM cells
+    )
+    SELECT CAST(d AS BIGINT) AS dim,
+           CAST(thr AS BIGINT) AS best_thr_milli,
+           gain_micro AS gain_micro,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY d
+                                   ORDER BY gain_micro DESC, thr) AS rk
+      FROM gains
+    ) WHERE rk = 1
+    """
+
+
+@_register("op_gini_best_split", _gini_oracle())
+def op_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature screening: for each of the first
+    GINI_DIMS embedding dimensions, find the threshold (on the
+    milli-quantized component) with the largest binary-Gini impurity
+    reduction against the parity label — the one-pass filter a feature
+    pipeline runs to rank candidate features before training anything
+    (CART's split criterion, evaluated exhaustively on a fixed
+    threshold grid).
+
+    Exactness: counts are integers; binary Gini 2pq/n and the weighted
+    gain reduce to one fixed chain of bigint products and double
+    divisions per (dim, threshold) cell — identical op order in both
+    engines — rounded once to integer micros; argmax tiebreaks by
+    threshold. No pow/ln.
+
+    Scale shape: explode dims (8x) then a conditional aggregate per
+    (dim, threshold) — map-side combined to GINI_DIMS x |grid| rows, so
+    the shuffle is constant-size regardless of corpus; the argmax is a
+    window over that tiny aggregate.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode(
+            F.slice(
+                F.transform(
+                    "embedding",
+                    lambda v: F.round(
+                        v.cast("double") * GINI_QSCALE, 0
+                    ).cast("bigint"),
+                ),
+                1,
+                GINI_DIMS,
+            )
+        ).alias("d0", "xm"),
+    ).select((F.col("d0") + 1).alias("d"), "y", "xm")
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in GINI_THRESHOLDS])
+    )
+    grid = x.select("d", "y", "xm", thr.alias("thr"))
+    left = (F.col("xm") <= F.col("thr")).cast("bigint")
+    cells = grid.groupBy("d", "thr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(left).cast("bigint").alias("nl"),
+        F.sum(left * F.col("y")).cast("bigint").alias("pl"),
+    )
+    nr = F.col("n") - F.col("nl")
+    pr = F.col("p") - F.col("pl")
+    parent = (F.col("p") * (F.col("n") - F.col("p"))).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    lterm = F.when(F.col("nl") == 0, F.lit(0.0)).otherwise(
+        (F.col("pl") * (F.col("nl") - F.col("pl"))).cast("double")
+        / F.col("nl").cast("double")
+    )
+    rterm = F.when(nr == 0, F.lit(0.0)).otherwise(
+        (pr * (nr - pr)).cast("double") / nr.cast("double")
+    )
+    gains = cells.select(
+        "d",
+        "thr",
+        "nl",
+        nr.alias("nr"),
+        F.round(
+            F.lit(2.0) * (parent - lterm - rterm) / F.col("n").cast("double")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("gain_micro"),
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("d").orderBy(F.desc("gain_micro"), F.asc("thr"))
+    return (
+        gains.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("d").cast("bigint").alias("dim"),
+            F.col("thr").cast("bigint").alias("best_thr_milli"),
+            "gain_micro",
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+        )
+    )

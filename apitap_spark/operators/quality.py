@@ -1695,3 +1695,203 @@ def op_distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rel_err_micro"),
     )
+
+
+# --- L17x: distribution drift + categorical association audits -------------
+
+HIST_BUCKET_W = 50  # n_chars bucket width (corpus spans ~44-577 chars)
+L1_SCALE = 1_000_000
+
+_HIST_DRIFT_ORACLE = f"""
+    WITH d AS (
+      SELECT source, n_chars // {HIST_BUCKET_W} AS b FROM documents
+    ),
+    per_src AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM per_src GROUP BY 1
+    ),
+    corpus AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM per_src GROUP BY 1
+    ),
+    corpus_tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus),
+    grid AS (
+      SELECT s.source, s.n, c.b,
+             COALESCE(p.c, 0) * {L1_SCALE} // s.n AS s_share,
+             c.cc * {L1_SCALE} // t.nn AS c_share
+      FROM src_tot s
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot t
+      LEFT JOIN per_src p ON p.source = s.source AND p.b = c.b
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(ABS(s_share - c_share)) AS BIGINT) AS l1_micro,
+           CAST(MAX(ABS(s_share - c_share)) AS BIGINT) AS max_gap_micro
+    FROM grid GROUP BY source
+"""
+
+
+@_register("op_histogram_drift_l1", _HIST_DRIFT_ORACLE)
+def op_histogram_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift audit: bucketize document length
+    into fixed-width histograms, express each source's bucket shares
+    and the corpus-wide shares in integer micro units, and report the
+    L1 distance (total variation x2) plus the single worst bucket gap.
+    The ingest-time check a training-data pipeline runs per batch: a
+    source whose length distribution diverges from the corpus signals
+    a scraper change, truncation bug, or template flood — before any
+    model sees the data.
+
+    Exactness: shares are integer division (count * 1e6 div n), so
+    every value is a bigint and the hash is engine-independent.
+
+    Scale shape: one scan -> (source, bucket) count aggregate (map-side
+    combined; output cardinality = sources x buckets, tiny), then all
+    arithmetic happens on that aggregate — the corpus histogram and the
+    per-source grid are broadcast-sized regardless of corpus size.
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") / HIST_BUCKET_W).cast("long").alias("b")
+    )
+    per_src = (
+        d.groupBy("source", "b").agg(F.count("*").cast("bigint").alias("c"))
+        # feeds src totals, the corpus histogram AND the grid join — one
+        # aggregate-cardinality frame, three consumers (sweep rule)
+        .localCheckpoint()
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    corpus = per_src.groupBy("b").agg(F.sum("c").cast("bigint").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").cast("bigint").alias("nn"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(per_src, ["source", "b"], "left")
+        .select(
+            "source",
+            "n",
+            F.expr(
+                f"coalesce(c, 0L) * {L1_SCALE}L div n"
+            ).alias("s_share"),
+            F.expr(f"cc * {L1_SCALE}L div nn").alias("c_share"),
+        )
+    )
+    gap = F.abs(F.col("s_share") - F.col("c_share"))
+    return grid.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(gap).cast("bigint").alias("l1_micro"),
+        F.max(gap).cast("bigint").alias("max_gap_micro"),
+    )
+
+
+_CRAMERS_ORACLE = f"""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS nc
+      FROM o
+    ),
+    cells AS (
+      -- every (lang, source) cell including zero-observation ones:
+      -- chi2's E term is nonzero for them
+      SELECT rt.lang, ct.source, rt.r, ct.c, t.n, t.nr, t.nc,
+             COALESCE(o.obs, 0) AS obs
+      FROM rt CROSS JOIN ct CROSS JOIN tot t
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+    ),
+    terms AS (
+      -- (obs - E)^2 / E with E = r*c/n, algebraically
+      -- (obs*n - r*c)^2 / (n*r*c): numerator/denominator are EXACT
+      -- bigints, ONE double division per cell (bit-identical across
+      -- engines), rounded once to integer micros
+      SELECT n, nr, nc,
+             CAST(ROUND(CAST((obs * n - r * c) * (obs * n - r * c) AS DOUBLE)
+                        / CAST(n * r * c AS DOUBLE) * {L1_SCALE}, 0)
+                  AS BIGINT) AS term_micro
+      FROM cells
+    )
+    SELECT 'lang' AS col_a, 'source' AS col_b,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(nr) AS BIGINT) AS n_rows_cat,
+           CAST(MAX(nc) AS BIGINT) AS n_cols_cat,
+           CAST(SUM(term_micro) AS BIGINT) AS chi2_micro,
+           CAST(SUM(term_micro) // (MAX(n) * LEAST(MAX(nr) - 1, MAX(nc) - 1))
+                AS BIGINT) AS v2_micro
+    FROM terms
+"""
+
+
+@_register("op_cramers_v_association", _CRAMERS_ORACLE)
+def op_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association audit: chi-squared statistic and squared
+    Cramér's V between the documents table's ``lang`` and ``source``
+    columns — the screening test for leaked correlation between
+    metadata facets (a source that only emits one language skews any
+    per-language split downstream; V^2 near 1 means the two facets are
+    redundant and stratifying on both double-counts).
+
+    Exactness: each cell term is (obs*n - r*c)^2 / (n*r*c) — numerator
+    and denominator exact bigints, ONE IEEE double division per cell
+    (bit-identical across engines), rounded once to integer micros and
+    summed as bigint (order-independent). V^2 = chi2/(n*min(r-1,c-1))
+    stays in integer micro arithmetic. No pow/ln anywhere.
+
+    Scale shape: one scan to the (lang, source) contingency aggregate;
+    everything after operates on the r x c cell grid (here 5 x 20) —
+    broadcast-sized at any corpus scale.
+    """
+    o = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+        .localCheckpoint()  # contingency feeds rt, ct, tot and the grid
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("nr"),
+        F.countDistinct("source").cast("bigint").alias("nc"),
+    )
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "r", "c", "n", "nr", "nc",
+            F.coalesce("obs", F.lit(0).cast("bigint")).alias("obs"),
+        )
+    )
+    num = (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+    terms = cells.select(
+        "n", "nr", "nc",
+        F.round(
+            (num * num).cast("double")
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double")
+            * L1_SCALE,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return terms.agg(
+        F.lit("lang").alias("col_a"),
+        F.lit("source").alias("col_b"),
+        F.max("n").cast("bigint").alias("n"),
+        F.max("nr").cast("bigint").alias("n_rows_cat"),
+        F.max("nc").cast("bigint").alias("n_cols_cat"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+        F.expr(
+            "CAST(sum(term_micro) div (max(n) * least(max(nr) - 1, "
+            "max(nc) - 1)) AS BIGINT)"
+        ).alias("v2_micro"),
+    )

@@ -2137,3 +2137,230 @@ def op_label_noise_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("label1") != F.col("label2"))
         .select("v1", "v2", "label1", "label2", "cosine")
     )
+
+
+# --- kNN label-vote audit + JL random-projection sketch --------------------
+
+KNN_K = 5
+KNN_QUERY_MOD = 5  # audit sample: vec_id % MOD == 0 (deterministic ~20%)
+
+_KNN_COS = (
+    f"{_SQL_DOT.format(a='q.embedding', b='c.embedding')}"
+    f" / (sqrt({_SQL_NORM2.format(a='q.embedding')})"
+    f" * sqrt({_SQL_NORM2.format(a='c.embedding')}))"
+)
+
+_KNN_ORACLE = f"""
+    WITH nn AS (
+      SELECT q_id, q_label, c_label, rk FROM (
+        SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS c_label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_KNN_COS} DESC, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {KNN_QUERY_MOD} = 0
+      ) WHERE rk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT q_id, q_label, c_label, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT q_id, q_label, c_label AS pred_label FROM (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY nv DESC, c_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT CAST(q_label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_micro
+    FROM pred GROUP BY q_label
+"""
+
+
+@_register("op_knn_label_accuracy", _KNN_ORACLE)
+def op_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency audit: for a deterministic ~20% query
+    sample, take the 5 cosine-nearest OTHER vectors, majority-vote
+    their labels (ties -> smaller label), and report per-label accuracy
+    in integer micros. The embedding-quality check a curation pipeline
+    runs before trusting labels for stratification: a label whose
+    neighborhoods vote against it is noisy or the embedding doesn't
+    separate it (complements op_label_noise_pairs, which flags pairs —
+    this scores label cohesion as a classifier would see it).
+
+    Scale shape: query-sample x corpus brute-force cosine (the exact
+    rung — swap in op_ann_ivfpq_search's cells for the approximate
+    rung at corpus scale), per-query top-k via WindowGroupLimit (rank
+    filter pushes the limit into the sort), then integer vote counts;
+    accuracy is integer division so the hash is engine-exact.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").cast("bigint").alias("label"),
+        l2_norm("embedding").alias("nrm"),
+    ).localCheckpoint()  # feeds both sides of the query x corpus join
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = cosine_from_norms("qe", "embedding", "qn", "nrm")
+    pairs = q.join(emb, F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "q_label", F.col("label").alias("c_label"),
+        cos.alias("cos"), "vec_id",
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_K
+    )
+    votes = nn.groupBy("q_id", "q_label", "c_label").agg(
+        F.count("*").cast("bigint").alias("nv")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("nv"), F.asc("c_label"))
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    correct = F.sum((F.col("c_label") == F.col("q_label")).cast("int"))
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)"
+            " * 1000000L div count(*) AS BIGINT)"
+        ).alias("acc_micro"),
+    )
+
+
+RP_DIM = 16  # projected dimensionality
+RP_SEED = "rp6"  # round-6 seed; signs derive from md5(seed|i|j) parity
+RP_QSCALE = 1000  # quantize components to integer millis: |y_j| <= 64*500,
+# so sum(y^2) <= 1.6e10 and sum(y^2)*1e6 stays far inside int64 (micro
+# quantization overflowed exactly there — ANSI mode caught it)
+
+
+def _rp_signs() -> list[list[int]]:
+    """The seeded ±1 projection matrix, derived ONCE from md5 parity so
+    any engine (or a future re-implementation) can reproduce it without
+    sharing code. Shape: RP_DIM rows x 64 cols."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{RP_SEED}|{i}|{j}".encode()).hexdigest(), 16)
+            % 2
+            else -1
+            for i in range(64)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}q[{i + 1}])" for i, s in enumerate(row)
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS y{j}")
+    ys = ",\n             ".join(cols)
+    ycat = " || ',' || ".join(f"CAST(y{j} AS VARCHAR)" for j in range(RP_DIM))
+    ysq = " + ".join(f"y{j} * y{j}" for j in range(RP_DIM))
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {RP_QSCALE}, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, q,
+             list_aggregate(list_transform(q, v -> v * v), 'sum') AS orig_l2sq
+      FROM q
+    ),
+    proj AS (
+      SELECT vec_id, orig_l2sq,
+             {ys}
+      FROM qn
+    )
+    SELECT vec_id,
+           {ycat} AS sketch,
+           CAST({ysq} AS BIGINT) AS sketch_l2sq,
+           CAST(CAST({ysq} AS BIGINT) * 1000000
+                // ({RP_DIM} * CAST(orig_l2sq AS BIGINT)) AS BIGINT)
+             AS preservation_micro
+    FROM proj
+    """
+
+
+@_register("op_embedding_rp_sketch", _rp_oracle())
+def op_embedding_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection sketch (Achlioptas 2001
+    ±1 database-friendly variant): project each 64-dim embedding onto
+    RP_DIM seeded ±1 directions after one fixed-point quantization to
+    integer millis (RP_QSCALE) — the cheap distance-preserving signature used to
+    pre-filter candidate pairs before exact cosine at corpus scale
+    (E[|y|^2] = RP_DIM * |q|^2 for ±1 rows, so preservation_micro
+    concentrates around 1e6; far-off rows flag quantization or
+    projection bugs).
+
+    Exactness: the sign matrix is derived once from md5(seed|i|j)
+    parity and inlined as literals in BOTH engines (no per-row hashing);
+    components are quantized ONCE to bigint millis, so every projection
+    is an exact integer sum — order-independent, hash-stable.
+
+    Scale shape: pure per-row Catalyst projection (zip_with + aggregate
+    over a 64-literal array), no shuffle at all; the output is the
+    narrow (id, 16-int sketch) frame that downstream LSH/banding joins
+    consume instead of the raw vectors.
+    """
+    signs = _rp_signs()
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * RP_QSCALE, 0).cast("bigint"),
+    )
+    base = emb.select("vec_id", q.alias("q")).select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.transform("q", lambda v: v * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("orig_l2sq"),
+    )
+    ycols = [
+        F.aggregate(
+            F.zip_with(
+                "q",
+                F.array(*[F.lit(s).cast("bigint") for s in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias(f"y{j}")
+        for j, row in enumerate(signs)
+    ]
+    proj = base.select("vec_id", "orig_l2sq", *ycols)
+    sketch = F.concat_ws(
+        ",", *[F.col(f"y{j}").cast("string") for j in range(RP_DIM)]
+    )
+    l2sq = None
+    for j in range(RP_DIM):
+        term = F.col(f"y{j}") * F.col(f"y{j}")
+        l2sq = term if l2sq is None else l2sq + term
+    return proj.select(
+        "vec_id",
+        sketch.alias("sketch"),
+        l2sq.cast("bigint").alias("sketch_l2sq"),
+        F.expr(
+            f"CAST(({' + '.join(f'y{j} * y{j}' for j in range(RP_DIM))})"
+            f" * 1000000L div ({RP_DIM} * orig_l2sq) AS BIGINT)"
+        ).alias("preservation_micro"),
+    )
