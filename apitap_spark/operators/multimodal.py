@@ -268,19 +268,23 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload → (width, height, channels, pixel bytes).
 
     PNG (baseline 8-bit subset) decodes for real via the pure-stdlib
-    decoder above — no codec libraries exist in this container, so this
-    replaces the round-2 NotImplementedError stub with an actual byte→
-    pixel path (round-2 verdict #6). Other formats (JPEG etc.) still
-    raise NotImplementedError: a real deployment plugs Pillow/ffmpeg
-    here behind the same signature, and callers treat decode failure as
-    per-row fallback, never a job abort (a 100 TB scan WILL contain
-    corrupt files).
+    decoder above, and baseline JPEG (SOF0 sequential, Huffman) via
+    jpeg_baseline.decode_jpeg — no codec libraries exist in this
+    container, so both paths are first-principles implementations
+    (rounds 2 and 6). Progressive JPEG / other formats still raise: a
+    real deployment plugs Pillow/ffmpeg here behind the same signature,
+    and callers treat decode failure as per-row fallback, never a job
+    abort (a 100 TB scan WILL contain corrupt files).
     """
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from apitap_spark.operators.jpeg_baseline import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes in this environment; plug Pillow/ffmpeg here "
-        "for JPEG/video paths"
+        "only PNG and baseline JPEG decode in this environment; plug "
+        "Pillow/ffmpeg here for progressive-JPEG/video paths"
     )
 
 

@@ -298,7 +298,12 @@ def test_decode_png_roundtrip(filter_type, channels):
 def test_decode_image_rejects_non_png_and_corrupt():
     from apitap_spark.operators.multimodal import decode_image
 
+    # unknown container -> documented codec boundary
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not supported here")
+    # JPEG now dispatches to the baseline decoder; truncated/corrupt
+    # JPEG raises (per-row fallback), never mis-decodes
+    with pytest.raises(Exception):  # noqa: B017
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(Exception):  # noqa: B017 — truncated PNG must not decode
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
