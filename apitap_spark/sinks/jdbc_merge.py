@@ -352,13 +352,32 @@ def upsert_sql(
 
 
 def merge_sql(
-    dialect: Dialect, table: str, columns: list[str], pks: list[str], n_rows: int
+    dialect: Dialect,
+    table: str,
+    columns: list[str],
+    pks: list[str],
+    n_rows: int,
+    cast_types: dict[str, str] | None = None,
 ) -> str:
     """MERGE INTO … USING (VALUES …) for PG ≥ 15
-    (reference src/writer/postgres.rs:538-707)."""
+    (reference src/writer/postgres.rs:538-707).
+
+    ``cast_types``: per-column SQL type to CAST the VALUES placeholder
+    to. Unlike plain INSERT (where the target column gives parameters
+    their type), a MERGE source subquery has NO column context — an
+    untyped JSON-string parameter resolves to text and fails against a
+    jsonb column ("expression is of type text"), found live on PG 15.
+    """
     t = quote_ident_path(table)
     collist = ", ".join(quote_ident(c) for c in columns)
-    one = "(" + ", ".join(dialect.placeholder(i) for i in range(len(columns))) + ")"
+    casts = cast_types or {}
+
+    def ph(i: int) -> str:
+        p = dialect.placeholder(i)
+        ct = casts.get(columns[i % len(columns)])
+        return f"CAST({p} AS {ct})" if ct else p
+
+    one = "(" + ", ".join(ph(i) for i in range(len(columns))) + ")"
     values = ", ".join([one] * n_rows)
     on = " AND ".join(f"t.{quote_ident(p)} = s.{quote_ident(p)}" for p in pks)
     updates = ", ".join(
@@ -508,14 +527,31 @@ class JdbcMergeWriter:
         return {r[0].lower() for r in rows}
 
     # -- statement routing -------------------------------------------------
-    def _statement(self, n_cols: int, columns: list[str], version, n_rows: int) -> str:
+    def _statement(
+        self,
+        n_cols: int,
+        columns: list[str],
+        version,
+        n_rows: int,
+        dtypes: list | None = None,
+    ) -> str:
         if self.mode in (WriteMode.APPEND, WriteMode.OVERWRITE):
             return insert_sql(self.dialect, self.table, columns, n_rows)
         if self.dialect.merge_as_insert():
             # engine dedups by key itself (ClickHouse ReplacingMergeTree)
             return insert_sql(self.dialect, self.table, columns, n_rows)
         if self.dialect.supports_merge(version):
-            return merge_sql(self.dialect, self.table, columns, self.pks, n_rows)
+            # complex types bind as JSON strings; the MERGE source VALUES
+            # has no column context, so cast them to the dialect JSON type
+            casts = {
+                c: self.dialect.json_type
+                for c, dt in zip(columns, dtypes or [])
+                if isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+            }
+            return merge_sql(
+                self.dialect, self.table, columns, self.pks, n_rows,
+                cast_types=casts or None,
+            )
         if self.dialect.supports_on_conflict(version):
             return upsert_sql(self.dialect, self.table, columns, self.pks, n_rows)
         raise RuntimeError(
@@ -575,7 +611,9 @@ class JdbcMergeWriter:
                         buf.clear()
                         return
                     use_bulk = False  # unsupported → INSERT from here on
-                sql = self._statement(len(columns), columns, version, len(buf))
+                sql = self._statement(
+                    len(columns), columns, version, len(buf), dtypes
+                )
                 params: list = []
                 for r in buf:
                     params.extend(

@@ -1,0 +1,352 @@
+"""Minimal pure-stdlib PostgreSQL client (frontend/backend protocol v3).
+
+A dependency-free DB-API-ish driver for JdbcMergeWriter so the live
+Postgres integration tests can run in environments that ship Postgres
+but no psycopg (this container). Implements exactly the surface the
+sink uses: connect → cursor → execute(sql, params) with ``%s``
+placeholders → fetchone/fetchall → commit/rollback/close, with
+psycopg-style implicit BEGIN.
+
+Protocol (public spec: postgresql.org/docs/current/protocol.html):
+startup + trust/cleartext/md5 auth, extended query protocol
+(Parse/Bind/Describe/Execute/Sync) with all parameters and results in
+text format, typed decode of the common OIDs. Not implemented: SASL
+auth (scram), COPY, prepared-statement reuse, binary format — the sink
+needs none of them, and copy_expert's absence routes the writer onto
+its batched-INSERT path by design (jdbc_merge.py:199 getattr probe).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import socket
+import struct
+from decimal import Decimal
+
+
+class PgError(Exception):
+    """Server-reported error (SQLSTATE in .sqlstate)."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        self.sqlstate = fields.get("C", "")
+        super().__init__(f"{fields.get('S', 'ERROR')}: {fields.get('M', '?')}")
+
+
+def _parse_dsn(dsn: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in dsn.split():
+        k, _, v = part.partition("=")
+        out[k.strip()] = v.strip().strip("'")
+    return out
+
+
+def _encode_param(v) -> bytes | None:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"t" if v else b"f"
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return b"\\x" + bytes(v).hex().encode()
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return (
+            v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+        ).encode()
+    if isinstance(v, (int, float, Decimal)):
+        return repr(v).encode() if isinstance(v, float) else str(v).encode()
+    return str(v).encode()
+
+
+def _decode_field(raw: bytes | None, oid: int):
+    if raw is None:
+        return None
+    s = raw.decode("utf-8")
+    if oid == 16:
+        return s == "t"
+    if oid in (20, 21, 23, 26, 28):
+        return int(s)
+    if oid in (700, 701):
+        return float(s)
+    if oid == 1700:
+        return Decimal(s)
+    if oid == 17 and s.startswith("\\x"):
+        return bytes.fromhex(s[2:])
+    if oid == 1082:
+        return _dt.date.fromisoformat(s)
+    if oid in (1114, 1184):
+        try:
+            return _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return s
+    return s
+
+
+def _format_to_dollar(sql: str) -> str:
+    """``%s`` placeholders → ``$1..$n`` (``%%`` unescapes to ``%``)."""
+    out = []
+    i = 0
+    n = 1
+    while i < len(sql):
+        c = sql[i]
+        if c == "%" and i + 1 < len(sql):
+            nxt = sql[i + 1]
+            if nxt == "s":
+                out.append(f"${n}")
+                n += 1
+                i += 2
+                continue
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class Cursor:
+    def __init__(self, conn: "Connection"):
+        self._conn = conn
+        self.description = None
+        self.rowcount = -1
+        self._rows: list[tuple] = []
+        self._pos = 0
+
+    def execute(self, sql: str, params=None):
+        self._conn._ensure_txn()
+        desc, rows, tag = self._conn._extended_query(
+            _format_to_dollar(sql), list(params or ())
+        )
+        self.description = desc
+        self._rows = rows
+        self._pos = 0
+        parts = (tag or "").split()
+        self.rowcount = int(parts[-1]) if parts and parts[-1].isdigit() else -1
+        return self
+
+    def fetchone(self):
+        if self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchall(self):
+        rows = self._rows[self._pos :]
+        self._pos = len(self._rows)
+        return rows
+
+    def close(self):
+        self._rows = []
+
+
+class Connection:
+    def __init__(self, dsn: str):
+        p = _parse_dsn(dsn)
+        self._sock = socket.create_connection(
+            (p.get("host", "127.0.0.1"), int(p.get("port", "5432"))), timeout=30
+        )
+        self._buf = b""
+        self._in_txn = False
+        self.closed = False
+        user = p.get("user", "postgres")
+        db = p.get("dbname", p.get("database", user))
+        body = b"".join(
+            [
+                struct.pack(">i", 196608),
+                b"user\x00", user.encode(), b"\x00",
+                b"database\x00", db.encode(), b"\x00",
+                b"client_encoding\x00UTF8\x00\x00",
+            ]
+        )
+        self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._auth(user, p.get("password", ""))
+
+    # -- wire helpers -------------------------------------------------------
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        while len(self._buf) < 5:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PgError({"S": "FATAL", "M": "connection closed by server"})
+            self._buf += chunk
+        mtype = self._buf[:1]
+        (mlen,) = struct.unpack(">i", self._buf[1:5])
+        while len(self._buf) < 1 + mlen:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise PgError({"S": "FATAL", "M": "connection closed by server"})
+            self._buf += chunk
+        body = self._buf[5 : 1 + mlen]
+        self._buf = self._buf[1 + mlen :]
+        return mtype, body
+
+    def _send(self, mtype: bytes, body: bytes) -> None:
+        self._sock.sendall(mtype + struct.pack(">i", len(body) + 4) + body)
+
+    @staticmethod
+    def _err_fields(body: bytes) -> dict[str, str]:
+        fields = {}
+        for part in body.split(b"\x00"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    def _auth(self, user: str, password: str) -> None:
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"R":
+                (code,) = struct.unpack(">i", body[:4])
+                if code == 0:
+                    continue
+                if code == 3:  # cleartext
+                    self._send(b"p", password.encode() + b"\x00")
+                elif code == 5:  # md5
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        password.encode() + user.encode()
+                    ).hexdigest()
+                    digest = hashlib.md5(inner.encode() + salt).hexdigest()
+                    self._send(b"p", b"md5" + digest.encode() + b"\x00")
+                else:
+                    raise PgError(
+                        {"S": "FATAL", "M": f"auth method {code} not supported"}
+                    )
+            elif mtype == b"E":
+                raise PgError(self._err_fields(body))
+            elif mtype == b"Z":
+                return
+            # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    def _drain_to_ready(self, first_error: PgError | None = None):
+        """Consume until ReadyForQuery; re-raise the first error seen."""
+        err = first_error
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"E" and err is None:
+                err = PgError(self._err_fields(body))
+            if mtype == b"Z":
+                self._in_txn = body != b"I"
+                if err:
+                    raise err
+                return
+
+    # -- query execution ------------------------------------------------------
+    @staticmethod
+    def _param_oid(v) -> int:
+        """Parse-time type OID per Python type. Without these, params in
+        contexts PostgreSQL can't infer (e.g. a MERGE USING (VALUES ...)
+        source) default to text and joins fail with 'bigint = text'.
+        Strings stay OID 0 (unknown) so they coerce to any target type."""
+        if isinstance(v, bool):
+            return 16
+        if isinstance(v, int):
+            return 20
+        if isinstance(v, float):
+            return 701
+        if isinstance(v, Decimal):
+            return 1700
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return 17
+        if isinstance(v, _dt.datetime):
+            return 1114
+        if isinstance(v, _dt.date):
+            return 1082
+        return 0
+
+    def _extended_query(self, sql: str, params: list):
+        parse = sql.encode() + b"\x00" + struct.pack(">h", len(params))
+        for v in params:
+            parse += struct.pack(">i", self._param_oid(v))
+        self._send(b"P", b"\x00" + parse)
+        bind = [b"\x00\x00", struct.pack(">h", 0)]  # unnamed portal+stmt, text
+        bind.append(struct.pack(">h", len(params)))
+        for v in params:
+            enc = _encode_param(v)
+            if enc is None:
+                bind.append(struct.pack(">i", -1))
+            else:
+                bind.append(struct.pack(">i", len(enc)) + enc)
+        bind.append(struct.pack(">h", 0))  # text results
+        self._send(b"B", b"".join(bind))
+        self._send(b"D", b"P\x00")
+        self._send(b"E", b"\x00" + struct.pack(">i", 0))
+        self._send(b"S", b"")
+        desc = None
+        oids: list[int] = []
+        rows: list[tuple] = []
+        tag = ""
+        err: PgError | None = None
+        while True:
+            mtype, body = self._recv_msg()
+            if mtype == b"T":
+                (nf,) = struct.unpack(">h", body[:2])
+                pos = 2
+                desc = []
+                oids = []
+                for _ in range(nf):
+                    zero = body.index(b"\x00", pos)
+                    name = body[pos:zero].decode()
+                    (oid,) = struct.unpack(">i", body[zero + 7 : zero + 11])
+                    desc.append((name, oid, None, None, None, None, None))
+                    oids.append(oid)
+                    pos = zero + 19
+            elif mtype == b"D":
+                (nf,) = struct.unpack(">h", body[:2])
+                pos = 2
+                vals = []
+                for f in range(nf):
+                    (ln,) = struct.unpack(">i", body[pos : pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(_decode_field(body[pos : pos + ln], oids[f]))
+                        pos += ln
+                rows.append(tuple(vals))
+            elif mtype == b"C":
+                tag = body.rstrip(b"\x00").decode()
+            elif mtype == b"E":
+                if err is None:
+                    err = PgError(self._err_fields(body))
+            elif mtype == b"Z":
+                self._in_txn = body != b"I"
+                if err:
+                    raise err
+                return desc, rows, tag
+            # '1' ParseComplete, '2' BindComplete, 'n' NoData,
+            # 'N' notices, 'S' parameter status: skip
+
+    def _simple(self, sql: str) -> None:
+        self._send(b"Q", sql.encode() + b"\x00")
+        self._drain_to_ready()
+
+    def _ensure_txn(self) -> None:
+        if not self._in_txn:
+            self._simple("BEGIN")
+
+    # -- DB-API surface -------------------------------------------------------
+    def cursor(self) -> Cursor:
+        return Cursor(self)
+
+    def commit(self) -> None:
+        if self._in_txn:
+            self._simple("COMMIT")
+
+    def rollback(self) -> None:
+        if self._in_txn:
+            self._simple("ROLLBACK")
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._sock.sendall(b"X" + struct.pack(">i", 4))
+            except OSError:
+                pass
+            self._sock.close()
+            self.closed = True
+
+
+def connect(dsn: str) -> Connection:
+    """psycopg-style ``connect("host=... port=... user=... dbname=...")``."""
+    return Connection(dsn)

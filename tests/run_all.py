@@ -38,8 +38,27 @@ def run(desc: str, cmd: list[str], env: dict | None = None) -> bool:
     return ok
 
 
+def _maybe_pg_dsn() -> None:
+    """Opt the pytest stage into the live-Postgres tests when the local
+    throwaway server (tools/pg_local.sh start) is reachable — the sink's
+    live evidence should ride every freeze run, not just manual ones."""
+    if os.environ.get("APITAP_PG_DSN"):
+        return
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 54329), timeout=0.5).close()
+    except OSError:
+        return
+    os.environ["APITAP_PG_DSN"] = (
+        "host=127.0.0.1 port=54329 user=postgres dbname=postgres"
+    )
+    print("live Postgres detected on :54329 — sink tests un-skipped")
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
+    _maybe_pg_dsn()
     stages: list[tuple[str, list[str]]] = []
     if not fast:
         stages.append(

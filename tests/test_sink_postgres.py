@@ -45,7 +45,11 @@ def _driver():
 
             return lambda: psycopg2.connect(DSN)
         except ImportError:
-            return None
+            # dependency-free fallback: our own protocol-v3 client —
+            # enough DB-API surface for the sink and these tests
+            from apitap_spark.sinks import pgwire
+
+            return lambda: pgwire.connect(DSN)
 
 
 _factory = _driver() if DSN else None
@@ -104,3 +108,96 @@ def test_merge_upsert_is_idempotent_on_live_postgres(spark, pg_conn):
     cur = pg_conn.cursor()
     cur.execute(f"SELECT id, name, score FROM {TABLE} ORDER BY id")
     assert cur.fetchall() == [(1, "a", 1.0), (2, "b2", 2.5), (3, "c", 3.0)]
+
+
+def test_on_conflict_path_on_live_postgres(spark, pg_conn):
+    """Force the 9.5-14 routing (supports_merge -> False) so the live
+    server also proves the ON CONFLICT upsert statement (S16/S17)."""
+
+    class Pre15(PostgresDialect):
+        def supports_merge(self, version):
+            return False
+
+    df1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    df2 = spark.createDataFrame([(2, "b2", 9.0)], SCHEMA)
+    writer = JdbcMergeWriter(
+        _factory, TABLE, dialect=Pre15(), mode=WriteMode.MERGE, primary_key="id"
+    )
+    writer.write(df1)
+    writer.write(df2)
+    cur = pg_conn.cursor()
+    cur.execute(f"SELECT id, name, score FROM {TABLE} ORDER BY id")
+    assert cur.fetchall() == [(1, "a", 1.0), (2, "b2", 9.0)]
+
+
+def test_append_and_truncate_on_live_postgres(spark, pg_conn):
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    writer = JdbcMergeWriter(
+        _factory, TABLE, dialect=PostgresDialect(), mode=WriteMode.APPEND
+    )
+    writer.write(df)
+    writer.write(df)  # append: duplicates allowed
+    cur = pg_conn.cursor()
+    cur.execute(f"SELECT COUNT(*) FROM {TABLE}")
+    assert cur.fetchone() == (4,)
+    # release the read transaction's ACCESS SHARE lock: the next write
+    # TRUNCATEs, which needs ACCESS EXCLUSIVE and would deadlock with us
+    pg_conn.rollback()
+    trunc = JdbcMergeWriter(
+        _factory,
+        TABLE,
+        dialect=PostgresDialect(),
+        mode=WriteMode.APPEND,
+        truncate_first=True,
+    )
+    trunc.write(df)
+    cur.execute(f"SELECT COUNT(*) FROM {TABLE}")
+    assert cur.fetchone() == (2,)
+
+
+def test_schema_evolution_adds_column_on_live_postgres(spark, pg_conn):
+    """Additive evolution: a new DataFrame column ALTERs the live table;
+    historic rows read back NULL for it (S13 + evolution policy)."""
+    df1 = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType())]
+    )
+    df2 = spark.createDataFrame([(2, "b", 2.0, "x")], wide)
+    writer = JdbcMergeWriter(
+        _factory,
+        TABLE,
+        dialect=PostgresDialect(),
+        mode=WriteMode.MERGE,
+        primary_key="id",
+    )
+    writer.write(df1)
+    writer.write(df2)
+    cur = pg_conn.cursor()
+    cur.execute(f"SELECT id, extra FROM {TABLE} ORDER BY id")
+    assert cur.fetchall() == [(1, None), (2, "x")]
+
+
+def test_jsonb_bind_on_live_postgres(spark, pg_conn):
+    """Complex Spark types bind as JSONB (reference JSONB semantics,
+    src/writer/postgres.rs:48-50) and round-trip through the live
+    server's jsonb type."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame([(1, ["a", "b"])], schema)
+    writer = JdbcMergeWriter(
+        _factory,
+        TABLE,
+        dialect=PostgresDialect(),
+        mode=WriteMode.MERGE,
+        primary_key="id",
+    )
+    writer.write(df)
+    cur = pg_conn.cursor()
+    cur.execute(
+        f"SELECT pg_typeof(tags)::text, tags->>0, tags->>1 FROM {TABLE}"
+    )
+    assert cur.fetchall() == [("jsonb", "a", "b")]

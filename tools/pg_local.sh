@@ -1,0 +1,48 @@
+#!/bin/sh
+# Bootstrap a throwaway local PostgreSQL for the live sink tests.
+#
+#   sh tools/pg_local.sh start   # initdb + start on 127.0.0.1:54329
+#   sh tools/pg_local.sh stop
+#
+# Then:
+#   APITAP_PG_DSN="host=127.0.0.1 port=54329 user=postgres dbname=postgres" \
+#     python -m pytest tests/test_sink_postgres.py -q
+#
+# Works as root (Postgres refuses root, so a pguser is created) or as a
+# regular user. Data lives in /tmp/pgdata (throwaway by design). No
+# Python driver is needed: tests fall back to apitap_spark.sinks.pgwire,
+# the dependency-free protocol-v3 client.
+set -e
+PGDATA=/tmp/pgdata
+PORT=54329
+RUN=""
+if [ "$(id -u)" = "0" ]; then
+    id pguser >/dev/null 2>&1 || useradd -m pguser
+    chown -R pguser /tmp/pgsock 2>/dev/null || true
+    RUN="su pguser -c"
+fi
+
+run() {
+    if [ -n "$RUN" ]; then $RUN "$*"; else sh -c "$*"; fi
+}
+
+case "${1:-start}" in
+start)
+    mkdir -p /tmp/pgsock
+    [ "$(id -u)" = "0" ] && chown pguser /tmp/pgsock
+    if [ ! -d "$PGDATA" ]; then
+        mkdir -p "$PGDATA"
+        [ "$(id -u)" = "0" ] && chown pguser "$PGDATA"
+        run "initdb -D $PGDATA -A trust -U postgres" >/dev/null
+    fi
+    run "pg_ctl -D $PGDATA -o '-k /tmp/pgsock -p $PORT -c listen_addresses=127.0.0.1' -l /tmp/pg.log start"
+    echo "DSN: host=127.0.0.1 port=$PORT user=postgres dbname=postgres"
+    ;;
+stop)
+    run "pg_ctl -D $PGDATA stop" || true
+    ;;
+*)
+    echo "usage: $0 start|stop" >&2
+    exit 2
+    ;;
+esac
