@@ -2142,7 +2142,7 @@ def op_label_noise_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- kNN label-vote audit + JL random-projection sketch --------------------
 
 KNN_K = 5
-KNN_QUERY_MOD = 5  # audit sample: vec_id % MOD == 0 (deterministic ~20%)
+KNN_QUERY_MOD = 10  # audit sample: vec_id % MOD == 0 (deterministic ~10%)
 
 _KNN_COS = (
     f"{_SQL_DOT.format(a='q.embedding', b='c.embedding')}"
@@ -2184,7 +2184,7 @@ _KNN_ORACLE = f"""
 
 @_register("op_knn_label_accuracy", _KNN_ORACLE)
 def op_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label-consistency audit: for a deterministic ~20% query
+    """kNN label-consistency audit: for a deterministic ~10% query
     sample, take the 5 cosine-nearest OTHER vectors, majority-vote
     their labels (ties -> smaller label), and report per-label accuracy
     in integer micros. The embedding-quality check a curation pipeline
