@@ -928,3 +928,57 @@ def test_wordpiece_encode_jvm_side(spark, sf_dir):
 
     p = _plan(op_wordpiece_encode(spark, sf_dir))
     assert "BatchEvalPython" not in p
+
+
+# --- round-6 operators ------------------------------------------------------
+
+
+def test_rp_sketch_no_shuffle_pure_projection(spark, sf_dir):
+    """The JL sketch is one narrow per-row projection: no Exchange of any
+    kind, no Python (the sign matrix is Catalyst literals)."""
+    from apitap_spark.operators.similarity import op_embedding_rp_sketch
+
+    p = _plan(op_embedding_rp_sketch(spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_histogram_drift_single_scan_partial_agg(spark, sf_dir):
+    """One parquet scan feeds the checkpointed (source, bucket) aggregate;
+    everything downstream is aggregate-cardinality."""
+    from apitap_spark.operators.quality import op_histogram_drift_l1
+
+    p = _plan(op_histogram_drift_l1(spark, sf_dir))
+    # the visible plan starts above the checkpoint: no second corpus scan
+    assert p.count("Scan parquet") == 0  # all inputs are the tiny RDD
+    assert "partial_" in p or "HashAggregate" in p
+
+
+def test_substring_spans_semi_join_keyed_by_gram(spark, sf_dir):
+    """Candidate generation is gram-keyed (groupBy + join back), with
+    map-side combine; no cartesian anywhere."""
+    from apitap_spark.operators.dedup import op_dedup_substring_spans
+
+    p = _plan(op_dedup_substring_spans(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "partial_" in p  # distinct-doc count combines map-side
+
+
+def test_gini_split_constant_size_shuffle(spark, sf_dir):
+    """The (dim, threshold) aggregate is map-side combined, so the shuffle
+    carries GINI_DIMS x |grid| rows regardless of corpus size."""
+    from apitap_spark.operators.ml import op_gini_best_split
+
+    p = _plan(op_gini_best_split(spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_knn_broadcasts_query_sample(spark, sf_dir):
+    """The ~10% query sample joins the corpus via broadcast (never a
+    corpus x corpus shuffle join) and top-k rides WindowGroupLimit."""
+    from apitap_spark.operators.similarity import op_knn_label_accuracy
+
+    p = _plan(op_knn_label_accuracy(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
