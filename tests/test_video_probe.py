@@ -147,3 +147,28 @@ def test_truncated_mp4_is_safe():
     for cut in (4, 9, 17, 40, len(full) - 3):
         meta = probe_video_container(full[:cut])
         assert meta is None or meta["container"] == "mp4"  # never raises
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200)
+@given(st.binary(max_size=512))
+def test_probe_never_raises_on_arbitrary_bytes(payload):
+    """Per-row fallback contract: garbage in -> None or a dict, NEVER an
+    exception (a 100 TB scan will contain every corruption imaginable)."""
+    meta = probe_video_container(payload)
+    assert meta is None or isinstance(meta, dict)
+
+
+@settings(max_examples=100)
+@given(st.binary(max_size=256), st.integers(min_value=0, max_value=60))
+def test_probe_never_raises_on_mutated_valid_mp4(tail, flip_at):
+    """A valid header followed by corrupted/flipped bytes must still
+    degrade gracefully."""
+    base = bytearray(_minimal_mp4() + tail)
+    if flip_at < len(base):
+        base[flip_at] ^= 0xFF
+    meta = probe_video_container(bytes(base))
+    assert meta is None or isinstance(meta, dict)
