@@ -222,14 +222,21 @@ class TargetConfig:
             def pg():
                 try:
                     import psycopg2  # noqa: PLC0415
-                except ImportError as exc:  # pragma: no cover
-                    raise RuntimeError(
-                        "postgres target requires psycopg2 (not bundled in this "
-                        "environment); use a duckdb target for local runs"
-                    ) from exc
-                return psycopg2.connect(
-                    host=host, port=port, dbname=db, user=user, password=pwd
-                )
+
+                    return psycopg2.connect(
+                        host=host, port=port, dbname=db, user=user, password=pwd
+                    )
+                except ImportError:
+                    # dependency-free fallback: our protocol-v3 client
+                    # (sinks/pgwire.py) — same DB-API surface the writer
+                    # needs, so the pipeline DSL works against a real
+                    # Postgres even without psycopg installed
+                    from apitap_spark.sinks import pgwire  # noqa: PLC0415
+
+                    return pgwire.connect(
+                        f"host={host} port={port} dbname={db} "
+                        f"user={user} password={pwd}"
+                    )
 
             return pg
         raise ConfigError(f"unknown target kind {self.kind!r}")
