@@ -262,3 +262,71 @@ targets:
         con.close()
     finally:
         api2.stop()
+
+
+def _pg_reachable() -> bool:
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 54329), timeout=0.5).close()
+        return True
+    except OSError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _pg_reachable(),
+    reason="live-Postgres pipeline e2e: run `sh tools/pg_local.sh start`",
+)
+def test_run_pipeline_end_to_end_live_postgres(
+    spark, tmp_path, api, modules_dir, monkeypatch
+):
+    """The full DSL path — HTTP source → SQL modules → MERGE — against a
+    real PostgreSQL through the pgwire fallback (no psycopg installed),
+    idempotent on re-run."""
+    monkeypatch.setenv("APITAP_PG_USER", "postgres")
+    monkeypatch.setenv("APITAP_PG_PASS", "trust")
+    cfg = tmp_path / "pipelines_pg.yaml"
+    cfg.write_text(
+        f"""
+sources:
+  - name: posts
+    url: {api.base}/limit_offset
+    pagination: {{type: limit_offset, limit: 10}}
+    dest_table: posts_raw
+    primary_key_in_dest: id
+targets:
+  - name: wh
+    kind: postgres
+    host: 127.0.0.1
+    port: 54329
+    database: postgres
+    username_env: APITAP_PG_USER
+    password_env: APITAP_PG_PASS
+"""
+    )
+    from apitap_spark.sinks import pgwire
+
+    conn = pgwire.connect(
+        "host=127.0.0.1 port=54329 user=postgres dbname=postgres"
+    )
+    cur = conn.cursor()
+    for t in ("user_posts", "all_posts"):
+        cur.execute(f"DROP TABLE IF EXISTS {t}")
+    conn.commit()
+    try:
+        expected = sum(1 for r in ROWS if r["userId"] > 3)
+        for _ in range(2):  # second run proves merge idempotence
+            stats = run_pipeline(spark, modules_dir, str(cfg))
+            by_module = {s.module: s for s in stats}
+            assert by_module["transform.sql"].rows_written == expected
+            cur.execute("SELECT COUNT(*) FROM user_posts")
+            assert cur.fetchone() == (expected,)
+            cur.execute("SELECT COUNT(*) FROM all_posts")
+            assert cur.fetchone() == (len(ROWS),)
+            conn.rollback()  # release read locks before the next run
+    finally:
+        for t in ("user_posts", "all_posts"):
+            cur.execute(f"DROP TABLE IF EXISTS {t}")
+        conn.commit()
+        conn.close()
