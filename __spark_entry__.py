@@ -88,6 +88,7 @@ _NEW_GATES: set[str] = {
     "op_embedding_rp_sketch",
     "op_gini_best_split",
     "op_dedup_substring_spans",
+    "op_quantile_binning",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -303,3 +303,114 @@ def op_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spread_micro"
         ),
     )
+
+
+# --- Equal-frequency quantile binning (feature discretization) --------------
+
+QB_BINS = 10
+QB_UNIT = 10000  # cents per bin unit: o_totalprice binned on $100 units
+
+
+def _qb_oracle() -> str:
+    return f"""
+    WITH o AS (
+      SELECT CAST(CAST(o_totalprice * 100 AS BIGINT) // {QB_UNIT} AS BIGINT)
+               AS xu,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    dv AS (
+      SELECT xu, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS p
+      FROM o GROUP BY xu
+    ),
+    cum AS (
+      SELECT xu, c, p,
+             CAST(SUM(c) OVER (ORDER BY xu ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cc
+      FROM dv
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dv),
+    edges AS (
+      -- edge_k = smallest unit value whose cumulative count reaches
+      -- ceil(k*N/B); values above it fall into bin >= k
+      SELECT k, MIN(xu) AS e
+      FROM cum CROSS JOIN tot
+      CROSS JOIN (SELECT unnest(range(1, {QB_BINS})) AS k)
+      WHERE cc * {QB_BINS} >= k * n
+      GROUP BY k
+    ),
+    binned AS (
+      SELECT cum.xu, cum.c, cum.p,
+             CAST(COALESCE((SELECT COUNT(*) FROM edges
+                            WHERE edges.e < cum.xu), 0) AS BIGINT) AS bin
+      FROM cum
+    )
+    SELECT bin,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(p) AS BIGINT) AS n_flagged,
+           CAST(SUM(p) * 1000000 // SUM(c) AS BIGINT) AS flag_rate_micro,
+           CAST(MIN(xu) AS BIGINT) AS lo_unit,
+           CAST(MAX(xu) AS BIGINT) AS hi_unit
+    FROM binned GROUP BY bin
+    """
+
+
+@_register("op_quantile_binning", _qb_oracle())
+def op_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) feature binning with per-bin target
+    rates: discretize order value into QB_BINS buckets holding ~equal
+    row counts and report each bucket's flagged-order rate — the
+    feature-engineering staple behind WoE/IV screening, monotonic-rate
+    checks, and calibration-friendly discretization.
+
+    Scale shape: the repo's discrete-quantile pattern (see
+    op_length_filter_bounds) — the window runs over the DISTINCT-value
+    cumulative counts, never the corpus, and distinct cardinality is
+    bounded by the VALUE RANGE because the feature is pre-discretized
+    to $100 units (a corpus-sized global NTILE is exactly what
+    op_quality_calibration's docstring warns against). Bin edges are a
+    (B-1)-row frame; assignment is a non-equi broadcast count.
+
+    Exactness: bin edges are integer rank thresholds (cc*B >= k*N, no
+    division), counts/rates are bigint with one integer division — the
+    whole gate is engine-exact by construction.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(CAST(o_totalprice * 100 AS BIGINT) div {QB_UNIT} AS BIGINT)")
+        .alias("xu"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    dv = o.groupBy("xu").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    w = Window.orderBy("xu").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dv.withColumn("cc", F.sum("c").over(w).cast("bigint")).localCheckpoint()
+    # ^ distinct-value cardinality; feeds the edge derivation AND binning
+    tot = cum.agg(F.sum("c").cast("bigint").alias("n"))
+    ks = F.explode(F.sequence(F.lit(1), F.lit(QB_BINS - 1))).alias("k")
+    edges = (
+        cum.crossJoin(F.broadcast(tot))
+        .select("xu", "cc", "n", ks)
+        .filter(F.col("cc") * QB_BINS >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("xu").alias("e"))
+    )
+    binned = (
+        cum.crossJoin(F.broadcast(edges))
+        .groupBy("xu", "c", "p")
+        .agg(
+            F.sum((F.col("e") < F.col("xu")).cast("int"))
+            .cast("bigint")
+            .alias("bin")
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_flagged"),
+        F.expr("CAST(sum(p) * 1000000L div sum(c) AS BIGINT)").alias(
+            "flag_rate_micro"
+        ),
+        F.min("xu").cast("bigint").alias("lo_unit"),
+        F.max("xu").cast("bigint").alias("hi_unit"),
+    )

@@ -250,3 +250,53 @@ def test_substring_spans_matches_python(spark, sf_dir):
         assert g["dup_ratio_micro"] == chars * MICRO // tot
         # spans can never cover more than the text
         assert chars <= tot
+
+
+def test_quantile_binning_matches_python_and_balances(spark, sf_dir):
+    from apitap_spark.operators.features import (
+        QB_BINS,
+        QB_UNIT,
+        op_quantile_binning,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").collect()
+    xs = sorted(
+        (int(r["o_totalprice"] * 100) // QB_UNIT, r["o_orderstatus"] == "F")
+        for r in orders
+    )
+    n = len(xs)
+    # edges: smallest unit value whose cumulative count reaches k*n/B
+    cum = Counter()
+    run = 0
+    dv = []
+    for v, _ in xs:
+        cum[v] += 1
+    edges = []
+    seen = 0
+    it = sorted(cum)
+    for k in range(1, QB_BINS):
+        seen = 0
+        for v in it:
+            seen += cum[v]
+            if seen * QB_BINS >= k * n:
+                edges.append(v)
+                break
+    expect = defaultdict(lambda: [0, 0, None, None])
+    for v, y in xs:
+        b = sum(1 for e in edges if e < v)
+        e = expect[b]
+        e[0] += 1
+        e[1] += int(y)
+        e[2] = v if e[2] is None else min(e[2], v)
+        e[3] = v if e[3] is None else max(e[3], v)
+    got = {r["bin"]: r for r in op_quantile_binning(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for b, (c, p, lo, hi) in expect.items():
+        g = got[b]
+        assert (g["n_rows"], g["n_flagged"]) == (c, p)
+        assert g["flag_rate_micro"] == p * MICRO // c
+        assert (g["lo_unit"], g["hi_unit"]) == (lo, hi)
+    # equal-frequency property: every bin within 3x of the ideal share
+    # (discretized values make perfect balance impossible)
+    ideal = n / QB_BINS
+    assert all(0 < v[0] <= 3 * ideal for v in expect.values())
