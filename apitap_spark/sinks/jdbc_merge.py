@@ -199,14 +199,26 @@ class PostgresDialect(Dialect):
         copy_expert = getattr(getattr(conn, "cursor", lambda: None)(), "copy_expert", None)
         if copy_expert is None:
             return False
-        import csv
         import io
 
-        buf = io.StringIO()
-        w = csv.writer(buf)
-        for r in rows:
-            w.writerow(["" if v is None else v for v in r])
-        buf.seek(0)
+        def field(v) -> str:
+            # Hand-rendered CSV: csv.writer leaves empty strings
+            # unquoted, and with NULL '' COPY would read them back as
+            # NULL — strings are therefore ALWAYS quoted (a quoted ""
+            # is an empty string, an unquoted empty field is NULL).
+            if v is None:
+                return ""
+            if isinstance(v, str):
+                return '"' + v.replace('"', '""') + '"'
+            if isinstance(v, (bytes, bytearray, memoryview)):
+                return "\\x" + bytes(v).hex()  # bytea text input form
+            return str(v)  # numbers/bools/datetimes: unambiguous unquoted
+
+        buf = io.StringIO(
+            "\n".join(",".join(field(v) for v in r) for r in rows) + "\n"
+            if rows
+            else ""
+        )
         collist = ", ".join(quote_ident(c) for c in columns)
         copy_expert(
             f"COPY {quote_ident_path(table)} ({collist}) FROM STDIN "

@@ -140,6 +140,28 @@ class Cursor:
     def close(self):
         self._rows = []
 
+    def copy_expert(self, sql: str, file) -> None:
+        """COPY ... FROM STDIN with data read from ``file`` (psycopg2's
+        copy_expert surface, which JdbcMergeWriter's bulk-append path
+        probes for). Text/CSV payloads only; chunked CopyData frames."""
+        conn = self._conn
+        conn._ensure_txn()
+        conn._send(b"Q", sql.encode() + b"\x00")
+        while True:
+            mtype, body = conn._recv_msg()
+            if mtype == b"G":  # CopyInResponse
+                break
+            if mtype == b"E":
+                conn._drain_to_ready(PgError(conn._err_fields(body)))
+            # 'N'/'S' notices: skip
+        data = file.read()
+        if isinstance(data, str):
+            data = data.encode("utf-8")
+        for i in range(0, len(data), 65536):
+            conn._send(b"d", data[i : i + 65536])
+        conn._send(b"c", b"")
+        conn._drain_to_ready()
+
 
 class Connection:
     def __init__(self, dsn: str):

@@ -166,6 +166,48 @@ def main(out_path: str | None = None) -> None:
     sink_sec = sorted(sink_runs)[len(sink_runs) // 2]
     sink_rows_per_sec = round(sink_rows / sink_sec)
 
+    # LIVE Postgres sink throughput — the apples-to-apples number: the
+    # reference's published 25-50K rows/s IS a live-Postgres write path.
+    # Measured only when the local throwaway server (tools/pg_local.sh)
+    # answers on :54329; null otherwise so driver runs stay comparable.
+    sink_pg_rows_per_sec = None
+    sink_pg_runs: list[float] = []
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 54329), timeout=0.5).close()
+        pg_up = True
+    except OSError:
+        pg_up = False
+    if pg_up:
+        from apitap_spark.sinks import pgwire
+        from apitap_spark.sinks.jdbc_merge import PostgresDialect
+
+        dsn = "host=127.0.0.1 port=54329 user=postgres dbname=postgres"
+        # parallel fan-in is the production shape: limit() collapses to a
+        # single partition (one connection, 13K rows/s measured);
+        # repartition(8) = 8 connections COPYing concurrently (313K rows/s)
+        pg_df = sink_df.repartition(8)
+        for i in range(-1, SINK_RUNS):
+            writer = JdbcMergeWriter(
+                (lambda d: (lambda: pgwire.connect(d)))(dsn),
+                "bench_pg_sink",
+                dialect=PostgresDialect(),
+                mode=WriteMode.APPEND,
+                truncate_first=True,
+            )
+            t0 = time.perf_counter()
+            writer.write(pg_df)
+            if i >= 0:
+                sink_pg_runs.append(time.perf_counter() - t0)
+        conn = pgwire.connect(dsn)
+        cur = conn.cursor()
+        cur.execute("DROP TABLE IF EXISTS bench_pg_sink")
+        conn.commit()
+        conn.close()
+        pg_sec = sorted(sink_pg_runs)[len(sink_pg_runs) // 2]
+        sink_pg_rows_per_sec = round(sink_rows / pg_sec)
+
     # Training-data pipeline throughput: docs/sec through the composed
     # curation pass (quality + lang-id + exact dedup -> keep/drop) — the
     # operator a pretraining-data run actually executes per corpus pass.
@@ -234,6 +276,8 @@ def main(out_path: str | None = None) -> None:
                 "sink_rows_per_sec": sink_rows_per_sec,
                 "sink_rows": sink_rows,
                 "sink_runs_sec": [round(s, 4) for s in sink_runs],
+                "sink_pg_rows_per_sec": sink_pg_rows_per_sec,
+                "sink_pg_runs_sec": [round(s, 4) for s in sink_pg_runs],
                 "watchlist_runs": watchlist_runs,
                 "curation_docs_per_sec": curation_docs_per_sec,
                 "dedup_docs_per_sec": dedup_docs_per_sec,
