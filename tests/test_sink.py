@@ -242,9 +242,18 @@ def test_postgres_copy_bulk_append_shape():
     assert captured["sql"].startswith('COPY "public"."t" ("id", "name") FROM STDIN')
     assert "NULL ''" in captured["sql"]
     lines = captured["csv"].strip().splitlines()
-    assert lines[0] == "1,a"
+    # strings are ALWAYS quoted: with NULL '' an unquoted empty field is
+    # NULL, so only quoting keeps '' distinct from NULL (found live on
+    # PG 15 — csv.writer's minimal quoting silently nulled empty strings)
+    assert lines[0] == '1,"a"'
     assert lines[1] == "2,"  # None → unquoted empty = NULL
-    assert lines[2] == '3,"q""x"'  # csv-escaped quote
+    assert lines[2] == '3,"q""x"'  # escaped quote
+    # the live-semantics cases: empty string stays quoted, bytes → bytea
+    captured.clear()
+    d.bulk_append(FakeConn(), "t", ["id", "v"], [(1, ""), (2, b"\x00\xff")])
+    lines = captured["csv"].strip().splitlines()
+    assert lines[0] == '1,""'
+    assert lines[1] == "2,\\x00ff"
 
 
 def test_duckdb_bulk_append_used_for_append(spark, duck_path):
