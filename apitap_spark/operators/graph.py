@@ -423,6 +423,49 @@ def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_NEXT_K = 2  # connect each user to the next K users (by id) in its bucket
 TRI_TOPK = 10
 
+
+def coactivity_edges(spark: SparkSession, sf_dir: str, k: int = TRI_NEXT_K) -> DataFrame:
+    """Bounded-degree co-activity edge list shared by the triangle /
+    degree-profile / link-prediction / BFS gates: users active in the
+    same (hour, event_type) bucket connect to their next ``k``
+    id-neighbors within the bucket.
+
+    The successor relation "rank difference in 1..k within the bucket"
+    is computed with ``lead(user_id, i) OVER (PARTITION BY bucket ORDER
+    BY user_id)`` for i in 1..k — one window pass over the already
+    bucket-partitioned frame, ZERO joins. The previous formulation
+    self-joined the ranked frame on the bucket key and filtered
+    ``rkc - rka BETWEEN 1 AND k`` post-join; because the rank predicate
+    is not an equi-key, that enumerated all |g|^2 rank pairs per bucket
+    before filtering to the |g|*k survivors — a skewed-key scale
+    hazard at 100x (one hot bucket with 10^5 users = 10^10
+    comparisons in a single task). The window emits exactly the
+    |g|*k survivors directly; edge set (and every downstream oracle
+    hash) is identical.
+
+    Edges come out id-oriented (u < v by construction, since leads are
+    strictly later in the per-bucket user_id order); the cross-bucket
+    ``distinct`` is the single shuffle, keyed by the edge itself.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    grp = ev.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("b", "event_type").orderBy("user_id")
+    leads = grp.select(
+        F.col("user_id").alias("u"),
+        *[F.lead("user_id", i).over(w).alias(f"_v{i}") for i in range(1, k + 1)],
+    )
+    if k == 1:
+        paired = leads.select("u", F.col("_v1").alias("v"))
+    else:
+        paired = leads.select(
+            "u",
+            F.explode(F.array(*[f"_v{i}" for i in range(1, k + 1)])).alias("v"),
+        )
+    return paired.filter(F.col("v").isNotNull()).distinct()
+
+
 _TRI_ORACLE = f"""
     WITH grp AS (
       SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
@@ -472,21 +515,7 @@ def tri_pernode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     still localCheckpointed here — calling this helper eagerly runs the
     edge-build job and the visible plan starts at the RDD scan above
     ``e``; only the join/aggregate ABOVE it is assertable."""
-    ev = read_table(spark, sf_dir, "events")
-    grp = ev.select(
-        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
-    ).distinct()
-    w = Window.partitionBy("b", "event_type").orderBy("user_id")
-    ranked = grp.withColumn("rk", F.row_number().over(w))
-    a = ranked.select("b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka"))
-    c = ranked.select("b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc"))
-    e = (
-        a.join(c, ["b", "event_type"])
-        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
-    )
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -591,24 +620,7 @@ def op_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     column's global-window SUM runs over the HISTOGRAM (distinct degree
     values — dozens), never the node table.
     """
-    ev = read_table(spark, sf_dir, "events")
-    grp = ev.select(
-        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
-    ).distinct()
-    w = Window.partitionBy("b", "event_type").orderBy("user_id")
-    ranked = grp.withColumn("rk", F.row_number().over(w))
-    a = ranked.select(
-        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
-    )
-    c = ranked.select(
-        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
-    )
-    e = (
-        a.join(c, ["b", "event_type"])
-        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
-        .select("u", "v")
-        .distinct()
-    )
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K)
     deg = (
         e.select(F.col("u").alias("user_id"))
         .unionAll(e.select(F.col("v").alias("user_id")))
@@ -692,25 +704,8 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge exclusion is a broadcast anti-join against the canonical
     u<v edge list; degrees broadcast; top-K is TakeOrdered.
     """
-    ev = read_table(spark, sf_dir, "events")
-    grp = ev.select(
-        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
-    ).distinct()
-    w = Window.partitionBy("b", "event_type").orderBy("user_id")
-    ranked = grp.withColumn("rk", F.row_number().over(w))
-    a = ranked.select(
-        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
-    )
-    c = ranked.select(
-        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
-    )
-    e = (
-        a.join(c, ["b", "event_type"])
-        .filter((F.col("rkc") - F.col("rka")).between(1, TRI_NEXT_K))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()  # feeds und, the anti-join, and degrees
-    )
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    # checkpoint: feeds und, the anti-join, and degrees
     # und feeds both sides of the triangle-closing self-join; deg is
     # broadcast twice (du, dv). Checkpoint both or each consumer re-runs
     # the union+distinct shuffle (4x) / the degree groupBy (2x) — the
@@ -1127,23 +1122,7 @@ def op_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier BFS where per-round cost is O(edges touched), and R is a
     constant. State per round is one (node) set, never paths.
     """
-    ev = read_table(spark, sf_dir, "events")
-    grp = ev.select(
-        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
-    ).distinct()
-    w = Window.partitionBy("b", "event_type").orderBy("user_id")
-    ranked = grp.withColumn("rk", F.row_number().over(w))
-    a = ranked.select(
-        "b", "event_type", F.col("user_id").alias("u"), F.col("rk").alias("rka")
-    )
-    c = ranked.select(
-        "b", "event_type", F.col("user_id").alias("v"), F.col("rk").alias("rkc")
-    )
-    e0 = (
-        a.join(c, ["b", "event_type"])
-        .filter(F.col("rkc") - F.col("rka") == 1)
-        .select("u", "v")
-    )
+    e0 = coactivity_edges(spark, sf_dir, 1)
     e = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

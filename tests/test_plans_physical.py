@@ -503,6 +503,20 @@ def test_triangles_no_cartesian_oriented_joins(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_coactivity_edges_window_only_no_join(spark, sf_dir):
+    """The shared co-activity edge builder (feeds triangles, degree
+    profile, link prediction, BFS) must be a lead() window over the
+    bucket-partitioned frame — never the rank-difference self-join,
+    which enumerates |g|^2 rank pairs per (hour, event_type) bucket
+    before filtering (round-6 verdict's main 100x-scale hazard)."""
+    from apitap_spark.operators.graph import coactivity_edges
+
+    for k in (1, 2):
+        p = _plan(coactivity_edges(spark, sf_dir, k))
+        assert "Join" not in p, f"k={k}: edge construction must not join"
+        assert "Window" in p
+
+
 def test_dim_profile_single_dim_keyed_aggregate(spark, sf_dir):
     """One explode + one d-keyed aggregate with map-side combine."""
     from apitap_spark.operators.quality import op_embedding_dim_profile
@@ -644,6 +658,34 @@ def test_knn_graph_mutual_broadcast_over_checkpointed_edges(spark, sf_dir):
     p = _plan(op_embedding_knn_graph(spark, sf_dir))
     assert "BroadcastHashJoin" in p and "LeftOuter" in p
     assert "WindowGroupLimit" not in p  # ranking happened pre-checkpoint
+
+
+def test_quantile_binning_windows_over_distinct_values_not_corpus(spark, sf_dir):
+    """The discrete-quantile pattern: the only Window runs over the
+    DISTINCT-value cumulative-count table (cardinality bounded by the
+    pre-discretized value range), never an NTILE over the corpus rows —
+    a corpus-sized single-partition global sort is the anti-pattern."""
+    from apitap_spark.operators.features import op_quantile_binning
+
+    p = _plan(op_quantile_binning(spark, sf_dir))
+    assert "ntile" not in p.lower()
+    # the corpus-side work is aggregates (map-side combined), and any
+    # window sits above a value-keyed aggregate, not the raw scan
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_knn_label_accuracy_constant_bounded_sample(spark, sf_dir):
+    """The kNN audit's query side is a FIXED-SIZE hash-rank sample:
+    TakeOrderedAndProject (distributed top-k by md5, never a global
+    sort) capped at KNN_QUERY_CAP, broadcast into the theta join — so
+    the exact rung is O(cap * N), linear in the corpus, not the
+    round-6 proportional-sample O(N^2/10)."""
+    from apitap_spark.operators.similarity import op_knn_label_accuracy
+
+    p = _plan(op_knn_label_accuracy(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # capped hash-rank sample
+    assert "BroadcastNestedLoopJoin" in p  # 256-row sample is broadcast
+    assert "WindowGroupLimit" in p  # per-query top-k pushed into sort
 
 
 def test_dpo_pairs_two_window_sorts_one_partitioning(spark, sf_dir):
