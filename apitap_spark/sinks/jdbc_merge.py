@@ -49,6 +49,8 @@ from pyspark.sql import types as T
 
 MAX_BIND_PARAMS = 65535  # Postgres wire-protocol limit (SURVEY §7.4)
 DEFAULT_BATCH_SIZE = 5000  # reference src/writer/postgres.rs:163
+STAGE_BATCH_ROWS = 50_000  # COPY-staged upserts: no bind limit applies, and
+# each stage cycle pays a MERGE + TRUNCATE — amortize over bigger batches
 
 
 class WriteMode(str, Enum):
@@ -168,6 +170,15 @@ class Dialect:
         deduplicates itself (ClickHouse ReplacingMergeTree)."""
         return False
 
+    def supports_copy_stage(self, conn) -> bool:
+        """True when MERGE/upsert batches can be staged via the engine's
+        bulk-load path into a temp table and applied with ONE
+        server-side statement (Postgres: COPY + MERGE ... USING stage).
+        Brings the COPY append throughput to the upsert path — the
+        write mode the reference runner hard-codes
+        (reference src/cmd/mod.rs:157)."""
+        return False
+
 
 class PostgresDialect(Dialect):
     def __init__(self):
@@ -226,6 +237,10 @@ class PostgresDialect(Dialect):
             buf,
         )
         return True
+
+    def supports_copy_stage(self, conn) -> bool:
+        cur = getattr(conn, "cursor", lambda: None)()
+        return getattr(cur, "copy_expert", None) is not None
 
 
 class BigQueryDialect(Dialect):
@@ -403,6 +418,69 @@ def merge_sql(
         f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
+
+
+def stage_table_name(table: str) -> str:
+    """Session-temp stage identifier for COPY-staged upserts (temp
+    namespace is per-connection, so concurrent partition writers never
+    collide)."""
+    return f"_apitap_stage_{table.split('.')[-1]}"
+
+
+def stage_ddl(
+    dialect: Dialect, stage: str, schema: T.StructType
+) -> str:
+    """Typed temp stage mirroring the batch columns. ON COMMIT DROP ties
+    its lifetime to the per-partition transaction (S22); typed columns
+    mean the downstream MERGE needs no per-placeholder CASTs (the
+    VALUES-source jsonb pitfall found live in round 6)."""
+    cols = ", ".join(
+        f"{quote_ident(f.name)} {dialect.type_for(f.dataType)}"
+        for f in schema.fields
+    )
+    return (
+        f"CREATE TEMP TABLE IF NOT EXISTS {quote_ident(stage)} ({cols}) "
+        f"ON COMMIT DROP"
+    )
+
+
+def merge_from_stage_sql(
+    table: str, stage: str, columns: list[str], pks: list[str]
+) -> str:
+    """MERGE INTO target USING stage — one server-side statement per
+    COPY-staged batch (PG >= 15)."""
+    t = quote_ident_path(table)
+    on = " AND ".join(f"t.{quote_ident(p)} = s.{quote_ident(p)}" for p in pks)
+    updates = ", ".join(
+        f"{quote_ident(c)} = s.{quote_ident(c)}" for c in columns if c not in pks
+    )
+    insert_cols = ", ".join(quote_ident(c) for c in columns)
+    insert_vals = ", ".join(f"s.{quote_ident(c)}" for c in columns)
+    matched = f"WHEN MATCHED THEN UPDATE SET {updates} " if updates else ""
+    return (
+        f"MERGE INTO {t} AS t USING {quote_ident(stage)} AS s ON {on} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+    )
+
+
+def upsert_from_stage_sql(
+    table: str, stage: str, columns: list[str], pks: list[str]
+) -> str:
+    """INSERT ... SELECT FROM stage ON CONFLICT — the staged upsert for
+    PG 9.5-14, same shape the MERGE rung uses on 15+."""
+    collist = ", ".join(quote_ident(c) for c in columns)
+    conflict = ", ".join(quote_ident(p) for p in pks)
+    updates = ", ".join(
+        f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}" for c in columns if c not in pks
+    )
+    base = (
+        f"INSERT INTO {quote_ident_path(table)} ({collist}) "
+        f"SELECT {collist} FROM {quote_ident(stage)}"
+    )
+    if not updates:
+        return f"{base} ON CONFLICT ({conflict}) DO NOTHING"
+    return f"{base} ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
 
 
 def rows_per_statement(n_cols: int, batch_size: int) -> int:
@@ -596,9 +674,27 @@ class JdbcMergeWriter:
             pk_idx = (
                 [columns.index(p) for p in self.pks] if merge_dedup else []
             )
+            # COPY-staged upsert: bulk-load each batch into a typed temp
+            # stage, apply with ONE server-side MERGE / INSERT..ON
+            # CONFLICT — the 65535-bind VALUES path becomes the fallback.
+            use_stage = (
+                merge_dedup
+                and (
+                    self.dialect.supports_merge(version)
+                    or self.dialect.supports_on_conflict(version)
+                )
+                and self.dialect.supports_copy_stage(conn)
+            )
+            stage = stage_table_name(self.table)
+            stage_stmt: str | None = None
+            if use_stage:
+                # COPY is bind-limit-free; bigger batches amortize the
+                # per-cycle MERGE + TRUNCATE. The VALUES fallback below
+                # re-slices to the bind limit if COPY is refused.
+                chunk_rows = max(chunk_rows, STAGE_BATCH_ROWS)
 
             def flush():
-                nonlocal written, use_bulk
+                nonlocal written, use_bulk, use_stage, stage_stmt
                 if merge_dedup and len(buf) > 1:
                     # Postgres rejects duplicate keys inside one INSERT..ON
                     # CONFLICT DO UPDATE / MERGE statement ("command cannot
@@ -610,6 +706,32 @@ class JdbcMergeWriter:
                         buf[:] = list(last.values())
                 if not buf:
                     return
+                if use_stage:
+                    rendered = [
+                        tuple(
+                            _bind_value(r[i], dtypes[i], self.dialect)
+                            for i in range(len(columns))
+                        )
+                        for r in buf
+                    ]
+                    if stage_stmt is None:
+                        cur.execute(stage_ddl(self.dialect, stage, schema))
+                        stage_stmt = (
+                            merge_from_stage_sql(
+                                self.table, stage, columns, self.pks
+                            )
+                            if self.dialect.supports_merge(version)
+                            else upsert_from_stage_sql(
+                                self.table, stage, columns, self.pks
+                            )
+                        )
+                    if self.dialect.bulk_append(conn, stage, columns, rendered):
+                        cur.execute(stage_stmt)
+                        cur.execute(f"TRUNCATE TABLE {quote_ident(stage)}")
+                        written += len(buf)
+                        buf.clear()
+                        return
+                    use_stage = False  # COPY refused → VALUES merge path
                 if use_bulk:
                     rendered = [
                         tuple(
@@ -623,16 +745,21 @@ class JdbcMergeWriter:
                         buf.clear()
                         return
                     use_bulk = False  # unsupported → INSERT from here on
-                sql = self._statement(
-                    len(columns), columns, version, len(buf), dtypes
-                )
-                params: list = []
-                for r in buf:
-                    params.extend(
-                        _bind_value(r[i], dtypes[i], self.dialect)
-                        for i in range(len(columns))
+                # bind-limit-aware slicing: a buffer accumulated for the
+                # (limit-free) stage path may exceed one statement here
+                limit = rows_per_statement(len(columns), self.batch_size)
+                for s in range(0, len(buf), limit):
+                    part = buf[s : s + limit]
+                    sql = self._statement(
+                        len(columns), columns, version, len(part), dtypes
                     )
-                cur.execute(sql, params)
+                    params: list = []
+                    for r in part:
+                        params.extend(
+                            _bind_value(r[i], dtypes[i], self.dialect)
+                            for i in range(len(columns))
+                        )
+                    cur.execute(sql, params)
                 written += len(buf)
                 buf.clear()
 

@@ -8,18 +8,23 @@ placeholders → fetchone/fetchall → commit/rollback/close, with
 psycopg-style implicit BEGIN.
 
 Protocol (public spec: postgresql.org/docs/current/protocol.html):
-startup + trust/cleartext/md5 auth, extended query protocol
-(Parse/Bind/Describe/Execute/Sync) with all parameters and results in
-text format, typed decode of the common OIDs. Not implemented: SASL
-auth (scram), COPY, prepared-statement reuse, binary format — the sink
-needs none of them, and copy_expert's absence routes the writer onto
-its batched-INSERT path by design (jdbc_merge.py:199 getattr probe).
+startup + trust/cleartext/md5/SCRAM-SHA-256 auth (RFC 5802/7677 SASL,
+the default password_encryption since PostgreSQL 14), extended query
+protocol (Parse/Bind/Describe/Execute/Sync) with all parameters and
+results in text format, typed decode of the common OIDs, and
+protocol-level COPY IN via ``Cursor.copy_expert`` — the COPY fast path
+``JdbcMergeWriter.bulk_append`` probes for and the bench measures.
+Not implemented: channel binding (SCRAM-SHA-256-PLUS), COPY OUT,
+prepared-statement reuse, binary format — the sink needs none of them.
 """
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import hashlib
+import hmac
+import os
 import socket
 import struct
 from decimal import Decimal
@@ -154,11 +159,16 @@ class Cursor:
             if mtype == b"E":
                 conn._drain_to_ready(PgError(conn._err_fields(body)))
             # 'N'/'S' notices: skip
-        data = file.read()
-        if isinstance(data, str):
-            data = data.encode("utf-8")
-        for i in range(0, len(data), 65536):
-            conn._send(b"d", data[i : i + 65536])
+        # Chunked read: never materialize the whole payload (a caller
+        # may stream a multi-GB file; per-partition sink batches are
+        # small either way). str-mode files encode per chunk.
+        while True:
+            data = file.read(65536)
+            if not data:
+                break
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            conn._send(b"d", data)
         conn._send(b"c", b"")
         conn._drain_to_ready()
 
@@ -184,6 +194,11 @@ class Connection:
         )
         self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
         self._auth(user, p.get("password", ""))
+        # The 30s timeout guards connect + handshake only. Statements
+        # get no implicit deadline (psycopg2 semantics — a MERGE batch
+        # waiting on a lock or a TRUNCATE waiting on ACCESS EXCLUSIVE
+        # may legitimately exceed any fixed recv timeout).
+        self._sock.settimeout(None)
 
     # -- wire helpers -------------------------------------------------------
     def _recv_msg(self) -> tuple[bytes, bytes]:
@@ -215,6 +230,7 @@ class Connection:
         return fields
 
     def _auth(self, user: str, password: str) -> None:
+        scram: dict[str, bytes] | None = None
         while True:
             mtype, body = self._recv_msg()
             if mtype == b"R":
@@ -230,6 +246,26 @@ class Connection:
                     ).hexdigest()
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", b"md5" + digest.encode() + b"\x00")
+                elif code == 10:  # AuthenticationSASL: mechanism list
+                    mechs = [m for m in body[4:].split(b"\x00") if m]
+                    if b"SCRAM-SHA-256" not in mechs:
+                        raise PgError(
+                            {"S": "FATAL",
+                             "M": f"no supported SASL mechanism in {mechs}"}
+                        )
+                    scram = self._scram_first()
+                elif code == 11:  # AuthenticationSASLContinue
+                    if scram is None:
+                        raise PgError(
+                            {"S": "FATAL", "M": "SASLContinue before SASL"}
+                        )
+                    self._scram_final(scram, body[4:], password)
+                elif code == 12:  # AuthenticationSASLFinal: verify server sig
+                    if scram is None or not self._scram_verify(scram, body[4:]):
+                        raise PgError(
+                            {"S": "FATAL",
+                             "M": "SCRAM server signature verification failed"}
+                        )
                 else:
                     raise PgError(
                         {"S": "FATAL", "M": f"auth method {code} not supported"}
@@ -239,6 +275,60 @@ class Connection:
             elif mtype == b"Z":
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+
+    # -- SCRAM-SHA-256 (RFC 5802/7677; no channel binding) ------------------
+    def _scram_first(self) -> dict[str, bytes]:
+        """Send SASLInitialResponse; return the exchange state. The
+        username in client-first is empty by PostgreSQL convention (the
+        startup-packet user wins; SASLprep of the name is sidestepped)."""
+        nonce = base64.b64encode(os.urandom(18))
+        bare = b"n=,r=" + nonce
+        initial = b"n,," + bare  # gs2 header: no channel binding
+        msg = (
+            b"SCRAM-SHA-256\x00"
+            + struct.pack(">i", len(initial))
+            + initial
+        )
+        self._send(b"p", msg)
+        return {"nonce": nonce, "bare": bare}
+
+    def _scram_final(
+        self, st: dict[str, bytes], server_first: bytes, password: str
+    ) -> None:
+        attrs = dict(
+            p.split(b"=", 1) for p in server_first.split(b",") if b"=" in p
+        )
+        r, s, i = attrs[b"r"], attrs[b"s"], int(attrs[b"i"])
+        if not r.startswith(st["nonce"]):
+            raise PgError(
+                {"S": "FATAL", "M": "SCRAM server nonce does not extend ours"}
+            )
+        # Password is used UTF-8 verbatim (SASLprep is identity for the
+        # ASCII passwords this sink configures; RFC 5802 permits this).
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", password.encode("utf-8"), base64.b64decode(s), i
+        )
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = b"c=biws,r=" + r  # biws = b64("n,,")
+        auth_msg = st["bare"] + b"," + server_first + b"," + without_proof
+        sig = hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        self._send(b"p", without_proof + b",p=" + base64.b64encode(proof))
+        server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        st["server_sig"] = hmac.new(
+            server_key, auth_msg, hashlib.sha256
+        ).digest()
+
+    @staticmethod
+    def _scram_verify(st: dict[str, bytes], server_final: bytes) -> bool:
+        attrs = dict(
+            p.split(b"=", 1) for p in server_final.split(b",") if b"=" in p
+        )
+        v = attrs.get(b"v")
+        return v is not None and hmac.compare_digest(
+            base64.b64decode(v), st.get("server_sig", b"")
+        )
 
     def _drain_to_ready(self, first_error: PgError | None = None):
         """Consume until ReadyForQuery; re-raise the first error seen."""

@@ -35,6 +35,9 @@ DRIFT_WATCHLIST = [
     "op_ml_logreg_quality", "op_data_validate", "op_dedup_ngram_jaccard",
     "op_ann_ivfpq_search", "op_length_histogram", "op_bpe_learn_merges",
     "op_ann_pq_adc", "q_setop_except",
+    # round-6 freeze's only >2x like-for-like mover (0.28->0.96s);
+    # watchlisted so round-7 medians settle noise vs regression.
+    "q_ab_test_chi2",
 ]
 
 SINK_RUNS = 3
@@ -171,7 +174,9 @@ def main(out_path: str | None = None) -> None:
     # Measured only when the local throwaway server (tools/pg_local.sh)
     # answers on :54329; null otherwise so driver runs stay comparable.
     sink_pg_rows_per_sec = None
+    sink_pg_merge_rows_per_sec = None
     sink_pg_runs: list[float] = []
+    merge_runs: list[float] = []
     import socket
 
     try:
@@ -200,13 +205,42 @@ def main(out_path: str | None = None) -> None:
             writer.write(pg_df)
             if i >= 0:
                 sink_pg_runs.append(time.perf_counter() - t0)
+        pg_sec = sorted(sink_pg_runs)[len(sink_pg_runs) // 2]
+        sink_pg_rows_per_sec = round(sink_rows / pg_sec)
+
+        # COPY-staged MERGE throughput (round-6 verdict #4): the write
+        # mode the reference runner hard-codes is Merge
+        # (reference src/cmd/mod.rs:157), so the staged-upsert path is
+        # the real apples-to-apples rows/s. Same 8-way fan-in; each
+        # timed run truncates first so every run measures the full
+        # COPY-into-stage + server-side MERGE insert path.
+        # drop the append-bench table first: prepare() must recreate it
+        # WITH the primary key so the MERGE join has an index to probe
+        conn = pgwire.connect(dsn)
+        conn.cursor().execute("DROP TABLE IF EXISTS bench_pg_sink")
+        conn.commit()
+        conn.close()
+        for i in range(-1, SINK_RUNS):
+            writer = JdbcMergeWriter(
+                (lambda d: (lambda: pgwire.connect(d)))(dsn),
+                "bench_pg_sink",
+                dialect=PostgresDialect(),
+                mode=WriteMode.MERGE,
+                primary_key=["l_orderkey", "l_linenumber"],
+                truncate_first=True,
+            )
+            t0 = time.perf_counter()
+            writer.write(pg_df)
+            if i >= 0:
+                merge_runs.append(time.perf_counter() - t0)
+        merge_sec = sorted(merge_runs)[len(merge_runs) // 2]
+        sink_pg_merge_rows_per_sec = round(sink_rows / merge_sec)
+
         conn = pgwire.connect(dsn)
         cur = conn.cursor()
         cur.execute("DROP TABLE IF EXISTS bench_pg_sink")
         conn.commit()
         conn.close()
-        pg_sec = sorted(sink_pg_runs)[len(sink_pg_runs) // 2]
-        sink_pg_rows_per_sec = round(sink_rows / pg_sec)
 
     # Training-data pipeline throughput: docs/sec through the composed
     # curation pass (quality + lang-id + exact dedup -> keep/drop) — the
@@ -278,6 +312,8 @@ def main(out_path: str | None = None) -> None:
                 "sink_runs_sec": [round(s, 4) for s in sink_runs],
                 "sink_pg_rows_per_sec": sink_pg_rows_per_sec,
                 "sink_pg_runs_sec": [round(s, 4) for s in sink_pg_runs],
+                "sink_pg_merge_rows_per_sec": sink_pg_merge_rows_per_sec,
+                "sink_pg_merge_runs_sec": [round(s, 4) for s in merge_runs],
                 "watchlist_runs": watchlist_runs,
                 "curation_docs_per_sec": curation_docs_per_sec,
                 "dedup_docs_per_sec": dedup_docs_per_sec,

@@ -83,3 +83,64 @@ def test_dsn_parse():
         "user": "postgres",
         "dbname": "postgres",
     }
+
+
+# --- SCRAM-SHA-256 against the RFC 7677 §3 test vector ----------------------
+
+
+class _ScramCapture:
+    """Stand-in for Connection: records what _scram_final sends."""
+
+    _send = None
+    sent: list[tuple[bytes, bytes]]
+
+    def __init__(self):
+        self.sent = []
+
+    def _send(self, mtype, body):  # noqa: F811 - shadow the placeholder
+        self.sent.append((mtype, body))
+
+
+def test_scram_final_matches_rfc7677_vector():
+    """Drive _scram_final/_scram_verify with RFC 7677 §3's exchange
+    (user 'user', password 'pencil'): the client-final message and the
+    accepted server signature must be byte-identical to the RFC."""
+    from apitap_spark.sinks.pgwire import Connection
+
+    cap = _ScramCapture()
+    st_ = {
+        "nonce": b"rOprNGfwEbeRWgbNEkqO",
+        "bare": b"n=user,r=rOprNGfwEbeRWgbNEkqO",
+    }
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    Connection._scram_final(cap, st_, server_first, "pencil")
+    assert cap.sent == [(
+        b"p",
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=",
+    )]
+    assert Connection._scram_verify(
+        st_, b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    # a forged signature is rejected
+    assert not Connection._scram_verify(
+        st_, b"v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA="
+    )
+
+
+def test_scram_final_rejects_nonce_truncation():
+    """A server echoing a nonce that does not EXTEND the client nonce is
+    a MITM downgrade attempt; the client must abort."""
+    import pytest
+
+    from apitap_spark.sinks.pgwire import Connection, PgError
+
+    cap = _ScramCapture()
+    st_ = {"nonce": b"clientnonce", "bare": b"n=,r=clientnonce"}
+    with pytest.raises(PgError):
+        Connection._scram_final(
+            cap, st_, b"r=other,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", "pw"
+        )

@@ -88,6 +88,41 @@ def test_merge_sql_shape():
     assert 'WHEN NOT MATCHED THEN INSERT ("id", "v") VALUES (s."id", s."v")' in sql
 
 
+def test_stage_sql_shapes():
+    """COPY-staged upsert builders: typed temp stage (ON COMMIT DROP),
+    MERGE-from-stage for PG 15+, INSERT..ON CONFLICT-from-stage for
+    9.5-14 — no per-placeholder CASTs needed because the stage columns
+    carry the types."""
+    from apitap_spark.sinks.jdbc_merge import (
+        merge_from_stage_sql,
+        stage_ddl,
+        stage_table_name,
+        upsert_from_stage_sql,
+    )
+
+    assert stage_table_name("s.t") == "_apitap_stage_t"
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.ArrayType(T.LongType())),
+        ]
+    )
+    ddl = stage_ddl(PostgresDialect(), "_apitap_stage_t", schema)
+    assert ddl.startswith('CREATE TEMP TABLE IF NOT EXISTS "_apitap_stage_t"')
+    assert '"id" BIGINT' in ddl and '"payload" JSONB' in ddl
+    assert ddl.endswith("ON COMMIT DROP")
+    m = merge_from_stage_sql("s.t", "_apitap_stage_t", ["id", "v"], ["id"])
+    assert m.startswith('MERGE INTO "s"."t" AS t USING "_apitap_stage_t" AS s')
+    assert 'ON t."id" = s."id"' in m
+    assert 'WHEN MATCHED THEN UPDATE SET "v" = s."v"' in m
+    assert "%s" not in m and "VALUES (s." in m
+    u = upsert_from_stage_sql("t", "_apitap_stage_t", ["id", "v"], ["id"])
+    assert u.startswith('INSERT INTO "t" ("id", "v") SELECT "id", "v" FROM')
+    assert 'ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"' in u
+    u2 = upsert_from_stage_sql("t", "_apitap_stage_t", ["id"], ["id"])
+    assert u2.endswith('ON CONFLICT ("id") DO NOTHING')
+
+
 def test_param_limit_chunking():
     assert rows_per_statement(13, 5000) == 5000  # 65000 binds OK
     assert rows_per_statement(14, 5000) == 65535 // 14  # capped

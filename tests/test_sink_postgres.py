@@ -270,3 +270,173 @@ def test_copy_fast_path_throughput_beats_insert(spark, pg_conn):
     cur.execute(f"SELECT COUNT(*) FROM {TABLE}")
     assert cur.fetchone() == (20000,)
     assert t_copy < t_stmt  # COPY strictly faster than statement merge
+
+
+def test_scram_sha256_auth_roundtrip_live(pg_conn):
+    """Flip a dedicated role to a SCRAM-SHA-256 verifier, force the
+    scram challenge for it via a prepended pg_hba rule, and round-trip
+    a query through the pure-stdlib pgwire client (RFC 5802/7677 —
+    the default password_encryption since PG 14; the reference's sqlx
+    stack authenticates this way out of the box). Wrong password must
+    be rejected by the server's proof check."""
+    from apitap_spark.sinks import pgwire
+
+    role, pw = "apitap_scram_probe", "apitap-scram-pw"
+    cur = pg_conn.cursor()
+    cur.execute("SET password_encryption = 'scram-sha-256'")
+    cur.execute(f"DROP ROLE IF EXISTS {role}")
+    cur.execute(f"CREATE ROLE {role} LOGIN PASSWORD '{pw}'")
+    pg_conn.commit()
+    cur.execute(
+        "SELECT rolpassword FROM pg_authid WHERE rolname = %s", (role,)
+    )
+    verifier = cur.fetchone()[0]
+    assert verifier.startswith("SCRAM-SHA-256$"), verifier
+    cur.execute("SHOW hba_file")
+    hba_path = cur.fetchone()[0]
+    try:
+        original = open(hba_path).read()
+    except PermissionError:
+        pytest.skip("cannot edit pg_hba.conf from this uid")
+    rule = (
+        f"host all {role} 127.0.0.1/32 scram-sha-256\n"
+        f"host all {role} ::1/128 scram-sha-256\n"
+    )
+    p = pgwire._parse_dsn(DSN)
+    scram_dsn = (
+        f"host={p.get('host', '127.0.0.1')} port={p.get('port', '5432')} "
+        f"user={role} dbname={p.get('dbname', 'postgres')} password={pw}"
+    )
+    try:
+        with open(hba_path, "w") as f:
+            f.write(rule + original)
+        cur.execute("SELECT pg_reload_conf()")
+        pg_conn.commit()
+        import time
+
+        time.sleep(0.5)  # reload is async; give the postmaster a beat
+        conn = pgwire.connect(scram_dsn)
+        try:
+            c2 = conn.cursor()
+            c2.execute("SELECT 1 + 1, current_user")
+            assert c2.fetchone() == (2, role)
+        finally:
+            conn.close()
+        with pytest.raises(pgwire.PgError):
+            pgwire.connect(scram_dsn.replace(pw, "wrong-password"))
+    finally:
+        with open(hba_path, "w") as f:
+            f.write(original)
+        cur.execute("SELECT pg_reload_conf()")
+        cur.execute(f"DROP ROLE IF EXISTS {role}")
+        pg_conn.commit()
+
+
+def test_staged_merge_rides_copy_and_is_idempotent(spark, pg_conn):
+    """MERGE batches must route through the COPY-staged path (temp
+    stage + one server-side MERGE) when the driver exposes copy_expert
+    — and stay idempotent. Driver-side write_rows so the counting
+    dialect is observable (foreachPartition would count on executors)."""
+
+    class Counting(PostgresDialect):
+        def __init__(self):
+            super().__init__()
+            self.stage_copies = 0
+
+        def bulk_append(self, conn, table, columns, rows):
+            ok = super().bulk_append(conn, table, columns, rows)
+            if ok and table.startswith("_apitap_stage_"):
+                self.stage_copies += 1
+            return ok
+
+    dialect = Counting()
+    writer = JdbcMergeWriter(
+        _factory,
+        TABLE,
+        dialect=dialect,
+        mode=WriteMode.MERGE,
+        primary_key="id",
+    )
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    writer.prepare(SCHEMA)
+    rows = df.collect()
+    writer.write_rows(rows, SCHEMA)
+    writer.write_rows(rows, SCHEMA)  # idempotent re-run
+    writer.write_rows(
+        spark.createDataFrame([(2, "b2", 2.5)], SCHEMA).collect(), SCHEMA
+    )
+    assert dialect.stage_copies == 3  # every batch staged via COPY
+    cur = pg_conn.cursor()
+    cur.execute(f"SELECT id, name, score FROM {TABLE} ORDER BY id")
+    assert cur.fetchall() == [(1, "a", 1.0), (2, "b2", 2.5)]
+    # ON COMMIT DROP: the stage never leaks into the next transaction
+    cur.execute(
+        "SELECT COUNT(*) FROM pg_tables WHERE tablename LIKE '_apitap_stage%'"
+    )
+    assert cur.fetchone()[0] == 0
+
+
+def test_values_merge_fallback_still_live(spark, pg_conn):
+    """With the stage rung disabled, the 65535-bind VALUES MERGE (with
+    its jsonb cast_types) must still pass live — it remains the
+    fallback for drivers without COPY (e.g. psycopg 3's cursor)."""
+
+    class NoStage(PostgresDialect):
+        def supports_copy_stage(self, conn):
+            return False
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    df1 = spark.createDataFrame([(1, ["a"]), (2, ["b"])], schema)
+    df2 = spark.createDataFrame([(2, ["b2", "x"])], schema)
+    writer = JdbcMergeWriter(
+        _factory, TABLE, dialect=NoStage(), mode=WriteMode.MERGE, primary_key="id"
+    )
+    writer.write(df1)
+    writer.write(df2)
+    cur = pg_conn.cursor()
+    cur.execute(f"SELECT id, tags->>0 FROM {TABLE} ORDER BY id")
+    assert cur.fetchall() == [(1, "a"), (2, "b2")]
+
+
+def test_staged_merge_throughput_beats_values_merge(spark, pg_conn):
+    """The point of staging: COPY + one server-side MERGE must beat the
+    VALUES-bind MERGE on the same rows (sanity bound 1.5x here; the
+    bench publishes sink_pg_merge_rows_per_sec at full scale)."""
+    import time as _t
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    rows = [(i, float(i) / 7.0) for i in range(50_000)]
+
+    class NoStage(PostgresDialect):
+        def supports_copy_stage(self, conn):
+            return False
+
+    timings = {}
+    for name, dialect in (("staged", PostgresDialect()), ("values", NoStage())):
+        writer = JdbcMergeWriter(
+            _factory,
+            TABLE,
+            dialect=dialect,
+            mode=WriteMode.MERGE,
+            primary_key="id",
+            truncate_first=True,
+        )
+        # driver-side write_rows isolates the sink (writer.write's Spark
+        # job scheduling swamps a 50K-row delta); one warm pass first
+        writer.prepare(schema)
+        writer.write_rows(rows, schema)
+        writer.prepare(schema)  # truncate again
+        t0 = _t.perf_counter()
+        writer.write_rows(rows, schema)
+        timings[name] = _t.perf_counter() - t0
+    assert timings["staged"] * 1.5 < timings["values"], timings
