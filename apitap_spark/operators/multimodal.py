@@ -268,13 +268,15 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload → (width, height, channels, pixel bytes).
 
     PNG (baseline 8-bit subset) decodes for real via the pure-stdlib
-    decoder above, and baseline JPEG (SOF0 sequential, Huffman) via
-    jpeg_baseline.decode_jpeg — no codec libraries exist in this
-    container, so both paths are first-principles implementations
-    (rounds 2 and 6). Progressive JPEG / other formats still raise: a
-    real deployment plugs Pillow/ffmpeg here behind the same signature,
-    and callers treat decode failure as per-row fallback, never a job
-    abort (a 100 TB scan WILL contain corrupt files).
+    decoder above, and JPEG — both SOF0 baseline sequential and SOF2
+    progressive (spectral selection + successive approximation) — via
+    jpeg_baseline.decode_jpeg; no codec libraries exist in this
+    container, so all paths are first-principles implementations
+    (rounds 2, 6 and 7). Arithmetic-coded / 12-bit / hierarchical JPEG
+    and other formats still raise: a real deployment plugs
+    Pillow/ffmpeg here behind the same signature, and callers treat
+    decode failure as per-row fallback, never a job abort (a 100 TB
+    scan WILL contain corrupt files).
     """
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
@@ -283,8 +285,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode in this environment; plug "
-        "Pillow/ffmpeg here for progressive-JPEG/video paths"
+        "only PNG and baseline/progressive JPEG decode in this "
+        "environment; plug Pillow/ffmpeg here for other formats"
     )
 
 

@@ -280,7 +280,9 @@ def test_16bit_dqt_and_restart_markers():
 def test_unsupported_and_garbage_raise_cleanly():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive SOF2 must raise, not mis-decode
+    # a BASELINE stream mislabeled SOF2 is malformed progressive (its
+    # SOS says Ss=0, Se=63 — a DC scan can't span AC bands): must
+    # raise at scan-header validation, never mis-decode
     img = _gradient(8, 8)
     payload = bytearray(encode_jpeg([img - 128]))
     payload[payload.index(b"\xff\xc0") + 1] = 0xC2
@@ -328,3 +330,322 @@ def test_decode_bomb_header_rejected():
     payload[i + 5 : i + 9] = _s.pack(">HH", 65535, 65535)
     with _pt.raises(ValueError, match="implausible"):
         decode_jpeg(bytes(payload))
+
+
+def test_bitreader_rst_resyncs_at_current_marker_not_next():
+    """When read_bit lands on an RST marker mid-read (nonconforming pad
+    before the marker), recovery must resume just past THAT marker —
+    round-6 ADVICE: consuming the 0xFF before raising made sync_restart
+    skip to the FOLLOWING restart marker, silently dropping a whole
+    restart interval of MCUs."""
+    from apitap_spark.operators.jpeg_baseline import _BitReader, _RestartHit
+
+    #        entropy   RST0        interval-1 bytes   RST1
+    data = b"\xab" + b"\xff\xd0" + b"\x12\x34" + b"\xff\xd1" + b"\x56"
+    br = _BitReader(data, 0)
+    for _ in range(8):
+        br.read_bit()  # consumes 0xab
+    with pytest.raises(_RestartHit):
+        br.read_bit()  # hits FF D0
+    br.sync_restart()
+    assert br.pos == 3  # just past RST0 — NOT past RST1 (pos 7)
+    assert br.read_bit() == 0  # 0x12's MSB: decoding resumes in-interval
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2 optional 0xFF fill bytes before a marker must not
+    desync the segment parser (round-6 ADVICE: the fill byte itself was
+    read as the marker and entropy bytes became a bogus seglen)."""
+    img = _gradient(16, 16, seed=4)
+    payload = encode_jpeg([img - 128], q=8)
+    # inject fill bytes before the DQT (FFDB) and SOS (FFDA) markers
+    padded = payload.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xff\xda", 1
+    )
+    w, h, c, px = decode_jpeg(padded)
+    w0, h0, c0, px0 = decode_jpeg(payload)
+    assert (w, h, c, px) == (w0, h0, c0, px0)
+
+
+# --- progressive (SOF2) encoder + roundtrips --------------------------------
+#
+# A custom AC table for progressive scans: Annex K's AC table lacks the
+# EOBn (r<<4, r>0) symbols progressive EOB runs need, so build a flat
+# canonical table (every symbol at code length 9) covering all RS bytes
+# the encoder can emit. The decoder builds tables from counts/symbols
+# generically, so this also exercises non-Annex-K table handling.
+AC_PROG_SYMS = bytes(
+    sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {r << 4 for r in range(15)}  # EOB0..EOB14
+        | {0xF0}  # ZRL
+    )
+)
+AC_PROG_COUNTS = bytes([0] * 8 + [len(AC_PROG_SYMS)] + [0] * 7)  # all len 9
+AC_PROG_TBL = _encode_table(AC_PROG_COUNTS, AC_PROG_SYMS)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al truncating toward ZERO."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+class _ACFirstWriter:
+    """AC first scan (Ah=0) entropy writer with cross-block EOB runs."""
+
+    def __init__(self, bw):
+        self.bw = bw
+        self.eobrun = 0
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = AC_PROG_TBL[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+    def block(self, zz, ss, se, al):
+        vals = [_pt(zz[k], al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = AC_PROG_TBL[0xF0]
+                self.bw.write(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = AC_PROG_TBL[(run << 4) | s]
+            self.bw.write(code, ln)
+            self.bw.write(bits, s)
+            run = 0
+        if nz[-1] < len(vals) - 1:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+class _ACRefineWriter:
+    """AC refinement scan (Ah=Al+1) writer: correction bits ride with
+    the symbol (or EOBn) that closes their run — T.81 G.1.2.3 /
+    the classic two-buffer formulation."""
+
+    def __init__(self, bw):
+        self.bw = bw
+        self.eobrun = 0
+        self.pending = []  # correction bits buffered with the EOB run
+
+    def _emit_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = AC_PROG_TBL[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def flush(self):
+        self._emit_eobrun()
+
+    def block(self, zz, ss, se, al):
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        signs = [zz[k] >= 0 for k in range(ss, se + 1)]
+        newly = [i for i, a in enumerate(absv) if a == 1]
+        eob = newly[-1] if newly else -1
+        run = 0
+        local: list[int] = []  # bits since the last emitted symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                self._emit_eobrun()
+                code, ln = AC_PROG_TBL[0xF0]
+                self.bw.write(code, ln)
+                run -= 16
+                for b in local:
+                    self.bw.write(b, 1)
+                local = []
+            if a > 1:
+                local.append(a & 1)  # history coeff: correction bit
+                continue
+            # newly nonzero (magnitude exactly 1 at this precision)
+            self._emit_eobrun()
+            code, ln = AC_PROG_TBL[(run << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(1 if signs[i] else 0, 1)
+            run = 0
+            for b in local:
+                self.bw.write(b, 1)
+            local = []
+        if run > 0 or local:
+            self.eobrun += 1
+            self.pending.extend(local)
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+
+
+def encode_progressive(
+    planes: list[np.ndarray], q: int = 16, successive: bool = True
+) -> bytes:
+    """Minimal SOF2 encoder (1x1 sampling, shared flat quant table):
+    either the spectral-selection-only script (DC; AC 1-5; AC 6-63) or
+    the full successive-approximation script (DC Al=1; AC bands Al=1;
+    DC refine; AC 1-63 refine Al=0) — the shape libjpeg-style encoders
+    emit, exercising every progressive decode path."""
+    h, w = planes[0].shape
+    assert h % 8 == 0 and w % 8 == 0
+    ncomp = len(planes)
+    qtab = np.full((8, 8), q, dtype=np.int32)
+    coeffs = []
+    for p in planes:
+        rows = []
+        for by in range(h // 8):
+            row = []
+            for bx in range(w // 8):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cf = np.rint((_C @ blk @ _C.T) / qtab)
+                row.append([int(cf.flat[ZIGZAG[k]]) for k in range(64)])
+            rows.append(row)
+        coeffs.append(rows)
+    out = bytearray(b"\xff\xd8")
+    body = bytes([0x00]) + bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + DC_LUM_COUNTS + DC_LUM_SYMS
+    dht += bytes([0x10]) + AC_PROG_COUNTS + AC_PROG_SYMS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    nby, nbx = h // 8, w // 8
+    al1 = 1 if successive else 0
+
+    # scan 1: DC first, interleaved over all components
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al1)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                v = coeffs[ci][by][bx][0] >> al1  # arithmetic shift
+                s, bits = _magnitude(v - pred[ci])
+                pred[ci] = v
+                code, ln = DC_TBL[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits, s)
+    bw.flush()
+    out += bw.out
+
+    # AC first scans: per component, two spectral bands
+    for ci in range(ncomp):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci + 1], ss, se, 0, al1)
+            bw = _BitWriter()
+            wr = _ACFirstWriter(bw)
+            for by in range(nby):
+                for bx in range(nbx):
+                    wr.block(coeffs[ci][by][bx], ss, se, al1)
+            wr.flush_eob()
+            bw.flush()
+            out += bw.out
+
+    if successive:
+        # DC refinement (Ah=1, Al=0): one raw bit per block
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+        bw = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in range(ncomp):
+                    bw.write(coeffs[ci][by][bx][0] & 1, 1)
+        bw.flush()
+        out += bw.out
+        # AC refinement (Ah=1, Al=0) over the full 1-63 band per comp
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], 1, 63, 1, 0)
+            bw = _BitWriter()
+            wr = _ACRefineWriter(bw)
+            for by in range(nby):
+                for bx in range(nbx):
+                    wr.block(coeffs[ci][by][bx], 1, 63, 0)
+            wr.flush()
+            bw.flush()
+            out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_spectral_selection_matches_baseline_decode():
+    """Spectral-selection-only SOF2 must reconstruct EXACTLY the pixels
+    the (already-validated) baseline path produces from the same
+    quantized coefficients."""
+    img = _gradient(24, 16, seed=11)
+    base = decode_jpeg(encode_jpeg([img - 128], q=8))
+    prog = decode_jpeg(encode_progressive([img - 128], q=8, successive=False))
+    assert prog == base
+
+
+def test_progressive_successive_approximation_matches_baseline_decode():
+    """The full successive-approximation script (DC+AC first at Al=1,
+    then refinement scans) must converge to the SAME pixels as baseline
+    — bit-identical, since the refined coefficients equal the originals."""
+    img = _gradient(32, 24, seed=12)
+    base = decode_jpeg(encode_jpeg([img - 128], q=8))
+    prog = decode_jpeg(encode_progressive([img - 128], q=8, successive=True))
+    assert prog == base
+
+
+def test_progressive_three_component_color():
+    rng = np.random.RandomState(7)
+    y = _gradient(16, 16, seed=13)
+    cb = np.clip(128 + 30 * np.sin(np.arange(256).reshape(16, 16) / 9.0)
+                 + rng.randint(-4, 5, (16, 16)), 0, 255).astype(np.float64)
+    cr = np.clip(128 - 25 * np.cos(np.arange(256).reshape(16, 16) / 7.0), 0,
+                 255).astype(np.float64)
+    planes = [y - 128, cb - 128, cr - 128]
+    base = decode_jpeg(encode_jpeg(planes, q=8))
+    prog = decode_jpeg(encode_progressive(planes, q=8, successive=True))
+    assert prog == base
+    w, h, c, _ = prog
+    assert (w, h, c) == (16, 16, 3)
+
+
+def test_progressive_truncated_stream_raises_cleanly():
+    img = _gradient(16, 16, seed=14)
+    payload = encode_progressive([img - 128], q=8)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(payload[: len(payload) - 40])
+
+
+def test_decode_image_dispatches_progressive_jpeg():
+    from apitap_spark.operators.multimodal import decode_image
+
+    img = _gradient(16, 16, seed=15)
+    w, h, c, px = decode_image(encode_progressive([img - 128], q=8))
+    assert (w, h, c) == (16, 16, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16).astype(np.float64)
+    assert np.abs(got - img).mean() <= 4
