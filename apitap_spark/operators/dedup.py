@@ -1584,3 +1584,161 @@ def op_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(sum(dup_chars), 0L) * 1000000L div sum(n) AS BIGINT)"
         ).alias("dup_ratio_micro"),
     )
+
+
+# --- Bloom-filter prefilter audit (incremental-dedup sizing QA) -------------
+
+BLOOM_BITS_PER_KEY = 8  # m = 8n + 1 — classic bits-per-key sizing
+BLOOM_HASHES = 3
+
+_BLOOM_HASH_SQL = (
+    "CAST('0x' || substr(md5(s || '|' || j), 1, 15) AS BIGINT) % m"
+)
+
+_BLOOM_ORACLE = f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    build AS (SELECT DISTINCT shingle AS s FROM sh WHERE doc_id % 2 = 0),
+    probe AS (SELECT DISTINCT shingle AS s FROM sh WHERE doc_id % 2 = 1),
+    params AS (
+      SELECT CAST({BLOOM_BITS_PER_KEY} * COUNT(*) + 1 AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM build
+    ),
+    bits AS (
+      SELECT DISTINCT {_BLOOM_HASH_SQL} AS pos
+      FROM build, params, unnest([0, 1, 2]) AS u(j)
+    ),
+    ppos AS (
+      SELECT s, j, {_BLOOM_HASH_SQL} AS pos
+      FROM probe, params, unnest([0, 1, 2]) AS u(j)
+    ),
+    hit AS (
+      SELECT ppos.s, COUNT(bits.pos) AS nhit
+      FROM ppos LEFT JOIN bits USING (pos) GROUP BY ppos.s
+    ),
+    lab AS (
+      SELECT h.s, h.nhit = {BLOOM_HASHES} AS positive,
+             b.s IS NOT NULL AS member
+      FROM hit h LEFT JOIN build b ON b.s = h.s
+    )
+    SELECT (SELECT nb FROM params) AS n_build_keys,
+           (SELECT m FROM params) AS m_bits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN positive AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN positive AND NOT member THEN 1 ELSE 0 END)
+                * 1000000
+                // NULLIF(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS fp_micro
+    FROM lab
+"""
+
+
+@_register("op_dedup_bloom_prefilter", _BLOOM_ORACLE)
+def op_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter audit for incremental dedup: build an
+    (m = 8n+1)-bit, 3-hash Bloom set over the even-id docs' distinct
+    3-token shingles, probe every odd-id shingle, and report the
+    measured false-positive rate against exact membership — the sizing
+    check run before fronting an incremental-dedup merge with a Bloom
+    prefilter (too small a filter silently degrades the prefilter into
+    a pass-through; this measures, not estimates, the operating point).
+    8 bits/key at 3 hashes predicts ~3% FP; the audit verifies the
+    hash-family independence assumption on the REAL key distribution.
+
+    Exactness: bit positions come from the cross-engine 60-bit md5
+    hash (conv/substr trick) mod m, all counts are integer; bloom
+    positivity is "all 3 positions present in the distinct set-bit
+    table" — a relational restatement of the bitmap probe that both
+    engines replay exactly. No false negatives by construction (a
+    pytest invariant).
+
+    Scale shape: two distinct-shingle shuffles (build/probe), the
+    set-bit table is at most 3n rows keyed by position, the probe
+    explodes x3 and hash-joins on position (AQE broadcasts it when
+    small), membership is one shingle-keyed join, and the output is
+    ONE row of counters. The filter itself never materializes as a
+    driver-side bitmap — at 100 TB the "bitmap" stays a distributed
+    position set.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    build = (
+        sh.filter(F.col("doc_id") % 2 == 0)
+        .select(F.col("shingle").alias("s"))
+        .distinct()
+        .localCheckpoint()  # feeds params, bits, and the membership join
+    )
+    probe = (
+        sh.filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("shingle").alias("s"))
+        .distinct()
+        .localCheckpoint()  # feeds ppos and the final aggregate
+    )
+    params = build.agg(
+        (F.count("*") * BLOOM_BITS_PER_KEY + 1).cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    jcol = F.explode(
+        F.array(*[F.lit(j) for j in range(BLOOM_HASHES)])
+    ).alias("j")
+    pos_expr = F.expr(
+        "CAST(conv(substr(md5(concat(s, '|', j)), 1, 15), 16, 10) AS BIGINT)"
+        " % m"
+    )
+    bits = (
+        build.crossJoin(F.broadcast(params))
+        .select("s", "m", jcol)
+        .select(pos_expr.alias("pos"))
+        .distinct()
+        .localCheckpoint()  # probed once per hash row; also counted
+    )
+    ppos = (
+        probe.crossJoin(F.broadcast(params))
+        .select("s", "m", jcol)
+        .select("s", pos_expr.alias("pos"))
+    )
+    hit = (
+        ppos.join(bits.withColumn("_set", F.lit(1)), "pos", "left")
+        .groupBy("s")
+        .agg(F.count("_set").alias("nhit"))
+    )
+    lab = hit.join(
+        build.withColumn("_mem", F.lit(1)), "s", "left"
+    ).select(
+        (F.col("nhit") == BLOOM_HASHES).alias("positive"),
+        F.col("_mem").isNotNull().alias("member"),
+    )
+    n_bits = bits.count()
+    fp = F.sum(
+        (F.col("positive") & ~F.col("member")).cast("int")
+    )
+    nonmem = F.sum((~F.col("member")).cast("int"))
+    return (
+        lab.agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.col("member").cast("int")).cast("bigint").alias("n_members"),
+            F.sum(F.col("positive").cast("int")).cast("bigint").alias("n_positive"),
+            fp.cast("bigint").alias("n_false_positive"),
+            F.expr(
+                "CAST(sum(CAST(positive AND NOT member AS INT)) * 1000000L"
+                " div nullif(sum(CAST(NOT member AS INT)), 0) AS BIGINT)"
+            ).alias("fp_micro"),
+        )
+        .crossJoin(F.broadcast(params))
+        .select(
+            F.col("nb").alias("n_build_keys"),
+            F.col("m").alias("m_bits"),
+            F.lit(n_bits).cast("bigint").alias("n_set_bits"),
+            "n_probes",
+            "n_members",
+            "n_positive",
+            "n_false_positive",
+            "fp_micro",
+        )
+    )

@@ -1895,3 +1895,92 @@ def op_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max(nc) - 1)) AS BIGINT)"
         ).alias("v2_micro"),
     )
+
+
+# --- Cohen's kappa: inter-annotator agreement audit -------------------------
+
+KAPPA_LEN_T = 55  # annotator A: "long doc" = n_tokens >= 55 (corpus median)
+KAPPA_DIV_T = 455  # annotator B: lexical diversity >= 0.455 (corpus median)
+
+
+_KAPPA_ORACLE = rf"""
+    WITH lab AS (
+      SELECT doc_id,
+             LEN(string_split_regex(TRIM(text), '\s+')) >= {KAPPA_LEN_T} AS a,
+             LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) * 1000
+               // LEN(string_split_regex(TRIM(text), '\s+')) >= {KAPPA_DIV_T}
+               AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS tf,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS ft,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS ff,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab
+    )
+    SELECT n, tt, tf, ft, ff,
+           CAST((tt + ff) * 1000000 // n AS BIGINT) AS po_micro,
+           CAST(CAST(n * (tt + ff)
+                     - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+                     AS DOUBLE)
+                / CAST(n * n
+                       - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))
+                       AS DOUBLE) AS DOUBLE) AS kappa
+    FROM cells
+"""
+
+
+@_register("op_label_agreement_kappa", _KAPPA_ORACLE)
+def op_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document annotators —
+    length (n_tokens >= median) and lexical diversity (distinct/total
+    tokens >= median) — the chance-corrected agreement audit run before
+    fusing heuristic labelers into one quality signal (raw agreement
+    overstates: two labelers that both fire on 90% of docs agree 81%
+    by chance alone). On this corpus the two heuristics anti-correlate
+    (longer docs repeat the closed vocabulary), so kappa < 0 — exactly
+    the "these signals are not redundant" reading the fusion decision
+    needs.
+
+    Exactness: the 2x2 contingency is exact bigint; kappa's closed
+    form (n*(tt+ff) - S) / (n^2 - S) with S = (tt+tf)(tt+ft) +
+    (ft+ff)(tf+ff) is evaluated as ONE IEEE double division of two
+    exact integers — bit-identical in both engines (no pow/log; the
+    lone division is correctly rounded by the standard).
+
+    Scale shape: one narrow projection over documents (token counts
+    are per-row array ops) + one global 5-counter aggregate with
+    map-side combine; output is a single row at any corpus size.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    lab = docs.select(
+        F.size(t).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("nd"),
+    ).select(
+        (F.col("nt") >= KAPPA_LEN_T).alias("a"),
+        # diversity compare in integer millis (div == oracle's // for
+        # the non-negative operands here), engine-exact
+        F.expr(f"nd * 1000 div nt >= {KAPPA_DIV_T}").alias("b"),
+    )
+    cells = lab.agg(
+        F.sum((F.col("a") & F.col("b")).cast("int")).cast("bigint").alias("tt"),
+        F.sum((F.col("a") & ~F.col("b")).cast("int")).cast("bigint").alias("tf"),
+        F.sum((~F.col("a") & F.col("b")).cast("int")).cast("bigint").alias("ft"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("int")).cast("bigint").alias("ff"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    s = "((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff))"
+    return cells.select(
+        "n", "tt", "tf", "ft", "ff",
+        F.expr("CAST((tt + ff) * 1000000L div n AS BIGINT)").alias("po_micro"),
+        F.expr(
+            f"CAST(CAST(n * (tt + ff) - {s} AS DOUBLE)"
+            f" / CAST(n * n - {s} AS DOUBLE) AS DOUBLE)"
+        ).alias("kappa"),
+    )

@@ -436,3 +436,96 @@ def op_sample_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- stratified k-fold assignment audit -------------------------------------
+
+KFOLD_K = 5
+KFOLD_SALT = "kf7"  # re-salting makes a fresh independent fold assignment
+
+
+_KFOLD_ORACLE = f"""
+    WITH f AS (
+      SELECT CAST('0x' || substr(md5('{KFOLD_SALT}|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % {KFOLD_K} AS fold,
+             lang
+      FROM documents
+    ),
+    cell AS (
+      SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY fold, lang
+    ),
+    w AS (
+      SELECT fold, lang, n_docs,
+             CAST(SUM(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+             CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS n
+      FROM cell
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, lang, n_docs, fold_total,
+           CAST(n_docs * 1000000 // fold_total AS BIGINT) AS share_micro,
+           CAST(lang_total * 1000000 // n AS BIGINT) AS overall_share_micro,
+           CAST(ABS(n_docs * 1000000 // fold_total
+                    - lang_total * 1000000 // n) AS BIGINT) AS dev_micro
+    FROM w
+"""
+
+
+@_register("op_stratified_kfold_assignment", _KFOLD_ORACLE)
+def op_stratified_kfold_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic k-fold CV assignment + stratification audit: every
+    document lands in fold md5(salt|doc_id) % 5 — stable under
+    reprocessing, corpus growth, and repartitioning, like every split
+    in this module — and the audit reports each (fold, lang) cell's
+    within-fold share against the language's overall share. Hash folds
+    are only *statistically* stratified; this measures the realized
+    imbalance (dev_micro) a cross-validation run would actually train
+    on, the check done before trusting per-fold metrics on a skewed
+    corpus.
+
+    Exactness: fold comes from the cross-engine 60-bit md5 hash; all
+    shares are integer micros (bigint // bigint, non-negative) so the
+    hash matches bit-for-bit.
+
+    Scale shape: one narrow projection + one (fold, lang) map-side-
+    combined aggregate; the share windows run over the k x |lang|
+    aggregate rows (25 here), never the corpus. Output cardinality is
+    k x |lang| at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    f = docs.select(
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{KFOLD_SALT}|', CAST(doc_id AS STRING))),"
+            f" 1, 15), 16, 10) AS BIGINT) % {KFOLD_K}"
+        ).alias("fold"),
+        "lang",
+    )
+    cell = f.groupBy("fold", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    wf = Window.partitionBy("fold")
+    wl = Window.partitionBy("lang")
+    wa = Window.partitionBy()
+    w = cell.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(wf).cast("bigint").alias("fold_total"),
+        F.sum("n_docs").over(wl).cast("bigint").alias("lang_total"),
+        F.sum("n_docs").over(wa).cast("bigint").alias("n"),
+    )
+    share = F.expr("n_docs * 1000000L div fold_total")
+    overall = F.expr("lang_total * 1000000L div n")
+    return w.select(
+        "fold",
+        "lang",
+        "n_docs",
+        "fold_total",
+        share.cast("bigint").alias("share_micro"),
+        overall.cast("bigint").alias("overall_share_micro"),
+        F.abs(share - overall).cast("bigint").alias("dev_micro"),
+    )

@@ -2387,3 +2387,117 @@ def op_embedding_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 1000000L div ({RP_DIM} * orig_l2sq) AS BIGINT) END"
         ).alias("preservation_micro"),
     )
+
+
+# --- int8 scalar-quantization audit (embedding compression QA) --------------
+
+SQ_SCALE = 1000  # one fixed-point rounding to integer millis, then all-integer
+SQ_LEVELS = 255  # int8 code range 0..255
+
+
+_SQ_ORACLE = f"""
+    WITH expl AS (
+      SELECT i AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {SQ_SCALE}.0, 0)
+                  AS BIGINT) AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    stats AS (
+      SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM expl GROUP BY dim
+    ),
+    coded AS (
+      SELECT e.dim, s.vmin, s.vmax, e.v,
+             CASE WHEN s.vmax = s.vmin THEN 0
+                  ELSE (2 * (e.v - s.vmin) * {SQ_LEVELS} + (s.vmax - s.vmin))
+                       // (2 * (s.vmax - s.vmin)) END AS code
+      FROM expl e JOIN stats s USING (dim)
+    ),
+    recon AS (
+      SELECT dim, vmin, vmax, v,
+             vmin + CASE WHEN vmax = vmin THEN 0
+                         ELSE (2 * code * (vmax - vmin) + {SQ_LEVELS})
+                              // (2 * {SQ_LEVELS}) END AS r
+      FROM coded
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(vmin AS BIGINT) AS vmin_milli,
+           CAST(vmax AS BIGINT) AS vmax_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MAX(ABS(v - r)) AS BIGINT) AS max_abs_err_milli,
+           CAST(SUM(ABS(v - r)) AS BIGINT) AS sum_abs_err_milli,
+           CAST(SUM(ABS(v - r)) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_abs_err_micro
+    FROM recon GROUP BY dim, vmin, vmax
+"""
+
+
+@_register("op_embedding_int8_quantization_audit", _SQ_ORACLE)
+def op_embedding_int8_quantization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension int8 scalar-quantization audit: quantize each
+    embedding component to a 0..255 code against its dimension's
+    min/max range, dequantize, and report the reconstruction error —
+    the memory-4x-compression check run before committing an ANN
+    index to int8 storage (FAISS SQ8-style; a dimension whose max
+    error is large relative to its range needs per-block scaling or
+    more bits).
+
+    Exactness: one rounding to integer millis, then ALL arithmetic is
+    integer — encode floor((v-vmin)*255/range + 0.5) and decode
+    floor(code*range/255 + 0.5) use the (2a+b) div 2b trick with
+    non-negative operands, where Spark's truncating div and DuckDB's
+    flooring // agree, so the hash is engine-exact. Constant dims
+    (range 0) code to 0 and decode to vmin in both engines.
+
+    Scale shape: one explode (N*d rows) -> d-keyed min/max aggregate
+    (64 rows, map-side combined) -> BROADCAST back over the exploded
+    frame -> one d-keyed error aggregate. Two linear passes, no
+    corpus-sized shuffle beyond the d-keyed combines; output is d rows
+    at any corpus size.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    expl = emb.select(F.posexplode("embedding").alias("p", "x")).select(
+        (F.col("p") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("x").cast("double") * SQ_SCALE, 0)
+        .cast("long")
+        .alias("v"),
+    )
+    stats = expl.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    j = expl.join(F.broadcast(stats), "dim")
+    rng = F.col("vmax") - F.col("vmin")
+    code = F.when(rng == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"(2 * (v - vmin) * {SQ_LEVELS} + (vmax - vmin))"
+            f" div (2 * (vmax - vmin))"
+        )
+    )
+    recon = F.col("vmin") + F.when(rng == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr(f"(2 * _code * (vmax - vmin) + {SQ_LEVELS}) div (2 * {SQ_LEVELS})")
+    )
+    err = F.abs(F.col("v") - F.col("_recon"))
+    return (
+        j.withColumn("_code", code)
+        .withColumn("_recon", recon)
+        .withColumn("_err", err)
+        .groupBy("dim", "vmin", "vmax")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.max("_err").cast("bigint").alias("max_abs_err_milli"),
+            F.sum("_err").cast("bigint").alias("sum_abs_err_milli"),
+            F.expr("CAST(sum(_err) * 1000 div count(*) AS BIGINT)").alias(
+                "mean_abs_err_micro"
+            ),
+        )
+        .select(
+            "dim",
+            F.col("vmin").cast("bigint").alias("vmin_milli"),
+            F.col("vmax").cast("bigint").alias("vmax_milli"),
+            "n_vecs",
+            "max_abs_err_milli",
+            "sum_abs_err_milli",
+            "mean_abs_err_micro",
+        )
+    )

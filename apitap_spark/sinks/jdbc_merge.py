@@ -45,6 +45,7 @@ from dataclasses import dataclass
 from enum import Enum
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAX_BIND_PARAMS = 65535  # Postgres wire-protocol limit (SURVEY §7.4)
@@ -784,10 +785,26 @@ class JdbcMergeWriter:
         """Create the table, then stream every partition through its own
         connection (merge/upsert is idempotent by PK → task-retry safe).
 
+        MERGE/upsert writes hash-partition by primary key first: equal
+        keys land in ONE partition, so the within-buffer last-wins dedup
+        sees every duplicate and no two connections ever contend on the
+        same key — without this, cross-partition duplicate keys make
+        concurrent MERGEs race (deadlocks / duplicate-key aborts, found
+        live when the bench fed a non-unique natural key). This is also
+        the 100 TB-correct shape: one shuffle keyed exactly like the
+        target index.
+
         Single-writer engines (DuckDB test stand-in) coalesce to one
         partition first; real warehouses take the full parallel fan-in.
         """
         self.prepare(df.schema)
+        if (
+            self.mode == WriteMode.MERGE
+            and self.pks
+            and not self.dialect.merge_as_insert()
+            and not self.dialect.single_writer
+        ):
+            df = df.repartition(*[F.col(p) for p in self.pks])
         if self.dialect.single_writer:
             df = df.coalesce(1)
         schema = df.schema

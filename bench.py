@@ -189,6 +189,12 @@ def main(out_path: str | None = None) -> None:
         from apitap_spark.sinks.jdbc_merge import PostgresDialect
 
         dsn = "host=127.0.0.1 port=54329 user=postgres dbname=postgres"
+        # a crashed earlier bench can leave the MERGE-keyed table behind;
+        # the append bench must start from a constraint-free table
+        conn = pgwire.connect(dsn)
+        conn.cursor().execute("DROP TABLE IF EXISTS bench_pg_sink")
+        conn.commit()
+        conn.close()
         # parallel fan-in is the production shape: limit() collapses to a
         # single partition (one connection, 13K rows/s measured);
         # repartition(8) = 8 connections COPYing concurrently (313K rows/s)
