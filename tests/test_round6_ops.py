@@ -106,7 +106,7 @@ def test_knn_label_accuracy_matches_numpy(spark, sf_dir):
 
     from apitap_spark.operators.similarity import (
         KNN_K,
-        KNN_QUERY_MOD,
+        KNN_QUERY_CAP,
         op_knn_label_accuracy,
     )
 
@@ -115,10 +115,18 @@ def test_knn_label_accuracy_matches_numpy(spark, sf_dir):
     X = np.array([r["embedding"] for r in emb], dtype=np.float64)
     labels = np.array([r["label"] for r in emb])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # round-7 sample rule: the KNN_QUERY_CAP ids with smallest md5 —
+    # fixed-size hash-rank, replayed here independently
+    sample = set(
+        sorted(
+            ids.tolist(),
+            key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v),
+        )[:KNN_QUERY_CAP]
+    )
     n_q = Counter()
     n_ok = Counter()
     for qi in range(len(ids)):
-        if ids[qi] % KNN_QUERY_MOD:
+        if ids[qi] not in sample:
             continue
         cos = Xn @ Xn[qi]
         order = sorted(
