@@ -89,12 +89,13 @@ _NEW_GATES: set[str] = {
     "op_gini_best_split",
     "op_dedup_substring_spans",
     "op_quantile_binning",
-    # round 7: four new operators — never-tested total stays within the
-    # driver's 50-row window (26 waiting + these 4)
+    # round 7: five new operators — never-tested total stays within the
+    # driver's 50-row window (26 waiting + these 5)
     "op_embedding_int8_quantization_audit",
     "op_dedup_bloom_prefilter",
     "op_stratified_kfold_assignment",
     "op_label_agreement_kappa",
+    "op_ann_recall_audit",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

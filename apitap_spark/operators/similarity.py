@@ -813,7 +813,10 @@ def pq_adc_topk(
 IVFPQ_TOPK = 3
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_ranked_cte() -> str:
+    """Shared CTE chain ending in ``ivf`` = the ADC-ranked IVF-PQ
+    results — consumed by the search oracle AND the recall audit
+    (factored per the no-string-slicing rule)."""
     from apitap_spark.operators.ml import _sql_sqdist
 
     sq_lut = _sql_sqdist("q.e", "km.centroid")
@@ -863,16 +866,24 @@ def _ivfpq_oracle() -> str:
       JOIN qcell qc ON qc.q_id = l.q_id AND qc.cell = em.label
       WHERE l.q_id <> e.vec_id
       GROUP BY l.q_id, e.vec_id
-    )
-    SELECT q_id, c_id, cell, adc_micro,
-           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
-           CAST(rk AS BIGINT) AS rk
-    FROM (
+    ),
+    ivf AS (
       SELECT q_id, c_id, cell, adc_micro,
              ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY adc_micro ASC, c_id) AS rk
       FROM scored
-    ) WHERE rk <= {IVFPQ_TOPK}
+    )"""
+    )
+
+
+def _ivfpq_oracle() -> str:
+    return (
+        _ivfpq_ranked_cte()
+        + f"""
+    SELECT q_id, c_id, cell, adc_micro,
+           CAST(adc_micro AS DOUBLE) / 1000000.0 AS adc_dist,
+           CAST(rk AS BIGINT) AS rk
+    FROM ivf WHERE rk <= {IVFPQ_TOPK}
     """
     )
 
@@ -2499,5 +2510,117 @@ def op_embedding_int8_quantization_audit(
             "max_abs_err_milli",
             "sum_abs_err_milli",
             "mean_abs_err_micro",
+        )
+    )
+
+
+# --- ANN recall audit: IVF-PQ vs exact ground truth -------------------------
+
+
+def _recall_oracle() -> str:
+    return (
+        _ivfpq_ranked_cte()
+        + f""",
+    qm AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_aggregate(list_transform(range(1, len(a.qv) + 1),
+                   i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum')
+                 ASC, b.vec_id) AS erk
+        FROM qm a JOIN qm b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+      ) WHERE erk <= {IVFPQ_TOPK}
+    ),
+    inter AS (
+      SELECT i.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM (SELECT q_id, c_id FROM ivf WHERE rk <= {IVFPQ_TOPK}) i
+      JOIN exact e ON e.q_id = i.q_id AND e.c_id = i.c_id
+      GROUP BY i.q_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(COALESCE(n.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST({IVFPQ_TOPK} AS BIGINT) AS k,
+           CAST(COALESCE(n.n_hits, 0) * 1000000 // {IVFPQ_TOPK} AS BIGINT)
+             AS recall_micro
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+    LEFT JOIN inter n ON n.q_id = q.vec_id
+    """
+    )
+
+
+@_register("op_ann_recall_audit", _recall_oracle())
+def op_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ approximate rung against exact ground
+    truth — THE acceptance metric for any ANN index: per query, how
+    many of the k true (squared-L2) nearest neighbors did the
+    cell-pruned, PQ-quantized search return? Run before trusting the
+    approximate rung for retrieval or semantic dedup; a low-recall
+    cell assignment means more probes or a better quantizer, and this
+    measures it instead of citing the paper's curve.
+
+    Exactness: the approximate side is the already-oracled
+    op_ann_ivfpq_search results verbatim; ground truth quantizes
+    components once to integer millis and ranks by exact bigint
+    squared distance (ties by c_id), so the intersection counts are
+    engine-exact. Queries with zero hits still emit a row (left join).
+
+    Scale shape: the exact rung is the audit-sized part — Q(=10 here,
+    constant) queries broadcast over one corpus scan, integer zip_with
+    sums in codegen; the approximate side reuses the IVF-PQ plan
+    (broadcast LUT + cell-pruned candidates). Output is Q rows; at
+    production scale the exact side stays O(Q * N) with constant Q,
+    the same bound as op_knn_label_accuracy's audit rung.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    qm = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint"),
+        ).alias("qv"),
+    )
+    q = qm.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qa")
+    )
+    sq = F.aggregate(
+        F.zip_with("qa", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("_sq"), F.asc("vec_id"))
+    exact = (
+        F.broadcast(q)
+        .join(qm, F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", sq.alias("_sq"))
+        .withColumn("erk", F.row_number().over(w))
+        .filter(F.col("erk") <= IVFPQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("c_id"))
+    )
+    approx = QUERIES["op_ann_ivfpq_search"](spark, sf_dir).select(
+        "q_id", "c_id"
+    )
+    inter = (
+        approx.join(exact, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"))
+        .join(F.broadcast(inter), "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.lit(IVFPQ_TOPK).cast("bigint").alias("k"),
+            F.expr(
+                f"CAST(coalesce(n_hits, 0) * 1000000L div {IVFPQ_TOPK} AS BIGINT)"
+            ).alias("recall_micro"),
         )
     )

@@ -36,8 +36,14 @@ DRIFT_WATCHLIST = [
     "op_ann_ivfpq_search", "op_length_histogram", "op_bpe_learn_merges",
     "op_ann_pq_adc", "q_setop_except",
     # round-6 freeze's only >2x like-for-like mover (0.28->0.96s);
-    # watchlisted so round-7 medians settle noise vs regression.
+    # round-7 watchlist samples spanned 0.21-0.38s — closed as variance.
     "q_ab_test_chi2",
+    # round-7: the lead()-window edge rewrite left the full gate ~1s
+    # slower at sf0.1 in isolated A/B (new ~7.1s vs old ~6.0s) even
+    # though edges-only and checkpoint+distinct phases measure FASTER
+    # and downstream reads identical checkpointed data — no plan-level
+    # mechanism found; watchlisted to see if the freeze medians confirm.
+    "op_graph_link_prediction",
 ]
 
 SINK_RUNS = 3

@@ -176,3 +176,48 @@ def test_label_agreement_kappa_matches_python(spark, sf_dir):
     # all four contingency cells populated: the audit is non-vacuous
     assert min(tt, tf, ft, ff) > 0
     assert -1.0 <= g["kappa"] <= 1.0
+
+
+def test_ann_recall_audit_exact_side_matches_numpy(spark, sf_dir):
+    """Triangulate the ground-truth side with numpy (exact integer-
+    milli squared L2, ties by id) and recheck the intersection math
+    against the operator's own approximate frame; recall bounds hold
+    and every query emits a row."""
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        IVFPQ_TOPK,
+        QUERIES,
+        op_ann_recall_audit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    ids = [r["vec_id"] for r in emb]
+    V = {
+        r["vec_id"]: np.array(
+            [
+                int(v * 1000 + 0.5) if v >= 0 else -int(-v * 1000 + 0.5)
+                for v in (float(x) for x in r["embedding"])
+            ],
+            dtype=np.int64,
+        )
+        for r in emb
+    }
+    exact = {}
+    for qid in [i for i in ids if i < 10]:
+        d = sorted(
+            ((int(((V[qid] - V[c]) ** 2).sum()), c) for c in ids if c != qid)
+        )[:IVFPQ_TOPK]
+        exact[qid] = {c for _, c in d}
+    approx = {}
+    for r in QUERIES["op_ann_ivfpq_search"](spark, sf_dir).collect():
+        approx.setdefault(r["q_id"], set()).add(r["c_id"])
+    got = {r["q_id"]: r for r in op_ann_recall_audit(spark, sf_dir).collect()}
+    assert set(got) == set(exact)  # one row per query, even at 0 hits
+    for qid, truth in exact.items():
+        hits = len(truth & approx.get(qid, set()))
+        g = got[qid]
+        assert g["n_hits"] == hits
+        assert g["k"] == IVFPQ_TOPK
+        assert g["recall_micro"] == hits * MICRO // IVFPQ_TOPK
+        assert 0 <= g["n_hits"] <= IVFPQ_TOPK
