@@ -95,7 +95,7 @@ _NEW_GATES: set[str] = {
     "op_dedup_bloom_prefilter",
     "op_stratified_kfold_assignment",
     "op_label_agreement_kappa",
-    "op_ann_recall_audit",
+    "op_ann_ivfpq_recall_audit",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -2555,15 +2555,17 @@ def _recall_oracle() -> str:
     )
 
 
-@_register("op_ann_recall_audit", _recall_oracle())
-def op_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@_register("op_ann_ivfpq_recall_audit", _recall_oracle())
+def op_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF-PQ approximate rung against exact ground
     truth — THE acceptance metric for any ANN index: per query, how
     many of the k true (squared-L2) nearest neighbors did the
     cell-pruned, PQ-quantized search return? Run before trusting the
     approximate rung for retrieval or semantic dedup; a low-recall
     cell assignment means more probes or a better quantizer, and this
-    measures it instead of citing the paper's curve.
+    measures it instead of citing the paper's curve. (Distinct from
+    op_ann_recall_audit, which scores the flat IVF label index against
+    cosine top-k — this audits the PQ-compressed rung against exact L2.)
 
     Exactness: the approximate side is the already-oracled
     op_ann_ivfpq_search results verbatim; ground truth quantizes

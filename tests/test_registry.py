@@ -113,3 +113,25 @@ def test_rotation_fronts_oldest_untested_gates():
             ), f"new gate {n} jumped older never-tested gates"
     # oracle ordering mirrors queries ordering (driver zips the dicts)
     assert list(oracles) == [n for n in names if n in oracles]
+
+
+def test_no_same_module_shadowing_in_source():
+    """A duplicate ``@_register("name")`` WITHIN one module overwrites
+    the module dict before any cross-module check can see it (round-7
+    near-miss: a second op_ann_recall_audit silently replaced the
+    round-4 original, caught only by the old gate's pytest). Scan the
+    source: every registered name must appear exactly once across all
+    operator/plan modules."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "apitap_spark"
+    names: list[str] = []
+    for py in list((root / "operators").glob("*.py")) + list(
+        (root / "plans").glob("*.py")
+    ):
+        names.extend(
+            re.findall(r"@_register\(\s*[\"']([^\"']+)[\"']", py.read_text())
+        )
+    dups = {n: c for n, c in Counter(names).items() if c > 1}
+    assert not dups, f"names registered twice in source: {dups}"

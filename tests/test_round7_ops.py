@@ -188,7 +188,7 @@ def test_ann_recall_audit_exact_side_matches_numpy(spark, sf_dir):
     from apitap_spark.operators.similarity import (
         IVFPQ_TOPK,
         QUERIES,
-        op_ann_recall_audit,
+        op_ann_ivfpq_recall_audit,
     )
 
     emb = read_table(spark, sf_dir, "embeddings").collect()
@@ -212,7 +212,7 @@ def test_ann_recall_audit_exact_side_matches_numpy(spark, sf_dir):
     approx = {}
     for r in QUERIES["op_ann_ivfpq_search"](spark, sf_dir).collect():
         approx.setdefault(r["q_id"], set()).add(r["c_id"])
-    got = {r["q_id"]: r for r in op_ann_recall_audit(spark, sf_dir).collect()}
+    got = {r["q_id"]: r for r in op_ann_ivfpq_recall_audit(spark, sf_dir).collect()}
     assert set(got) == set(exact)  # one row per query, even at 0 hits
     for qid, truth in exact.items():
         hits = len(truth & approx.get(qid, set()))
