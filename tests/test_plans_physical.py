@@ -1024,3 +1024,41 @@ def test_knn_broadcasts_query_sample(spark, sf_dir):
     p = _plan(op_knn_label_accuracy(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "WindowGroupLimit" in p
+
+
+def test_int8_quantization_audit_broadcasts_dim_stats(spark, sf_dir):
+    """The per-dim min/max table (d rows) rides a broadcast back over
+    the exploded frame — never a corpus-sized shuffle join — and both
+    aggregates are map-side combined."""
+    from apitap_spark.operators.similarity import (
+        op_embedding_int8_quantization_audit,
+    )
+
+    p = _plan(op_embedding_int8_quantization_audit(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_min" in p or "partial_max" in p
+
+
+def test_bloom_prefilter_no_cartesian_and_counter_output(spark, sf_dir):
+    """The bitmap stays a distributed position set probed by a keyed
+    join: the only crossJoins are the broadcast 1-row params frame, and
+    no CartesianProduct appears anywhere."""
+    from apitap_spark.operators.dedup import op_dedup_bloom_prefilter
+
+    p = _plan(op_dedup_bloom_prefilter(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row params attach
+
+
+def test_kfold_windows_over_cell_aggregate_not_corpus(spark, sf_dir):
+    """The share windows run over the k x |lang| cell aggregate (25
+    rows), never the document table: exactly one corpus-keyed exchange
+    (the fold/lang groupBy with map-side combine) below the windows."""
+    from apitap_spark.operators.sampling import op_stratified_kfold_assignment
+
+    p = _plan(op_stratified_kfold_assignment(spark, sf_dir))
+    assert "partial_count" in p
+    assert p.count("Window") >= 1
+    # single corpus aggregate; everything above operates on 25 rows
+    assert p.count("partial_count") == 1
