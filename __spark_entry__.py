@@ -96,6 +96,10 @@ _NEW_GATES: set[str] = {
     "op_stratified_kfold_assignment",
     "op_label_agreement_kappa",
     "op_ann_ivfpq_recall_audit",
+    # round 8: never-tested total stays well inside the driver's 50-row
+    # window (5 round-7 gates waiting + these)
+    "op_psi_drift",
+    "op_mutual_information",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1984,3 +1984,271 @@ def op_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / CAST(n * n - {s} AS DOUBLE) AS DOUBLE)"
         ).alias("kappa"),
     )
+
+
+# --- L18x round 8: PSI drift + mutual-information audits ---------------------
+
+PSI_SCALE = 1_000_000_000  # smoothed shares in integer NANO units (exact)
+
+_PSI_ORACLE = f"""
+    WITH d AS (
+      SELECT source, n_chars // {HIST_BUCKET_W} AS b FROM documents
+    ),
+    per_src AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM per_src GROUP BY 1
+    ),
+    corpus AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS cc FROM per_src GROUP BY 1
+    ),
+    corpus_tot AS (
+      SELECT CAST(SUM(cc) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM corpus
+    ),
+    grid AS (
+      -- Laplace-smoothed shares in exact integer nanos: +1 per bucket,
+      -- denominator n + n_buckets, so zero-count buckets stay finite
+      SELECT s.source, s.n, t.nb,
+             (COALESCE(p.c, 0) + 1) * {PSI_SCALE} // (s.n + t.nb) AS s_nano,
+             (c.cc + 1) * {PSI_SCALE} // (t.nn + t.nb) AS c_nano
+      FROM src_tot s
+      CROSS JOIN corpus c
+      CROSS JOIN corpus_tot t
+      LEFT JOIN per_src p ON p.source = s.source AND p.b = c.b
+    ),
+    terms AS (
+      -- (p_s - p_c) * ln(p_s / p_c) in micro units, rounded ONCE per
+      -- cell: operands are exact bigint nanos, one double division
+      -- feeds ln, one multiply, one /1000 rescale nano->micro
+      SELECT source, n, nb,
+             CAST(ROUND(CAST(s_nano - c_nano AS DOUBLE)
+                        * ln(CAST(s_nano AS DOUBLE) / CAST(c_nano AS DOUBLE))
+                        / 1000.0, 0) AS BIGINT) AS term_micro
+      FROM grid
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(nb) AS BIGINT) AS n_buckets,
+           CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           CAST(MAX(term_micro) AS BIGINT) AS max_term_micro
+    FROM terms GROUP BY source
+"""
+
+
+@_register("op_psi_drift", _PSI_ORACLE)
+def op_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs the corpus baseline —
+    the standard model-monitoring drift score (sum over buckets of
+    (p_src - p_corpus) * ln(p_src / p_corpus)) applied to document
+    length histograms. Complements op_histogram_drift_l1: L1 weights
+    every bucket linearly, PSI amplifies buckets whose share RATIO
+    moved (the industry thresholds: <0.1 stable, 0.1-0.25 drifting,
+    >0.25 action). A source whose PSI spikes between ingest batches
+    signals a scraper change before any model consumes the batch.
+
+    Exactness: Laplace-smoothed shares ((c+1)/(n+B)) are exact integer
+    NANO units via bigint floor-division in both engines; each cell
+    term computes in one fixed double chain — one division into ln,
+    one multiply, one rescale — and rounds ONCE to integer micros
+    (the op_lm_perplexity ln policy: last-ulp libm-vs-JVM flake odds
+    against a 1e-6 grid are ~1e-9 per cell over ~240 cells). All
+    sums downstream are exact bigint.
+
+    Scale shape: identical to op_histogram_drift_l1 — one scan to the
+    (source, bucket) count aggregate; every frame after that is
+    sources x buckets (broadcast-sized at any corpus scale).
+    """
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") / HIST_BUCKET_W).cast("long").alias("b")
+    )
+    per_src = (
+        d.groupBy("source", "b").agg(F.count("*").cast("bigint").alias("c"))
+        # feeds src totals, the corpus histogram AND the grid join
+        .localCheckpoint()
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    corpus = per_src.groupBy("b").agg(F.sum("c").cast("bigint").alias("cc"))
+    corpus_tot = corpus.agg(
+        F.sum("cc").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    grid = (
+        src_tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(corpus_tot))
+        .join(per_src, ["source", "b"], "left")
+        .select(
+            "source",
+            "n",
+            "nb",
+            F.expr(
+                f"(coalesce(c, 0L) + 1L) * {PSI_SCALE}L div (n + nb)"
+            ).alias("s_nano"),
+            F.expr(f"(cc + 1L) * {PSI_SCALE}L div (nn + nb)").alias("c_nano"),
+        )
+    )
+    term = (
+        F.round(
+            (F.col("s_nano") - F.col("c_nano")).cast("double")
+            * F.log(F.col("s_nano").cast("double") / F.col("c_nano").cast("double"))
+            / F.lit(1000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("term_micro")
+    )
+    terms = grid.select("source", "n", "nb", term)
+    return terms.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("nb").cast("bigint").alias("n_buckets"),
+        F.sum("term_micro").cast("bigint").alias("psi_micro"),
+        F.max("term_micro").cast("bigint").alias("max_term_micro"),
+    )
+
+
+_MI_ORACLE = f"""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o),
+    mi_terms AS (
+      -- p_ij * ln(p_ij / (p_i p_j)) with the ratio's numerator obs*n
+      -- and denominator r*c EXACT bigints; one double division into
+      -- ln, two multiplies, one division by n, one round to micros
+      SELECT CAST(ROUND(CAST(o.obs AS DOUBLE)
+                        * ln(CAST(o.obs * t.n AS DOUBLE)
+                             / CAST(rt.r * ct.c AS DOUBLE))
+                        * 1000000.0 / CAST(t.n AS DOUBLE), 0)
+                  AS BIGINT) AS term_micro
+      FROM o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot t
+    ),
+    ha_terms AS (
+      SELECT CAST(ROUND(-CAST(r AS DOUBLE)
+                        * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000.0 / CAST(n AS DOUBLE), 0)
+                  AS BIGINT) AS term_micro
+      FROM rt CROSS JOIN tot
+    ),
+    hb_terms AS (
+      SELECT CAST(ROUND(-CAST(c AS DOUBLE)
+                        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1000000.0 / CAST(n AS DOUBLE), 0)
+                  AS BIGINT) AS term_micro
+      FROM ct CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT (SELECT CAST(SUM(term_micro) AS BIGINT) FROM mi_terms) AS mi_micro,
+             (SELECT CAST(SUM(term_micro) AS BIGINT) FROM ha_terms) AS h_a_micro,
+             (SELECT CAST(SUM(term_micro) AS BIGINT) FROM hb_terms) AS h_b_micro,
+             (SELECT n FROM tot) AS n
+    )
+    SELECT 'lang' AS col_a, 'source' AS col_b, n,
+           mi_micro, h_a_micro, h_b_micro,
+           mi_micro * 1000
+             // CAST(FLOOR(SQRT(CAST(h_a_micro * h_b_micro AS DOUBLE)))
+                     AS BIGINT) AS nmi_milli
+    FROM agg
+"""
+
+
+@_register("op_mutual_information", _MI_ORACLE)
+def op_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the documents table's ``lang`` and
+    ``source`` facets, with both marginal entropies and the normalized
+    MI (geometric-mean normalization, Strehl & Ghosh 2002) — the
+    information-theoretic companion to op_cramers_v_association: chi2
+    asks "is there ANY association", MI measures HOW MANY nats one
+    facet reveals about the other, which is what a stratified-split
+    designer needs (NMI near 1 = stratifying on both facets
+    double-counts; near 0 = they are independent constraints).
+
+    Exactness: the contingency table, marginals and total are exact
+    bigints; each MI term's log ratio (obs*n)/(r*c) divides two exact
+    bigints ONCE in doubles before ln, and each term rounds ONCE to
+    integer micro-nats (op_lm_perplexity ln policy). Sums are bigint;
+    NMI is integer milli via one FLOOR(SQRT(double)) of an exact
+    bigint product.
+
+    Scale shape: one scan to the (lang, source) contingency aggregate
+    (map-side combined); marginals, totals and all term math operate
+    on the r x c grid — broadcast-sized at any corpus scale. Output
+    is a single row.
+    """
+    o = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+        .localCheckpoint()  # contingency feeds marginals, total and terms
+    )
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("c"))
+    tot = o.agg(F.sum("obs").cast("bigint").alias("n"))
+
+    def _round_micro(col):
+        return F.round(col, 0).cast("bigint")
+
+    mi_terms = (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            _round_micro(
+                F.col("obs").cast("double")
+                * F.log(
+                    (F.col("obs") * F.col("n")).cast("double")
+                    / (F.col("r") * F.col("c")).cast("double")
+                )
+                * F.lit(1000000.0)
+                / F.col("n").cast("double")
+            ).alias("term_micro")
+        )
+        .agg(F.sum("term_micro").cast("bigint").alias("mi_micro"))
+    )
+    ha = (
+        rt.crossJoin(F.broadcast(tot))
+        .select(
+            _round_micro(
+                -F.col("r").cast("double")
+                * F.log(F.col("r").cast("double") / F.col("n").cast("double"))
+                * F.lit(1000000.0)
+                / F.col("n").cast("double")
+            ).alias("term_micro")
+        )
+        .agg(F.sum("term_micro").cast("bigint").alias("h_a_micro"))
+    )
+    hb = (
+        ct.crossJoin(F.broadcast(tot))
+        .select(
+            _round_micro(
+                -F.col("c").cast("double")
+                * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.lit(1000000.0)
+                / F.col("n").cast("double")
+            ).alias("term_micro")
+        )
+        .agg(F.sum("term_micro").cast("bigint").alias("h_b_micro"))
+    )
+    return (
+        mi_terms.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit("lang").alias("col_a"),
+            F.lit("source").alias("col_b"),
+            "n",
+            "mi_micro",
+            "h_a_micro",
+            "h_b_micro",
+            F.expr(
+                "mi_micro * 1000L div CAST(FLOOR(SQRT(CAST(h_a_micro *"
+                " h_b_micro AS DOUBLE))) AS BIGINT)"
+            ).alias("nmi_milli"),
+        )
+    )
