@@ -100,6 +100,11 @@ _NEW_GATES: set[str] = {
     # window (5 round-7 gates waiting + these)
     "op_psi_drift",
     "op_mutual_information",
+    "op_graph_kcore_peel",
+    "op_mmr_diversity_rerank",
+    "op_ml_naive_bayes_lang",
+    "op_text_zipf_fit",
+    "op_ml_adaboost_stump_round",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1146,3 +1146,134 @@ def op_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             level.select("v", F.lit(r).cast("bigint").alias("hops"))
         )
     return dist.select(F.col("v").alias("user_id"), "hops")
+
+
+# --- L13x round 8: bounded k-core peel trajectory ----------------------------
+
+KCORE_ROUNDS = 3  # bounded simultaneous-peel rounds (fixpoint is 1-2 here)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled KCORE_ROUNDS-round simultaneous peel: per round, every
+    node whose degree in the previous survivor graph is < k drops at
+    once. k is data-dependent (floor(mean degree) + 1) so the gate is
+    non-vacuous at every SF — a FIXED k is all-or-nothing on this graph
+    because co-activity degree scales with the corpus (measured: the
+    whole graph survives k<=11 at sf0.001 yet k<=115 at sf0.01)."""
+    parts = [
+        f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e0 AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    n0 AS (
+      SELECT DISTINCT node
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+    ),
+    kk AS (
+      SELECT CAST((SELECT 2 * COUNT(*) FROM e0) // (SELECT COUNT(*) FROM n0)
+                  + 1 AS BIGINT) AS k
+    )"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f""",
+    deg{p} AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})
+      GROUP BY node
+    ),
+    s{r} AS (SELECT node FROM deg{p}, kk WHERE d >= k),
+    e{r} AS (
+      SELECT u, v FROM e{p}
+      WHERE u IN (SELECT node FROM s{r}) AND v IN (SELECT node FROM s{r})
+    )"""
+        )
+    sel = [
+        """
+    SELECT CAST(0 AS BIGINT) AS peel_round, k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM n0) AS survivors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS edges_remaining
+    FROM kk"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        sel.append(
+            f"""
+    SELECT CAST({r} AS BIGINT), k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s{r}),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r})
+    FROM kk"""
+        )
+    return "".join(parts) + "\n    UNION ALL".join(sel)
+
+
+@_register("op_graph_kcore_peel", _kcore_oracle())
+def op_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel trajectory over the co-activity graph: per
+    round, simultaneously drop every node with fewer than k surviving
+    neighbors, reporting (survivors, edges remaining) after each of
+    KCORE_ROUNDS rounds — the density-structure audit next to triangles
+    and degree profile (the k-core is the standard "engaged core"
+    community definition: Seidman 1983; Kong et al. 2019 survey). The
+    trajectory, not just the fixpoint, is the signal: how fast the
+    periphery sheds quantifies core/periphery separation.
+
+    k is data-dependent — floor(mean degree) + 1, exact integer
+    arithmetic in both engines — because co-activity degree scales with
+    corpus size, so ANY fixed k is all-or-nothing (measured at three
+    SFs; see _kcore_oracle). Both engines peel SIMULTANEOUSLY (degree
+    snapshot per round), the textbook parallel formulation that maps to
+    Spark as R bounded passes.
+
+    Scale shape: the edge list builds once via the lead()-window
+    coactivity_edges (zero joins) and checkpoints; each round is one
+    map-side-combined degree aggregate + two broadcast semi-joins of
+    the node-cardinality survivor set against the shrinking edge list.
+    Per-round cost is O(|E_r|), R is a constant, and state is one node
+    set — never paths. The scalar V/E collects are single-row
+    aggregates (house collect policy).
+    """
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    n_edges = e.count()
+    k = 2 * n_edges // n_nodes + 1
+    rows = [(0, k, n_nodes, n_edges)]
+    cur = e
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        # survivor set is node-cardinality -> broadcast both semi-joins
+        s = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+        cur = (
+            cur.join(
+                F.broadcast(s.select(F.col("node").alias("u"))), "u", "semi"
+            )
+            .join(F.broadcast(s.select(F.col("node").alias("v"))), "v", "semi")
+            .localCheckpoint()  # feeds the count AND the next round
+        )
+        rows.append((r, k, s.count(), cur.count()))
+    return spark.createDataFrame(
+        rows,
+        "peel_round bigint, k bigint, survivors bigint, edges_remaining bigint",
+    )

@@ -1821,3 +1821,442 @@ def op_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nr").cast("bigint").alias("n_right"),
         )
     )
+
+
+# --- L19x round 8: multinomial naive Bayes language classifier ---------------
+
+_NB_TOK = r"string_split_regex(TRIM(text), '\s+')"
+
+_NB_ORACLE = rf"""
+    WITH docs AS (
+      SELECT doc_id, lang, text FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    train_tok AS (
+      SELECT lang, unnest({_NB_TOK}) AS w FROM docs WHERE doc_id % 2 = 0
+    ),
+    cw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM train_tok GROUP BY 1, 2
+    ),
+    nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cw GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM train_tok),
+    dl AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS d FROM docs
+      WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    dd AS (SELECT CAST(SUM(d) AS BIGINT) AS t FROM dl),
+    -- per-(lang, token) NLL in micro-nats, rounded ONCE; the unseen-token
+    -- fallback per lang is ln(n_l + V) (i.e. -ln of the Laplace 1/(n+V))
+    nll AS (
+      SELECT cw.lang, cw.w,
+             CAST(ROUND(-ln(CAST(cw.c + 1 AS DOUBLE) / CAST(nl.n + vv.v AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS u
+      FROM cw JOIN nl USING (lang) CROSS JOIN vv
+    ),
+    nll0 AS (
+      SELECT nl.lang,
+             CAST(ROUND(ln(CAST(nl.n + vv.v AS DOUBLE)) * 1000000.0, 0)
+                  AS BIGINT) AS u0
+      FROM nl CROSS JOIN vv
+    ),
+    prior AS (
+      SELECT dl.lang,
+             CAST(ROUND(-ln(CAST(dl.d AS DOUBLE) / CAST(dd.t AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS pu
+      FROM dl CROSS JOIN dd
+    ),
+    vocab AS (SELECT DISTINCT w FROM train_tok),
+    test_tok AS (
+      SELECT doc_id, unnest({_NB_TOK}) AS w FROM docs WHERE doc_id % 2 = 1
+    ),
+    dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cdw
+      FROM test_tok GROUP BY 1, 2
+    ),
+    dwv AS (SELECT dw.* FROM dw JOIN vocab USING (w)),
+    contrib AS (
+      SELECT dwv.doc_id, nll0.lang,
+             CAST(SUM(dwv.cdw * COALESCE(nll.u, nll0.u0)) AS BIGINT) AS s
+      FROM dwv
+      CROSS JOIN nll0
+      LEFT JOIN nll ON nll.lang = nll0.lang AND nll.w = dwv.w
+      GROUP BY 1, 2
+    ),
+    td AS (SELECT doc_id, lang AS lang_true FROM docs WHERE doc_id % 2 = 1),
+    scores AS (
+      SELECT td.doc_id, td.lang_true, prior.lang AS lang_cand,
+             prior.pu + COALESCE(contrib.s, 0) AS score_u
+      FROM td
+      CROSS JOIN prior
+      LEFT JOIN contrib ON contrib.doc_id = td.doc_id
+                       AND contrib.lang = prior.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang_cand AS lang_pred FROM (
+        SELECT doc_id, lang_true, lang_cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_u, lang_cand) AS pr
+        FROM scores
+      ) WHERE pr = 1
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+"""
+
+
+@_register("op_ml_naive_bayes_lang", _NB_ORACLE)
+def op_ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained on the even
+    doc_ids and evaluated as a confusion matrix over the odd ones — the
+    classic fast lang-id model (langid.py's core; McCallum & Nigam 1998)
+    next to the heuristic op_text_lang_id: add-one-smoothed per-language
+    token likelihoods + document priors, argmin total NLL per test doc.
+    Out-of-vocabulary test tokens are skipped (inner join to the train
+    vocab) — the standard choice that keeps the model pure-counting.
+
+    Exactness: every model weight is rounded ONCE to integer micro-nats
+    — per-(lang, token) -ln((c+1)/(n_l+V)), per-lang unseen fallback
+    ln(n_l+V), per-lang prior -ln(d_l/D) — then all scoring is exact
+    bigint multiply-accumulate, and the per-doc argmin breaks ties
+    (score, lang). The op_lm_perplexity ln policy at ~5x vocab terms.
+
+    Scale shape: training is one token-count aggregate (map-side
+    combined) + lang-sized marginals; scoring joins test (doc, token)
+    counts to the model on the token key — a linear keyed shuffle, the
+    model's lang fan-out is a constant factor (#languages); the argmin
+    is one WindowGroupLimit pass; the confusion matrix is a lang x lang
+    aggregate. No iteration, no driver loops; the only scalar collect
+    is V and D (single-row aggregates).
+    """
+    from pyspark.sql import Window
+
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    train_tok = train.select("lang", F.explode(tokens("text")).alias("w"))
+    cw = (
+        train_tok.groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint()  # feeds nl, vocab-ish marginals and nll
+    )
+    nl = cw.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = cw.select("w").distinct()
+    totals = vocab.agg(F.count("*").cast("bigint").alias("v")).crossJoin(
+        train.agg(F.count("*").cast("bigint").alias("t"))
+    ).collect()[0]
+    v_size, d_total = int(totals["v"]), int(totals["t"])
+    dl = train.groupBy("lang").agg(F.count("*").cast("bigint").alias("d"))
+
+    def _u(col):
+        return F.round(col * F.lit(1000000.0), 0).cast("bigint")
+
+    nll = cw.join(F.broadcast(nl), "lang").select(
+        "lang",
+        "w",
+        _u(
+            -F.log(
+                (F.col("c") + F.lit(1)).cast("double")
+                / (F.col("n") + F.lit(v_size)).cast("double")
+            )
+        ).alias("u"),
+    )
+    nll0 = nl.select(
+        "lang",
+        _u(F.log((F.col("n") + F.lit(v_size)).cast("double"))).alias("u0"),
+    )
+    prior = dl.select(
+        "lang",
+        _u(
+            -F.log(F.col("d").cast("double") / F.lit(float(d_total)))
+        ).alias("pu"),
+    )
+    test_tok = test.select("doc_id", F.explode(tokens("text")).alias("w"))
+    dw = test_tok.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("cdw")
+    )
+    dwv = dw.join(vocab, "w", "semi")
+    contrib = (
+        dwv.crossJoin(F.broadcast(nll0))
+        .join(nll, ["lang", "w"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("cdw") * F.coalesce("u", "u0"))
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    td = test.select("doc_id", F.col("lang").alias("lang_true"))
+    scores = (
+        td.crossJoin(F.broadcast(prior.withColumnRenamed("lang", "lang_cand")))
+        .join(
+            contrib.withColumnRenamed("lang", "lang_cand"),
+            ["doc_id", "lang_cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_cand",
+            (F.col("pu") + F.coalesce("s", F.lit(0).cast("bigint"))).alias(
+                "score_u"
+            ),
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy("score_u", "lang_cand")
+    pred = (
+        scores.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("lang_true", F.col("lang_cand").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+# --- L19x round 8: two-round AdaBoost decision-stump boosting ----------------
+
+# Stump space: dims 1..GINI_DIMS x GINI_THRESHOLDS (milli grid) x polarity
+# (1 = predict positive on the LEFT branch xm <= thr, 0 = on the right).
+
+
+def _ada_oracle() -> str:
+    thr_rows = ", ".join(f"({t})" for t in GINI_THRESHOLDS)
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, CAST(label % 2 AS BIGINT) AS y, d,
+             CAST(ROUND(CAST(embedding[d] AS DOUBLE) * {GINI_QSCALE}, 0)
+                  AS BIGINT) AS xm
+      FROM embeddings, unnest(range(1, {GINI_DIMS} + 1)) AS u(d)
+    ),
+    cells AS MATERIALIZED (
+      SELECT d, thr,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN xm <= thr THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN xm <= thr THEN y ELSE 0 END) AS BIGINT) AS pl
+      FROM x CROSS JOIN (VALUES {thr_rows}) AS t(thr)
+      GROUP BY d, thr
+    ),
+    errs AS MATERIALIZED (
+      -- pol=1 mistakes: wrong-on-left (nl - pl) + wrong-on-right (p - pl);
+      -- pol=0 is the complement n - mis1
+      SELECT d, thr, n, CAST(1 AS BIGINT) AS pol,
+             nl + p - 2 * pl AS mis FROM cells
+      UNION ALL
+      SELECT d, thr, n, CAST(0 AS BIGINT) AS pol,
+             n - (nl + p - 2 * pl) AS mis FROM cells
+    ),
+    h1 AS MATERIALIZED (
+      SELECT d, thr, pol, mis AS e, n FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY mis, d, thr, pol) AS rk
+        FROM errs
+      ) WHERE rk = 1
+    ),
+    m1 AS MATERIALIZED (
+      -- per-example misclassified-by-h1 flag (join on the winning dim)
+      SELECT x.vec_id,
+             CASE WHEN (CASE WHEN h1.pol = 1
+                             THEN CASE WHEN x.xm <= h1.thr THEN 1 ELSE 0 END
+                             ELSE CASE WHEN x.xm <= h1.thr THEN 0 ELSE 1 END
+                        END) <> x.y
+                  THEN 1 ELSE 0 END AS m
+      FROM x JOIN h1 ON x.d = h1.d
+    ),
+    cells2 AS MATERIALIZED (
+      -- joint counts of (misclassified by candidate pol=1 stump,
+      -- misclassified by h1)
+      SELECT x.d, t.thr,
+             CAST(SUM(CASE WHEN ((CASE WHEN x.xm <= t.thr THEN 1 ELSE 0 END)
+                                 <> x.y) AND m1.m = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN ((CASE WHEN x.xm <= t.thr THEN 1 ELSE 0 END)
+                                 <> x.y) AND m1.m = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b1
+      FROM x JOIN m1 USING (vec_id)
+      CROSS JOIN (VALUES {thr_rows}) AS t(thr)
+      GROUP BY x.d, t.thr
+    ),
+    errs2 AS MATERIALIZED (
+      -- reweighted error in exact micro units: mistakes hit by h1 weigh
+      -- 1/(2E), the rest 1/(2(N-E)); pol=0 complements within each class
+      SELECT c2.d, c2.thr, CAST(1 AS BIGINT) AS pol,
+             (c2.a1 * (h1.n - h1.e) + c2.b1 * h1.e) * 1000000
+               // (2 * h1.e * (h1.n - h1.e)) AS e2
+      FROM cells2 c2 CROSS JOIN h1
+      UNION ALL
+      SELECT c2.d, c2.thr, CAST(0 AS BIGINT) AS pol,
+             ((h1.e - c2.a1) * (h1.n - h1.e) + ((h1.n - h1.e) - c2.b1) * h1.e)
+               * 1000000 // (2 * h1.e * (h1.n - h1.e)) AS e2
+      FROM cells2 c2 CROSS JOIN h1
+    ),
+    h2 AS MATERIALIZED (
+      SELECT d, thr, pol, e2 FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY e2, d, thr, pol) AS rk
+        FROM errs2
+      ) WHERE rk = 1
+    )
+    SELECT CAST(1 AS BIGINT) AS boost_round,
+           CAST(d AS BIGINT) AS dim, CAST(thr AS BIGINT) AS thr_milli, pol,
+           e * 1000000 // n AS err_micro,
+           CAST(ROUND(0.5 * ln(CAST(n - e AS DOUBLE) / CAST(e AS DOUBLE))
+                      * 1000000.0, 0) AS BIGINT) AS alpha_micro
+    FROM h1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(h2.d AS BIGINT), CAST(h2.thr AS BIGINT),
+           h2.pol, h2.e2,
+           CAST(ROUND(0.5 * ln(CAST(1000000 - h2.e2 AS DOUBLE)
+                               / CAST(h2.e2 AS DOUBLE)) * 1000000.0, 0)
+                AS BIGINT)
+    FROM h2
+    """
+
+
+@_register("op_ml_adaboost_stump_round", _ada_oracle())
+def op_ml_adaboost_stump_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of discrete AdaBoost (Freund & Schapire 1997) over the
+    op_gini_best_split stump space — dims 1..8 x milli-threshold grid x
+    polarity, parity label as the binary target. Round 1 picks the
+    minimum-error stump under uniform weights; round 2 re-weights
+    (mistakes of h1 up-weighted to 1/(2E), the rest 1/(2(N-E)) — the
+    EXACT closed form of exp(+-alpha1) normalization from a uniform
+    start) and picks the next stump under the new weights. The gate
+    demonstrates boosting-on-aggregates: reweighting never materializes
+    per-example weights as floats, because after one round the weight
+    function takes two RATIONAL values determined by integer counts.
+
+    Exactness: both rounds' errors are exact integer arithmetic —
+    round 1 is mistake counts, round 2 is (A*(N-E) + B*E) * 1e6 //
+    (2E(N-E)) with A = mistakes shared with h1, B = new mistakes — and
+    only the REPORTED alpha = 0.5*ln((1-err)/err) touches a double (one
+    division of exact integers into ln, rounded once to micros; the
+    selection itself never depends on it). Argmins tie-break
+    (err, dim, thr, polarity) in both engines.
+
+    Scale shape: two passes, each one map-side-combined conditional
+    aggregate over the exploded (dim x threshold) grid — constant
+    output cardinality (8 x 9 cells) regardless of corpus size; the h1
+    parameters cross to round 2 as a single broadcast row; the
+    per-example h1-mistake flag is a narrow projection, never a
+    shuffle. At 100 TB each boosting round costs exactly one scan.
+    """
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode(
+            F.slice(
+                F.transform(
+                    "embedding",
+                    lambda v: F.round(v.cast("double") * GINI_QSCALE, 0).cast(
+                        "bigint"
+                    ),
+                ),
+                1,
+                GINI_DIMS,
+            )
+        ).alias("d0", "xm"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "y", "xm")
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in GINI_THRESHOLDS])
+    )
+    grid = x.select("d", "y", "xm", thr.alias("thr"))
+    left = (F.col("xm") <= F.col("thr")).cast("bigint")
+    cells = grid.groupBy("d", "thr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+        F.sum(left).cast("bigint").alias("nl"),
+        F.sum(left * F.col("y")).cast("bigint").alias("pl"),
+    )
+    mis1 = F.col("nl") + F.col("p") - 2 * F.col("pl")
+    errs = cells.select(
+        "d", "thr", "n", F.lit(1).cast("bigint").alias("pol"),
+        mis1.alias("mis"),
+    ).unionByName(
+        cells.select(
+            "d", "thr", "n", F.lit(0).cast("bigint").alias("pol"),
+            (F.col("n") - mis1).alias("mis"),
+        )
+    )
+    wk = Window.orderBy("mis", "d", "thr", "pol")
+    h1 = (
+        errs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("d", "thr", "pol", F.col("mis").alias("e"), "n")
+        .localCheckpoint()  # feeds m1, errs2 AND the output row
+    )
+    # per-example h1-mistake flag: narrow projection on the winning dim
+    pred1 = F.when(
+        F.col("h1_pol") == 1, (F.col("xm") <= F.col("h1_thr")).cast("bigint")
+    ).otherwise((F.col("xm") > F.col("h1_thr")).cast("bigint"))
+    m1 = (
+        x.join(
+            F.broadcast(
+                h1.select(
+                    F.col("d"),
+                    F.col("thr").alias("h1_thr"),
+                    F.col("pol").alias("h1_pol"),
+                )
+            ),
+            "d",
+        )
+        .select("vec_id", (pred1 != F.col("y")).cast("bigint").alias("m"))
+    )
+    g2 = x.join(m1, "vec_id").select("d", "y", "xm", "m", thr.alias("thr"))
+    mis_c = ((F.col("xm") <= F.col("thr")).cast("bigint") != F.col("y")).cast(
+        "bigint"
+    )
+    cells2 = g2.groupBy("d", "thr").agg(
+        F.sum(mis_c * F.col("m")).cast("bigint").alias("a1"),
+        F.sum(mis_c * (1 - F.col("m"))).cast("bigint").alias("b1"),
+    )
+    he = cells2.crossJoin(F.broadcast(h1.select("e", "n")))
+    e2_1 = F.expr("(a1 * (n - e) + b1 * e) * 1000000L div (2 * e * (n - e))")
+    e2_0 = F.expr(
+        "((e - a1) * (n - e) + ((n - e) - b1) * e) * 1000000L"
+        " div (2 * e * (n - e))"
+    )
+    errs2 = he.select(
+        "d", "thr", F.lit(1).cast("bigint").alias("pol"), e2_1.alias("e2")
+    ).unionByName(
+        he.select(
+            "d", "thr", F.lit(0).cast("bigint").alias("pol"), e2_0.alias("e2")
+        )
+    )
+    wk2 = Window.orderBy("e2", "d", "thr", "pol")
+    h2 = (
+        errs2.withColumn("rk", F.row_number().over(wk2))
+        .filter(F.col("rk") == 1)
+        .select("d", "thr", "pol", "e2")
+    )
+
+    def _alpha(num, den):
+        return F.round(
+            F.lit(0.5) * F.log(num.cast("double") / den.cast("double"))
+            * F.lit(1000000.0),
+            0,
+        ).cast("bigint")
+
+    r1 = h1.select(
+        F.lit(1).cast("bigint").alias("boost_round"),
+        F.col("d").cast("bigint").alias("dim"),
+        F.col("thr").cast("bigint").alias("thr_milli"),
+        "pol",
+        F.expr("e * 1000000L div n").alias("err_micro"),
+        _alpha(F.col("n") - F.col("e"), F.col("e")).alias("alpha_micro"),
+    )
+    r2 = h2.select(
+        F.lit(2).cast("bigint").alias("boost_round"),
+        F.col("d").cast("bigint").alias("dim"),
+        F.col("thr").cast("bigint").alias("thr_milli"),
+        "pol",
+        F.col("e2").alias("err_micro"),
+        _alpha(F.lit(1000000) - F.col("e2"), F.col("e2")).alias(
+            "alpha_micro"
+        ),
+    )
+    return r1.unionByName(r2)

@@ -2626,3 +2626,194 @@ def op_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_micro"),
         )
     )
+
+
+# --- L15x round 8: MMR diversity re-ranking ---------------------------------
+
+MMR_Q = 4  # queries: vec_id < 4
+MMR_C = 24  # relevance-ranked candidate pool per query
+MMR_K = 8  # selections per query
+# lambda = 0.7: score = 0.7 * relevance - 0.3 * max-sim-to-selected.
+# Kept as the literals 0.7 / 0.3 in BOTH engines (same parsed doubles).
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: sel1 is the pure-relevance argmax; each later
+    step scores the not-yet-selected candidates against the selected
+    set's MAX pairwise cosine and picks the (score DESC, c_id) argmax."""
+    dot_ab = _SQL_DOT.format(a="a.ce", b="b.ce")
+    n2a = _SQL_NORM2.format(a="a.ce")
+    n2b = _SQL_NORM2.format(a="b.ce")
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {MMR_Q}
+    ),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    rel0 AS (
+      SELECT q_id, c_id, ce,
+             {_SQL_DOT.format(a="qe", b="ce")}
+               / (sqrt({_SQL_NORM2.format(a="qe")})
+                  * sqrt({_SQL_NORM2.format(a="ce")})) AS rel
+      FROM q, c WHERE q_id <> c_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT q_id, c_id, ce, rel FROM (
+        SELECT q_id, c_id, ce, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, c_id) AS rk
+        FROM rel0
+      ) WHERE rk <= {MMR_C}
+    ),
+    sim AS MATERIALIZED (
+      SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+             {dot_ab} / (sqrt({n2a}) * sqrt({n2b})) AS s
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT q_id, c_id, 0.7 * rel AS score, 1 AS step FROM (
+        SELECT q_id, c_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, c_id) AS pr
+        FROM cand
+      ) WHERE pr = 1
+    )"""
+    ]
+    prev = "sel1"
+    for t in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+    ms{t} AS MATERIALIZED (
+      SELECT r.q_id, r.c_id, r.rel, MAX(s.s) AS m
+      FROM cand r
+      JOIN sim s ON s.q_id = r.q_id AND s.ca = r.c_id
+      JOIN {prev} k ON k.q_id = s.q_id AND k.c_id = s.cb
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                        WHERE x.q_id = r.q_id AND x.c_id = r.c_id)
+      GROUP BY r.q_id, r.c_id, r.rel
+    ),
+    pick{t} AS MATERIALIZED (
+      SELECT q_id, c_id, score, {t} AS step FROM (
+        SELECT q_id, c_id, 0.7 * rel - 0.3 * m AS score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY 0.7 * rel - 0.3 * m DESC,
+                                           c_id) AS pr
+        FROM ms{t}
+      ) WHERE pr = 1
+    ),
+    sel{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t})"""
+        )
+        prev = f"sel{t}"
+    parts.append(
+        f"""
+    SELECT q_id, CAST(step AS BIGINT) AS sel_rank, c_id,
+           ROUND(score, 6) AS mmr_score
+    FROM {prev}
+    """
+    )
+    return "".join(parts)
+
+
+@_register("op_mmr_diversity_rerank", _mmr_oracle())
+def op_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of each query's top-MMR_C cosine candidates: greedily select
+    MMR_K results maximizing 0.7*relevance - 0.3*max-similarity-to-
+    already-selected — the standard diversity pass a retrieval pipeline
+    (or a dedup-aware few-shot example selector) runs after ANN search
+    so the k results aren't k near-copies of the same document.
+
+    Two stages. (1) JVM: per-side norms + broadcast query cross join +
+    WindowGroupLimit keeps the top-MMR_C relevance pool per query —
+    identical plan shape to op_ann_cosine_topk. (2) The greedy
+    selection is inherently sequential in k, but over a BOUNDED pool:
+    one Arrow-batched applyInPandas kernel per query group computes
+    the pool's pairwise cosines (dim-at-a-time accumulation = the
+    oracle's left fold, bit-identical doubles) and runs the K-step
+    argmax loop in-memory. At fleet scale queries fan out as groups;
+    per-group cost is fixed at O(C^2 d + K C).
+
+    Exactness: relevance doubles come from the same zip_with/aggregate
+    fold the oracle's list fold replays; kernel sims accumulate
+    dim-sequentially; the score chain (two multiplies, one subtract,
+    MAX over selected) is order-independent IEEE double math; ties
+    break (score DESC, c_id) in both engines; one ROUND(6) at output
+    via the Decimal HALF_UP shortest-repr trick (op_dedup_embedding_
+    cosine precedent).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < MMR_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm("embedding").alias("nq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("nc"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("c_id"))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "ce",
+            cosine_from_norms("qe", "ce", "nq", "nc").alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_C)
+    )
+
+    def mmr_kernel(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q6 = Decimal("0.000001")
+        pdf = pdf.sort_values("rk").reset_index(drop=True)
+        ids = pdf["c_id"].to_numpy(dtype=np.int64)
+        rels = pdf["rel"].to_numpy(dtype=np.float64)
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["ce"]])
+        n = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        dots = np.zeros((len(ids), len(ids)))
+        for k in range(M.shape[1]):
+            dots += M[:, k, None] * M[None, :, k]
+        sims = dots / (n[:, None] * n[None, :])
+        qid = int(pdf["q_id"].iloc[0])
+        selected: list[int] = []
+        remaining = list(range(len(ids)))
+        out = []
+        for step in range(1, min(MMR_K, len(ids)) + 1):
+            best = None
+            for i in remaining:
+                if selected:
+                    m = max(float(sims[i][j]) for j in selected)
+                    score = 0.7 * float(rels[i]) - 0.3 * m
+                else:
+                    score = 0.7 * float(rels[i])
+                key = (-score, int(ids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, bi, bscore = best
+            selected.append(bi)
+            remaining.remove(bi)
+            out.append(
+                (
+                    qid,
+                    step,
+                    int(ids[bi]),
+                    float(Decimal(repr(bscore)).quantize(q6, rounding=ROUND_HALF_UP)),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["q_id", "sel_rank", "c_id", "mmr_score"]
+        )
+
+    return cand.groupBy("q_id").applyInPandas(
+        mmr_kernel,
+        "q_id bigint, sel_rank bigint, c_id bigint, mmr_score double",
+    )

@@ -1715,3 +1715,120 @@ def op_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("fk_grade_milli"),
     )
+
+
+# --- L16x round 8: Zipf-law fit audit ----------------------------------------
+
+ZIPF_TOP = 100  # fit over the top-R vocabulary ranks (all 31 on this corpus)
+
+_ZIPF_ORACLE = rf"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS w
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    ranked AS (
+      SELECT w, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk
+      FROM vocab
+    ),
+    pts AS (
+      -- ln(rank), ln(count) each rounded ONCE to integer micros; the
+      -- regression then runs entirely in exact bigint sums
+      SELECT rnk, c,
+             CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x_u,
+             CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y_u
+      FROM ranked WHERE rnk <= {ZIPF_TOP}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_u) AS BIGINT) AS sx,
+             CAST(SUM(y_u) AS BIGINT) AS sy,
+             CAST(SUM(x_u * x_u) AS BIGINT) AS sxx,
+             CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+             CAST(SUM(y_u * y_u) AS BIGINT) AS syy,
+             CAST(MAX(c) AS BIGINT) AS top_count
+      FROM pts
+    )
+    SELECT n AS n_terms, top_count,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * 1000000.0) AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+"""
+
+
+@_register("op_text_zipf_fit", _ZIPF_ORACLE)
+def op_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: least-squares
+    slope/intercept/R^2 of ln(frequency) against ln(rank) over the top
+    ZIPF_TOP vocabulary ranks — the corpus-health audit next to
+    op_vocab_coverage_curve: natural text fits slope near -1 (Zipf
+    1949; Piantadosi 2014 review), while template floods, boilerplate
+    and synthetic spam bend the curve (this closed-vocabulary corpus
+    reads nearly flat — exactly the deviation the audit flags).
+
+    Exactness: ranks and counts are exact; ln(rank) and ln(count) are
+    each rounded ONCE to integer micros (op_lm_perplexity ln policy),
+    the normal-equation sums (n, Sx, Sy, Sxx, Sxy, Syy) accumulate in
+    exact bigint (budget: |y_u| < 1.8e7 at any corpus SF, so Syy <
+    R * 3.3e14 — 4 orders inside int64), and slope / intercept / R^2
+    are fixed double chains over those exact integers — bit-identical
+    across engines (multiply and divide only, no pow).
+
+    Scale shape: one token-count aggregate (map-side combined), one
+    top-R rank window over the vocabulary aggregate (WindowGroupLimit
+    at fleet scale: partial top-R per partition), then a single-row
+    regression aggregate. The whole fit costs one scan + one
+    vocab-sized shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    from pyspark.sql import Window
+
+    rw = Window.orderBy(F.desc("c"), F.asc("w"))
+    pts = (
+        vocab.withColumn("rnk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "c",
+            F.round(F.log(F.col("rnk").cast("double")) * 1000000.0, 0)
+            .cast("bigint")
+            .alias("x_u"),
+            F.round(F.log(F.col("c").cast("double")) * 1000000.0, 0)
+            .cast("bigint")
+            .alias("y_u"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_u").cast("bigint").alias("sx"),
+        F.sum("y_u").cast("bigint").alias("sy"),
+        F.sum(F.col("x_u") * F.col("x_u")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x_u") * F.col("y_u")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y_u") * F.col("y_u")).cast("bigint").alias("syy"),
+        F.max("c").cast("bigint").alias("top_count"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / dx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        "top_count",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1000000.0))
+        ).alias("intercept"),
+        (num * num / (dx * dy)).alias("r2"),
+    )

@@ -94,3 +94,266 @@ def test_mutual_information_matches_python(spark, sf_dir):
     cells = len(obs)
     assert -cells <= g["mi_micro"] <= min(ha, hb) + cells  # rounding slack
     assert 0 <= g["nmi_milli"] <= 1000
+
+
+def test_kcore_peel_matches_python(spark, sf_dir):
+    """Bounded peel trajectory recomputed from the raw events with a
+    dict-of-sets graph; also the monotonicity invariant (survivors and
+    edges never increase round over round)."""
+    from apitap_spark.operators.graph import (
+        KCORE_ROUNDS,
+        TRI_NEXT_K,
+        op_graph_kcore_peel,
+    )
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    buckets: dict[tuple, set] = {}
+    for r in ev:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((b, r["event_type"]), set()).add(r["user_id"])
+    edges = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for j in range(i + 1, min(i + 1 + TRI_NEXT_K, len(ms))):
+                edges.add((u, ms[j]))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    k = 2 * len(edges) // len(adj) + 1
+    want = [(0, k, len(adj), len(edges))]
+    nodes = {n: set(ns) for n, ns in adj.items()}
+    cur = set(edges)
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg: dict[int, int] = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        surv = {n for n, d in deg.items() if d >= k}
+        cur = {(u, v) for u, v in cur if u in surv and v in surv}
+        want.append((r, k, len(surv), len(cur)))
+    got = sorted(
+        (r["peel_round"], r["k"], r["survivors"], r["edges_remaining"])
+        for r in op_graph_kcore_peel(spark, sf_dir).collect()
+    )
+    assert got == want
+    for (_, _, s0, e0), (_, _, s1, e1) in zip(got, got[1:]):
+        assert s1 <= s0 and e1 <= e0
+
+
+def test_mmr_rerank_matches_python(spark, sf_dir):
+    """Greedy MMR replayed in numpy float64 with the same dim-sequential
+    accumulation; selected ids + ranks must match exactly, and the
+    diversity invariant holds: no id selected twice per query."""
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        MMR_C,
+        MMR_K,
+        MMR_Q,
+        op_mmr_diversity_rerank,
+    )
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    n = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+    want = {}
+    for qi in range(MMR_Q):
+        q = M[ids == qi][0]
+        nq = float(np.sqrt(np.cumsum(q * q)[-1]))
+        dots = np.zeros(len(ids))
+        for k in range(M.shape[1]):
+            dots += M[:, k] * q[k]
+        rel = dots / (n * nq)
+        order = sorted(
+            [(float(rel[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qi],
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_C]
+        cand_ids = [c for _, c in order]
+        crel = {c: r for r, c in order}
+        idx = {int(i): j for j, i in enumerate(ids)}
+        sel: list[int] = []
+        for step in range(1, MMR_K + 1):
+            best = None
+            for c in cand_ids:
+                if c in sel:
+                    continue
+                if sel:
+                    sims = []
+                    for s in sel:
+                        a, b = M[idx[c]], M[idx[s]]
+                        d = 0.0
+                        acc = np.zeros(1)
+                        for k in range(len(a)):
+                            acc += a[k] * b[k]
+                        d = float(acc[0])
+                        sims.append(d / (float(n[idx[c]]) * float(n[idx[s]])))
+                    score = 0.7 * crel[c] - 0.3 * max(sims)
+                else:
+                    score = 0.7 * crel[c]
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            sel.append(best[1])
+            want[(qi, step)] = best[1]
+    got = {
+        (r["q_id"], r["sel_rank"]): r["c_id"]
+        for r in op_mmr_diversity_rerank(spark, sf_dir).collect()
+    }
+    assert got == want
+    for qi in range(MMR_Q):
+        chosen = [got[(qi, s)] for s in range(1, MMR_K + 1)]
+        assert len(set(chosen)) == MMR_K
+
+
+def test_naive_bayes_matches_python(spark, sf_dir):
+    """Full NB replay: train counts, micro-nat weights, per-doc argmin —
+    the confusion matrix must match cell for cell, and its total must
+    equal the number of non-empty odd-id docs."""
+    import re
+
+    from apitap_spark.operators.ml import op_ml_naive_bayes_lang
+
+    docs = [
+        r
+        for r in read_table(spark, sf_dir, "documents").collect()
+        if r["text"].strip()
+    ]
+    train = [r for r in docs if r["doc_id"] % 2 == 0]
+    test = [r for r in docs if r["doc_id"] % 2 == 1]
+    cw: Counter = Counter()
+    nl: Counter = Counter()
+    dl: Counter = Counter()
+    vocab = set()
+    for r in train:
+        ws = re.split(r"\s+", r["text"].strip())
+        dl[r["lang"]] += 1
+        for w in ws:
+            cw[(r["lang"], w)] += 1
+            nl[r["lang"]] += 1
+            vocab.add(w)
+    V, D = len(vocab), sum(dl.values())
+    langs = sorted(dl)
+    nll = {
+        (l, w): _round_half_away(-math.log((c + 1) / (nl[l] + V)) * 1e6)
+        for (l, w), c in cw.items()
+    }
+    nll0 = {l: _round_half_away(math.log(nl[l] + V) * 1e6) for l in langs}
+    prior = {l: _round_half_away(-math.log(dl[l] / D) * 1e6) for l in langs}
+    conf: Counter = Counter()
+    for r in test:
+        ws = [w for w in re.split(r"\s+", r["text"].strip()) if w in vocab]
+        scores = {}
+        for l in langs:
+            s = prior[l]
+            for w in ws:
+                s += nll.get((l, w), nll0[l])
+            scores[l] = s
+        pred = min(langs, key=lambda l: (scores[l], l))
+        conf[(r["lang"], pred)] += 1
+    got = {
+        (r["lang_true"], r["lang_pred"]): r["n_docs"]
+        for r in op_ml_naive_bayes_lang(spark, sf_dir).collect()
+    }
+    assert got == dict(conf)
+    assert sum(got.values()) == len(test)
+
+
+def test_zipf_fit_matches_python(spark, sf_dir):
+    """Regression sums replayed exactly in Python ints; slope/intercept/
+    r2 compared as exact doubles (same op order)."""
+    import re
+
+    from apitap_spark.operators.textstats import ZIPF_TOP, op_text_zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    cnt: Counter = Counter()
+    for r in docs:
+        t = r["text"].strip()
+        if t:
+            cnt.update(re.split(r"\s+", t))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (
+            _round_half_away(math.log(i + 1) * 1e6),
+            _round_half_away(math.log(c) * 1e6),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    num = float(n * sxy - sx * sy)
+    dx = float(n * sxx - sx * sx)
+    dy = float(n * syy - sy * sy)
+    slope = num / dx
+    row = op_text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row["n_terms"] == n
+    assert row["top_count"] == ranked[0][1]
+    assert row["slope"] == slope
+    assert row["intercept"] == (float(sy) - slope * float(sx)) / (float(n) * 1e6)
+    assert row["r2"] == num * num / (dx * dy)
+    assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_adaboost_round_matches_python(spark, sf_dir):
+    """Both boosting rounds replayed with exact integer weights; also the
+    AdaBoost invariant: h1's own reweighted error is exactly 1/2 (the
+    chosen weights make the previous stump uninformative), so h2's
+    reweighted error is <= 500000 micro."""
+    from apitap_spark.operators.ml import (
+        GINI_DIMS,
+        GINI_THRESHOLDS,
+        op_ml_adaboost_stump_round,
+    )
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    ex = []
+    for r in rows:
+        xs = [
+            _round_half_away(float(v) * 1000)
+            for v in r["embedding"][:GINI_DIMS]
+        ]
+        ex.append((r["label"] % 2, xs))
+    N = len(ex)
+    cands = [
+        (d, t, pol)
+        for d in range(1, GINI_DIMS + 1)
+        for t in GINI_THRESHOLDS
+        for pol in (0, 1)
+    ]
+
+    def mis(c):
+        d, t, pol = c
+        out = set()
+        for i, (y, xs) in enumerate(ex):
+            left = xs[d - 1] <= t
+            pred = (1 if left else 0) if pol == 1 else (0 if left else 1)
+            if pred != y:
+                out.add(i)
+        return out
+
+    h1 = min(cands, key=lambda c: (len(mis(c)), c[0], c[1], c[2]))
+    m1 = mis(h1)
+    E = len(m1)
+
+    def err2(c):
+        m = mis(c)
+        a = len(m & m1)
+        b = len(m - m1)
+        return (a * (N - E) + b * E) * 1000000 // (2 * E * (N - E))
+
+    h2 = min(cands, key=lambda c: (err2(c), c[0], c[1], c[2]))
+    got = {r["boost_round"]: r for r in op_ml_adaboost_stump_round(spark, sf_dir).collect()}
+    g1, g2 = got[1], got[2]
+    assert (g1["dim"], g1["thr_milli"], g1["pol"]) == h1
+    assert g1["err_micro"] == E * 1000000 // N
+    assert (g2["dim"], g2["thr_milli"], g2["pol"]) == h2
+    assert g2["err_micro"] == err2(h2)
+    assert err2(h1) == 500000  # uninformative after reweighting
+    assert g2["err_micro"] <= 500000
