@@ -105,6 +105,8 @@ _NEW_GATES: set[str] = {
     "op_ml_naive_bayes_lang",
     "op_text_zipf_fit",
     "op_ml_adaboost_stump_round",
+    "op_graph_assortativity",
+    "op_text_boilerplate_prefix",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1277,3 +1277,104 @@ def op_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "peel_round bigint, k bigint, survivors bigint, edges_remaining bigint",
     )
+
+
+# --- L13x round 8: degree assortativity --------------------------------------
+
+_ASSORT_ORACLE = f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ),
+    -- symmetrized endpoint-degree pairs: each undirected edge
+    -- contributes (d_u, d_v) AND (d_v, d_u)
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT n AS n_endpoint_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+    FROM s
+"""
+
+
+@_register("op_graph_assortativity", _ASSORT_ORACLE)
+def op_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the co-activity graph: the
+    Pearson correlation of endpoint degrees over all symmetrized edge
+    pairs — positive means hubs attach to hubs (social networks),
+    negative means hub-and-spoke (infrastructure / bot farms). The
+    one-number structural audit next to op_graph_degree_profile: a
+    degree histogram can stay flat while assortativity flips sign.
+
+    Exactness: degrees and all five regression sums are exact bigint
+    (budget: pairs x max_deg^2 is ~1.6e10 here and sits 5 orders
+    inside int64 even at 100x); the coefficient is one fixed double
+    chain (two casts, one multiply, one correctly-rounded sqrt, one
+    division) — bit-identical across engines. No pow/ln.
+
+    Scale shape: edges come from the lead()-window builder (zero
+    joins); the degree aggregate is map-side combined; attaching
+    endpoint degrees is two joins keyed by node (the degree table is
+    node-cardinality — broadcast at dim scale, shuffle-keyed beyond);
+    the correlation is a single-row aggregate. One scan end to end.
+    """
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint()  # probed twice (u side and v side)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
+    base = e.join(du, "u").join(dv, "v")
+    pairs = base.select(
+        F.col("xu").alias("x"), F.col("xv").alias("y")
+    ).unionByName(base.select(F.col("xv").alias("x"), F.col("xu").alias("y")))
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_endpoint_pairs"),
+        (num / F.sqrt(dx * dy)).alias("assortativity"),
+    )

@@ -1832,3 +1832,96 @@ def op_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         (num * num / (dx * dy)).alias("r2"),
     )
+
+
+# --- L16x round 8: boilerplate-prefix template-flood audit --------------------
+
+BOILER_PREFIX_TOKENS = 5  # leading-token fingerprint length
+
+_BOILER_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, source, string_split_regex(TRIM(text), '\s+') AS ws
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    pref AS (
+      SELECT source,
+             array_to_string(list_slice(ws, 1, {BOILER_PREFIX_TOKENS}), ' ')
+               AS prefix
+      FROM d WHERE LEN(ws) >= {BOILER_PREFIX_TOKENS}
+    ),
+    counts AS (
+      SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pref GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src FROM counts
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT source, prefix, n_docs FROM (
+        SELECT source, prefix, n_docs,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_docs DESC, prefix) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    )
+    SELECT top.source, top.prefix, top.n_docs, tot.n_src,
+           top.n_docs * 1000000 // tot.n_src AS share_micro
+    FROM top JOIN tot USING (source)
+"""
+
+
+@_register("op_text_boilerplate_prefix", _BOILER_ORACLE)
+def op_text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-flood detector: per source, the most common leading
+    BOILER_PREFIX_TOKENS-token prefix and its share of the source's
+    documents — the curation audit that catches boilerplate headers,
+    scraped navigation chrome and form-letter floods (C4 and Gopher
+    both strip repeated leading lines; a source where one prefix
+    covers a large share is a template dump, not prose, however good
+    its per-document quality scores look).
+
+    Exactness: prefixes are exact strings (same whitespace split +
+    join in both engines), counts and the micro share are exact
+    bigint (integer division); top-1 tiebreaks (count DESC, prefix).
+
+    Scale shape: one narrow projection per document (array slice +
+    join — no explode), one map-side-combined (source, prefix) count,
+    a WindowGroupLimit top-1 over the aggregate, and a source-sized
+    totals join. The shuffle is the distinct-prefix count aggregate,
+    linear in distinct prefixes, never in tokens.
+    """
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    ws = tokens("text")
+    pref = d.select(
+        "source",
+        F.array_join(F.slice(ws, 1, BOILER_PREFIX_TOKENS), " ").alias(
+            "prefix"
+        ),
+        F.size(ws).alias("ntok"),
+    ).filter(F.col("ntok") >= BOILER_PREFIX_TOKENS)
+    counts = (
+        pref.groupBy("source", "prefix")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint()  # feeds both the top-1 window and the totals
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_src")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("prefix"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return top.join(tot, "source").select(
+        "source",
+        "prefix",
+        "n_docs",
+        "n_src",
+        F.expr("n_docs * 1000000L div n_src").alias("share_micro"),
+    )

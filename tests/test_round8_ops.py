@@ -357,3 +357,80 @@ def test_adaboost_round_matches_python(spark, sf_dir):
     assert g2["err_micro"] == err2(h2)
     assert err2(h1) == 500000  # uninformative after reweighting
     assert g2["err_micro"] <= 500000
+
+
+def test_assortativity_matches_python(spark, sf_dir):
+    """Endpoint-degree Pearson r recomputed with exact Python ints; the
+    coefficient must be in [-1, 1]."""
+    from apitap_spark.operators.graph import (
+        TRI_NEXT_K,
+        op_graph_assortativity,
+    )
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    buckets: dict[tuple, set] = {}
+    for r in ev:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault((b, r["event_type"]), set()).add(r["user_id"])
+    edges = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for j in range(i + 1, min(i + 1 + TRI_NEXT_K, len(ms))):
+                edges.add((u, ms[j]))
+    deg: Counter = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    pairs = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    syy = sum(y * y for _, y in pairs)
+    want = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    )
+    row = op_graph_assortativity(spark, sf_dir).collect()[0]
+    assert row["n_endpoint_pairs"] == n
+    assert row["assortativity"] == want
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_boilerplate_prefix_matches_python(spark, sf_dir):
+    """Top leading-prefix per source recomputed in Python; shares are
+    exact micro integers and every share is <= 1e6."""
+    import re
+
+    from apitap_spark.operators.textstats import (
+        BOILER_PREFIX_TOKENS,
+        op_text_boilerplate_prefix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    counts: dict[str, Counter] = {}
+    for r in docs:
+        t = r["text"].strip()
+        if not t:
+            continue
+        ws = re.split(r"\s+", t)
+        if len(ws) < BOILER_PREFIX_TOKENS:
+            continue
+        counts.setdefault(r["source"], Counter())[
+            " ".join(ws[:BOILER_PREFIX_TOKENS])
+        ] += 1
+    want = {}
+    for src, c in counts.items():
+        n_src = sum(c.values())
+        prefix, n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[src] = (prefix, n, n_src, n * 1000000 // n_src)
+    got = {
+        r["source"]: (r["prefix"], r["n_docs"], r["n_src"], r["share_micro"])
+        for r in op_text_boilerplate_prefix(spark, sf_dir).collect()
+    }
+    assert got == want
+    for _, _, _, share in got.values():
+        assert 0 <= share <= 1000000
