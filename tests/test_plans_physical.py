@@ -1062,3 +1062,119 @@ def test_kfold_windows_over_cell_aggregate_not_corpus(spark, sf_dir):
     assert p.count("Window") >= 1
     # single corpus aggregate; everything above operates on 25 rows
     assert p.count("partial_count") == 1
+
+
+# --- round 8 operators -------------------------------------------------------
+
+
+def test_psi_drift_grid_is_broadcast_above_checkpoint(spark, sf_dir):
+    """The (source, bucket) aggregate is checkpointed; the smoothed-share
+    grid is broadcast crossJoins over it — no corpus re-scan, no
+    CartesianProduct, and the final per-source reduce combines map-side."""
+    from apitap_spark.operators.quality import op_psi_drift
+
+    p = _plan(op_psi_drift(spark, sf_dir))
+    assert p.count("Scan parquet") == 0  # all inputs are the tiny RDD
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_mutual_information_single_row_over_grid(spark, sf_dir):
+    """Contingency checkpointed once; marginals/total/terms all ride
+    broadcast joins over it; output is one row."""
+    from apitap_spark.operators.quality import op_mutual_information
+
+    p = _plan(op_mutual_information(spark, sf_dir))
+    assert p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_mmr_bounded_kernel_over_broadcast_candidates(spark, sf_dir):
+    """Queries attach by broadcast, the candidate pool is WindowGroupLimit-
+    pruned to MMR_C per query, and the greedy loop runs as one Arrow
+    grouped-map kernel — never a corpus-sized pairwise join."""
+    from apitap_spark.operators.similarity import op_mmr_diversity_rerank
+
+    p = _plan(op_mmr_diversity_rerank(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+
+
+def test_naive_bayes_no_cartesian_model_joins(spark, sf_dir):
+    """Scoring joins ride the token key; the language fan-out is the
+    broadcast prior/fallback frames (constant rows); counts combine
+    map-side."""
+    from apitap_spark.operators.ml import op_ml_naive_bayes_lang
+
+    p = _plan(op_ml_naive_bayes_lang(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_zipf_fit_one_scan_one_vocab_shuffle(spark, sf_dir):
+    """One parquet scan feeds the vocab aggregate (map-side combined);
+    Catalyst rewrites the top-R rank window into TakeOrderedAndProject
+    (partial top-k per partition — never a single-partition sort of the
+    vocabulary), and the regression is a single-row aggregate."""
+    import re
+
+    from apitap_spark.operators.textstats import op_text_zipf_fit
+
+    p = _plan(op_text_zipf_fit(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_adaboost_constant_size_shuffles_broadcast_h1(spark, sf_dir):
+    """Both rounds' (dim, threshold) aggregates combine map-side to a
+    constant-size shuffle; h1's parameters attach by broadcast; no
+    cartesian anywhere."""
+    from apitap_spark.operators.ml import op_ml_adaboost_stump_round
+
+    p = _plan(op_ml_adaboost_stump_round(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_assortativity_exact_sums_over_checkpointed_edges(spark, sf_dir):
+    """Edges and degrees are checkpointed (visible plan has no parquet
+    scan); the endpoint-degree attach is a keyed join, and the
+    correlation is one single-row aggregate with map-side combine."""
+    from apitap_spark.operators.graph import op_graph_assortativity
+
+    p = _plan(op_graph_assortativity(spark, sf_dir))
+    assert p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p
+
+
+def test_boilerplate_prefix_no_explode_windowgrouplimit(spark, sf_dir):
+    """The prefix is an array slice + join (no per-token explode); the
+    per-source top-1 rides WindowGroupLimit over the checkpointed
+    (source, prefix) aggregate."""
+    from apitap_spark.operators.textstats import op_text_boilerplate_prefix
+
+    p = _plan(op_text_boilerplate_prefix(spark, sf_dir))
+    assert p.count("Scan parquet") == 0  # aggregate is checkpointed
+    assert "WindowGroupLimit" in p
+    assert "Generate" not in p  # no explode anywhere above the checkpoint
+
+
+def test_kcore_edge_build_stays_window_only(spark, sf_dir):
+    """op_graph_kcore_peel reuses the lead()-window edge builder; its
+    result is a local trajectory table (the heavy lifting ran as bounded
+    rounds of broadcast semi-joins during construction)."""
+    from apitap_spark.operators.graph import op_graph_kcore_peel
+
+    df = op_graph_kcore_peel(spark, sf_dir)
+    assert df.columns == ["peel_round", "k", "survivors", "edges_remaining"]
+    p = _plan(df)
+    assert "Join" not in p  # trajectory rows are already materialized
