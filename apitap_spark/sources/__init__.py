@@ -1,5 +1,7 @@
-"""Data sources: paginated HTTP JSON (the reference's core), plus the file
-formats Spark gives natively (parquet/csv/json — reference S23 has none)."""
+"""Data sources: paginated HTTP JSON (the reference's core), the file
+formats Spark gives natively (parquet/csv/json — reference S23 has none),
+and a parallel Postgres reader (pgsource) that completes the warehouse
+round-trip next to the merge sink."""
 
 from apitap_spark.sources.http import (
     CursorPagination,

@@ -1,0 +1,308 @@
+"""Parallel PostgreSQL reader as a Spark 4 Python Data Source.
+
+Completes the warehouse round-trip next to the write path
+(sinks/jdbc_merge.py): the reference only ever READS from HTTP APIs and
+WRITES to Postgres (/root/reference/src/pipeline/mod.rs run loop); this
+source lets a pipeline also read a Postgres table back into Spark with
+the two properties a JDBC-style scan needs at scale —
+
+* **range-partitioned parallel reads**: one InputPartition per stride of
+  a numeric ``partition_column`` (min/max discovered with one driver-side
+  aggregate when bounds aren't given), first/last strides unbounded so
+  out-of-range and NULL keys are never dropped — the same contract as
+  Spark's built-in JDBC partitioning options; and
+* **filter pushdown**: Catalyst-pushed filters (=, <>, <, <=, >, >=, IN,
+  IS [NOT] NULL, LIKE prefixes/suffixes/contains, NOT) are rendered into
+  the WHERE clause so Postgres prunes rows server-side; unsupported
+  filters are returned to Spark for residual evaluation.
+
+Usage::
+
+    spark.dataSource.register(PostgresDataSource)
+    df = (spark.read.format("apitap_postgres")
+            .option("dsn", "host=127.0.0.1 port=54329 user=postgres")
+            .option("table", "events")
+            .option("partition_column", "event_id")
+            .option("num_partitions", 8)
+            .load())
+
+The wire client is the dependency-free protocol-v3 implementation in
+``apitap_spark.sinks.pgwire`` (text format, typed decode by OID), so the
+source works in environments without psycopg. Each task opens one
+connection, streams its stride, and closes — no driver-side row traffic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+def _oid_to_spark_type(oid: int):
+    """PostgreSQL type OID -> Spark type instance (text-format decode in
+    pgwire yields the matching Python value for each). Built with type
+    OBJECTS, not DDL strings — ``schema()`` runs in the data-source
+    planning worker where no SparkContext exists, so
+    ``StructType.fromDDL`` would fail."""
+    from pyspark.sql import types as T
+
+    return {
+        16: T.BooleanType(),
+        17: T.BinaryType(),
+        20: T.LongType(),
+        21: T.ShortType(),
+        23: T.IntegerType(),
+        26: T.LongType(),  # oid
+        700: T.FloatType(),
+        701: T.DoubleType(),
+        1700: T.DecimalType(38, 18),
+        1082: T.DateType(),
+        1114: T.TimestampNTZType(),
+        1184: T.TimestampType(),
+    }.get(oid, T.StringType())
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _quote_literal(v) -> str:
+    """Render a filter value as a safe SQL literal (text protocol)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    # standard_conforming_strings is on by default since PG 9.1: a
+    # doubled quote is the only escape needed
+    return f"'{s}'"
+
+
+def _like_escape(v: str) -> str:
+    return v.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _attr(f: Filter) -> str | None:
+    """Top-level column name of a filter attribute (nested paths are
+    unsupported — Postgres relations are flat)."""
+    path = f.attribute
+    if len(path) != 1:
+        return None
+    return _quote_ident(path[0])
+
+
+def _filter_to_sql(f: Filter) -> str | None:
+    """Render one Catalyst filter as a WHERE fragment, or None if this
+    filter class/shape can't be pushed."""
+    if isinstance(f, Not):
+        inner = _filter_to_sql(f.child)
+        return None if inner is None else f"NOT ({inner})"
+    col = _attr(f)
+    if col is None:
+        return None
+    if isinstance(f, EqualTo):
+        return f"{col} = {_quote_literal(f.value)}"
+    if isinstance(f, EqualNullSafe):
+        return f"{col} IS NOT DISTINCT FROM {_quote_literal(f.value)}"
+    if isinstance(f, GreaterThan):
+        return f"{col} > {_quote_literal(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        return f"{col} >= {_quote_literal(f.value)}"
+    if isinstance(f, LessThan):
+        return f"{col} < {_quote_literal(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        return f"{col} <= {_quote_literal(f.value)}"
+    if isinstance(f, In):
+        vals = ", ".join(_quote_literal(v) for v in f.value)
+        return f"{col} IN ({vals})" if vals else "FALSE"
+    if isinstance(f, IsNull):
+        return f"{col} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{col} IS NOT NULL"
+    if isinstance(f, StringStartsWith):
+        return f"{col} LIKE {_quote_literal(_like_escape(f.value) + '%')}"
+    if isinstance(f, StringEndsWith):
+        return f"{col} LIKE {_quote_literal('%' + _like_escape(f.value))}"
+    if isinstance(f, StringContains):
+        return (
+            f"{col} LIKE {_quote_literal('%' + _like_escape(f.value) + '%')}"
+        )
+    return None
+
+
+class RangePartition(InputPartition):
+    def __init__(self, clause: str | None):
+        self.clause = clause  # None = unpartitioned full scan
+
+
+class PostgresReader(DataSourceReader):
+    def __init__(self, options: dict, schema):
+        self.options = options
+        self.schema_struct = schema
+        self.pushed: list[str] = []
+
+    # -- option helpers ------------------------------------------------
+    def _dsn(self) -> str:
+        dsn = self.options.get("dsn")
+        if not dsn:
+            raise ValueError("apitap_postgres: the 'dsn' option is required")
+        return dsn
+
+    def _relation(self) -> str:
+        if self.options.get("query"):
+            return f"({self.options['query']}) AS q"
+        table = self.options.get("table")
+        if not table:
+            raise ValueError(
+                "apitap_postgres: one of 'table' or 'query' is required"
+            )
+        return ".".join(_quote_ident(p) for p in table.split("."))
+
+    # -- pushdown ------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            sql = _filter_to_sql(f)
+            if sql is None:
+                yield f  # Spark evaluates it as a residual
+            else:
+                self.pushed.append(sql)
+
+    def _where(self, extra: str | None = None) -> str:
+        clauses = list(self.pushed)
+        if extra:
+            clauses.append(extra)
+        return (" WHERE " + " AND ".join(clauses)) if clauses else ""
+
+    # -- planning ------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        pcol = self.options.get("partition_column")
+        if not pcol:
+            return [RangePartition(None)]
+        n = int(self.options.get("num_partitions", 4))
+        col = _quote_ident(pcol)
+        lb = self.options.get("lower_bound")
+        ub = self.options.get("upper_bound")
+        if lb is None or ub is None:
+            from apitap_spark.sinks import pgwire
+
+            conn = pgwire.connect(self._dsn())
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    f"SELECT MIN({col}), MAX({col}) FROM {self._relation()}"
+                    + self._where()
+                )
+                row = cur.fetchone()
+            finally:
+                conn.close()
+            if row is None or row[0] is None:
+                return [RangePartition(None)]  # empty or all-NULL keys
+            lb = lb if lb is not None else row[0]
+            ub = ub if ub is not None else row[1]
+        lb, ub = int(lb), int(ub)
+        if n <= 1 or ub <= lb:
+            return [RangePartition(None)]
+        stride = max(1, (ub - lb) // n)
+        parts: list[RangePartition] = []
+        lo = lb
+        for i in range(n):
+            hi = lo + stride
+            last = i == n - 1 or hi >= ub
+            if i == 0 and last:
+                parts.append(RangePartition(None))
+                break
+            if i == 0:
+                # first stride is open below and catches NULL keys
+                parts.append(
+                    RangePartition(f"({col} < {hi} OR {col} IS NULL)")
+                )
+            elif last:
+                parts.append(RangePartition(f"{col} >= {lo}"))
+                break
+            else:
+                parts.append(
+                    RangePartition(f"({col} >= {lo} AND {col} < {hi})")
+                )
+            lo = hi
+        return parts
+
+    # -- execution -----------------------------------------------------
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        from apitap_spark.sinks import pgwire
+
+        cols = ", ".join(
+            _quote_ident(f.name) for f in self.schema_struct.fields
+        )
+        sql = (
+            f"SELECT {cols} FROM {self._relation()}"
+            + self._where(getattr(partition, "clause", None))
+        )
+        conn = pgwire.connect(self._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            yield from cur.fetchall()
+        finally:
+            conn.close()
+
+
+class PostgresDataSource(DataSource):
+    """``spark.read.format("apitap_postgres")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "apitap_postgres"
+
+    def schema(self):
+        from pyspark.sql.types import StructField, StructType
+
+        from apitap_spark.sinks import pgwire
+
+        reader = PostgresReader(self.options, None)
+        conn = pgwire.connect(reader._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT * FROM {reader._relation()} LIMIT 0"
+            )
+            desc = cur.description or []
+        finally:
+            conn.close()
+        if not desc:
+            raise ValueError(
+                "apitap_postgres: relation has no columns (or LIMIT 0 "
+                "probe returned no metadata)"
+            )
+        return StructType(
+            [
+                StructField(name, _oid_to_spark_type(oid), True)
+                for name, oid, *_ in desc
+            ]
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return PostgresReader(self.options, schema)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PostgresDataSource)
