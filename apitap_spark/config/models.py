@@ -96,7 +96,8 @@ class IncrementalConfig:
 @dataclass
 class SourceConfig:
     name: str
-    url: str
+    url: str = ""
+    kind: str = "http"  # http (reference parity) | postgres (warehouse read-back)
     data_path: str | None = None
     pagination: object = field(default_factory=LimitOffsetPagination)
     headers: dict = field(default_factory=dict)
@@ -107,13 +108,32 @@ class SourceConfig:
     incremental: IncrementalConfig | None = None
     max_concurrency: int = 5  # reference src/cmd/mod.rs:18 CONCURRENT_REQUESTS
     min_request_interval_sec: float = 0.0
+    # postgres-kind fields (sources/pgsource.py reader options)
+    dsn: str | None = None
+    dsn_env: str | None = None  # indirect via env, like target credentials
+    table: str | None = None
+    partition_column: str | None = None
+    num_partitions: int = 4
 
     @classmethod
     def from_dict(cls, d: dict) -> SourceConfig:
         if not d.get("name"):
             raise ConfigError("source requires a name")
-        if not d.get("url"):
-            raise ConfigError(f"source {d.get('name')!r} requires a url")
+        kind = d.get("kind", "http")
+        if kind == "http":
+            if not d.get("url"):
+                raise ConfigError(f"source {d.get('name')!r} requires a url")
+        elif kind == "postgres":
+            if not d.get("table"):
+                raise ConfigError(
+                    f"source {d['name']!r}: postgres source requires table"
+                )
+            if not d.get("dsn") and not d.get("dsn_env"):
+                raise ConfigError(
+                    f"source {d['name']!r}: postgres source requires dsn or dsn_env"
+                )
+        else:
+            raise ConfigError(f"source {d['name']!r}: unknown kind {kind!r}")
         retry = d.get("retry") or {}
         inc = d.get("incremental")
         incremental = None
@@ -128,7 +148,8 @@ class SourceConfig:
             )
         return cls(
             name=d["name"],
-            url=d["url"],
+            url=d.get("url", ""),
+            kind=kind,
             data_path=d.get("data_path"),
             pagination=_pagination_from(d.get("pagination")),
             headers=dict(d.get("headers") or {}),
@@ -143,9 +164,32 @@ class SourceConfig:
             incremental=incremental,
             max_concurrency=int(d.get("max_concurrency", 5)),
             min_request_interval_sec=float(d.get("min_request_interval_sec", 0.0)),
+            dsn=d.get("dsn"),
+            dsn_env=d.get("dsn_env"),
+            table=d.get("table"),
+            partition_column=d.get("partition_column"),
+            num_partitions=int(d.get("num_partitions", 4)),
         )
 
+    def resolved_dsn(self) -> str:
+        """DSN for a postgres-kind source; env indirection mirrors the
+        target credential policy (never a secret in YAML)."""
+        if self.dsn:
+            return self.dsn
+        if self.dsn_env:
+            val = os.environ.get(self.dsn_env, "")
+            if not val:
+                raise ConfigError(
+                    f"source {self.name!r}: env {self.dsn_env} not set"
+                )
+            return val
+        raise ConfigError(f"source {self.name!r}: no dsn configured")
+
     def to_http_source(self) -> HttpSource:
+        if self.kind != "http":
+            raise ConfigError(
+                f"source {self.name!r} is kind={self.kind!r}, not http"
+            )
         return HttpSource(
             name=self.name,
             url=self.url,

@@ -54,6 +54,26 @@ def _writer_for(cfg: Config, target_name: str, dest_table: str, primary_key, mod
     )
 
 
+def _register_pg_source(spark: SparkSession, sc, view: str):
+    """Register a postgres-kind source as a temp view via the parallel
+    pgsource reader (range partitioning + filter pushdown)."""
+    from apitap_spark.sources.pgsource import PostgresDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PostgresDataSource)
+    r = (
+        spark.read.format("apitap_postgres")
+        .option("dsn", sc.resolved_dsn())
+        .option("table", sc.table)
+        .option("num_partitions", str(sc.num_partitions))
+    )
+    if sc.partition_column:
+        r = r.option("partition_column", sc.partition_column)
+    df = r.load()
+    df.createOrReplaceTempView(view)
+    return df
+
+
 def run_module(
     spark: SparkSession,
     cfg: Config,
@@ -76,6 +96,30 @@ def run_module(
     http_sources = []  # (source_name, HttpSource) for fetch telemetry
     for src_name, view in rendered.sources.items():
         sc = cfg.source(src_name)
+        if getattr(sc, "kind", "http") == "postgres":
+            # warehouse read-back rides the parallel pgsource reader; an
+            # incremental watermark becomes a Catalyst filter, which
+            # pushFilters renders into the server-side WHERE — the
+            # high-watermark sync runs inside Postgres, not in Spark
+            src_df = _register_pg_source(spark, sc, view)
+            if (
+                sc.incremental
+                and state is not None
+                and sc.incremental.cursor_field in src_df.columns
+            ):
+                last = state.get(src_name)
+                if last is not None:
+                    src_df = src_df.filter(
+                        F.col(sc.incremental.cursor_field) > F.lit(last)
+                    )
+                src_df.createOrReplaceTempView(view)
+                src_df.persist()
+                incr_sources.append(
+                    (src_name, sc.incremental.cursor_field, src_df)
+                )
+            pk = pk or sc.primary_key
+            dest = dest or sc.dest_table
+            continue
         http_src = sc.to_http_source()
         http_sources.append((src_name, http_src))
         if sc.incremental and state is not None:

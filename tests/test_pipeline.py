@@ -330,3 +330,48 @@ targets:
             cur.execute(f"DROP TABLE IF EXISTS {t}")
         conn.commit()
         conn.close()
+
+
+def test_postgres_source_config_validation():
+    """postgres-kind sources need table + dsn/dsn_env; http still needs
+    url; unknown kinds are rejected (offline — no server involved)."""
+    import pytest as _pytest
+
+    from apitap_spark.config.models import ConfigError, SourceConfig
+
+    sc = SourceConfig.from_dict(
+        {
+            "name": "wh",
+            "kind": "postgres",
+            "dsn": "host=h user=u",
+            "table": "t",
+            "partition_column": "id",
+            "num_partitions": 7,
+        }
+    )
+    assert sc.kind == "postgres" and sc.num_partitions == 7
+    assert sc.resolved_dsn() == "host=h user=u"
+    with _pytest.raises(ConfigError, match="requires table"):
+        SourceConfig.from_dict({"name": "x", "kind": "postgres", "dsn": "d"})
+    with _pytest.raises(ConfigError, match="requires dsn"):
+        SourceConfig.from_dict({"name": "x", "kind": "postgres", "table": "t"})
+    with _pytest.raises(ConfigError, match="unknown kind"):
+        SourceConfig.from_dict({"name": "x", "kind": "mysql", "table": "t"})
+    with _pytest.raises(ConfigError, match="requires a url"):
+        SourceConfig.from_dict({"name": "x"})
+    # env indirection mirrors target credentials
+    import os as _os
+
+    sc2 = SourceConfig.from_dict(
+        {"name": "wh2", "kind": "postgres", "dsn_env": "APITAP_TEST_DSN_X", "table": "t"}
+    )
+    with _pytest.raises(ConfigError, match="not set"):
+        sc2.resolved_dsn()
+    _os.environ["APITAP_TEST_DSN_X"] = "host=z"
+    try:
+        assert sc2.resolved_dsn() == "host=z"
+    finally:
+        del _os.environ["APITAP_TEST_DSN_X"]
+    # a postgres source never impersonates the http path
+    with _pytest.raises(ConfigError, match="not http"):
+        sc.to_http_source()

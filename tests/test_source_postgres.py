@@ -168,3 +168,110 @@ def test_partition_strides_cover_everything_with_bounds(spark, seeded_table):
     ).load()
     assert df.count() == N_ROWS
     assert df.select("id").distinct().count() == N_ROWS
+
+
+def test_pipeline_postgres_source_to_duckdb_target(spark, seeded_table, tmp_path):
+    """Whole-pipeline read-back: a module whose use_source() is a
+    postgres-KIND source (parallel pgsource reader) transforming into a
+    DuckDB target; second run with an incremental watermark only moves
+    new rows."""
+    import duckdb
+
+    from apitap_spark.config.models import load_config
+    from apitap_spark.pipeline.runner import run_module
+    from apitap_spark.sinks.jdbc_merge import WriteMode
+
+    mod_dir = tmp_path / "sql"
+    mod_dir.mkdir()
+    (mod_dir / "readback.sql").write_text(
+        "{{ sink('agg_by_name') }}\n"
+        "SELECT name, COUNT(*) AS n, SUM(val) AS total_val\n"
+        "FROM {{ use_source('warehouse_items') }}\n"
+        "WHERE name IS NOT NULL GROUP BY name"
+    )
+    duck_path = str(tmp_path / "t.duckdb")
+    cfg = load_config(
+        {
+            "sources": [
+                {
+                    "name": "warehouse_items",
+                    "kind": "postgres",
+                    "dsn": DSN,
+                    "table": TABLE,
+                    "partition_column": "id",
+                    "num_partitions": 3,
+                    "primary_key": "name",
+                }
+            ],
+            "targets": [
+                {"name": "t", "kind": "duckdb", "path": duck_path}
+            ],
+        }
+    )
+    stats = run_module(
+        spark, cfg, str(mod_dir), "readback.sql", "t", WriteMode.MERGE
+    )
+    assert stats.sink_table == "agg_by_name"
+    con = duckdb.connect(duck_path)
+    got = dict(con.execute("SELECT name, n FROM agg_by_name").fetchall())
+    want: dict = {}
+    for r in seeded_table:
+        if r[1] is not None:
+            want[r[1]] = want.get(r[1], 0) + 1
+    assert got == want
+    con.close()
+
+
+def test_pipeline_postgres_source_incremental_watermark(
+    spark, seeded_table, tmp_path
+):
+    """The high-watermark re-run pushes cursor > last INTO Postgres via
+    pushFilters: the second run sees zero rows (no new ids)."""
+    from apitap_spark.config.models import load_config
+    from apitap_spark.pipeline.runner import run_module
+    from apitap_spark.sinks.jdbc_merge import WriteMode
+
+    class MemState:
+        def __init__(self):
+            self.d = {}
+
+        def get(self, name):
+            return self.d.get(name)
+
+        def advance(self, name, field, value):
+            self.d[name] = value
+
+    mod_dir = tmp_path / "sql"
+    mod_dir.mkdir()
+    (mod_dir / "incr.sql").write_text(
+        "{{ sink('items_copy') }}\n"
+        "SELECT id, name, val FROM {{ use_source('warehouse_items') }}"
+    )
+    duck_path = str(tmp_path / "incr.duckdb")
+    cfg = load_config(
+        {
+            "sources": [
+                {
+                    "name": "warehouse_items",
+                    "kind": "postgres",
+                    "dsn": DSN,
+                    "table": TABLE,
+                    "partition_column": "id",
+                    "num_partitions": 2,
+                    "primary_key": "id",
+                    "incremental": {"cursor_field": "id"},
+                }
+            ],
+            "targets": [{"name": "t", "kind": "duckdb", "path": duck_path}],
+        }
+    )
+    state = MemState()
+    s1 = run_module(
+        spark, cfg, str(mod_dir), "incr.sql", "t", WriteMode.MERGE, state=state
+    )
+    assert s1.rows_written == N_ROWS
+    assert state.get("warehouse_items") == N_ROWS - 1  # max id watermark
+    s2 = run_module(
+        spark, cfg, str(mod_dir), "incr.sql", "t", WriteMode.MERGE, state=state
+    )
+    assert s2.rows_written == 0  # nothing past the watermark
