@@ -107,6 +107,7 @@ _NEW_GATES: set[str] = {
     "op_ml_adaboost_stump_round",
     "op_graph_assortativity",
     "op_text_boilerplate_prefix",
+    "op_embedding_matryoshka_audit",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -2817,3 +2817,161 @@ def op_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_kernel,
         "q_id bigint, sel_rank bigint, c_id bigint, mmr_score double",
     )
+
+
+# --- L15x round 8: Matryoshka prefix-dimension recall audit -------------------
+
+MAT_Q = 16  # queries: vec_id < 16
+MAT_K = 10  # neighborhood size compared
+MAT_PREFIXES = (8, 16, 32)  # prefix lengths audited against the full dim
+
+
+def _mat_oracle() -> str:
+    """Per prefix length P: top-K cosine neighborhoods computed on the
+    first P dims, intersected with the full-dim top-K, averaged over
+    queries. Every per-P frame is MATERIALIZED (multi-referenced CTEs
+    explode in DuckDB's inliner otherwise — op_mmr precedent)."""
+
+    def cos(a_expr: str, b_expr: str) -> str:
+        return (
+            f"{_SQL_DOT.format(a=a_expr, b=b_expr)}"
+            f" / (sqrt({_SQL_NORM2.format(a=a_expr)})"
+            f" * sqrt({_SQL_NORM2.format(a=b_expr)}))"
+        )
+
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {MAT_Q}
+    ),
+    c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+    pairs AS MATERIALIZED (
+      SELECT q_id, c_id, qe, ce FROM q, c WHERE q_id <> c_id
+    ),
+    top_full AS MATERIALIZED (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY {cos('qe', 'ce')} DESC, c_id) AS rk
+        FROM pairs
+      ) WHERE rk <= {MAT_K}
+    )"""
+    ]
+    sels = []
+    for p in MAT_PREFIXES:
+        parts.append(
+            f""",
+    top_{p} AS MATERIALIZED (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY {cos(f'qe[1:{p}]', f'ce[1:{p}]')}
+                                             DESC, c_id) AS rk
+        FROM pairs
+      ) WHERE rk <= {MAT_K}
+    )"""
+        )
+        sels.append(
+            f"""
+    SELECT CAST({p} AS BIGINT) AS prefix_dims,
+           CAST({MAT_K} AS BIGINT) AS k,
+           CAST({MAT_Q} AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS total_overlap,
+           CAST(COUNT(*) * 1000000 // ({MAT_Q} * {MAT_K}) AS BIGINT)
+             AS mean_overlap_micro
+    FROM top_{p} JOIN top_full USING (q_id, c_id)"""
+        )
+    return "".join(parts) + "\n    UNION ALL".join(sels)
+
+
+@_register("op_embedding_matryoshka_audit", _mat_oracle())
+def op_embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension audit (Kusupati et al. 2022,
+    arXiv:2205.13147): for each prefix length P, the overlap@K between
+    cosine top-K neighborhoods computed on the FIRST P dimensions and
+    on the full vector — the measurement that decides whether an
+    embedding column can be truncated for cheap first-pass retrieval
+    (MRL-trained embeddings hold overlap high at small P; PCA-ordered
+    or untrained dims decay fast, as this corpus's synthetic vectors
+    do — exactly the reading that blocks a bad truncation).
+
+    Exactness: all cosines are the shared fold-order double chain
+    (slice -> zip_with/aggregate == the oracle's list fold on qe[1:P]);
+    rankings tie-break by c_id; overlap counts and the micro mean are
+    exact integers.
+
+    Scale shape: ONE broadcast(queries) x corpus pass computes every
+    prefix cosine simultaneously (the pair kernel is |P|+1 dots over
+    the same row — no extra scans); each per-P top-K is a
+    WindowGroupLimit over the Q x N scored frame; overlaps join on
+    (q_id, c_id) at Q x K cardinality. Prefix norms are per-side
+    precomputed, so the pair kernel stays dot-only.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def side(alias_id: str, alias_vec: str):
+        cols = [
+            F.col("vec_id").alias(alias_id),
+            F.col("embedding").alias(alias_vec),
+            l2_norm("embedding").alias(f"n_{alias_vec}_full"),
+        ]
+        for p in MAT_PREFIXES:
+            cols.append(
+                l2_norm(F.slice(F.col("embedding"), 1, p)).alias(
+                    f"n_{alias_vec}_{p}"
+                )
+            )
+        return cols
+
+    q = emb.filter(F.col("vec_id") < MAT_Q).select(*side("q_id", "qe"))
+    c = emb.select(*side("c_id", "ce"))
+    pair_cols = [
+        "q_id",
+        "c_id",
+        cosine_from_norms("qe", "ce", "n_qe_full", "n_ce_full").alias(
+            "cos_full"
+        ),
+    ]
+    for p in MAT_PREFIXES:
+        pair_cols.append(
+            cosine_from_norms(
+                F.slice(F.col("qe"), 1, p),
+                F.slice(F.col("ce"), 1, p),
+                f"n_qe_{p}",
+                f"n_ce_{p}",
+            ).alias(f"cos_{p}")
+        )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(*pair_cols)
+        .localCheckpoint()  # scored once, ranked |P|+1 times
+    )
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(F.desc(col), F.asc("c_id"))
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MAT_K)
+            .select("q_id", "c_id")
+        )
+
+    full = topk("cos_full").localCheckpoint()  # joined once per prefix
+    out = None
+    for p in MAT_PREFIXES:
+        o = (
+            topk(f"cos_{p}")
+            .join(full, ["q_id", "c_id"], "semi")
+            .agg(
+                F.lit(p).cast("bigint").alias("prefix_dims"),
+                F.lit(MAT_K).cast("bigint").alias("k"),
+                F.lit(MAT_Q).cast("bigint").alias("n_queries"),
+                F.count("*").cast("bigint").alias("total_overlap"),
+                F.expr(
+                    f"CAST(count(*) * 1000000L div {MAT_Q * MAT_K} AS BIGINT)"
+                ).alias("mean_overlap_micro"),
+            )
+        )
+        out = o if out is None else out.unionByName(o)
+    return out

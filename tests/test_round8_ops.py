@@ -434,3 +434,58 @@ def test_boilerplate_prefix_matches_python(spark, sf_dir):
     assert got == want
     for _, _, _, share in got.values():
         assert 0 <= share <= 1000000
+
+
+def test_matryoshka_audit_matches_numpy(spark, sf_dir):
+    """Prefix-dim overlap@K replayed in numpy float64 (dim-sequential
+    sums); invariants: overlap is monotone-ish in P only statistically,
+    but every value sits in [0, Q*K] and the full-dim self-overlap
+    would be exactly Q*K."""
+    import numpy as np
+
+    from apitap_spark.operators.similarity import (
+        MAT_K,
+        MAT_PREFIXES,
+        MAT_Q,
+        op_embedding_matryoshka_audit,
+    )
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+    def topk(P):
+        Mp = M[:, :P]
+        n = np.sqrt(np.cumsum(Mp * Mp, axis=1)[:, -1])
+        out = {}
+        for qi in range(MAT_Q):
+            qrow = Mp[ids == qi][0]
+            nq = float(np.sqrt(np.cumsum(qrow * qrow)[-1]))
+            dots = np.zeros(len(ids))
+            for k in range(P):
+                dots += Mp[:, k] * qrow[k]
+            cos = dots / (n * nq)
+            order = sorted(
+                [
+                    (float(cos[i]), int(ids[i]))
+                    for i in range(len(ids))
+                    if ids[i] != qi
+                ],
+                key=lambda t: (-t[0], t[1]),
+            )[:MAT_K]
+            out[qi] = {c for _, c in order}
+        return out
+
+    full = topk(M.shape[1])
+    want = {}
+    for p in MAT_PREFIXES:
+        tp = topk(p)
+        total = sum(len(tp[qi] & full[qi]) for qi in range(MAT_Q))
+        want[p] = (total, total * 1000000 // (MAT_Q * MAT_K))
+    got = {
+        r["prefix_dims"]: (r["total_overlap"], r["mean_overlap_micro"])
+        for r in op_embedding_matryoshka_audit(spark, sf_dir).collect()
+    }
+    assert got == want
+    for total, _ in got.values():
+        assert 0 <= total <= MAT_Q * MAT_K
