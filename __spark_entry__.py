@@ -108,6 +108,7 @@ _NEW_GATES: set[str] = {
     "op_graph_assortativity",
     "op_text_boilerplate_prefix",
     "op_embedding_matryoshka_audit",
+    "op_eval_pass_at_k",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

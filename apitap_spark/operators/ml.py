@@ -2260,3 +2260,99 @@ def op_ml_adaboost_stump_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return r1.unionByName(r2)
+
+
+# --- L19x round 8: unbiased pass@k estimator ----------------------------------
+
+PASS_K = 5  # k of pass@k
+PASS_CUTOFF = 60.0  # an event "passes" when value >= cutoff
+
+
+def _passk_product(n: str, c: str) -> str:
+    """Left-associated SQL product Π_{i=0..k-1} (n-c-i)/(n-i) — equal to
+    C(n-c, k)/C(n, k); hits an exact 0.0 factor whenever n-c < k, so the
+    estimator needs no special-casing."""
+    out = None
+    for i in range(PASS_K):
+        f = (
+            f"(CAST({n} - {c} - {i} AS DOUBLE)"
+            f" / CAST({n} - {i} AS DOUBLE))"
+        )
+        out = f if out is None else f"({out} * {f})"
+    return out
+
+
+_PASSK_ORACLE = f"""
+    WITH tasks AS (
+      SELECT event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value >= {PASS_CUTOFF} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(ROUND((1.0 - {_passk_product('n', 'c')}) * 1000000.0, 0)
+                  AS BIGINT) AS pass_micro
+      FROM tasks WHERE n >= {PASS_K}
+    )
+    SELECT event_type,
+           CAST({PASS_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           CAST(SUM(pass_micro) // COUNT(*) AS BIGINT) AS mean_pass_micro,
+           CAST(SUM(CASE WHEN pass_micro = 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_certain
+    FROM scored GROUP BY event_type
+"""
+
+
+@_register("op_eval_pass_at_k", _PASSK_ORACLE)
+def op_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, arXiv:2107.03374
+    §2.1 — the HumanEval metric): per task, pass@k = 1 - C(n-c,k)/C(n,k)
+    over n sampled attempts with c passes, averaged per group. Here a
+    "task" is a (event_type, user_id) sample set and an attempt passes
+    when value >= cutoff — the same benchmark-evaluation machinery a
+    model-eval pipeline runs over per-problem generation batches, on
+    this schema's stand-in. The naive c>0-fraction estimator is biased
+    when n > k; the combinatorial ratio is the fix the paper exists for.
+
+    Exactness: C(n-c,k)/C(n,k) evaluates as the LEFT-ASSOCIATED product
+    of k exact-integer ratios (one division each, multiplied in fixed
+    order — both engines parse a*b*c the same way); whenever n-c < k a
+    factor is an exact 0.0, so the pass@k = 1 branch needs no special
+    case. One round to integer micros per task; group means are exact
+    bigint division. No pow/ln/binomials-as-floats.
+
+    Scale shape: one map-side-combined (event_type, user) aggregate,
+    then a constant chain of arithmetic per task row and a group-sized
+    reduce — two linear shuffles total, no joins, no windows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    tasks = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("value") >= PASS_CUTOFF).cast("int"))
+            .cast("bigint")
+            .alias("c"),
+        )
+        .filter(F.col("n") >= PASS_K)
+    )
+    scored = tasks.select(
+        "event_type",
+        F.expr(
+            f"CAST(ROUND((1.0 - {_passk_product('n', 'c')}) * 1000000.0, 0)"
+            " AS BIGINT)"
+        ).alias("pass_micro"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.lit(PASS_K).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_tasks"),
+        F.expr("CAST(sum(pass_micro) div count(*) AS BIGINT)").alias(
+            "mean_pass_micro"
+        ),
+        F.sum((F.col("pass_micro") == 1000000).cast("int"))
+        .cast("bigint")
+        .alias("n_certain"),
+    )

@@ -489,3 +489,47 @@ def test_matryoshka_audit_matches_numpy(spark, sf_dir):
     assert got == want
     for total, _ in got.values():
         assert 0 <= total <= MAT_Q * MAT_K
+
+
+def test_pass_at_k_matches_python(spark, sf_dir):
+    """pass@k replayed with exact Python fractions -> float product;
+    invariants: pass@k >= naive c>0 share... actually pass@k >= c/n-based
+    lower bounds are not simple, so assert the exact-certainty cases:
+    n - c < k  <=>  pass_micro == 1e6, and means sit in [0, 1e6]."""
+    from apitap_spark.operators.ml import PASS_CUTOFF, PASS_K, op_eval_pass_at_k
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    tasks: dict = {}
+    for r in ev:
+        key = (r["event_type"], r["user_id"])
+        n, c = tasks.get(key, (0, 0))
+        tasks[key] = (n + 1, c + (1 if r["value"] >= PASS_CUTOFF else 0))
+    agg: dict = {}
+    for (et, _), (n, c) in tasks.items():
+        if n < PASS_K:
+            continue
+        prod = None
+        for i in range(PASS_K):
+            f = float(n - c - i) / float(n - i)
+            prod = f if prod is None else prod * f
+        pm = _round_half_away((1.0 - prod) * 1e6)
+        tot, cnt, cert = agg.get(et, (0, 0, 0))
+        agg[et] = (tot + pm, cnt + 1, cert + (1 if pm == 1000000 else 0))
+    want = {
+        et: (PASS_K, cnt, tot // cnt, cert)
+        for et, (tot, cnt, cert) in agg.items()
+    }
+    got = {
+        r["event_type"]: (r["k"], r["n_tasks"], r["mean_pass_micro"], r["n_certain"])
+        for r in op_eval_pass_at_k(spark, sf_dir).collect()
+    }
+    assert got == want
+    for _, _, mean, _ in got.values():
+        assert 0 <= mean <= 1000000
+    # exact-certainty equivalence on the replay side
+    for (et, _), (n, c) in tasks.items():
+        if n >= PASS_K and n - c < PASS_K:
+            prod = 1.0
+            for i in range(PASS_K):
+                prod *= float(n - c - i) / float(n - i)
+            assert prod == 0.0
