@@ -109,6 +109,7 @@ _NEW_GATES: set[str] = {
     "op_text_boilerplate_prefix",
     "op_embedding_matryoshka_audit",
     "op_eval_pass_at_k",
+    "op_sketch_theta_overlap",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -2252,3 +2252,179 @@ def op_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi_milli"),
         )
     )
+
+
+# --- L18x round 8: theta-sketch set intersection across segments -------------
+
+_TWO60_INT = 1152921504606846976  # 2^60 as an exact bigint literal
+
+_THETA_ORACLE = f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM h
+    ),
+    -- per-type KMV sketch: the k smallest hashes; theta = h_k, or 2^60
+    -- ("exact mode") when the set is smaller than k
+    sk AS (
+      SELECT event_type, hv FROM ranked WHERE rn <= {KMV_K}
+    ),
+    th AS (
+      SELECT event_type,
+             CASE WHEN MAX(cnt) < {KMV_K} THEN {_TWO60_INT}
+                  ELSE MAX(CASE WHEN rn = {KMV_K} THEN hv END) END AS theta
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+             LEAST(ta.theta, tb.theta) AS theta
+      FROM th ta JOIN th tb ON ta.event_type < tb.event_type
+    ),
+    samp AS (
+      SELECT p.type_a, p.type_b, p.theta,
+             CAST(COUNT(*) AS BIGINT) AS n_sample
+      FROM pairs p
+      JOIN sk sa ON sa.event_type = p.type_a
+      JOIN sk sb ON sb.event_type = p.type_b AND sb.hv = sa.hv
+      WHERE sa.hv < p.theta
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.n_exact,
+           COALESCE(s.n_sample, 0) AS n_sample,
+           CAST(FLOOR(CAST(COALESCE(s.n_sample, 0) AS DOUBLE)
+                      * {_KMV_TWO60}
+                      / CAST(p.theta AS DOUBLE)) AS BIGINT) AS theta_estimate
+    FROM exact e
+    JOIN pairs p ON p.type_a = e.type_a AND p.type_b = e.type_b
+    LEFT JOIN samp s ON s.type_a = e.type_a AND s.type_b = e.type_b
+"""
+
+
+@_register("op_sketch_theta_overlap", _THETA_ORACLE)
+def op_sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection (the Apache DataSketches /
+    Bar-Yossef KMV algebra): estimate the distinct-user overlap of
+    every event-type pair FROM THE SKETCHES ALONE — k minimum hash
+    values per segment, theta = min of the two per-sketch thetas,
+    estimate = |{sketch_a ∩ sketch_b below theta}| * 2^60 / theta —
+    audited against the exact pairwise intersection. This is the
+    segment-overlap matrix a 100 TB pipeline computes WITHOUT joining
+    the raw fact table with itself: sketches are tiny, mergeable, and
+    unionable across partitions; the exact join here is the audit rung
+    only. Sets smaller than k flip to exact mode (theta = 2^60), where
+    the estimate equals the true count by construction.
+
+    Exactness: the 60-bit md5 hash is the shared KMV chain
+    (op_distinct_kmv_estimate); thetas and sample counts are exact
+    bigints; the single estimate division is one fixed double chain
+    (CAST, *, /, FLOOR) — bit-identical across engines.
+
+    Scale shape: one distinct-pair aggregate, one per-type rank window
+    bounded at k (partial top-k per partition at fleet scale), then
+    ALL sketch algebra happens on k x |types| rows — broadcast-sized
+    forever. The exact audit join is the only corpus-sized pairwise
+    op, and it exists to grade the sketch, not to serve queries.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct().localCheckpoint()
+    h = du.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    wrk = Window.partitionBy("event_type").orderBy("hv")
+    wcnt = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wrk).alias("rn"),
+        F.count("*").over(wcnt).alias("cnt"),
+    ).filter(F.col("rn") <= KMV_K).localCheckpoint()  # feeds sk and th
+    sk = ranked.select("event_type", "hv")
+    th = ranked.groupBy("event_type").agg(
+        F.when(F.max("cnt") < KMV_K, F.lit(_TWO60_INT))
+        .otherwise(F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))))
+        .cast("bigint")
+        .alias("theta")
+    )
+    pairs = (
+        th.select(F.col("event_type").alias("type_a"), F.col("theta").alias("ta"))
+        .join(
+            F.broadcast(
+                th.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta").alias("tb"),
+                )
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .select("type_a", "type_b", F.least("ta", "tb").alias("theta"))
+    )
+    samp = (
+        pairs.join(
+            F.broadcast(
+                sk.select(F.col("event_type").alias("type_a"), "hv")
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sk.select(F.col("event_type").alias("type_b"), "hv")
+            ),
+            ["type_b", "hv"],
+        )
+        .filter(F.col("hv") < F.col("theta"))
+        .groupBy("type_a", "type_b", "theta")
+        .agg(F.count("*").cast("bigint").alias("n_sample"))
+    )
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(F.broadcast(pairs), ["type_a", "type_b"])
+        .join(
+            F.broadcast(samp.select("type_a", "type_b", "n_sample")),
+            ["type_a", "type_b"],
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_exact",
+            F.coalesce("n_sample", F.lit(0).cast("bigint")).alias("n_sample"),
+            F.floor(
+                F.coalesce("n_sample", F.lit(0).cast("bigint")).cast("double")
+                * F.lit(float(_TWO60_INT))
+                / F.col("theta").cast("double")
+            )
+            .cast("bigint")
+            .alias("theta_estimate"),
+        )
+    )

@@ -533,3 +533,54 @@ def test_pass_at_k_matches_python(spark, sf_dir):
             for i in range(PASS_K):
                 prod *= float(n - c - i) / float(n - i)
             assert prod == 0.0
+
+
+def test_theta_overlap_matches_python(spark, sf_dir):
+    """Theta-sketch intersection replayed with exact Python ints; also
+    the exact-mode invariant: when BOTH sides are below k the estimate
+    equals the true intersection."""
+    import hashlib
+
+    from apitap_spark.operators.quality import (
+        KMV_K,
+        _TWO60_INT,
+        op_sketch_theta_overlap,
+    )
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    by_type: dict[str, set] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], set()).add(r["user_id"])
+
+    def h60(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    sketches = {}
+    thetas = {}
+    for t, users in by_type.items():
+        hs = sorted(h60(u) for u in users)
+        sketches[t] = set(hs[:KMV_K])
+        thetas[t] = _TWO60_INT if len(hs) < KMV_K else hs[KMV_K - 1]
+    want = {}
+    for a in by_type:
+        for b in by_type:
+            if a >= b:
+                continue
+            theta = min(thetas[a], thetas[b])
+            n_sample = len(
+                {x for x in sketches[a] & sketches[b] if x < theta}
+            )
+            est = int(
+                math.floor(float(n_sample) * float(_TWO60_INT) / float(theta))
+            )
+            want[(a, b)] = (len(by_type[a] & by_type[b]), n_sample, est)
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["n_exact"], r["n_sample"], r["theta_estimate"],
+        )
+        for r in op_sketch_theta_overlap(spark, sf_dir).collect()
+    }
+    assert got == want
+    for (a, b), (n_exact, _, est) in got.items():
+        if thetas[a] == _TWO60_INT and thetas[b] == _TWO60_INT:
+            assert est == n_exact  # exact mode is exact by construction
