@@ -710,9 +710,12 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast twice (du, dv). Checkpoint both or each consumer re-runs
     # the union+distinct shuffle (4x) / the degree groupBy (2x) — the
     # round-5 double-materialization sweep.
+    # e is DISTINCT with u < v on every row (coactivity_edges), so the
+    # symmetrized union is duplicate-free by construction — skipping
+    # the distinct saves a full 2|E| shuffle before the checkpoint.
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint()
+    ).localCheckpoint()
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
     ).localCheckpoint()
@@ -1123,11 +1126,13 @@ def op_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant. State per round is one (node) set, never paths.
     """
     e0 = coactivity_edges(spark, sf_dir, 1)
-    e = (
-        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint()  # probed once per BFS round
-    )
+    # coactivity_edges is DISTINCT with u < v on every row, so the
+    # symmetrized union is duplicate-free by construction ((u,v) from
+    # the left leg and (v,u) from the right leg can never coincide) —
+    # no distinct, which would be a full 2|E| shuffle for nothing.
+    e = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # probed once per BFS round
     nodes = e.select("u").distinct().select(F.col("u").alias("v"))
     level = nodes.filter(F.col("v") % BFS_SEED_MOD == 0).localCheckpoint()
     # dist accumulates (v, hops); per round the NEW frontier is the
