@@ -110,6 +110,11 @@ _NEW_GATES: set[str] = {
     "op_embedding_matryoshka_audit",
     "op_eval_pass_at_k",
     "op_sketch_theta_overlap",
+    # round 9: training-run planning audits (operators/planning.py)
+    "op_token_budget_epochs",
+    "op_pad_waste_audit",
+    "op_quality_retention_sweep",
+    "op_privacy_randomized_response",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

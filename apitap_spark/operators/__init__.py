@@ -16,6 +16,7 @@ from apitap_spark.operators import (
     incremental,
     ml,
     multimodal,
+    planning,
     quality,
     sampling,
     similarity,
@@ -44,6 +45,7 @@ for _mod in (
     quality,
     bpe,
     features,
+    planning,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

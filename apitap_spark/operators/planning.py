@@ -1,0 +1,534 @@
+"""Training-run planning audits: token-budget water-filling, padding
+waste, retention sweeps, and a randomized-response privacy mechanism.
+
+These close the loop between the corpus bookkeeping passes (corpus.py:
+mixing weights, shard plans) and an actual training-run configuration:
+given the corpus as measured, how is a fixed token budget split across
+sources under epoch caps (UniMax), how much compute does the batching
+layout waste on padding, how much data survives each candidate quality
+bar, and what does a plausible-deniability release of the metadata cost
+in estimator error. Every oracle is exact: integer/rational arithmetic
+throughout — divisions only on non-negative operands so Spark's ``div``
+(truncate) and DuckDB's ``//`` agree.
+
+Beyond-reference operators sanctioned by the build brief; no counterpart
+in /root/reference (SQL-only transform surface, src/pipeline/mod.rs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apitap_spark.functions.text import token_count, tokens
+from apitap_spark.session import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- UniMax-style token-budget allocation (water-filling) ----------------
+
+# Per-source cap = EPOCH_CAP epochs over that source's tokens; budget =
+# BUDGET_NUM/BUDGET_DEN of the total capacity (90% of 2 epochs).  An
+# almost-full budget is the regime water-filling exists for: the small
+# sources hit their epoch cap and the surplus redistributes to the large
+# ones — the mixed capped/uncapped fixture the gate needs.
+EPOCH_CAP = 2
+BUDGET_NUM = 9 * EPOCH_CAP  # 1.8x total tokens
+BUDGET_DEN = 10
+
+_BUDGET_ORACLE = rf"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    capped_src AS (
+      SELECT source, n_tokens,
+             CAST({EPOCH_CAP} * n_tokens AS BIGINT) AS cap_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY {EPOCH_CAP} * n_tokens, source)
+                  AS BIGINT) AS rnk,
+             CAST(SUM({EPOCH_CAP} * n_tokens)
+                  OVER (ORDER BY {EPOCH_CAP} * n_tokens, source
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix_cap,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_sources,
+             CAST((SUM(n_tokens) OVER ()) * {BUDGET_NUM} // {BUDGET_DEN} AS BIGINT)
+               AS budget
+      FROM per_source
+    ),
+    flagged AS (
+      SELECT *,
+             cap_tokens * (n_sources - rnk) + prefix_cap <= budget AS capped
+      FROM capped_src
+    ),
+    lvl AS (
+      SELECT CAST(SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END) AS BIGINT)
+               AS sum_capped,
+             CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped
+      FROM flagged
+    )
+    SELECT f.source, f.n_tokens, f.cap_tokens, f.rnk, f.budget, f.capped,
+           CAST(CASE WHEN f.capped THEN f.cap_tokens
+                     ELSE (f.budget - l.sum_capped)
+                          // (f.n_sources - l.n_capped) END
+                AS BIGINT) AS alloc_tokens,
+           CAST((CASE WHEN f.capped THEN f.cap_tokens
+                      ELSE (f.budget - l.sum_capped)
+                           // (f.n_sources - l.n_capped) END) * 1000000
+                // f.n_tokens AS BIGINT) AS epochs_micro
+    FROM flagged f CROSS JOIN lvl l
+"""
+
+
+@_register("op_token_budget_epochs", _BUDGET_ORACLE)
+def op_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style token-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): split a fixed training budget across sources by
+    water-filling under a per-source epoch cap — every source gets the
+    common fill level, except sources whose entire EPOCH_CAP·n_tokens
+    capacity sits below it, which contribute all they have.
+
+    The capped set is decided in closed form, no iteration: with
+    sources sorted by capacity, source i is capped iff
+    ``cap_i · (n − rank_i) + prefix_cap_i ≤ B`` (its capacity is below
+    the fill level computed as if everything up to it were capped).
+    All comparisons and the fill-level division are on non-negative
+    integers, so the oracle is hash-exact. epochs_micro headroom:
+    alloc·1e6 ≤ total_tokens·1e6 — int64-safe through ~sf100.
+
+    Scale shape: one map-side-combined groupBy(source); every window
+    runs over the SOURCE-cardinality frame (dozens of rows), never the
+    corpus; the capped-set aggregate is a 1-row broadcast back. The
+    corpus is touched exactly once.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count("text")).cast("bigint").alias("n_tokens"))
+        .localCheckpoint()  # source-cardinality; feeds two derivations
+    )
+    w_ord = Window.orderBy(F.col("cap_tokens"), F.col("source"))
+    w_all = Window.partitionBy()
+    capped_src = per_source.select(
+        "source",
+        "n_tokens",
+        (F.lit(EPOCH_CAP) * F.col("n_tokens")).cast("bigint").alias("cap_tokens"),
+    ).select(
+        "*",
+        F.row_number().over(w_ord).cast("bigint").alias("rnk"),
+        F.sum("cap_tokens")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("prefix_cap"),
+        F.count("*").over(w_all).cast("bigint").alias("n_sources"),
+        F.expr(f"sum(n_tokens) over () * {BUDGET_NUM} div {BUDGET_DEN}")
+        .cast("bigint")
+        .alias("budget"),
+    )
+    flagged = capped_src.withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("n_sources") - F.col("rnk"))
+        + F.col("prefix_cap")
+        <= F.col("budget"),
+    ).localCheckpoint()  # source-cardinality; feeds lvl AND the output
+    lvl = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_capped"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_capped"),
+    )
+    fill = F.expr("(budget - sum_capped) div (n_sources - n_capped)")
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(fill)
+    return flagged.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        "rnk",
+        "budget",
+        "capped",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.expr(
+            "(case when capped then cap_tokens "
+            " else (budget - sum_capped) div (n_sources - n_capped) end)"
+            " * 1000000 div n_tokens"
+        )
+        .cast("bigint")
+        .alias("epochs_micro"),
+    )
+
+
+# --- Padding-waste audit of length-bucketed batching ----------------------
+
+# Power-of-two bucket caps; docs longer than the last cap round up to the
+# next multiple of it (total function — waste is never negative).
+PAD_CAPS = [32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def _cap_sql() -> str:
+    whens = " ".join(f"WHEN n_tokens <= {c} THEN {c}" for c in PAD_CAPS)
+    last = PAD_CAPS[-1]
+    return (
+        f"CASE {whens} ELSE ((n_tokens + {last - 1}) // {last}) * {last} END"
+    )
+
+
+_PAD_ORACLE = rf"""
+    WITH tok AS (
+      SELECT CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(string_split_regex(TRIM(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST({_cap_sql()} AS BIGINT) AS bucket_cap, n_tokens FROM tok
+    ),
+    per_bucket AS (
+      SELECT bucket_cap,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM bucketed GROUP BY bucket_cap
+    ),
+    gmax AS (
+      SELECT CAST(MAX(n_tokens) AS BIGINT) AS global_cap FROM tok
+    )
+    SELECT b.bucket_cap, b.n_docs, b.sum_tokens,
+           CAST(b.n_docs * b.bucket_cap AS BIGINT) AS padded_tokens,
+           CAST(b.n_docs * b.bucket_cap - b.sum_tokens AS BIGINT) AS waste_tokens,
+           CAST((b.n_docs * b.bucket_cap - b.sum_tokens) * 1000000
+                // (b.n_docs * b.bucket_cap) AS BIGINT) AS waste_micro,
+           CAST(b.n_docs * g.global_cap - b.sum_tokens AS BIGINT)
+             AS unbucketed_waste_tokens
+    FROM per_bucket b CROSS JOIN gmax g
+"""
+
+
+@_register("op_pad_waste_audit", _PAD_ORACLE)
+def op_pad_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of length-bucketed batching: assign every
+    document to the smallest power-of-two sequence cap that fits it and
+    report, per bucket, the tokens a pad-to-cap batcher burns on
+    padding vs the tokens the same docs would burn padded to the GLOBAL
+    max (the no-bucketing baseline) — the standard justification table
+    for bucketed batching / `--group_by_length` in training stacks.
+
+    Everything is integer: bucket caps come from a CASE ladder (docs
+    past the last cap round up to its next multiple, so waste is never
+    negative), and waste_micro divides non-negative integers.
+
+    Scale shape: one projection + one map-side-combined groupBy on a
+    ~dozen-value key; the global max is a 1-row aggregate cross-joined
+    back. The corpus is scanned once, shuffled only as partial aggs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(token_count("text").alias("n_tokens"))
+    cap = F.when(F.col("n_tokens") <= PAD_CAPS[0], PAD_CAPS[0])
+    for c in PAD_CAPS[1:]:
+        cap = cap.when(F.col("n_tokens") <= c, c)
+    last = PAD_CAPS[-1]
+    cap = cap.otherwise(
+        F.expr(f"((n_tokens + {last - 1}) div {last}) * {last}")
+    )
+    bucketed = per.select(
+        cap.cast("bigint").alias("bucket_cap"), "n_tokens"
+    )
+    per_bucket = bucketed.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    glob = bucketed.agg(F.max("n_tokens").cast("bigint").alias("global_cap"))
+    padded = F.col("n_docs") * F.col("bucket_cap")
+    return per_bucket.crossJoin(F.broadcast(glob)).select(
+        "bucket_cap",
+        "n_docs",
+        "sum_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        (padded - F.col("sum_tokens")).cast("bigint").alias("waste_tokens"),
+        F.expr(
+            "(n_docs * bucket_cap - sum_tokens) * 1000000"
+            " div (n_docs * bucket_cap)"
+        )
+        .cast("bigint")
+        .alias("waste_micro"),
+        (F.col("n_docs") * F.col("global_cap") - F.col("sum_tokens"))
+        .cast("bigint")
+        .alias("unbucketed_waste_tokens"),
+    )
+
+
+# --- Quality-bar retention sweep ------------------------------------------
+
+# Candidate thresholds on the distinct-token ratio (micro units): the
+# sweep a curation run does before committing to a quality bar.
+SWEEP_STEP = 100000
+SWEEP_THRESHOLDS = list(range(0, 1000000, SWEEP_STEP))  # 0 .. 0.9
+
+
+_SWEEP_ORACLE = rf"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+                  * 1000000
+                  // LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS distinct_micro
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grid AS (
+      SELECT CAST(unnest(range(0, 1000000, {SWEEP_STEP})) AS BIGINT)
+        AS threshold_micro
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM per_doc
+    )
+    SELECT g.threshold_micro,
+           CAST(COUNT(*) FILTER (WHERE d.distinct_micro >= g.threshold_micro)
+                AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(d.n_tokens)
+                  FILTER (WHERE d.distinct_micro >= g.threshold_micro), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(COUNT(*) FILTER (WHERE d.distinct_micro >= g.threshold_micro)
+                * 1000000 // t.total_docs AS BIGINT) AS docs_share_micro,
+           CAST(COALESCE(SUM(d.n_tokens)
+                  FILTER (WHERE d.distinct_micro >= g.threshold_micro), 0)
+                * 1000000 // t.total_tokens AS BIGINT) AS tokens_share_micro
+    FROM grid g CROSS JOIN per_doc d CROSS JOIN tot t
+    GROUP BY g.threshold_micro, t.total_docs, t.total_tokens
+"""
+
+
+@_register("op_quality_retention_sweep", _SWEEP_ORACLE)
+def op_quality_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve over candidate quality bars: for each threshold
+    on the distinct-token ratio (the cheapest repetition-quality
+    signal), how many documents and tokens survive — the sweep a
+    curation run publishes before committing to a bar, so the data
+    budget lost to each candidate filter is known in advance.
+
+    The ratio is kept in exact micro units (distinct·1e6 div total,
+    non-negative integer division both engines); thresholds are a
+    fixed 10-value grid.
+
+    Scale shape: one per-doc projection, then a broadcast cross join
+    against the 10-row grid whose count/sum aggregate is map-side
+    combined — the shuffle carries ≤10 rows per partition. Totals are
+    a 1-row aggregate broadcast back. No corpus self-join, no window
+    over raw rows.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    per_doc = docs.select(
+        token_count("text").alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("bigint") * F.lit(1000000))
+        .cast("bigint")
+        .alias("_dnum"),
+    ).select(
+        "n_tokens",
+        F.expr("_dnum div n_tokens").cast("bigint").alias("distinct_micro"),
+    ).localCheckpoint()  # feeds the grid join AND the totals aggregate
+    grid = spark.range(0, 1000000, SWEEP_STEP).select(
+        F.col("id").cast("bigint").alias("threshold_micro")
+    )
+    tot = per_doc.agg(
+        F.count("*").cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    kept = F.col("distinct_micro") >= F.col("threshold_micro")
+    swept = (
+        per_doc.crossJoin(F.broadcast(grid))
+        .groupBy("threshold_micro")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+    return swept.crossJoin(F.broadcast(tot)).select(
+        "threshold_micro",
+        "docs_kept",
+        "tokens_kept",
+        F.expr("docs_kept * 1000000 div total_docs")
+        .cast("bigint")
+        .alias("docs_share_micro"),
+        F.expr("tokens_kept * 1000000 div total_tokens")
+        .cast("bigint")
+        .alias("tokens_share_micro"),
+    )
+
+
+# --- Randomized-response privacy audit ------------------------------------
+
+# Flip probability p = RR_FLIP_NUM/256: each document reports its true
+# lang with probability 1-p, otherwise a hash-uniform lang from the K
+# observed classes. Both draws come from one md5, so the mechanism is
+# deterministic and both engines replay it bit-for-bit.
+RR_FLIP_NUM = 64  # p = 64/256 = 1/4
+RR_SALT = "rr_v1:"
+
+_RR_ORACLE = rf"""
+    WITH langs AS (
+      SELECT lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT) AS lrank
+      FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM langs),
+    hashed AS (
+      SELECT d.doc_id, d.lang,
+             (strpos('0123456789abcdef',
+                     substr(md5('{RR_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5('{RR_SALT}' || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1
+               AS flip_bucket,
+             (strpos('0123456789abcdef',
+                     substr(md5('{RR_SALT}' || CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + strpos('0123456789abcdef',
+                      substr(md5('{RR_SALT}' || CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1
+               AS draw_bucket
+      FROM documents d
+    ),
+    reported AS (
+      SELECT h.doc_id,
+             CASE WHEN h.flip_bucket >= {RR_FLIP_NUM} THEN h.lang
+                  ELSE r.lang END AS lang
+      FROM hashed h CROSS JOIN k
+      JOIN langs r ON r.lrank = h.draw_bucket % k.kk
+    ),
+    true_counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM documents GROUP BY lang
+    ),
+    obs_counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS observed_count
+      FROM reported GROUP BY lang
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
+    SELECT t.lang, t.true_count,
+           CAST(COALESCE(o.observed_count, 0) AS BIGINT) AS observed_count,
+           CAST(256 * k.kk * COALESCE(o.observed_count, 0)
+                - {RR_FLIP_NUM} * n.nn AS BIGINT) AS est_num,
+           CAST((256 - {RR_FLIP_NUM}) * k.kk AS BIGINT) AS est_den,
+           CAST(ABS(256 * k.kk * COALESCE(o.observed_count, 0)
+                    - {RR_FLIP_NUM} * n.nn
+                    - t.true_count * (256 - {RR_FLIP_NUM}) * k.kk) * 1000000
+                // (n.nn * (256 - {RR_FLIP_NUM}) * k.kk) AS BIGINT)
+             AS abs_err_micro
+    FROM true_counts t
+    LEFT JOIN obs_counts o ON o.lang = t.lang
+    CROSS JOIN k CROSS JOIN n
+"""
+
+
+@_register("op_privacy_randomized_response", _RR_ORACLE)
+def op_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response over the lang column (Warner 1965, the
+    local-DP mechanism): each document reports its true class with
+    probability 1−p, else a uniform draw over the K observed classes;
+    the release is the noisy histogram plus the debiased estimate
+    n̂ = (obs − p·n/K)/(1−p) and its error against the true count —
+    the utility-cost table a privacy review reads before approving a
+    metadata release.
+
+    Determinism: both the flip and the replacement draw come from one
+    md5(doc_id) (hex-digit position arithmetic, the house trick), so
+    the mechanism replays identically cross-engine. The estimate is
+    published as an exact integer fraction (est_num/est_den) — no
+    signed division anywhere; abs_err divides non-negative integers.
+
+    Scale shape: the lang rank table is K rows (broadcast); the
+    mechanism is a projection plus one broadcast join; both histograms
+    are map-side-combined groupBys on a K-value key. One corpus scan
+    per histogram, no shuffle beyond partial aggs.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (F.row_number().over(Window.orderBy("lang")) - 1)
+            .cast("bigint")
+            .alias("lrank"),
+        )
+        .localCheckpoint()  # K rows; feeds the draw join and the K count
+    )
+    kk = langs.agg(F.count("*").cast("bigint").alias("kk"))
+    hexd = "0123456789abcdef"
+    h = F.md5(F.concat(F.lit(RR_SALT), F.col("doc_id").cast("string")))
+
+    def _bucket(pos: int):
+        return (
+            (F.instr(F.lit(hexd), F.substring(h, pos, 1)) - 1) * 16
+            + F.instr(F.lit(hexd), F.substring(h, pos + 1, 1))
+            - 1
+        )
+
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        _bucket(1).alias("flip_bucket"),
+        _bucket(3).alias("draw_bucket"),
+    )
+    reported = (
+        hashed.crossJoin(F.broadcast(kk))
+        .withColumn("draw_rank", F.col("draw_bucket") % F.col("kk"))
+        .join(
+            F.broadcast(langs.select(F.col("lrank"), F.col("lang").alias("rlang"))),
+            F.col("draw_rank") == F.col("lrank"),
+        )
+        .select(
+            F.when(F.col("flip_bucket") >= RR_FLIP_NUM, F.col("lang"))
+            .otherwise(F.col("rlang"))
+            .alias("lang")
+        )
+    )
+    true_counts = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    obs_counts = reported.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("observed_count")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("nn"))
+    joined = (
+        true_counts.join(obs_counts, "lang", "left")
+        .na.fill({"observed_count": 0})
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(n))
+    )
+    keep_num = 256 - RR_FLIP_NUM
+    return joined.select(
+        "lang",
+        "true_count",
+        F.col("observed_count").cast("bigint").alias("observed_count"),
+        (256 * F.col("kk") * F.col("observed_count") - RR_FLIP_NUM * F.col("nn"))
+        .cast("bigint")
+        .alias("est_num"),
+        (F.lit(keep_num) * F.col("kk")).cast("bigint").alias("est_den"),
+        F.expr(
+            f"abs(256 * kk * observed_count - {RR_FLIP_NUM} * nn"
+            f" - true_count * {keep_num} * kk) * 1000000"
+            f" div (nn * {keep_num} * kk)"
+        )
+        .cast("bigint")
+        .alias("abs_err_micro"),
+    )

@@ -1,0 +1,185 @@
+"""Round-9 planning operators: independent pure-Python recounts (the
+third implementation next to Spark and the DuckDB oracle), plus the
+invariants each operator exists to provide (budget conservation,
+non-negative waste, monotone retention, debias-identity)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from apitap_spark.session import read_table
+
+MICRO = 1_000_000
+
+
+def _doc_rows(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").collect()
+
+
+def _ntok(text: str) -> int:
+    t = text.strip()
+    return len(t.split()) if t else 0
+
+
+def test_token_budget_epochs_matches_python_waterfill(spark, sf_dir):
+    from apitap_spark.operators.planning import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        EPOCH_CAP,
+        op_token_budget_epochs,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    per = Counter()
+    for r in rows:
+        per[r["source"]] += _ntok(r["text"])
+    total = sum(per.values())
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    n = len(per)
+    # reference water-filling: iterate fill levels until stable
+    caps = {s: EPOCH_CAP * t for s, t in per.items()}
+    capped: set[str] = set()
+    while True:
+        free = n - len(capped)
+        level = (budget - sum(caps[s] for s in capped)) // max(free, 1)
+        newly = {
+            s for s in caps if s not in capped and caps[s] <= level
+        }
+        # the closed form caps a source whose capacity sits at/below the
+        # fill level computed over the remaining pool
+        if not newly or free == 0:
+            break
+        capped |= newly
+    got = {r["source"]: r for r in op_token_budget_epochs(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    free = n - len(capped)
+    level = (budget - sum(caps[s] for s in capped)) // max(free, 1)
+    alloc_total = 0
+    for s, g in got.items():
+        assert g["n_tokens"] == per[s]
+        assert g["cap_tokens"] == caps[s]
+        assert g["budget"] == budget
+        assert g["capped"] == (s in capped)
+        expect = caps[s] if s in capped else level
+        assert g["alloc_tokens"] == expect
+        assert g["epochs_micro"] == expect * MICRO // per[s]
+        # never exceed the epoch cap
+        assert g["alloc_tokens"] <= caps[s]
+        alloc_total += g["alloc_tokens"]
+    # conservation: allocation never exceeds the budget
+    assert alloc_total <= budget
+
+
+def test_pad_waste_audit_matches_python(spark, sf_dir):
+    from apitap_spark.operators.planning import PAD_CAPS, op_pad_waste_audit
+
+    rows = _doc_rows(spark, sf_dir)
+
+    def cap_of(nt: int) -> int:
+        for c in PAD_CAPS:
+            if nt <= c:
+                return c
+        last = PAD_CAPS[-1]
+        return (nt + last - 1) // last * last
+
+    ndocs = Counter()
+    stok = Counter()
+    lens = []
+    for r in rows:
+        nt = _ntok(r["text"])
+        lens.append(nt)
+        ndocs[cap_of(nt)] += 1
+        stok[cap_of(nt)] += nt
+    gmax = max(lens)
+    got = {r["bucket_cap"]: r for r in op_pad_waste_audit(spark, sf_dir).collect()}
+    assert set(got) == set(ndocs)
+    for cap, g in got.items():
+        padded = ndocs[cap] * cap
+        assert g["n_docs"] == ndocs[cap]
+        assert g["sum_tokens"] == stok[cap]
+        assert g["padded_tokens"] == padded
+        assert g["waste_tokens"] == padded - stok[cap]
+        assert g["waste_tokens"] >= 0  # caps round UP: no negative waste
+        assert g["waste_micro"] == (padded - stok[cap]) * MICRO // padded
+        assert g["unbucketed_waste_tokens"] == ndocs[cap] * gmax - stok[cap]
+        # bucketing never pads more than the global-max layout — except
+        # possibly the TOP bucket, whose power-of-two cap may overshoot
+        # the corpus max (docs up to gmax pad to the next power of two)
+        if cap <= gmax:
+            assert g["waste_tokens"] <= g["unbucketed_waste_tokens"]
+
+
+def test_quality_retention_sweep_matches_python_and_monotone(spark, sf_dir):
+    from apitap_spark.operators.planning import (
+        SWEEP_THRESHOLDS,
+        op_quality_retention_sweep,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    metrics = []
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        metrics.append((len(set(toks)) * MICRO // len(toks), len(toks)))
+    total_docs = len(metrics)
+    total_tokens = sum(nt for _, nt in metrics)
+    got = {
+        r["threshold_micro"]: r
+        for r in op_quality_retention_sweep(spark, sf_dir).collect()
+    }
+    assert sorted(got) == sorted(SWEEP_THRESHOLDS)
+    prev_docs = None
+    for th in sorted(SWEEP_THRESHOLDS):
+        dk = sum(1 for m, _ in metrics if m >= th)
+        tk = sum(nt for m, nt in metrics if m >= th)
+        g = got[th]
+        assert g["docs_kept"] == dk
+        assert g["tokens_kept"] == tk
+        assert g["docs_share_micro"] == dk * MICRO // total_docs
+        assert g["tokens_share_micro"] == tk * MICRO // total_tokens
+        # retention is monotone non-increasing in the threshold
+        if prev_docs is not None:
+            assert dk <= prev_docs
+        prev_docs = dk
+
+
+def test_randomized_response_matches_python_mechanism(spark, sf_dir):
+    from apitap_spark.operators.planning import (
+        RR_FLIP_NUM,
+        RR_SALT,
+        op_privacy_randomized_response,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    langs = sorted({r["lang"] for r in rows})
+    k = len(langs)
+    n = len(rows)
+    true_c = Counter(r["lang"] for r in rows)
+    obs_c = Counter()
+    for r in rows:
+        h = hashlib.md5(f"{RR_SALT}{r['doc_id']}".encode()).hexdigest()
+        flip_bucket = int(h[:2], 16)
+        draw_bucket = int(h[2:4], 16)
+        if flip_bucket >= RR_FLIP_NUM:
+            obs_c[r["lang"]] += 1
+        else:
+            obs_c[langs[draw_bucket % k]] += 1
+    keep = 256 - RR_FLIP_NUM
+    got = {r["lang"]: r for r in op_privacy_randomized_response(spark, sf_dir).collect()}
+    assert set(got) == set(true_c)
+    assert sum(g["observed_count"] for g in got.values()) == n
+    for lang, g in got.items():
+        assert g["true_count"] == true_c[lang]
+        assert g["observed_count"] == obs_c[lang]
+        est_num = 256 * k * obs_c[lang] - RR_FLIP_NUM * n
+        est_den = keep * k
+        assert g["est_num"] == est_num
+        assert g["est_den"] == est_den
+        err = abs(est_num - true_c[lang] * est_den)
+        assert g["abs_err_micro"] == err * MICRO // (n * est_den)
+    # debias identity: summed estimates recover n exactly
+    # (sum est_num = 256k·n − p·n·K·k... = keep·k·n = n·est_den)
+    assert sum(g["est_num"] for g in got.values()) == n * keep * k
