@@ -894,7 +894,10 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("ha") + F.lit(j) * F.col("hb")).alias(f"h{j}")
             for j in range(N_HASHES)
         ]
-    )
+    ).localCheckpoint()
+    # ^ candidate-doc cardinality (tiny); consumed by BOTH join sides —
+    # without the checkpoint the 128-min aggregate + shingle semi-join
+    # runs twice (A/B: consistent ~5% gate win, round-9 sweep).
     s1 = sig.alias("s1")
     s2 = sig.alias("s2")
     matches = None

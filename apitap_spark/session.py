@@ -55,6 +55,17 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # JDK 17 defaults ReservedCodeCacheSize to 240 MB; a long-lived
+        # session running hundreds of distinct whole-stage-codegen plans
+        # (the bench suite, a pipeline scheduler) fills it, the JIT stops
+        # compiling, and LATER jobs run progressively slower — measured as
+        # a monotone 1.0x -> 1.3x per-gate inflation across the round-9
+        # suite with flat warmup. Local mode = one JVM, so sizing the
+        # driver's cache covers the executors too.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     if master:
         builder = builder.master(master)
