@@ -115,6 +115,8 @@ _NEW_GATES: set[str] = {
     "op_pad_waste_audit",
     "op_quality_retention_sweep",
     "op_privacy_randomized_response",
+    "op_fairness_equalized_odds",
+    "op_winsorized_moments",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -2356,3 +2356,121 @@ def op_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_certain"),
     )
+
+
+# --- Disaggregated fairness audit (equalized-odds gaps) --------------------
+
+# The audited classifier: predict "long document" (n_chars >= the label
+# bar) from the distinct-token-ratio quality signal (dm < the prediction
+# bar — longer docs repeat vocabulary, so LOW lexical diversity predicts
+# length). Bars picked so every lang group has positives AND negatives
+# with a non-trivial error mix at sf0.001 and sf0.01 (measured before
+# registering — the vacuous-fixture guard).
+FAIR_LABEL_CHARS = 250
+FAIR_PRED_BAR = 550000  # micro distinct-token ratio
+
+
+def _fairness_oracle() -> str:
+    return rf"""
+    WITH per AS (
+      SELECT lang,
+             CASE WHEN n_chars >= {FAIR_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+             CASE WHEN LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+                       * 1000000
+                       // LEN(string_split_regex(TRIM(text), '\s+'))
+                       < {FAIR_PRED_BAR} THEN 1 ELSE 0 END AS yhat
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grp AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg,
+             CAST(SUM(y * yhat) AS BIGINT) AS tp,
+             CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp
+      FROM per GROUP BY lang
+    ),
+    pooled AS (
+      SELECT CAST(SUM(tp) * 1000000 // SUM(pos) AS BIGINT) AS tpr_all,
+             CAST(SUM(fp) * 1000000 // SUM(neg) AS BIGINT) AS fpr_all
+      FROM grp
+    )
+    SELECT g.lang, g.n, g.pos, g.neg, g.tp, g.fp,
+           CAST(g.tp * 1000000 // g.pos AS BIGINT) AS tpr_micro,
+           CAST(g.fp * 1000000 // g.neg AS BIGINT) AS fpr_micro,
+           p.tpr_all, p.fpr_all,
+           CAST(ABS(g.tp * 1000000 // g.pos - p.tpr_all) AS BIGINT)
+             AS tpr_gap_micro,
+           CAST(ABS(g.fp * 1000000 // g.neg - p.fpr_all) AS BIGINT)
+             AS fpr_gap_micro
+    FROM grp g CROSS JOIN pooled p
+    """
+
+
+@_register("op_fairness_equalized_odds", _fairness_oracle())
+def op_fairness_equalized_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disaggregated evaluation / equalized-odds audit (Hardt et al.
+    2016): per protected group (lang), the TPR and FPR of a classifier
+    and their absolute gaps against the pooled rates — the fairness
+    table a model card publishes so one group's error rates can't hide
+    inside a good aggregate.
+
+    The audited classifier is fixed and deterministic (low lexical
+    diversity predicts "long document"), so the audit arithmetic is the
+    content: all counts integer, rates in exact micro units, divisions
+    only on positive denominators (every group has pos>0 and neg>0 at
+    the shipped bars — measured at both driver SFs before registering);
+    the gap subtraction happens BEFORE abs on integers, never a signed
+    division.
+
+    Scale shape: one corpus projection, one map-side-combined groupBy
+    on the K-value lang key, pooled rates as a 1-row aggregate of the
+    K-row group table broadcast back. The corpus is scanned once.
+    """
+    from apitap_spark.functions.text import token_count, tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    per = docs.select(
+        "lang",
+        (F.col("n_chars") >= FAIR_LABEL_CHARS).cast("bigint").alias("y"),
+        (F.size(F.array_distinct(t)).cast("bigint") * F.lit(1000000)).alias(
+            "_dnum"
+        ),
+        token_count("text").alias("_ntok"),
+    ).select(
+        "lang",
+        "y",
+        (F.expr("_dnum div _ntok") < FAIR_PRED_BAR).cast("bigint").alias("yhat"),
+    )
+    grp = per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("fp"),
+    ).localCheckpoint()  # K rows; feeds pooled AND the output join
+    pooled = grp.agg(
+        F.expr("sum(tp) * 1000000 div sum(pos)").cast("bigint").alias("tpr_all"),
+        F.expr("sum(fp) * 1000000 div sum(neg)").cast("bigint").alias("fpr_all"),
+    )
+    return grp.crossJoin(F.broadcast(pooled)).select(
+        "lang",
+        "n",
+        "pos",
+        "neg",
+        "tp",
+        "fp",
+        F.expr("tp * 1000000 div pos").cast("bigint").alias("tpr_micro"),
+        F.expr("fp * 1000000 div neg").cast("bigint").alias("fpr_micro"),
+        "tpr_all",
+        "fpr_all",
+        F.expr("abs(tp * 1000000 div pos - tpr_all)")
+        .cast("bigint")
+        .alias("tpr_gap_micro"),
+        F.expr("abs(fp * 1000000 div neg - fpr_all)")
+        .cast("bigint")
+        .alias("fpr_gap_micro"),
+    )

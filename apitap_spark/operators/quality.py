@@ -2428,3 +2428,133 @@ def op_sketch_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("theta_estimate"),
         )
     )
+
+
+# --- Winsorized per-source moments ------------------------------------------
+
+WINSOR_Q_LO = 5  # percent
+WINSOR_Q_HI = 95
+
+
+def _winsor_oracle() -> str:
+    return f"""
+    WITH lens AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    counted AS (
+      SELECT source, x, COUNT(*) AS cnt FROM lens GROUP BY source, x
+    ),
+    cum AS (
+      SELECT source, x,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM counted
+    ),
+    lo AS (
+      SELECT source, MIN(x) AS p_lo FROM cum
+      WHERE cum * 100 >= {WINSOR_Q_LO} * n GROUP BY source
+    ),
+    hi AS (
+      SELECT source, MIN(x) AS p_hi FROM cum
+      WHERE cum * 100 >= {WINSOR_Q_HI} * n GROUP BY source
+    ),
+    clamped AS (
+      SELECT l.source,
+             CASE WHEN l.x < lo.p_lo THEN lo.p_lo
+                  WHEN l.x > hi.p_hi THEN hi.p_hi
+                  ELSE l.x END AS xw,
+             CASE WHEN l.x < lo.p_lo THEN 1 ELSE 0 END AS clip_lo,
+             CASE WHEN l.x > hi.p_hi THEN 1 ELSE 0 END AS clip_hi,
+             lo.p_lo, hi.p_hi
+      FROM lens l JOIN lo ON lo.source = l.source
+      JOIN hi ON hi.source = l.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(p_lo) AS BIGINT) AS p5_chars,
+           CAST(MIN(p_hi) AS BIGINT) AS p95_chars,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(xw) AS BIGINT) AS winsor_sum,
+           CAST(SUM(xw) * 1000000 // COUNT(*) AS BIGINT) AS winsor_mean_micro,
+           CAST(COUNT(*) * SUM(xw * xw) - SUM(xw) * SUM(xw) AS BIGINT)
+             AS winsor_varnum
+    FROM clamped GROUP BY source
+    """
+
+
+@_register("op_winsorized_moments", _winsor_oracle())
+def op_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-source length moments: clamp n_chars at the
+    discrete per-source p5/p95 and report the clipped counts, the
+    winsorized mean, and the exact variance numerator
+    n·Σx̃² − (Σx̃)² — the outlier-resistant moment pair a curation
+    dashboard trends per source (the clamping complement of
+    op_length_filter_bounds, which only counts outliers, and of
+    op_robust_stats' median/MAD).
+
+    Exactness: discrete quantiles via the distinct-value cumulative
+    plan (cum·100 ≥ q·n, integer-only); the clamp is a CASE on bigints;
+    moments are bigint sums — the variance numerator is division-free
+    (n·Σx̃²−(Σx̃)², headroom: chars ≤ 4k ⇒ n·Σx̃² < 2e18 holds through
+    ~sf100 per-source; the mean divides non-negatives).
+
+    Scale shape: the quantile window runs over DISTINCT (source, x)
+    rows, never raw docs; bounds broadcast back; one final
+    map-side-combined groupBy(source). Two corpus scans total (quantile
+    derivation + clamp pass), both column-pruned to (source, n_chars).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lens = docs.select("source", F.col("n_chars").cast("bigint").alias("x"))
+    counted = lens.groupBy("source", "x").agg(F.count("*").alias("cnt"))
+    wp = Window.partitionBy("source")
+    cum = counted.select(
+        "source",
+        "x",
+        F.sum("cnt")
+        .over(
+            wp.orderBy("x").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+
+    def pick(q: int, name: str) -> DataFrame:
+        return (
+            cum.filter(F.col("cum") * 100 >= F.lit(q) * F.col("n"))
+            .groupBy("source")
+            .agg(F.min("x").alias(name))
+        )
+
+    bounds = pick(WINSOR_Q_LO, "p_lo").join(pick(WINSOR_Q_HI, "p_hi"), "source")
+    clamped = lens.join(F.broadcast(bounds), "source").select(
+        "source",
+        "p_lo",
+        "p_hi",
+        F.when(F.col("x") < F.col("p_lo"), F.col("p_lo"))
+        .when(F.col("x") > F.col("p_hi"), F.col("p_hi"))
+        .otherwise(F.col("x"))
+        .alias("xw"),
+        (F.col("x") < F.col("p_lo")).cast("bigint").alias("clip_lo"),
+        (F.col("x") > F.col("p_hi")).cast("bigint").alias("clip_hi"),
+    )
+    return clamped.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("p_lo").cast("bigint").alias("p5_chars"),
+        F.min("p_hi").cast("bigint").alias("p95_chars"),
+        F.sum("clip_lo").cast("bigint").alias("n_clipped_lo"),
+        F.sum("clip_hi").cast("bigint").alias("n_clipped_hi"),
+        F.sum("xw").cast("bigint").alias("winsor_sum"),
+        F.expr("sum(xw) * 1000000 div count(*)")
+        .cast("bigint")
+        .alias("winsor_mean_micro"),
+        (
+            F.count("*").cast("bigint") * F.sum(F.col("xw") * F.col("xw")).cast("bigint")
+            - F.sum("xw").cast("bigint") * F.sum("xw").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("winsor_varnum"),
+    )

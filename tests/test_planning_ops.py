@@ -183,3 +183,96 @@ def test_randomized_response_matches_python_mechanism(spark, sf_dir):
     # debias identity: summed estimates recover n exactly
     # (sum est_num = 256k·n − p·n·K·k... = keep·k·n = n·est_den)
     assert sum(g["est_num"] for g in got.values()) == n * keep * k
+
+
+def test_fairness_equalized_odds_matches_python(spark, sf_dir):
+    from apitap_spark.operators.ml import (
+        FAIR_LABEL_CHARS,
+        FAIR_PRED_BAR,
+        op_fairness_equalized_odds,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    grp = {}
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        y = 1 if r["n_chars"] >= FAIR_LABEL_CHARS else 0
+        yhat = 1 if len(set(toks)) * MICRO // len(toks) < FAIR_PRED_BAR else 0
+        g = grp.setdefault(r["lang"], [0, 0, 0, 0, 0])  # n,pos,neg,tp,fp
+        g[0] += 1
+        g[1] += y
+        g[2] += 1 - y
+        g[3] += y * yhat
+        g[4] += (1 - y) * yhat
+    tpr_all = sum(g[3] for g in grp.values()) * MICRO // sum(
+        g[1] for g in grp.values()
+    )
+    fpr_all = sum(g[4] for g in grp.values()) * MICRO // sum(
+        g[2] for g in grp.values()
+    )
+    got = {
+        r["lang"]: r for r in op_fairness_equalized_odds(spark, sf_dir).collect()
+    }
+    assert set(got) == set(grp)
+    for lang, (n, pos, neg, tp, fp) in grp.items():
+        # the gate is only meaningful when every group has both classes
+        assert pos > 0 and neg > 0
+        g = got[lang]
+        assert (g["n"], g["pos"], g["neg"], g["tp"], g["fp"]) == (
+            n,
+            pos,
+            neg,
+            tp,
+            fp,
+        )
+        assert g["tpr_micro"] == tp * MICRO // pos
+        assert g["fpr_micro"] == fp * MICRO // neg
+        assert g["tpr_gap_micro"] == abs(tp * MICRO // pos - tpr_all)
+        assert g["fpr_gap_micro"] == abs(fp * MICRO // neg - fpr_all)
+
+
+def test_winsorized_moments_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from apitap_spark.operators.quality import (
+        WINSOR_Q_HI,
+        WINSOR_Q_LO,
+        op_winsorized_moments,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    per = defaultdict(list)
+    for r in rows:
+        per[r["source"]].append(r["n_chars"])
+    got = {r["source"]: r for r in op_winsorized_moments(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for src, xs in per.items():
+        xs_sorted = sorted(xs)
+        n = len(xs)
+
+        def discrete_q(q):
+            # smallest distinct value whose cumulative count reaches q%
+            cum = 0
+            from collections import Counter
+
+            for v, c in sorted(Counter(xs).items()):
+                cum += c
+                if cum * 100 >= q * n:
+                    return v
+            return xs_sorted[-1]
+
+        lo, hi = discrete_q(WINSOR_Q_LO), discrete_q(WINSOR_Q_HI)
+        w = [min(max(x, lo), hi) for x in xs]
+        g = got[src]
+        assert g["n_docs"] == n
+        assert (g["p5_chars"], g["p95_chars"]) == (lo, hi)
+        assert g["n_clipped_lo"] == sum(1 for x in xs if x < lo)
+        assert g["n_clipped_hi"] == sum(1 for x in xs if x > hi)
+        assert g["winsor_sum"] == sum(w)
+        assert g["winsor_mean_micro"] == sum(w) * MICRO // n
+        assert g["winsor_varnum"] == n * sum(v * v for v in w) - sum(w) ** 2
+        # winsorized variance never exceeds the raw variance numerator
+        assert g["winsor_varnum"] <= n * sum(x * x for x in xs) - sum(xs) ** 2
