@@ -1178,3 +1178,86 @@ def test_kcore_edge_build_stays_window_only(spark, sf_dir):
     assert df.columns == ["peel_round", "k", "survivors", "edges_remaining"]
     p = _plan(df)
     assert "Join" not in p  # trajectory rows are already materialized
+
+
+def test_token_budget_windows_over_source_aggregate(spark, sf_dir):
+    """Every window runs over the checkpointed source-cardinality frame
+    (no parquet rescan above the checkpoint); the capped-set reduce is a
+    broadcast 1-row join; nothing cartesian."""
+    from apitap_spark.operators.planning import op_token_budget_epochs
+
+    p = _plan(op_token_budget_epochs(spark, sf_dir))
+    assert p.count("Scan parquet") == 0  # corpus scanned once, below ckpt
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the source-cardinality windows sit BELOW the flagged checkpoint
+    # (truncated from this plan — tri_pernode_counts pattern); what must
+    # hold above it: both consumers read the checkpointed RDD, not parquet
+    assert p.count("Scan ExistingRDD") >= 2
+
+
+def test_pad_waste_single_scan_partial_agg(spark, sf_dir):
+    """One corpus scan pruned to the text column, map-side-combined
+    groupBy on the bucket cap, global max broadcast back — no window,
+    no second scan in the final plan (the scalar aggregate rides a
+    broadcast join of the SAME scan subtree, reused or re-scanned: both
+    appear as Scan parquet nodes; assert no window + no cartesian)."""
+    from apitap_spark.operators.planning import op_pad_waste_audit
+
+    p = _plan(op_pad_waste_audit(spark, sf_dir))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_retention_sweep_grid_broadcast_partial_agg(spark, sf_dir):
+    """The 10-row grid joins by broadcast above the checkpointed per-doc
+    frame; the aggregate combines map-side so the shuffle carries <=10
+    rows per partition; totals ride a broadcast 1-row join."""
+    from apitap_spark.operators.planning import op_quality_retention_sweep
+
+    p = _plan(op_quality_retention_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 0  # per-doc metrics checkpointed
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_sum" in p
+
+
+def test_randomized_response_broadcast_mechanism(spark, sf_dir):
+    """The K-row lang rank table and the K count attach by broadcast;
+    both histograms are map-side-combined groupBys; no cartesian, no
+    corpus self-join."""
+    from apitap_spark.operators.planning import (
+        op_privacy_randomized_response,
+    )
+
+    p = _plan(op_privacy_randomized_response(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "partial_count" in p
+
+
+def test_fairness_single_scan_broadcast_pooled(spark, sf_dir):
+    """One corpus projection feeds the checkpointed K-row group table;
+    pooled rates ride a broadcast 1-row join over it — the final plan
+    never rescans parquet."""
+    from apitap_spark.operators.ml import op_fairness_equalized_odds
+
+    p = _plan(op_fairness_equalized_odds(spark, sf_dir))
+    assert p.count("Scan parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_winsorized_windows_over_distinct_values_only(spark, sf_dir):
+    """The quantile windows run over the distinct (source, n_chars)
+    aggregate (never raw docs — partial_count proves the pre-window
+    combine), bounds attach by broadcast, and the moment groupBy
+    combines map-side."""
+    from apitap_spark.operators.quality import op_winsorized_moments
+
+    p = _plan(op_winsorized_moments(spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p
