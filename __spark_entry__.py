@@ -117,6 +117,9 @@ _NEW_GATES: set[str] = {
     "op_privacy_randomized_response",
     "op_fairness_equalized_odds",
     "op_winsorized_moments",
+    "op_dedup_onion_share",
+    "op_ml_mcnemar_paired",
+    "op_curriculum_phases",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

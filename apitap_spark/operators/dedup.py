@@ -1745,3 +1745,76 @@ def op_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_micro",
         )
     )
+
+
+# --- ONION-style per-document duplication share -----------------------------
+
+ONION_N = 3  # word n-gram order
+
+
+def _onion_oracle() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(t) - {ONION_N - 1}, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+      FROM tok
+    ),
+    gdf AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_micro
+    FROM grams JOIN gdf USING (g) GROUP BY doc_id
+    """
+
+
+@_register("op_dedup_onion_share", _onion_oracle())
+def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONION-style per-document duplication share (Pomikálek 2011): the
+    fraction of each document's distinct word {ONION_N}-grams that also
+    occur in OTHER documents (corpus frequency ≥ 2) — the
+    boilerplate/duplication signal used to drop or down-weight
+    documents whose content is mostly corpus-redundant, complementing
+    the pairwise rungs (Jaccard/MinHash find WHO duplicates whom; this
+    scores HOW duplicated each doc is without naming partners).
+
+    A doc's distinct grams are counted once (list_distinct), so df ≥ 2
+    means "appears in ≥ 2 documents". dup_micro divides non-negative
+    integers — hash-exact.
+
+    Scale shape: one explode → one map-side-combined gram-df groupBy →
+    one broadcast-unfriendly but LINEAR gram-keyed join back (the gram
+    table is corpus-sized; the join is shuffle-keyed by gram — the same
+    single-shuffle shape as the inverted index) → one doc-keyed
+    aggregate. No pairwise anything, no df cap needed (df only
+    thresholds at 2; hot grams don't explode any join).
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
+    )
+    gdf = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
+    return (
+        grams.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("int")).cast("bigint").alias(
+                "n_dup_grams"
+            ),
+            F.expr(
+                "CAST(sum(CAST(df >= 2 AS INT)) * 1000000L div count(*)"
+                " AS BIGINT)"
+            ).alias("dup_micro"),
+        )
+    )

@@ -2474,3 +2474,106 @@ def op_fairness_equalized_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fpr_gap_micro"),
     )
+
+
+# --- McNemar paired-classifier comparison ----------------------------------
+
+# Classifier A: the fairness gate's lexical-diversity stump; classifier
+# B: a token-count stump. Same label as the fairness audit. Discordant
+# counts measured non-degenerate at sf0.001 (b=22, c=32) and sf0.01
+# (b=20, c=33) before registering.
+MCNEMAR_B_TOKENS = 50
+
+
+def _mcnemar_oracle() -> str:
+    return rf"""
+    WITH per AS (
+      SELECT CASE WHEN n_chars >= {FAIR_LABEL_CHARS} THEN 1 ELSE 0 END AS y,
+             CASE WHEN LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+                       * 1000000
+                       // LEN(string_split_regex(TRIM(text), '\s+'))
+                       < {FAIR_PRED_BAR} THEN 1 ELSE 0 END AS a,
+             CASE WHEN LEN(string_split_regex(TRIM(text), '\s+'))
+                       >= {MCNEMAR_B_TOKENS} THEN 1 ELSE 0 END AS b
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT) AS a_correct,
+           CAST(SUM(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT) AS b_correct,
+           CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT)
+             AS disc_b,
+           CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS disc_c,
+           CAST((ABS(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                     - SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)) - 1)
+                * (ABS(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)) - 1)
+                * 1000000
+                // (SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END))
+                AS BIGINT) AS chi2_micro
+    FROM per
+    """
+
+
+@_register("op_ml_mcnemar_paired", _mcnemar_oracle())
+def op_ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two classifiers evaluated on the
+    SAME documents (Dietterich 1998's recommended comparison): the
+    discordant-pair counts b (A right, B wrong) and c (A wrong, B
+    right) and the continuity-corrected statistic (|b−c|−1)²/(b+c) —
+    the significance check behind 'is filter A actually better than
+    filter B' before swapping quality classifiers in a curation
+    pipeline. Accuracy deltas alone overstate significance because the
+    two classifiers share every document.
+
+    Exactness: all counts integers; the statistic clears to
+    (|b−c|−1)²·1e6 // (b+c) — squares by self-multiplication (never
+    pow), division on non-negatives. b+c > 0 at both driver SFs
+    (measured). One corpus scan, one 1-row aggregate — fully map-side.
+    """
+    from apitap_spark.functions.text import token_count, tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    per = docs.select(
+        (F.col("n_chars") >= FAIR_LABEL_CHARS).cast("bigint").alias("y"),
+        (F.size(F.array_distinct(t)).cast("bigint") * F.lit(1000000)).alias(
+            "_dnum"
+        ),
+        token_count("text").alias("_ntok"),
+    ).select(
+        "y",
+        (F.expr("_dnum div _ntok") < FAIR_PRED_BAR).cast("bigint").alias("a"),
+        (F.col("_ntok") >= MCNEMAR_B_TOKENS).cast("bigint").alias("b"),
+    )
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("a") == F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("a_correct"),
+        F.sum((F.col("b") == F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("b_correct"),
+        F.sum(((F.col("a") == F.col("y")) & (F.col("b") != F.col("y"))).cast("int"))
+        .cast("bigint")
+        .alias("disc_b"),
+        F.sum(((F.col("a") != F.col("y")) & (F.col("b") == F.col("y"))).cast("int"))
+        .cast("bigint")
+        .alias("disc_c"),
+    )
+    return agg.select(
+        "n",
+        "a_correct",
+        "b_correct",
+        "disc_b",
+        "disc_c",
+        F.expr(
+            "(abs(disc_b - disc_c) - 1) * (abs(disc_b - disc_c) - 1)"
+            " * 1000000 div (disc_b + disc_c)"
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )

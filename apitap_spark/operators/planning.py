@@ -532,3 +532,117 @@ def op_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("abs_err_micro"),
     )
+
+
+# --- Curriculum phase assignment -------------------------------------------
+
+CURRICULUM_PHASES = 3
+
+
+def _curriculum_oracle() -> str:
+    return rf"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+                  * 1000000
+                  // LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+               AS score
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    per_score AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM per_doc GROUP BY score
+    ),
+    cum AS (
+      SELECT score, n_docs, tokens,
+             CAST(SUM(tokens) OVER (ORDER BY score DESC
+                                    ROWS UNBOUNDED PRECEDING) - tokens
+                  AS BIGINT) AS start_tokens,
+             CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens
+      FROM per_score
+    ),
+    phased AS (
+      SELECT score, n_docs, tokens,
+             CAST(LEAST({CURRICULUM_PHASES - 1},
+                        start_tokens * {CURRICULUM_PHASES} // total_tokens)
+                  AS BIGINT) AS phase
+      FROM cum
+    )
+    SELECT phase,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS tokens,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM phased GROUP BY phase
+    """
+
+
+@_register("op_curriculum_phases", _curriculum_oracle())
+def op_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: order the corpus by a quality score
+    (highest first) and cut it into {CURRICULUM_PHASES} phases of
+    roughly equal TOKEN mass — the static curriculum schedule
+    (clean → noisy) a staged pretraining run consumes, with per-phase
+    doc/token totals and score ranges as the published schedule card.
+
+    Phase boundaries land at SCORE-BUCKET granularity: the cumulative
+    window runs over DISTINCT score values (hundreds of rows), never
+    raw documents, so there is no global corpus sort — same discipline
+    as the discrete-quantile gates. A bucket belongs to the phase its
+    cumulative START falls in (ties share a phase deterministically).
+    All arithmetic integer; divisions on non-negatives.
+
+    Scale shape: one per-doc projection → map-side-combined
+    groupBy(score) → one tiny window over score buckets → final
+    {CURRICULUM_PHASES}-row aggregate. The corpus is scanned once.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    t = tokens("text")
+    per_doc = docs.select(
+        token_count("text").alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("bigint") * F.lit(1000000)).alias(
+            "_dnum"
+        ),
+    ).select(
+        "n_tokens",
+        F.expr("_dnum div n_tokens").cast("bigint").alias("score"),
+    )
+    per_score = per_doc.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    w_desc = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    cum = per_score.select(
+        "score",
+        "n_docs",
+        "tokens",
+        (F.sum("tokens").over(w_desc) - F.col("tokens"))
+        .cast("bigint")
+        .alias("start_tokens"),
+        F.sum("tokens").over(w_all).cast("bigint").alias("total_tokens"),
+    )
+    phased = cum.select(
+        "score",
+        "n_docs",
+        "tokens",
+        F.least(
+            F.lit(CURRICULUM_PHASES - 1),
+            F.expr(f"start_tokens * {CURRICULUM_PHASES} div total_tokens"),
+        )
+        .cast("bigint")
+        .alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("tokens"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+    )

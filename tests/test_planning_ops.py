@@ -276,3 +276,105 @@ def test_winsorized_moments_matches_python(spark, sf_dir):
         assert g["winsor_varnum"] == n * sum(v * v for v in w) - sum(w) ** 2
         # winsorized variance never exceeds the raw variance numerator
         assert g["winsor_varnum"] <= n * sum(x * x for x in xs) - sum(xs) ** 2
+
+
+def test_onion_share_matches_python(spark, sf_dir):
+    from apitap_spark.operators.dedup import ONION_N, op_dedup_onion_share
+
+    rows = _doc_rows(spark, sf_dir)
+    doc_grams = {}
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        doc_grams[r["doc_id"]] = {
+            " ".join(toks[i : i + ONION_N])
+            for i in range(max(len(toks) - ONION_N + 1, 0))
+        }
+    df = Counter()
+    for gs in doc_grams.values():
+        df.update(gs)
+    got = {r["doc_id"]: r for r in op_dedup_onion_share(spark, sf_dir).collect()}
+    assert set(got) == {d for d, gs in doc_grams.items() if gs}
+    for doc, gs in doc_grams.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if df[g] >= 2)
+        g = got[doc]
+        assert g["n_grams"] == len(gs)
+        assert g["n_dup_grams"] == dup
+        assert g["dup_micro"] == dup * MICRO // len(gs)
+
+
+def test_mcnemar_matches_python(spark, sf_dir):
+    from apitap_spark.operators.ml import (
+        FAIR_LABEL_CHARS,
+        FAIR_PRED_BAR,
+        MCNEMAR_B_TOKENS,
+        op_ml_mcnemar_paired,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    n = ac = bc = b_disc = c_disc = 0
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        y = 1 if r["n_chars"] >= FAIR_LABEL_CHARS else 0
+        a = 1 if len(set(toks)) * MICRO // len(toks) < FAIR_PRED_BAR else 0
+        b = 1 if len(toks) >= MCNEMAR_B_TOKENS else 0
+        n += 1
+        ac += a == y
+        bc += b == y
+        b_disc += a == y and b != y
+        c_disc += a != y and b == y
+    assert b_disc + c_disc > 0  # non-degenerate fixture
+    g = op_ml_mcnemar_paired(spark, sf_dir).collect()[0]
+    assert (g["n"], g["a_correct"], g["b_correct"]) == (n, ac, bc)
+    assert (g["disc_b"], g["disc_c"]) == (b_disc, c_disc)
+    d = abs(b_disc - c_disc) - 1
+    assert g["chi2_micro"] == d * d * MICRO // (b_disc + c_disc)
+
+
+def test_curriculum_phases_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from apitap_spark.operators.planning import (
+        CURRICULUM_PHASES,
+        op_curriculum_phases,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    per_score = defaultdict(lambda: [0, 0])  # score -> [n_docs, tokens]
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        score = len(set(toks)) * MICRO // len(toks)
+        per_score[score][0] += 1
+        per_score[score][1] += len(toks)
+    total = sum(v[1] for v in per_score.values())
+    phases = defaultdict(lambda: [0, 0, None, None])  # n, tok, mn, mx
+    start = 0
+    for score in sorted(per_score, reverse=True):
+        nd, tk = per_score[score]
+        ph = min(CURRICULUM_PHASES - 1, start * CURRICULUM_PHASES // total)
+        p = phases[ph]
+        p[0] += nd
+        p[1] += tk
+        p[2] = score if p[2] is None else min(p[2], score)
+        p[3] = score if p[3] is None else max(p[3], score)
+        start += tk
+    got = {r["phase"]: r for r in op_curriculum_phases(spark, sf_dir).collect()}
+    assert set(got) == set(phases)
+    for ph, (nd, tk, mn, mx) in phases.items():
+        g = got[ph]
+        assert (g["n_docs"], g["tokens"]) == (nd, tk)
+        assert (g["min_score"], g["max_score"]) == (mn, mx)
+    # phases are contiguous in score: phase k's min >= phase k+1's max
+    for k in range(CURRICULUM_PHASES - 1):
+        if k in got and k + 1 in got:
+            assert got[k]["min_score"] >= got[k + 1]["max_score"]

@@ -1261,3 +1261,37 @@ def test_winsorized_windows_over_distinct_values_only(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p
+
+
+def test_onion_share_linear_gram_join_no_pairs(spark, sf_dir):
+    """Gram-df attaches by a LINEAR gram-keyed shuffle join (never a
+    doc-pair self-join): one explode, partial-agg df, no cartesian."""
+    from apitap_spark.operators.dedup import op_dedup_onion_share
+
+    p = _plan(op_dedup_onion_share(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+    assert p.count("Generate") >= 1  # the single explode
+
+
+def test_mcnemar_one_scan_one_row(spark, sf_dir):
+    """Single corpus scan, single global aggregate — no joins at all."""
+    from apitap_spark.operators.ml import op_ml_mcnemar_paired
+
+    p = _plan(op_ml_mcnemar_paired(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count(") Scan parquet") == 1  # detail section: one real scan
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_curriculum_windows_over_score_buckets(spark, sf_dir):
+    """The cumulative window runs over the distinct-score aggregate
+    (partial_count proves the pre-window combine), never raw docs."""
+    from apitap_spark.operators.planning import op_curriculum_phases
+
+    p = _plan(op_curriculum_phases(spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert p.count(") Scan parquet") == 1  # detail section: one real scan
+    assert "partial_count" in p
