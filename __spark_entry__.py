@@ -120,6 +120,7 @@ _NEW_GATES: set[str] = {
     "op_dedup_onion_share",
     "op_ml_mcnemar_paired",
     "op_curriculum_phases",
+    "op_survival_km",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -813,3 +813,151 @@ def op_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("covered_seconds"),
     )
+
+
+# --- Kaplan-Meier survival over user lifetimes ------------------------------
+
+KM_CENSOR_GAP_DAYS = 3  # users active within this window of corpus end
+
+
+def _km_oracle() -> str:
+    return f"""
+    WITH RECURSIVE span AS (
+      SELECT CAST(MAX(epoch(ts)) AS BIGINT) AS tmax FROM events
+    ),
+    per_user AS (
+      SELECT event_type,
+             CAST((CAST(MAX(epoch(ts)) AS BIGINT)
+                   - CAST(MIN(epoch(ts)) AS BIGINT)) // 86400 AS BIGINT)
+               AS life,
+             CASE WHEN (SELECT tmax FROM span)
+                       - CAST(MAX(epoch(ts)) AS BIGINT)
+                       < {KM_CENSOR_GAP_DAYS} * 86400
+                  THEN 1 ELSE 0 END AS censored
+      FROM events GROUP BY event_type, user_id
+    ),
+    steps0 AS (
+      SELECT event_type, life,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(1 - censored) AS BIGINT) AS d,
+             CAST(SUM(censored) AS BIGINT) AS c
+      FROM per_user GROUP BY event_type, life
+    ),
+    steps AS (
+      SELECT event_type, life, m, d, c,
+             CAST(SUM(m) OVER (PARTITION BY event_type) -
+                  (SUM(m) OVER (PARTITION BY event_type ORDER BY life
+                                ROWS UNBOUNDED PRECEDING) - m) AS BIGINT)
+               AS n_risk,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY life)
+                  AS BIGINT) AS rk
+      FROM steps0
+    ),
+    km AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS rk,
+             CAST(1000000 AS BIGINT) AS s
+      FROM (SELECT DISTINCT event_type FROM steps)
+      UNION ALL
+      SELECT st.event_type, st.rk, km.s * (st.n_risk - st.d) // st.n_risk
+      FROM km JOIN steps st
+        ON st.event_type = km.event_type AND st.rk = km.rk + 1
+    )
+    SELECT st.event_type, st.life AS lifetime_days, st.n_risk,
+           st.d AS n_deaths, st.c AS n_censored,
+           km.s AS survival_micro
+    FROM steps st JOIN km ON km.event_type = st.event_type AND km.rk = st.rk
+    """
+
+
+@_register("op_survival_km", _km_oracle())
+def op_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes per event type
+    (Kaplan & Meier 1958) — the retention/longevity estimate that
+    handles RIGHT-CENSORING correctly: users still active near the
+    corpus end (last event within {KM_CENSOR_GAP_DAYS} days of the
+    global max) leave the risk set without counting as churned, the
+    error naive retention curves make.
+
+    Determinism recipe (pagerank family): the survival product floors
+    to integer micros at EVERY step — s_k = s_(k-1)·(n_k−d_k) div n_k,
+    all non-negative bigints — so the DuckDB recursive CTE replays the
+    fold exactly. The exact-rational alternative (Πnum/Πden) overflows
+    int64 by step ~10; the step-floored fixed point is the house trade.
+    Headroom: s ≤ 1e6, n ≤ users-per-type ⇒ s·n < 1e6·n — int64-safe
+    to 10^12 users per type.
+
+    Scale shape: one (event_type, user) aggregate over the events scan;
+    steps are (type × ≤31 distinct day-lifetimes) — the risk-set window
+    and the collect_list/fold both run on that TINY frame (the fold is
+    a JVM `aggregate` HOF over ≤31 structs per type, no Python, no
+    driver loop); explode restores per-step rows.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", "user_id", F.col("ts").cast("long").alias("e")
+    )
+    tmax = base.agg(F.max("e").cast("bigint").alias("tmax"))
+    per_user = (
+        base.groupBy("event_type", "user_id")
+        .agg(
+            F.min("e").cast("bigint").alias("e_min"),
+            F.max("e").cast("bigint").alias("e_max"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "event_type",
+            F.expr("(e_max - e_min) div 86400").cast("bigint").alias("life"),
+            (
+                F.col("tmax") - F.col("e_max")
+                < KM_CENSOR_GAP_DAYS * 86400
+            )
+            .cast("bigint")
+            .alias("censored"),
+        )
+    )
+    steps0 = per_user.groupBy("event_type", "life").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("d"),
+        F.sum("censored").cast("bigint").alias("c"),
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_type.orderBy("life").rowsBetween(Window.unboundedPreceding, 0)
+    steps = steps0.select(
+        "event_type",
+        "life",
+        "m",
+        "d",
+        "c",
+        (
+            F.sum("m").over(w_type)
+            - (F.sum("m").over(w_cum) - F.col("m"))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    # fold the survival product per event type over the life-sorted step
+    # array: struct field order (life first) makes array_sort chronological
+    folded = steps.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("life", "d", "c", "n_risk"))
+        ).alias("st")
+    ).select(
+        "event_type",
+        F.expr(
+            "arrays_zip(st, slice(aggregate(st,"
+            " array(cast(1000000 as bigint)),"
+            " (acc, x) -> concat(acc, array("
+            "   element_at(acc, -1) * (x.n_risk - x.d) div x.n_risk))),"
+            " 2, size(st)))"
+        ).alias("z"),
+    )
+    row = F.explode("z").alias("r")
+    out = folded.select("event_type", row)
+    return out.select(
+        "event_type",
+        F.col("r.st.life").cast("bigint").alias("lifetime_days"),
+        F.col("r.st.n_risk").cast("bigint").alias("n_risk"),
+        F.col("r.st.d").cast("bigint").alias("n_deaths"),
+        F.col("r.st.c").cast("bigint").alias("n_censored"),
+        F.col("r.1").cast("bigint").alias("survival_micro"),
+    )

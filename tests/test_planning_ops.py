@@ -378,3 +378,50 @@ def test_curriculum_phases_matches_python(spark, sf_dir):
     for k in range(CURRICULUM_PHASES - 1):
         if k in got and k + 1 in got:
             assert got[k]["min_score"] >= got[k + 1]["max_score"]
+
+
+def test_survival_km_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    from apitap_spark.operators.temporal import (
+        KM_CENSOR_GAP_DAYS,
+        op_survival_km,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).collect()
+    per = defaultdict(lambda: [None, None])  # (type,user) -> [min,max]
+    tmax = 0
+    for r in ev:
+        e = int(r["ts"].timestamp())
+        tmax = max(tmax, e)
+        k = (r["event_type"], r["user_id"])
+        p = per[k]
+        p[0] = e if p[0] is None else min(p[0], e)
+        p[1] = e if p[1] is None else max(p[1], e)
+    steps = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # type->life->[d,c]
+    for (etype, _), (emin, emax) in per.items():
+        life = (emax - emin) // 86400
+        cens = tmax - emax < KM_CENSOR_GAP_DAYS * 86400
+        steps[etype][life][1 if cens else 0] += 1
+    got = defaultdict(dict)
+    for r in op_survival_km(spark, sf_dir).collect():
+        got[r["event_type"]][r["lifetime_days"]] = r
+    assert set(got) == set(steps)
+    for etype, lifemap in steps.items():
+        assert set(got[etype]) == set(lifemap)
+        n_risk = sum(d + c for d, c in lifemap.values())
+        s = 1_000_000
+        for life in sorted(lifemap):
+            d, c = lifemap[life]
+            s = s * (n_risk - d) // n_risk
+            g = got[etype][life]
+            assert g["n_risk"] == n_risk
+            assert (g["n_deaths"], g["n_censored"]) == (d, c)
+            assert g["survival_micro"] == s
+            n_risk -= d + c
+        # survival is monotone non-increasing and ends >= 0
+        vals = [got[etype][t]["survival_micro"] for t in sorted(lifemap)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] >= 0
