@@ -121,6 +121,7 @@ _NEW_GATES: set[str] = {
     "op_ml_mcnemar_paired",
     "op_curriculum_phases",
     "op_survival_km",
+    "op_permutation_test",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -414,3 +414,145 @@ def op_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("xu").cast("bigint").alias("lo_unit"),
         F.max("xu").cast("bigint").alias("hi_unit"),
     )
+
+
+# --- Deterministic randomization (permutation) test -------------------------
+
+PERM_B = 64  # relabelings
+PERM_SALT = "perm_v1:"
+
+
+def _perm_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp
+      FROM documents
+    ),
+    obs AS (
+      SELECT CAST(ABS(SUM(CASE WHEN grp = 1 THEN x ELSE 0 END) * 1000000
+                      // SUM(grp)
+                    - SUM(CASE WHEN grp = 0 THEN x ELSE 0 END) * 1000000
+                      // SUM(1 - grp)) AS BIGINT) AS obs_diff,
+             CAST(SUM(grp) AS BIGINT) AS n_a,
+             CAST(SUM(1 - grp) AS BIGINT) AS n_b
+      FROM per
+    ),
+    reps AS (
+      SELECT CAST(unnest(range(0, {PERM_B})) AS BIGINT) AS b
+    ),
+    relabeled AS (
+      SELECT r.b, p.x,
+             CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('{PERM_SALT}' || CAST(r.b AS VARCHAR) || ':'
+                               || CAST(p.doc_id AS VARCHAR)), 1, 1)) - 1)
+                  < 8 THEN 1 ELSE 0 END AS g
+      FROM per p CROSS JOIN reps r
+    ),
+    perm AS (
+      SELECT b,
+             CAST(ABS(SUM(CASE WHEN g = 1 THEN x ELSE 0 END) * 1000000
+                      // SUM(g)
+                    - SUM(CASE WHEN g = 0 THEN x ELSE 0 END) * 1000000
+                      // SUM(1 - g)) AS BIGINT) AS d
+      FROM relabeled GROUP BY b
+    )
+    SELECT o.obs_diff AS obs_diff_micro, o.n_a, o.n_b,
+           CAST({PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN p.d >= o.obs_diff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extreme,
+           CAST(1 + SUM(CASE WHEN p.d >= o.obs_diff THEN 1 ELSE 0 END)
+                AS BIGINT) AS p_num,
+           CAST({PERM_B} + 1 AS BIGINT) AS p_den
+    FROM perm p CROSS JOIN obs o
+    GROUP BY o.obs_diff, o.n_a, o.n_b
+    """
+
+
+@_register("op_permutation_test", _perm_oracle())
+def op_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test for a two-group mean difference
+    (Fisher's permutation logic, Bernoulli-relabeling variant): is the
+    English/non-English mean-length gap larger than chance relabelings
+    produce? {PERM_B} md5-derived relabelings rebuild the null
+    distribution; p = (1 + #extreme) / (B + 1) ships as an exact
+    integer fraction — the add-one form that keeps the test valid at
+    finite B. Completes the resampling family next to
+    op_bootstrap_ci_mean (CI) and op_ab_test_ks/chi2 (parametric).
+
+    Every relabeling comes from md5(salt|b|doc_id) hex-digit
+    arithmetic, so both engines replay the identical null draw; means
+    are micro-fixed-point with division on positive counts (B=64
+    Bernoulli(1/2) splits of n≥500 never produce an empty side; the
+    subtraction precedes abs on integers).
+
+    Scale shape: one per-doc projection crossJoined with the broadcast
+    {PERM_B}-row grid, map-side-combined into B rows of partial sums —
+    the shuffle carries ≤B rows per partition; observed stats ride a
+    broadcast 1-row join. The corpus is scanned once per side.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    per = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        (F.col("lang") == "en").cast("bigint").alias("grp"),
+    )
+    obs = per.agg(
+        F.expr(
+            "abs(sum(case when grp = 1 then x else 0 end) * 1000000"
+            " div sum(grp)"
+            " - sum(case when grp = 0 then x else 0 end) * 1000000"
+            " div sum(1 - grp))"
+        )
+        .cast("bigint")
+        .alias("obs_diff"),
+        F.sum("grp").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("grp")).cast("bigint").alias("n_b"),
+    )
+    reps = spark.range(PERM_B).select(F.col("id").cast("bigint").alias("b"))
+    h = F.md5(
+        F.concat(
+            F.lit(PERM_SALT),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    g = (F.instr(F.lit(hexd), F.substring(h, 1, 1)) - 1 < 8).cast("bigint")
+    relabeled = per.crossJoin(F.broadcast(reps)).select(
+        "b", "x", g.alias("g")
+    )
+    perm = relabeled.groupBy("b").agg(
+        F.expr(
+            "abs(sum(case when g = 1 then x else 0 end) * 1000000"
+            " div sum(g)"
+            " - sum(case when g = 0 then x else 0 end) * 1000000"
+            " div sum(1 - g))"
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff", "n_a", "n_b")
+        .agg(
+            F.lit(PERM_B).cast("bigint").alias("n_perms"),
+            F.sum((F.col("d") >= F.col("obs_diff")).cast("int"))
+            .cast("bigint")
+            .alias("n_extreme"),
+            (1 + F.sum((F.col("d") >= F.col("obs_diff")).cast("int")))
+            .cast("bigint")
+            .alias("p_num"),
+            F.lit(PERM_B + 1).cast("bigint").alias("p_den"),
+        )
+        .select(
+            F.col("obs_diff").alias("obs_diff_micro"),
+            "n_a",
+            "n_b",
+            "n_perms",
+            "n_extreme",
+            "p_num",
+            "p_den",
+        )
+    )

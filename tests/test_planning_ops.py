@@ -425,3 +425,38 @@ def test_survival_km_matches_python(spark, sf_dir):
         vals = [got[etype][t]["survival_micro"] for t in sorted(lifemap)]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
         assert vals[-1] >= 0
+
+
+def test_permutation_test_matches_python(spark, sf_dir):
+    from apitap_spark.operators.features import (
+        PERM_B,
+        PERM_SALT,
+        op_permutation_test,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    xs = [(r["doc_id"], r["n_chars"], 1 if r["lang"] == "en" else 0) for r in rows]
+    sa = sum(x for _, x, g in xs if g)
+    na = sum(1 for *_, g in xs if g)
+    sb = sum(x for _, x, g in xs if not g)
+    nb = len(xs) - na
+    obs = abs(sa * MICRO // na - sb * MICRO // nb)
+    n_ext = 0
+    for b in range(PERM_B):
+        pa = pna = pb_ = 0
+        for doc_id, x, _ in xs:
+            h = hashlib.md5(f"{PERM_SALT}{b}:{doc_id}".encode()).hexdigest()
+            if int(h[0], 16) < 8:
+                pa += x
+                pna += 1
+            else:
+                pb_ += x
+        pnb = len(xs) - pna
+        assert pna > 0 and pnb > 0  # Bernoulli split never empties a side
+        d = abs(pa * MICRO // pna - pb_ * MICRO // pnb)
+        n_ext += d >= obs
+    g = op_permutation_test(spark, sf_dir).collect()[0]
+    assert (g["obs_diff_micro"], g["n_a"], g["n_b"]) == (obs, na, nb)
+    assert g["n_perms"] == PERM_B
+    assert g["n_extreme"] == n_ext
+    assert (g["p_num"], g["p_den"]) == (1 + n_ext, PERM_B + 1)
