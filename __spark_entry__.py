@@ -122,6 +122,7 @@ _NEW_GATES: set[str] = {
     "op_curriculum_phases",
     "op_survival_km",
     "op_permutation_test",
+    "op_benchmark_vocab_coverage",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -985,3 +985,92 @@ def op_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_ratio"),
         )
     )
+
+
+# --- Benchmark vocabulary coverage -------------------------------------------
+
+# Same gram order + holdout rule as op_contamination_ngram: this gate is
+# its complement. Contamination asks "does training data leak INTO the
+# benchmark"; coverage asks "does the corpus SPEAK the benchmark's
+# language at all" — the domain-fit audit run before fine-tuning.
+COVERAGE_N = CONTAM_N
+COVERAGE_BENCH_MOD = CONTAM_BENCH_MOD
+
+
+def _vocab_coverage_oracle() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(t) - {COVERAGE_N - 1}, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+      FROM tok
+    ),
+    bench AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % {COVERAGE_BENCH_MOD} = 0
+    ),
+    corpus_set AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % {COVERAGE_BENCH_MOD} <> 0
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS coverage_micro
+    FROM bench b LEFT JOIN corpus_set c USING (g)
+    GROUP BY b.doc_id
+    """
+
+
+@_register("op_benchmark_vocab_coverage", _vocab_coverage_oracle())
+def op_benchmark_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark vocabulary coverage — the complement of
+    op_contamination_ngram: for each held-out benchmark document, the
+    fraction of its distinct word {COVERAGE_N}-grams the training
+    corpus contains at all. Contamination checks leakage INTO the eval;
+    coverage checks whether the corpus speaks the eval's language —
+    low coverage predicts out-of-domain evals before any training run.
+
+    Scale shape: ONLY bench-bounded state ever moves. The bench gram
+    set (evals are MBs, corpora TBs) broadcasts into the corpus gram
+    stream, which therefore never shuffles — the surviving "present"
+    set is ≤ |bench| and distincts in one tiny aggregate, then
+    broadcasts back onto the bench rows. The corpus-distinct gram set
+    is never materialized or broadcast (it is corpus-sized); the final
+    groupBy is benchmark-doc-cardinality.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", COVERAGE_N)).alias("g")
+    )
+    bench = grams.filter(
+        F.col("doc_id") % COVERAGE_BENCH_MOD == 0
+    ).localCheckpoint()  # bench-sized; feeds the set probe AND the output
+    bench_set = bench.select("g").distinct()
+    present = (
+        grams.filter(F.col("doc_id") % COVERAGE_BENCH_MOD != 0)
+        .join(F.broadcast(bench_set), "g")
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bench.join(F.broadcast(present), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_covered"),
+            F.expr(
+                "sum(coalesce(hit, 0)) * 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("coverage_micro"),
+        )
+    )

@@ -460,3 +460,47 @@ def test_permutation_test_matches_python(spark, sf_dir):
     assert g["n_perms"] == PERM_B
     assert g["n_extreme"] == n_ext
     assert (g["p_num"], g["p_den"]) == (1 + n_ext, PERM_B + 1)
+
+
+def test_benchmark_vocab_coverage_matches_python(spark, sf_dir):
+    from apitap_spark.operators.corpus import (
+        COVERAGE_BENCH_MOD,
+        COVERAGE_N,
+        op_benchmark_vocab_coverage,
+    )
+
+    rows = _doc_rows(spark, sf_dir)
+    doc_grams = {}
+    for r in rows:
+        t = r["text"].strip()
+        if not t:
+            continue
+        toks = t.split()
+        doc_grams[r["doc_id"]] = {
+            " ".join(toks[i : i + COVERAGE_N])
+            for i in range(max(len(toks) - COVERAGE_N + 1, 0))
+        }
+    corpus_set = set()
+    for d, gs in doc_grams.items():
+        if d % COVERAGE_BENCH_MOD != 0:
+            corpus_set |= gs
+    got = {
+        r["doc_id"]: r
+        for r in op_benchmark_vocab_coverage(spark, sf_dir).collect()
+    }
+    bench_docs = {
+        d for d, gs in doc_grams.items() if d % COVERAGE_BENCH_MOD == 0 and gs
+    }
+    assert set(got) == bench_docs
+    partial = full = 0
+    for d in bench_docs:
+        gs = doc_grams[d]
+        cov = sum(1 for g in gs if g in corpus_set)
+        g = got[d]
+        assert g["n_grams"] == len(gs)
+        assert g["n_covered"] == cov
+        assert g["coverage_micro"] == cov * MICRO // len(gs)
+        partial += 0 < cov < len(gs)
+        full += cov == len(gs)
+    # non-degenerate fixture: some docs partially covered
+    assert partial > 0

@@ -1295,3 +1295,15 @@ def test_curriculum_windows_over_score_buckets(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count(") Scan parquet") == 1  # detail section: one real scan
     assert "partial_count" in p
+
+
+def test_vocab_coverage_broadcasts_only_bench_state(spark, sf_dir):
+    """Only bench-bounded sets broadcast; the corpus gram stream never
+    shuffles into a distinct (its only aggregation is the bench-filtered
+    'present' set) — no corpus-sized broadcast, no cartesian."""
+    from apitap_spark.operators.corpus import op_benchmark_vocab_coverage
+
+    p = _plan(op_benchmark_vocab_coverage(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # bench_set probe + present
+    assert "SortMergeJoin" not in p
