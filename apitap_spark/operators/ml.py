@@ -1163,7 +1163,11 @@ def op_ml_logreg_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    X = _feature_micro_frame(spark, sf_dir)
+    # checkpoint: the feature frame feeds one aggregation pass PER
+    # Newton round plus the scoring pass — lazily each re-runs the
+    # parquet scan + tokenization feature engineering (A/B at sf0.1:
+    # 5.7-6.5s -> 3.3-4.0s, identical sums; round-9 sweep).
+    X = _feature_micro_frame(spark, sf_dir).localCheckpoint()
     w_u = train_logreg_newton_fixed(X)
     z = None
     for j, wu in enumerate(w_u):
