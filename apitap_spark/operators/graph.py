@@ -721,8 +721,22 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     x = und.select(F.col("u").alias("cu"), F.col("v").alias("w"))
     y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    # Pre-partition the probe side by cu BEFORE the wedge join: the
+    # broadcast join preserves the stream side's hashpartitioning(cu),
+    # which satisfies the groupBy(cu, cv) clustering requirement (cu is
+    # a prefix of the grouping key), so the Sum deg(w)^2 wedge stream is
+    # enumerated, filtered, and aggregated inside ONE codegen stage —
+    # zero shuffle of the ~|wedges| intermediate, and the partial-agg
+    # hash maps stay small because each task only holds its own cu
+    # range. Without this, the 24M-row wedge stream was exchanged on
+    # (cu, cv) and every task built a ~0.5M-entry partial map with no
+    # reduction (measured 8.2s -> 0.55s for the cn stage at sf0.1).
+    # When the edge list outgrows the broadcast threshold at scale, the
+    # join falls back to SMJ on w and Catalyst re-inserts the exchange
+    # above it — the plan degrades to the classic shape, never breaks.
     cn = (
-        x.join(y, "w")
+        x.repartition("cu")
+        .join(y, "w")
         .filter(F.col("cu") < F.col("cv"))
         .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
         .agg(F.count("*").cast("bigint").alias("cn"))
