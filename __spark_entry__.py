@@ -123,6 +123,11 @@ _NEW_GATES: set[str] = {
     "op_survival_km",
     "op_permutation_test",
     "op_benchmark_vocab_coverage",
+    # round 10: retrieval/eval/statistics/graph additions
+    "op_ann_ndcg_audit",
+    "op_ab_test_mann_whitney",
+    "op_conformal_interval_audit",
+    "op_graph_trustrank_seeded",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

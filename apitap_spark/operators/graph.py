@@ -1397,3 +1397,130 @@ def op_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_endpoint_pairs"),
         (num / F.sqrt(dx * dy)).alias("assortativity"),
     )
+
+
+# --- Seeded PageRank (TrustRank) over the co-activity graph --------------
+
+TRUST_ITERS = 4
+TRUST_SEED_MOD = 50  # deterministic seed cohort: user_id % 50 == 0
+_TR_DNUM, _TR_DDEN = _damping_fraction(PAGERANK_DAMPING)
+_TR_BASE_U = (PAGERANK_SCALE * (_TR_DDEN - _TR_DNUM)) // _TR_DDEN
+
+_TRUSTRANK_ORACLE = f"""
+    WITH RECURSIVE
+    grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id)
+               AS rk
+      FROM grp
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS v FROM und),
+    tr(iter, v, rank_u) AS (
+      SELECT 0, v,
+             CAST(CASE WHEN v % {TRUST_SEED_MOD} = 0
+                       THEN {PAGERANK_SCALE} ELSE 0 END AS BIGINT)
+      FROM nodes
+      UNION ALL
+      SELECT t.iter + 1, t.v,
+             CAST(CASE WHEN t.v % {TRUST_SEED_MOD} = 0
+                       THEN {_TR_BASE_U} ELSE 0 END
+                  + ({_TR_DNUM} * COALESCE(a.inflow, 0)) // {_TR_DDEN}
+                  AS BIGINT)
+      FROM (SELECT * FROM tr WHERE iter < {TRUST_ITERS}) t
+      LEFT JOIN (
+        SELECT e2.v AS v, SUM(tr.rank_u // d.d) AS inflow
+        FROM tr JOIN und e2 ON e2.u = tr.v JOIN deg d ON d.u = tr.v
+        WHERE tr.iter < {TRUST_ITERS}
+        GROUP BY e2.v
+      ) a ON a.v = t.v
+    )
+    SELECT v AS user_id, (v % {TRUST_SEED_MOD} = 0) AS is_seed,
+           rank_u AS trust_micro,
+           CAST(rank_u AS DOUBLE) / {float(PAGERANK_SCALE)} AS trust
+    FROM tr WHERE iter = {TRUST_ITERS}
+"""
+
+
+@_register("op_graph_trustrank_seeded", _TRUSTRANK_ORACLE)
+def op_graph_trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded PageRank (TrustRank, Gyöngyi et al., VLDB 2004) over the
+    undirected co-activity graph: teleport mass restarts ONLY at a
+    deterministic trusted-seed cohort (user_id % 50 == 0), so the
+    stationary score measures proximity to the seeds — the classic
+    quality-propagation prior for corpus curation (trust flows from
+    vetted sources through the link structure, spam/isolated regions
+    starve).  Complements op_graph_pagerank (global importance) with
+    the seeded/personalized variant the curation literature actually
+    uses for quality weighting.
+
+    Exact fixed-point integer iteration, same discipline as
+    :func:`pagerank`: micro-unit ranks, damping as an exact fraction,
+    floor-division contributions replayed by a DuckDB recursive CTE.
+    The co-activity node set has no dangling nodes by construction
+    (every node is an edge endpoint), so no dangling-mass term; floor
+    remainders decay (< E micro-units/round) identically in both
+    engines.
+
+    Scale shape: edges from :func:`coactivity_edges` (lead-window
+    build, zero joins); each of the TRUST_ITERS rounds is ONE
+    node-keyed join + groupBy on the checkpointed edge frame — the
+    op_graph_pagerank loop shape, bounded rounds, no driver state
+    beyond the loop counter.
+    """
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = und.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    ranked_edges = und.join(deg, "u").localCheckpoint()
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    seed = F.col("node") % TRUST_SEED_MOD == 0
+    rank = nodes.select(
+        "node",
+        F.when(seed, F.lit(PAGERANK_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_u"),
+    )
+    for _ in range(TRUST_ITERS):
+        contrib = (
+            ranked_edges.join(rank, ranked_edges.u == rank.node)
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_u div d").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+            .localCheckpoint()
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(CASE WHEN node % {TRUST_SEED_MOD} = 0"
+                f" THEN {_TR_BASE_U}L ELSE 0L END"
+                f" + ({_TR_DNUM}L * coalesce(inflow, 0L)) div {_TR_DDEN}L"
+                " AS LONG)"
+            ).alias("rank_u"),
+        )
+    return rank.select(
+        F.col("node").alias("user_id"),
+        (F.col("node") % TRUST_SEED_MOD == 0).alias("is_seed"),
+        F.col("rank_u").alias("trust_micro"),
+        (F.col("rank_u").cast("double") / F.lit(float(PAGERANK_SCALE))).alias(
+            "trust"
+        ),
+    )

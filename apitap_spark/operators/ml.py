@@ -2581,3 +2581,308 @@ def op_ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_micro"),
     )
+
+
+# --- Two-sample Mann-Whitney U test (exact tie-corrected rank sums) ------
+
+_MWU_ORACLE = """
+    WITH v AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+             user_id % 2 AS g
+      FROM events
+    ),
+    n AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM v GROUP BY 1
+    ),
+    pts AS (
+      SELECT event_type, x,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT event_type, x, ca, c,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY x)
+                  AS BIGINT) AS cum
+      FROM pts
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(ca * (2 * (cum - c) + c + 1)) AS BIGINT) AS r1_double,
+             CAST(SUM(CASE WHEN c > 1 THEN c * c * c - c ELSE 0 END)
+                  AS BIGINT) AS tie3
+      FROM rk GROUP BY 1
+    )
+    SELECT s.event_type, n.na, n.nb,
+           CAST(s.r1_double - n.na * (n.na + 1) AS BIGINT) AS u2,
+           CAST(n.na * n.nb AS BIGINT) AS e2,
+           s.tie3,
+           CAST(FLOOR(1000000.0
+                * CAST(s.r1_double - n.na * (n.na + 1) - n.na * n.nb AS DOUBLE)
+                / 2.0
+                / sqrt(CAST(n.na * n.nb AS DOUBLE)
+                       * CAST((n.na + n.nb + 1) * (n.na + n.nb)
+                              * (n.na + n.nb - 1) - s.tie3 AS DOUBLE)
+                       / 12.0
+                       / CAST(n.na + n.nb AS DOUBLE)
+                       / CAST(n.na + n.nb - 1 AS DOUBLE)))
+                AS BIGINT) AS z_micro,
+           (ABS(CAST(FLOOR(1000000.0
+                * CAST(s.r1_double - n.na * (n.na + 1) - n.na * n.nb AS DOUBLE)
+                / 2.0
+                / sqrt(CAST(n.na * n.nb AS DOUBLE)
+                       * CAST((n.na + n.nb + 1) * (n.na + n.nb)
+                              * (n.na + n.nb - 1) - s.tie3 AS DOUBLE)
+                       / 12.0
+                       / CAST(n.na + n.nb AS DOUBLE)
+                       / CAST(n.na + n.nb - 1 AS DOUBLE)))
+                AS BIGINT)) >= 1959964) AS significant
+    FROM s JOIN n ON n.event_type = s.event_type
+"""
+
+
+@_register("op_ab_test_mann_whitney", _MWU_ORACLE)
+def op_ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test per event
+    type — the nonparametric LOCATION-shift complement to the KS gate's
+    sup-gap and the chi²/t gates' parametric assumptions: ranks the
+    pooled id-parity variants, U₁ from variant-A's rank sum, normal
+    approximation with the standard tie correction.
+
+    Exactness: average ranks for ties are kept in DOUBLED integer
+    units (a tie group spanning positions s..s+c−1 contributes
+    2·avg = 2(s−1)+c+1 per member), so the rank sum, U, its mean, and
+    the tie term Σ(c³−c) are all exact int64; the z statistic divides
+    once at the end through an identical left-associated IEEE chain
+    (one correctly-rounded sqrt — the repo-wide KS precedent) and the
+    significance flag compares the already-rounded integer micro-z
+    against 1.96 in micros, so no float comparison crosses engines.
+
+    Scale shape (same as op_ab_test_ks): raw rows collapse to
+    per-(type, value) counts first, the only sort is the running-sum
+    window over DISTINCT values, and everything after is a per-type
+    scalar. int64 bound: the tie/variance cubics hold to ~2M rows per
+    type; past that the counts must be cast to double before cubing
+    (the z chain already is).
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        (F.col("user_id") % 2).alias("g"),
+    )
+    n = v.groupBy("event_type").agg(
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("na"),
+        F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("nb"),
+    )
+    pts = v.groupBy("event_type", "x").agg(
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("ca"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    rk = pts.select(
+        "event_type", "ca", "c",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+    )
+    s = rk.groupBy("event_type").agg(
+        F.sum(
+            F.col("ca") * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+        ).cast("bigint").alias("r1_double"),
+        F.sum(
+            F.when(
+                F.col("c") > 1,
+                F.col("c") * F.col("c") * F.col("c") - F.col("c"),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("tie3"),
+    )
+    z_micro = F.expr(
+        "CAST(FLOOR(1000000.0"
+        " * CAST(r1_double - na * (na + 1) - na * nb AS DOUBLE)"
+        " / 2.0"
+        " / sqrt(CAST(na * nb AS DOUBLE)"
+        "        * CAST((na + nb + 1) * (na + nb)"
+        "               * (na + nb - 1) - tie3 AS DOUBLE)"
+        "        / 12.0"
+        "        / CAST(na + nb AS DOUBLE)"
+        "        / CAST(na + nb - 1 AS DOUBLE)))"
+        " AS BIGINT)"
+    )
+    return (
+        s.join(F.broadcast(n), "event_type")
+        .select(
+            "event_type", "na", "nb",
+            (F.col("r1_double") - F.col("na") * (F.col("na") + 1))
+            .cast("bigint").alias("u2"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias("e2"),
+            "tie3",
+            z_micro.alias("z_micro"),
+        )
+        .withColumn("significant", F.abs(F.col("z_micro")) >= 1959964)
+    )
+
+
+# --- Split-conformal prediction-interval audit ---------------------------
+
+CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10 target coverage
+CONF_ALPHA_DEN = 10
+CONF_SALT = "conf1"  # hashed fold: doc_id %4 correlates with source
+
+_CONFORMAL_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || substr(md5('{CONF_SALT}|' || CAST(doc_id AS VARCHAR)),
+                  1, 15) AS BIGINT) % 4 AS fold
+      FROM documents
+    ),
+    pred AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_train,
+             CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS pred_micro
+      FROM d WHERE fold <= 1 GROUP BY source
+    ),
+    cal AS (
+      SELECT d.source,
+             ABS(d.n_chars * 1000000 - p.pred_micro) AS r,
+             d.doc_id
+      FROM d JOIN pred p ON p.source = d.source
+      WHERE d.fold = 2
+    ),
+    caln AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal GROUP BY source
+    ),
+    qhat AS (
+      SELECT c.source, c.r AS qhat_micro
+      FROM (
+        SELECT source, r,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY r, doc_id)
+                 AS idx
+        FROM cal
+      ) c
+      JOIN caln n ON n.source = c.source
+      WHERE c.idx = LEAST(
+        ({CONF_ALPHA_NUM} * (n.n_cal + 1) + {CONF_ALPHA_DEN} - 1)
+          // {CONF_ALPHA_DEN},
+        n.n_cal)
+    ),
+    test AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(d.n_chars * 1000000 - p.pred_micro)
+                                <= q.qhat_micro
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM d
+      JOIN pred p ON p.source = d.source
+      JOIN qhat q ON q.source = d.source
+      WHERE d.fold = 3
+      GROUP BY d.source
+    )
+    SELECT p.source, p.n_train, n.n_cal, t.n_test, p.pred_micro,
+           CAST(q.qhat_micro AS BIGINT) AS qhat_micro, t.covered,
+           CAST(t.covered * 1000000 // t.n_test AS BIGINT) AS coverage_micro
+    FROM pred p
+    JOIN caln n ON n.source = p.source
+    JOIN qhat q ON q.source = p.source
+    JOIN test t ON t.source = p.source
+"""
+
+
+@_register("op_conformal_interval_audit", _CONFORMAL_ORACLE)
+def op_conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval audit (Vovk et al.;
+    Papadopoulos et al. 2002 inductive form): per source, fit the
+    trivial mean-length predictor on the train folds, take the
+    ceil((1−α)(n+1))-th smallest absolute calibration residual as the
+    conformal radius q̂, and report empirical test-fold coverage —
+    the distribution-free finite-sample guarantee (≥ 1−α in
+    expectation) that tells a curation pipeline whether a cheap
+    per-group predictor's error band can be trusted downstream.
+
+    Exactness: folds are doc_id mod 4 (deterministic split), the
+    predictor is one floor-division micro mean, residuals are exact
+    int64 micros, the quantile is an exact order statistic (the ceil
+    is integer arithmetic: (9(n+1)+9)//10, clamped to n), and
+    coverage is one final floor division — no float anywhere.
+
+    Scale shape: two grouped aggregates and a per-source top-idx
+    window over calibration rows only; the window's partition is the
+    source key, so 100× data widens partitions but the sort stays
+    distributed and spill-safe. int64 bound: n_chars·1e6 holds to
+    ~9·10¹² chars per doc — any real corpus fits.
+    """
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{CONF_SALT}|',"
+            " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4"
+        ).alias("fold"),
+    )
+    pred = (
+        d.filter(F.col("fold") <= 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.expr("CAST(sum(n_chars) * 1000000L div count(*) AS BIGINT)")
+            .alias("pred_micro"),
+        )
+    )
+    cal = (
+        d.filter(F.col("fold") == 2)
+        .join(F.broadcast(pred), "source")
+        .select(
+            "source", "doc_id",
+            F.abs(F.col("n_chars") * 1000000 - F.col("pred_micro")).alias("r"),
+        )
+    )
+    caln = cal.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_cal")
+    )
+    w = Window.partitionBy("source").orderBy("r", "doc_id")
+    qhat = (
+        cal.withColumn("idx", F.row_number().over(w))
+        .join(F.broadcast(caln), "source")
+        .filter(
+            F.col("idx")
+            == F.least(
+                F.expr(
+                    f"({CONF_ALPHA_NUM} * (n_cal + 1)"
+                    f" + {CONF_ALPHA_DEN - 1}) div {CONF_ALPHA_DEN}"
+                ),
+                F.col("n_cal"),
+            )
+        )
+        .select("source", F.col("r").cast("bigint").alias("qhat_micro"))
+    )
+    test = (
+        d.filter(F.col("fold") == 3)
+        .join(F.broadcast(pred.select("source", "pred_micro")), "source")
+        .join(F.broadcast(qhat), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("n_chars") * 1000000 - F.col("pred_micro"))
+                    <= F.col("qhat_micro")
+                ).cast("int")
+            ).cast("bigint").alias("covered"),
+        )
+    )
+    return (
+        pred.join(caln, "source")
+        .join(qhat, "source")
+        .join(test, "source")
+        .select(
+            "source", "n_train", "n_cal", "n_test", "pred_micro",
+            "qhat_micro", "covered",
+            F.expr("CAST(covered * 1000000L div n_test AS BIGINT)").alias(
+                "coverage_micro"
+            ),
+        )
+    )

@@ -2975,3 +2975,104 @@ def op_embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = o if out is None else out.unionByName(o)
     return out
+
+
+# --- L: nDCG@k retrieval-quality audit (graded-relevance ranking) --------
+
+NDCG_K = 5  # both composed pipelines return top-5 per query
+
+# Discount table 1/log2(i+1) in integer micro units, computed ONCE in
+# Python and embedded as the SAME literals in both engines — no libm
+# call ever crosses the engine boundary (the repo-wide ln/exp rule).
+import math as _math  # noqa: E402  (module-scope constant only)
+
+NDCG_DISC_MICRO: tuple[int, ...] = tuple(
+    int(round(1_000_000.0 / _math.log2(i + 1))) for i in range(1, NDCG_K + 1)
+)
+# Ideal DCG: the exact top-5 retrieved in exact order (grades 5..1).
+NDCG_IDCG_MICRO: int = sum(
+    (NDCG_K + 1 - i) * d for i, d in enumerate(NDCG_DISC_MICRO, start=1)
+)
+
+
+def _ndcg_audit_oracle() -> str:
+    lsh = ORACLES["op_ann_lsh_bucketed"]
+    exact = ORACLES["op_ann_cosine_topk"]
+    disc = " ".join(
+        f"WHEN {i} THEN {d}" for i, d in enumerate(NDCG_DISC_MICRO, start=1)
+    )
+    return f"""
+    WITH lsh AS MATERIALIZED (SELECT * FROM ({lsh}) t),
+    exact AS MATERIALIZED (SELECT * FROM ({exact}) t),
+    graded AS (
+      SELECT l.q_id, l.rk,
+             CAST(CASE WHEN e.rk IS NULL THEN 0
+                       ELSE {NDCG_K} + 1 - e.rk END AS BIGINT) AS rel,
+             CAST(CASE l.rk {disc} ELSE 0 END AS BIGINT) AS disc_micro
+      FROM lsh l
+      LEFT JOIN exact e ON e.q_id = l.q_id AND e.c_id = l.c_id
+    )
+    SELECT q_id,
+           CAST(COUNT(*) AS BIGINT) AS k_lsh,
+           CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(rel * disc_micro) AS BIGINT) AS dcg_micro,
+           CAST(SUM(rel * disc_micro) * 1000000 // {NDCG_IDCG_MICRO}
+                AS BIGINT) AS ndcg_micro
+    FROM graded GROUP BY q_id
+    """
+
+
+@_register("op_ann_ndcg_audit", _ndcg_audit_oracle())
+def op_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the LSH index against exact-cosine graded relevance —
+    the position-weighted rank-quality audit that completes the
+    retrieval-eval family (recall → set overlap, MRR → first-hit
+    position, nDCG → the whole ranking with graded credit).  Grade of
+    an LSH result = 6 − its exact-cosine rank (5..1) when it appears
+    in the exact top-5, else 0; DCG discounts by 1/log2(rank+1); the
+    ideal DCG is the constant for retrieving the exact top-5 in order.
+
+    Exactness: the discount table is precomputed in Python as integer
+    micros and embedded identically in both engines, so every product
+    and sum is int64 and the final normalization is one bigint floor
+    division — no transcendental evaluated inside either engine.
+
+    Scale: both inputs are the composed audit pipelines (Q×k rows
+    each); the audit itself is one id-equi-join and a Q-group
+    aggregate — negligible next to candidate generation, identical at
+    any corpus size because Q is the fixed probe set.
+    """
+    lsh = op_ann_lsh_bucketed(spark, sf_dir).select("q_id", "c_id", "rk")
+    exact = op_ann_cosine_topk(spark, sf_dir).select(
+        F.col("q_id").alias("xq"), F.col("c_id").alias("x_id"),
+        F.col("rk").alias("xrk"),
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in NDCG_DISC_MICRO]), F.col("rk").cast("int")
+    )
+    rel = F.when(F.col("xrk").isNull(), F.lit(0)).otherwise(
+        F.lit(NDCG_K + 1) - F.col("xrk")
+    )
+    graded = (
+        lsh.join(
+            exact,
+            (lsh.q_id == F.col("xq")) & (lsh.c_id == F.col("x_id")),
+            "left",
+        )
+        .select(
+            "q_id",
+            rel.cast("bigint").alias("rel"),
+            disc.cast("bigint").alias("disc_micro"),
+        )
+    )
+    return graded.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("k_lsh"),
+        F.sum((F.col("rel") > 0).cast("int")).cast("bigint").alias("n_hits"),
+        F.sum(F.col("rel") * F.col("disc_micro")).cast("bigint").alias(
+            "dcg_micro"
+        ),
+        F.expr(
+            f"CAST(sum(rel * disc_micro) * 1000000L div {NDCG_IDCG_MICRO}"
+            " AS BIGINT)"
+        ).alias("ndcg_micro"),
+    )

@@ -1307,3 +1307,39 @@ def test_vocab_coverage_broadcasts_only_bench_state(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2  # bench_set probe + present
     assert "SortMergeJoin" not in p
+
+
+def test_linkpred_wedge_aggregate_colocated_with_probe(spark, sf_dir):
+    """The common-neighbor wedge stream must NEVER shuffle: the probe
+    side repartitions by cu BEFORE the broadcast wedge join, so the
+    join output's hashpartitioning(cu) satisfies groupBy(cu, cv) and
+    the Sum deg(w)^2 intermediate aggregates in the same stage
+    (measured 8.2s -> 0.55s at sf0.1). A pair-keyed exchange above the
+    join would mean the co-location regressed."""
+    from apitap_spark.operators.graph import op_graph_link_prediction
+
+    p = _plan(op_graph_link_prediction(spark, sf_dir))
+    import re
+
+    assert "BroadcastHashJoin" in p
+    # the single intentional exchange: probe side keyed by cu alone
+    assert "hashpartitioning(cu" in p
+    # no exchange keyed by the wedge PAIR anywhere (that was the 8s)
+    pair_exchanges = [
+        m for m in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+        if ("cu#" in m and "cv#" in m) or ("u#" in m and "v#" in m and "cu#" not in m)
+    ]
+    assert pair_exchanges == [], pair_exchanges
+
+
+def test_trustrank_loop_shape_node_keyed(spark, sf_dir):
+    """Each TrustRank round is one node-keyed join + groupBy over the
+    checkpointed edge frame; the returned frame is a projection of the
+    final contrib checkpoint joined to the node set — no parquet rescan
+    above the checkpoints, nothing cartesian."""
+    from apitap_spark.operators.graph import op_graph_trustrank_seeded
+
+    p = _plan(op_graph_trustrank_seeded(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p  # all inputs are checkpointed RDDs
+    assert p.count("Scan ExistingRDD") >= 2  # nodes + final contrib

@@ -1,0 +1,240 @@
+"""Round-10 operators: independent pure-Python recounts (the third
+implementation next to Spark and the DuckDB oracle) plus the invariant
+each operator exists to provide (nDCG bounds, U-statistic symmetry,
+conformal coverage floor, trust-mass conservation)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from apitap_spark.session import read_table
+
+MICRO = 1_000_000
+
+
+# --- op_ann_ndcg_audit ----------------------------------------------------
+
+
+def test_ndcg_audit_matches_python(spark, sf_dir):
+    from apitap_spark.operators.similarity import (
+        NDCG_DISC_MICRO,
+        NDCG_IDCG_MICRO,
+        NDCG_K,
+        op_ann_cosine_topk,
+        op_ann_lsh_bucketed,
+        op_ann_ndcg_audit,
+    )
+
+    exact = {
+        (r["q_id"], r["c_id"]): r["rk"]
+        for r in op_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh = [
+        (r["q_id"], r["c_id"], r["rk"])
+        for r in op_ann_lsh_bucketed(spark, sf_dir).collect()
+    ]
+    dcg = defaultdict(int)
+    hits = defaultdict(int)
+    k_lsh = defaultdict(int)
+    for q, c, rk in lsh:
+        k_lsh[q] += 1
+        rel = NDCG_K + 1 - exact[(q, c)] if (q, c) in exact else 0
+        if rel > 0:
+            hits[q] += 1
+        dcg[q] += rel * NDCG_DISC_MICRO[rk - 1]
+    got = {r["q_id"]: r for r in op_ann_ndcg_audit(spark, sf_dir).collect()}
+    assert set(got) == set(k_lsh)
+    for q, g in got.items():
+        assert g["k_lsh"] == k_lsh[q]
+        assert g["n_hits"] == hits[q]
+        assert g["dcg_micro"] == dcg[q]
+        assert g["ndcg_micro"] == dcg[q] * MICRO // NDCG_IDCG_MICRO
+        # nDCG is a [0, 1] score; perfect only when every exact top-k
+        # item is retrieved at its exact rank
+        assert 0 <= g["ndcg_micro"] <= MICRO
+        if g["ndcg_micro"] == MICRO:
+            assert g["n_hits"] == NDCG_K
+    # the audit must not be vacuous: at least one query retrieves at
+    # least one exact-top-k item through the LSH index
+    assert any(g["n_hits"] > 0 for g in got.values())
+
+
+# --- op_ab_test_mann_whitney ----------------------------------------------
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    import math
+
+    from apitap_spark.operators.ml import op_ab_test_mann_whitney
+
+    rows = read_table(spark, sf_dir, "events").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        x = int(round(r["value"] * 100))
+        by_type[r["event_type"]].append((x, r["user_id"] % 2))
+    got = {
+        r["event_type"]: r
+        for r in op_ab_test_mann_whitney(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        na = sum(1 for _, g in vals if g == 0)
+        nb = len(vals) - na
+        # doubled average ranks per tie group
+        r1_double = 0
+        tie3 = 0
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j][0] == vals[i][0]:
+                j += 1
+            c = j - i
+            dr = 2 * i + c + 1  # 2 * average rank (1-based)
+            r1_double += dr * sum(1 for k in range(i, j) if vals[k][1] == 0)
+            if c > 1:
+                tie3 += c * c * c - c
+            i = j
+        u2 = r1_double - na * (na + 1)
+        e2 = na * nb
+        n = na + nb
+        var = (
+            float(na * nb)
+            * float((n + 1) * n * (n - 1) - tie3)
+            / 12.0
+            / float(n)
+            / float(n - 1)
+        )
+        z_micro = math.floor(1e6 * float(u2 - e2) / 2.0 / math.sqrt(var))
+        g = got[et]
+        assert g["na"] == na and g["nb"] == nb
+        assert g["u2"] == u2 and g["e2"] == e2 and g["tie3"] == tie3
+        assert g["z_micro"] == z_micro
+        assert g["significant"] == (abs(z_micro) >= 1959964)
+        # U symmetry: U1 + U2 = na*nb  (doubled: u2 + u2' = 2*na*nb)
+        r2_double = n * (n + 1) - r1_double
+        assert u2 + (r2_double - nb * (nb + 1)) == 2 * na * nb
+
+
+# --- op_conformal_interval_audit ------------------------------------------
+
+
+def _conf_fold(doc_id: int, salt: str) -> int:
+    h = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 4
+
+
+def test_conformal_interval_matches_python(spark, sf_dir):
+    from apitap_spark.operators.ml import (
+        CONF_SALT,
+        op_conformal_interval_audit,
+    )
+
+    rows = read_table(spark, sf_dir, "documents").collect()
+    train = defaultdict(list)
+    cal = defaultdict(list)
+    test = defaultdict(list)
+    for r in rows:
+        f = _conf_fold(r["doc_id"], CONF_SALT)
+        if f <= 1:
+            train[r["source"]].append(r["n_chars"])
+        elif f == 2:
+            cal[r["source"]].append((r["n_chars"], r["doc_id"]))
+        else:
+            test[r["source"]].append(r["n_chars"])
+    got = {
+        r["source"]: r
+        for r in op_conformal_interval_audit(spark, sf_dir).collect()
+    }
+    # only sources present in all three folds appear (inner joins)
+    expect = {s for s in train if cal.get(s) and test.get(s)}
+    assert set(got) == expect
+    for s in expect:
+        pred = sum(train[s]) * MICRO // len(train[s])
+        res = sorted(
+            (abs(nc * MICRO - pred), did) for nc, did in cal[s]
+        )
+        n_cal = len(res)
+        idx = min((9 * (n_cal + 1) + 9) // 10, n_cal)
+        qhat = res[idx - 1][0]
+        covered = sum(1 for nc in test[s] if abs(nc * MICRO - pred) <= qhat)
+        g = got[s]
+        assert g["n_train"] == len(train[s])
+        assert g["n_cal"] == n_cal
+        assert g["n_test"] == len(test[s])
+        assert g["pred_micro"] == pred
+        assert g["qhat_micro"] == qhat
+        assert g["covered"] == covered
+        assert g["coverage_micro"] == covered * MICRO // len(test[s])
+    # split-conformal is distribution-free but only in expectation;
+    # assert the pooled empirical coverage is not degenerate
+    tot_cov = sum(g["covered"] for g in got.values())
+    tot_test = sum(g["n_test"] for g in got.values())
+    assert tot_cov / tot_test >= 0.6
+
+
+# --- op_graph_trustrank_seeded --------------------------------------------
+
+
+def test_trustrank_matches_python(spark, sf_dir):
+    from apitap_spark.operators.graph import (
+        PAGERANK_SCALE,
+        TRI_NEXT_K,
+        TRUST_ITERS,
+        TRUST_SEED_MOD,
+        _TR_BASE_U,
+        _TR_DDEN,
+        _TR_DNUM,
+        op_graph_trustrank_seeded,
+    )
+
+    rows = read_table(spark, sf_dir, "events").collect()
+    buckets = defaultdict(set)
+    for r in rows:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(b, r["event_type"])].add(r["user_id"])
+    edges = set()
+    for users in buckets.values():
+        ordered = sorted(users)
+        for i, u in enumerate(ordered):
+            for k in range(1, TRI_NEXT_K + 1):
+                if i + k < len(ordered):
+                    edges.add((u, ordered[i + k]))
+    und = defaultdict(list)
+    for u, v in edges:
+        und[u].append(v)
+        und[v].append(u)
+    deg = {u: len(vs) for u, vs in und.items()}
+    rank = {
+        u: PAGERANK_SCALE if u % TRUST_SEED_MOD == 0 else 0 for u in und
+    }
+    for _ in range(TRUST_ITERS):
+        inflow = defaultdict(int)
+        for u, vs in und.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                inflow[v] += c
+        rank = {
+            u: (_TR_BASE_U if u % TRUST_SEED_MOD == 0 else 0)
+            + (_TR_DNUM * inflow.get(u, 0)) // _TR_DDEN
+            for u in und
+        }
+    got = {
+        r["user_id"]: r
+        for r in op_graph_trustrank_seeded(spark, sf_dir).collect()
+    }
+    assert set(got) == set(und)
+    for u, g in got.items():
+        assert g["trust_micro"] == rank[u]
+        assert g["is_seed"] == (u % TRUST_SEED_MOD == 0)
+    # seeds exist and trust propagates beyond them (non-vacuous gate)
+    assert any(u % TRUST_SEED_MOD == 0 for u in und)
+    assert any(
+        rank[u] > 0 for u in und if u % TRUST_SEED_MOD != 0
+    ), "trust never left the seed set"
+    # mass conservation band: total trust never exceeds the injected
+    # teleport mass amplified by the damping geometric series
+    n_seeds = sum(1 for u in und if u % TRUST_SEED_MOD == 0)
+    total = sum(rank.values())
+    assert total <= n_seeds * PAGERANK_SCALE * _TR_DDEN // (_TR_DDEN - _TR_DNUM)
