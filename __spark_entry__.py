@@ -128,6 +128,9 @@ _NEW_GATES: set[str] = {
     "op_ab_test_mann_whitney",
     "op_conformal_interval_audit",
     "op_graph_trustrank_seeded",
+    "op_graph_resource_allocation",
+    "op_quality_brier_decomposition",
+    "op_dsir_importance_weights",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1074,3 +1074,160 @@ def op_benchmark_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_micro"),
         )
     )
+
+
+# --- DSIR hashed-ngram importance weights (Xie et al. 2023) --------------
+
+DSIR_SALT = "dsir1"
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BIGRAMS_SQL = (
+    r"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+)
+_DSIR_TOKS_SQL = r"string_split_regex(TRIM(text), '\s+')"
+
+
+def _dsir_oracle() -> str:
+    toks = _DSIR_TOKS_SQL
+    grams = _DSIR_BIGRAMS_SQL.format(t="toks")
+    bucket = (
+        f"CAST('0x' || substr(md5('{DSIR_SALT}|' || g), 1, 15) AS BIGINT)"
+        f" % {DSIR_BUCKETS}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, {toks} AS toks FROM documents
+      WHERE LEN({toks}) >= 2
+    ),
+    feat AS (
+      SELECT doc_id, lang, {bucket} AS f
+      FROM (SELECT doc_id, lang, unnest({grams}) AS g FROM d)
+    ),
+    raw AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS c_r FROM feat GROUP BY f
+    ),
+    tgt AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS c_t FROM feat
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM tgt) AS n_t
+      FROM raw
+    ),
+    w AS (
+      SELECT raw.f,
+             CAST(ROUND(ln(
+               (CAST(COALESCE(tgt.c_t, 0) + 1 AS DOUBLE)
+                  * CAST(tot.n_r + {DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(raw.c_r + 1 AS DOUBLE)
+                  * CAST(tot.n_t + {DSIR_BUCKETS} AS DOUBLE))
+             ) * 1000000.0, 0) AS BIGINT) AS du
+      FROM raw LEFT JOIN tgt ON tgt.f = raw.f CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT feat.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(w.du) AS BIGINT) AS weight_micro
+      FROM feat JOIN w ON w.f = feat.f
+      GROUP BY feat.doc_id
+    )
+    SELECT d.doc_id, d.lang, p.n_grams, p.weight_micro
+    FROM d JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
+@_register("op_dsir_importance_weights", _dsir_oracle())
+def op_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance ratio Σ_f c_f·(ln p̂_T(f) − ln p̂_R(f))
+    between a hashed-bigram unigram-bag model of the TARGET domain
+    (the 'en' shard stands in for "looks like my fine-tuning set")
+    and the RAW corpus — the data-selection score used to resample a
+    web-scale pool toward a target distribution before pretraining.
+    High weight = target-like; selection takes the top mass.
+
+    Exactness (the naive-Bayes precedent): both add-one-smoothed log
+    ratios collapse into ONE ln per feature bucket over exact int64
+    products, rounded ONCE to micro-nats and embedded identically in
+    the per-doc integer dot product — the only transcendental is that
+    single correctly-rounded-input ln, evaluated on bit-identical
+    doubles in both engines.
+
+    Scale shape: features are hashed to DSIR_BUCKETS buckets, so the weight
+    table is CONSTANT-size (broadcast join against the per-doc gram
+    stream); counting is two map-side-combined aggregates over one
+    gram explode; no per-doc vocabulary ever materializes. This is
+    DSIR's own trick — the hash cap is what makes the estimator
+    streamable at 100 TB.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.explode(grams).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST(conv(substr(md5(concat('{DSIR_SALT}|', g)), 1, 15),"
+            f" 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+        ).alias("f"),
+    ).localCheckpoint()
+    # ^ gram-stream cardinality is corpus-sized but the checkpoint is
+    # (doc_id, lang, bucket) longs only; it feeds the raw count, the
+    # target count, AND the per-doc dot product — three consumers.
+    raw = feat.groupBy("f").agg(F.count("*").cast("bigint").alias("c_r"))
+    tgt = (
+        feat.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count("*").cast("bigint").alias("c_t"))
+    )
+    tot = raw.agg(
+        F.sum("c_r").cast("bigint").alias("n_r")
+    ).crossJoin(
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t"))
+    )
+    w = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                        * (F.col("n_r") + DSIR_BUCKETS).cast("double")
+                    )
+                    / (
+                        (F.col("c_r") + 1).cast("double")
+                        * (F.col("n_t") + DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("du"),
+        )
+    )
+    per_doc = (
+        feat.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("du").cast("bigint").alias("weight_micro"),
+        )
+    )
+    return d.select("doc_id", "lang").join(per_doc, "doc_id").select(
+        "doc_id", "lang", "n_grams", "weight_micro"
+    )

@@ -2558,3 +2558,115 @@ def op_winsorized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("winsor_varnum"),
     )
+
+
+# --- Murphy (1973) Brier-score decomposition of the quality score --------
+
+
+def _brier_oracle() -> str:
+    from apitap_spark.operators.textstats import ORACLES as _TEXT_ORACLES
+
+    return f"""
+    WITH scored AS ({_TEXT_ORACLES["op_text_quality_score"]}),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(quality_score * 10.0) AS BIGINT), 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_k
+      FROM scored GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+             CAST(SUM(c_k) AS BIGINT) AS c
+      FROM b
+    ),
+    milli AS (
+      SELECT b.bucket, b.n_k, b.c_k,
+             (2 * b.bucket + 1) * 50 AS f_milli,
+             1000 * b.c_k // b.n_k AS ok_milli,
+             1000 * g.c // g.n AS o_milli,
+             g.n, g.c
+      FROM b CROSS JOIN g
+    )
+    SELECT MAX(n) AS n_docs, MAX(c) AS n_longform,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n_k * (f_milli - ok_milli) * (f_milli - ok_milli))
+                // MAX(n) AS BIGINT) AS reliability_micro,
+           CAST(SUM(n_k * (ok_milli - o_milli) * (ok_milli - o_milli))
+                // MAX(n) AS BIGINT) AS resolution_micro,
+           CAST(MAX(o_milli) * (1000 - MAX(o_milli)) AS BIGINT)
+             AS uncertainty_micro,
+           CAST(SUM(n_k * (f_milli - ok_milli) * (f_milli - ok_milli))
+                // MAX(n)
+                - SUM(n_k * (ok_milli - o_milli) * (ok_milli - o_milli))
+                // MAX(n)
+                + MAX(o_milli) * (1000 - MAX(o_milli)) AS BIGINT)
+             AS brier_micro
+    FROM milli
+    """
+
+
+@_register("op_quality_brier_decomposition", _brier_oracle())
+def op_quality_brier_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy (1973) decomposition of the quality score's Brier score —
+    REL − RES + UNC over the tenth-bucket reliability curve that
+    op_quality_calibration draws: reliability (how far each bucket's
+    observed long-form rate sits from the bucket's nominal forecast),
+    resolution (how much the buckets separate from the base rate — the
+    part a good score maximizes), and uncertainty (the base rate's own
+    variance, the floor no forecaster beats). The one-number follow-up
+    to the calibration curve: a score can look monotone yet carry
+    near-zero resolution.
+
+    Fixed point: rates quantize ONCE to milli units (forecast = bucket
+    midpoint (2b+1)/20 — exact in millis; observed rates floor-divide),
+    so every squared gap is milli² = exact micro and the per-component
+    division happens once. The ~0.1% quantization bias is identical in
+    both engines and is the price of int64 safety to ~10¹² docs (the
+    exact-rational form overflows at corpus scale).
+
+    Scale shape: rides the one-scan quality-score projection; the
+    bucket aggregate is 10 rows, everything after is scalar.
+    """
+    from apitap_spark.operators.textstats import op_text_quality_score
+
+    scored = op_text_quality_score(spark, sf_dir).select(
+        F.least(
+            F.floor(F.col("quality_score") * 10.0).cast("bigint"), F.lit(9)
+        ).alias("bucket"),
+        (F.col("n_chars") > 300).cast("int").alias("y"),
+    )
+    b = scored.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("c_k"),
+    ).localCheckpoint()
+    # ^ ≤10 rows; feeds BOTH the global base-rate aggregate and the
+    # per-bucket frame — without it the corpus scan runs twice
+    g = b.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("c_k").cast("bigint").alias("c"),
+    )
+    milli = b.crossJoin(F.broadcast(g)).select(
+        "n_k", "c_k", "n", "c",
+        ((2 * F.col("bucket") + 1) * 50).alias("f_milli"),
+        F.expr("1000L * c_k div n_k").alias("ok_milli"),
+        F.expr("1000L * c div n").alias("o_milli"),
+    )
+    rel = F.expr(
+        "sum(n_k * (f_milli - ok_milli) * (f_milli - ok_milli)) div max(n)"
+    )
+    res = F.expr(
+        "sum(n_k * (ok_milli - o_milli) * (ok_milli - o_milli)) div max(n)"
+    )
+    unc = F.expr("max(o_milli) * (1000 - max(o_milli))")
+    return milli.agg(
+        F.max("n").alias("n_docs"),
+        F.max("c").alias("n_longform"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+        rel.cast("bigint").alias("reliability_micro"),
+        res.cast("bigint").alias("resolution_micro"),
+        unc.cast("bigint").alias("uncertainty_micro"),
+        (rel - res + unc).cast("bigint").alias("brier_micro"),
+    )

@@ -1343,3 +1343,47 @@ def test_trustrank_loop_shape_node_keyed(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "Scan parquet" not in p  # all inputs are checkpointed RDDs
     assert p.count("Scan ExistingRDD") >= 2  # nodes + final contrib
+
+
+def test_resource_allocation_wedge_colocated(spark, sf_dir):
+    """op_graph_resource_allocation inherits the link-prediction wedge
+    co-location: probe side repartitions by cu, deg(w) rides the
+    broadcast side, and no exchange is keyed by the wedge pair."""
+    import re
+
+    from apitap_spark.operators.graph import op_graph_resource_allocation
+
+    p = _plan(op_graph_resource_allocation(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(cu" in p
+    pair_exchanges = [
+        m for m in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+        if ("cu#" in m and "cv#" in m)
+        or ("u#" in m and "v#" in m and "cu#" not in m)
+    ]
+    assert pair_exchanges == [], pair_exchanges
+
+
+def test_brier_single_scan_ten_row_tail(spark, sf_dir):
+    """The corpus is scanned once BELOW the checkpointed ≤10-row bucket
+    aggregate (both the base-rate scalar and the component sums read
+    the checkpoint, never parquet); everything above is scalar."""
+    from apitap_spark.operators.quality import op_quality_brier_decomposition
+
+    p = _plan(op_quality_brier_decomposition(spark, sf_dir))
+    assert "Scan parquet" not in p  # corpus scan lives below the ckpt
+    assert p.count("Scan ExistingRDD") >= 2  # both consumers read it
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """The hashed-bucket weight table is constant-size and must
+    BROADCAST into the per-doc gram stream; the gram stream itself is
+    read from the checkpoint, never re-exploded per consumer."""
+    from apitap_spark.operators.corpus import op_dsir_importance_weights
+
+    p = _plan(op_dsir_importance_weights(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # feat is checkpointed: consumers read the RDD, not parquet
+    assert p.count("Scan ExistingRDD") >= 2

@@ -238,3 +238,162 @@ def test_trustrank_matches_python(spark, sf_dir):
     n_seeds = sum(1 for u in und if u % TRUST_SEED_MOD == 0)
     total = sum(rank.values())
     assert total <= n_seeds * PAGERANK_SCALE * _TR_DDEN // (_TR_DDEN - _TR_DNUM)
+
+
+# --- op_graph_resource_allocation -----------------------------------------
+
+
+def test_resource_allocation_matches_python(spark, sf_dir):
+    from apitap_spark.operators.graph import (
+        RA_TOP_K,
+        TRI_NEXT_K,
+        op_graph_resource_allocation,
+    )
+
+    rows = read_table(spark, sf_dir, "events").collect()
+    buckets = defaultdict(set)
+    for r in rows:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(b, r["event_type"])].add(r["user_id"])
+    edges = set()
+    for users in buckets.values():
+        ordered = sorted(users)
+        for i, u in enumerate(ordered):
+            for k in range(1, TRI_NEXT_K + 1):
+                if i + k < len(ordered):
+                    edges.add((u, ordered[i + k]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    scores = {}
+    for w, ns in adj.items():
+        contrib = MICRO // len(ns)
+        ordered = sorted(ns)
+        for i, u in enumerate(ordered):
+            for v in ordered[i + 1:]:
+                if (u, v) not in edges:
+                    cn, ra = scores.get((u, v), (0, 0))
+                    scores[(u, v)] = (cn + 1, ra + contrib)
+    ranked = sorted(
+        ((u, v), cn, ra) for (u, v), (cn, ra) in scores.items()
+    )
+    ranked.sort(key=lambda t: (-t[2], t[0]))
+    got = op_graph_resource_allocation(spark, sf_dir).collect()
+    assert len(got) == min(RA_TOP_K, len(ranked))
+    for g, ((u, v), cn, ra) in zip(sorted(got, key=lambda r: r["rk"]), ranked):
+        assert (g["u"], g["v"]) == (u, v)
+        assert g["common_neighbors"] == cn
+        assert g["ra_micro"] == ra
+    # RA down-weights hubs: every reported score is at most cn * 1e6 /
+    # min-degree and the ordering is strictly by ra_micro
+    ras = [g["ra_micro"] for g in sorted(got, key=lambda r: r["rk"])]
+    assert ras == sorted(ras, reverse=True)
+
+
+# --- op_quality_brier_decomposition ---------------------------------------
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    from apitap_spark.operators.quality import op_quality_brier_decomposition
+    from apitap_spark.operators.textstats import op_text_quality_score
+
+    scored = op_text_quality_score(spark, sf_dir).select(
+        "quality_score", "n_chars"
+    ).collect()
+    bins = defaultdict(lambda: [0, 0])
+    for r in scored:
+        b = min(int(r["quality_score"] * 10.0), 9)
+        bins[b][0] += 1
+        bins[b][1] += int(r["n_chars"] > 300)
+    n = sum(v[0] for v in bins.values())
+    c = sum(v[1] for v in bins.values())
+    o_milli = 1000 * c // n
+    rel_num = res_num = 0
+    for b, (n_k, c_k) in bins.items():
+        f_milli = (2 * b + 1) * 50
+        ok_milli = 1000 * c_k // n_k
+        rel_num += n_k * (f_milli - ok_milli) ** 2
+        res_num += n_k * (ok_milli - o_milli) ** 2
+    rel = rel_num // n
+    res = res_num // n
+    unc = o_milli * (1000 - o_milli)
+    g = op_quality_brier_decomposition(spark, sf_dir).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert g["n_docs"] == n and g["n_longform"] == c
+    assert g["n_buckets"] == len(bins)
+    assert g["reliability_micro"] == rel
+    assert g["resolution_micro"] == res
+    assert g["uncertainty_micro"] == unc
+    assert g["brier_micro"] == rel - res + unc
+    # decomposition sanity: every component non-negative, Brier in [0, 1]
+    assert rel >= 0 and res >= 0 and 0 <= unc <= 250000
+    assert 0 <= g["brier_micro"] <= MICRO
+
+
+# --- op_dsir_importance_weights -------------------------------------------
+
+
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def test_dsir_weights_match_python(spark, sf_dir):
+    import math
+    import re
+
+    from apitap_spark.operators.corpus import (
+        DSIR_BUCKETS,
+        DSIR_SALT,
+        DSIR_TARGET_LANG,
+        op_dsir_importance_weights,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    feats = {}
+    for r in docs:
+        toks = re.split(r"\s+", r["text"].strip())
+        if len(toks) < 2:
+            continue
+        fs = []
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i + 1]}"
+            h = hashlib.md5(f"{DSIR_SALT}|{g}".encode()).hexdigest()
+            fs.append(int(h[:15], 16) % DSIR_BUCKETS)
+        feats[r["doc_id"]] = (r["lang"], fs)
+    raw = defaultdict(int)
+    tgt = defaultdict(int)
+    for lang, fs in feats.values():
+        for f in fs:
+            raw[f] += 1
+            if lang == DSIR_TARGET_LANG:
+                tgt[f] += 1
+    n_r = sum(raw.values())
+    n_t = sum(tgt.values())
+    du = {
+        f: _round_half_away(
+            math.log(
+                ((tgt.get(f, 0) + 1) * (n_r + DSIR_BUCKETS))
+                / ((c_r + 1) * (n_t + DSIR_BUCKETS))
+            )
+            * 1e6
+        )
+        for f, c_r in raw.items()
+    }
+    got = {r["doc_id"]: r for r in op_dsir_importance_weights(spark, sf_dir).collect()}
+    assert set(got) == set(feats)
+    en_w, other_w = [], []
+    for did, (lang, fs) in feats.items():
+        g = got[did]
+        assert g["lang"] == lang
+        assert g["n_grams"] == len(fs)
+        assert g["weight_micro"] == sum(du[f] for f in fs)
+        (en_w if lang == DSIR_TARGET_LANG else other_w).append(
+            g["weight_micro"] / max(g["n_grams"], 1)
+        )
+    # the estimator must actually separate the target domain: mean
+    # per-gram weight of target-lang docs exceeds the rest
+    assert sum(en_w) / len(en_w) > sum(other_w) / len(other_w)
