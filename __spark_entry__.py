@@ -131,6 +131,8 @@ _NEW_GATES: set[str] = {
     "op_graph_resource_allocation",
     "op_quality_brier_decomposition",
     "op_dsir_importance_weights",
+    "op_shard_makespan_lpt",
+    "op_krippendorff_alpha",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

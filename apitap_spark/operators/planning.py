@@ -646,3 +646,137 @@ def op_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("bigint").alias("min_score"),
         F.max("score").cast("bigint").alias("max_score"),
     )
+
+
+# --- LPT shard-to-worker placement audit (Graham 1969) -------------------
+
+LPT_WORKERS = 8
+
+_LPT_ORACLE = rf"""
+    WITH RECURSIVE
+    per_source AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                           ELSE LEN(string_split_regex(TRIM(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS rn
+      FROM per_source
+    ),
+    lpt(rn, loads, src, tok, wkr) AS (
+      SELECT 0, list_transform(range(1, {LPT_WORKERS} + 1),
+                               i -> CAST(0 AS BIGINT)),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT s.rn,
+             list_transform(p.loads, (l, i) ->
+               CASE WHEN i = list_position(p.loads, list_min(p.loads))
+                    THEN l + s.n_tokens ELSE l END),
+             s.source, s.n_tokens,
+             CAST(list_position(p.loads, list_min(p.loads)) AS BIGINT)
+      FROM lpt p JOIN ranked s ON s.rn = p.rn + 1
+    ),
+    fin AS (
+      SELECT CAST(list_max(loads) AS BIGINT) AS makespan
+      FROM lpt WHERE rn = (SELECT MAX(rn) FROM lpt)
+    ),
+    tot AS (
+      SELECT GREATEST(
+               (SUM(n_tokens) + {LPT_WORKERS} - 1) // {LPT_WORKERS},
+               MAX(n_tokens)) AS lb
+      FROM per_source
+    )
+    SELECT CAST(l.rn AS BIGINT) AS rnk, l.src AS source, l.tok AS n_tokens,
+           l.wkr AS worker, f.makespan,
+           CAST(t.lb AS BIGINT) AS lower_bound,
+           CAST(f.makespan * 1000000 // t.lb AS BIGINT) AS ratio_micro
+    FROM lpt l CROSS JOIN fin f CROSS JOIN tot t
+    WHERE l.rn >= 1
+"""
+
+
+@_register("op_shard_makespan_lpt", _LPT_ORACLE)
+def op_shard_makespan_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPT (longest-processing-time-first, Graham 1969) placement of
+    source shards onto LPT_WORKERS parallel workers — the greedy that schedules
+    a heterogeneous-shard training ingest: sort shards by token count
+    descending, assign each to the currently least-loaded worker. The
+    audit reports per-shard assignments, the resulting makespan, and
+    its ratio to the trivial lower bound max(ceil(total/W), max shard)
+    — Graham's bound guarantees ratio ≤ 4/3 − 1/(3W), so a ratio near
+    1e6 micro says the placement is as balanced as it can get and a
+    large one says one shard dominates (split it before loading).
+
+    Determinism recipe (the survival-KM fold pattern): the greedy is a
+    sequential fold over the source-cardinality shard list, run as ONE
+    JVM `aggregate` HOF over the ≤|sources| sorted struct array — no
+    Python, no driver loop — with ties broken by first-minimum worker
+    index and (tokens, source) sort order in both engines; DuckDB
+    replays the identical fold as a recursive CTE over a W-element
+    load list. All arithmetic is int64.
+
+    Scale shape: one corpus scan to count tokens per source (map-side
+    combined); everything after runs on the |sources|-row frame. The
+    fold state is W longs — constant — and the assignment table is
+    |sources| rows at any corpus size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    folded = per_source.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_tokens")).alias("negtok"),
+                    "source",
+                    F.col("n_tokens").alias("tok"),
+                )
+            )
+        ).alias("st"),
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.max("n_tokens").cast("bigint").alias("maxtok"),
+    )
+    # prefix fold: states[k] = worker loads BEFORE step k (1-based rn);
+    # Spark transform's index is 0-based while array_position is
+    # 1-based, hence the i + 1.
+    states = (
+        f"aggregate(st, array(array_repeat(cast(0 as bigint),"
+        f" {LPT_WORKERS})), (acc, x) -> concat(acc, array("
+        "transform(element_at(acc, -1), (l, i) ->"
+        " CASE WHEN i + 1 = array_position(element_at(acc, -1),"
+        " array_min(element_at(acc, -1))) THEN l + x.tok ELSE l END))))"
+    )
+    z = folded.select(
+        F.expr(
+            f"arrays_zip(st, slice({states}, 1, size(st)))"
+        ).alias("z"),
+        F.expr(f"array_max(element_at({states}, -1))")
+        .cast("bigint")
+        .alias("makespan"),
+        F.greatest(
+            F.expr(f"(total + {LPT_WORKERS} - 1) div {LPT_WORKERS}"),
+            F.col("maxtok"),
+        )
+        .cast("bigint")
+        .alias("lower_bound"),
+    )
+    row = F.posexplode("z").alias("pos", "r")
+    out = z.select("makespan", "lower_bound", row)
+    return out.select(
+        (F.col("pos") + 1).cast("bigint").alias("rnk"),
+        F.col("r.st.source").alias("source"),
+        F.col("r.st.tok").cast("bigint").alias("n_tokens"),
+        F.expr("array_position(r.`1`, array_min(r.`1`))")
+        .cast("bigint")
+        .alias("worker"),
+        "makespan",
+        "lower_bound",
+        F.expr("makespan * 1000000L div lower_bound")
+        .cast("bigint")
+        .alias("ratio_micro"),
+    )

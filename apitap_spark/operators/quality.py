@@ -2670,3 +2670,92 @@ def op_quality_brier_decomposition(
         unc.cast("bigint").alias("uncertainty_micro"),
         (rel - res + unc).cast("bigint").alias("brier_micro"),
     )
+
+
+# --- Krippendorff's alpha: multi-rater agreement audit -------------------
+
+KRIPP_LEN_T = 55  # rater A: token count >= corpus median
+KRIPP_DIV_T = 455  # rater B: lexical diversity (millis) >= corpus median
+KRIPP_CHARS_T = 300  # rater C: the long-form char label
+
+_KRIPP_ORACLE = rf"""
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN LEN(string_split_regex(TRIM(text), '\s+'))
+                       >= {KRIPP_LEN_T} THEN 1 ELSE 0 END
+             + CASE WHEN LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+                         * 1000
+                         // LEN(string_split_regex(TRIM(text), '\s+'))
+                         >= {KRIPP_DIV_T} THEN 1 ELSE 0 END
+             + CASE WHEN n_chars > {KRIPP_CHARS_T} THEN 1 ELSE 0 END AS n1
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(n1) AS BIGINT) AS n_true,
+             CAST(SUM(n1 * (3 - n1)) AS BIGINT) AS a_num
+      FROM lab
+    )
+    SELECT n_units, CAST(3 AS BIGINT) AS m_raters, n_true,
+           CAST(3 * n_units - n_true AS BIGINT) AS n_false,
+           a_num,
+           CAST(1.0 - CAST((3 * n_units - 1) * a_num AS DOUBLE)
+                      / CAST(2 * n_true * (3 * n_units - n_true) AS DOUBLE)
+                AS DOUBLE) AS alpha
+    FROM agg
+"""
+
+
+@_register("op_krippendorff_alpha", _KRIPP_ORACLE)
+def op_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha across THREE deterministic binary raters —
+    token count, lexical diversity, and the long-form char label — the
+    multi-rater generalization of op_label_agreement_kappa (Cohen's
+    kappa stops at two raters; fusing three or more heuristic labelers
+    into one quality signal needs the coincidence-matrix form).  For
+    complete binary ratings with m raters over N units the closed form
+    is exact: alpha = 1 − (n−1)·Σ_u n1ᵤ(m−n1ᵤ) / ((m−1)·n_t·n_f)
+    with n = mN total ratings, n1ᵤ the unit's true-votes, n_t/n_f the
+    global vote totals (Krippendorff 2004, ch. 11).
+
+    Exactness: every term is an exact int64 count; alpha is ONE IEEE
+    division of two exact integer products (the kappa precedent — no
+    pow/log anywhere). int64 bound: (n−1)·a_num holds to ~10⁹ units;
+    past that cast the factors to double first.
+
+    Scale shape: one narrow projection (two per-row array ops + one
+    char compare), one 3-counter global aggregate with map-side
+    combine; single output row at any corpus size.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    lab = docs.select(
+        F.size(t).cast("bigint").alias("nt"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("nd"),
+        "n_chars",
+    ).select(
+        (
+            (F.col("nt") >= KRIPP_LEN_T).cast("int")
+            + F.expr(f"CAST(nd * 1000 div nt >= {KRIPP_DIV_T} AS INT)")
+            + (F.col("n_chars") > KRIPP_CHARS_T).cast("int")
+        ).alias("n1")
+    )
+    agg = lab.agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("n1").cast("bigint").alias("n_true"),
+        F.sum(F.col("n1") * (3 - F.col("n1"))).cast("bigint").alias("a_num"),
+    )
+    return agg.select(
+        "n_units",
+        F.lit(3).cast("bigint").alias("m_raters"),
+        "n_true",
+        (3 * F.col("n_units") - F.col("n_true")).cast("bigint").alias("n_false"),
+        "a_num",
+        F.expr(
+            "CAST(1.0 - CAST((3 * n_units - 1) * a_num AS DOUBLE)"
+            " / CAST(2 * n_true * (3 * n_units - n_true) AS DOUBLE)"
+            " AS DOUBLE)"
+        ).alias("alpha"),
+    )

@@ -1387,3 +1387,24 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in p
     # feat is checkpointed: consumers read the RDD, not parquet
     assert p.count("Scan ExistingRDD") >= 2
+
+
+def test_lpt_fold_single_scan_constant_state(spark, sf_dir):
+    """One corpus scan into the per-source token aggregate; the LPT
+    greedy is a JVM aggregate HOF over the |sources|-struct array —
+    no join, no driver loop, nothing cartesian above the aggregate."""
+    from apitap_spark.operators.planning import op_shard_makespan_lpt
+
+    p = _plan(op_shard_makespan_lpt(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p  # map-side combined token counts
+
+
+def test_krippendorff_single_scan_one_row(spark, sf_dir):
+    """One narrow scan, one global 3-counter aggregate, single row."""
+    from apitap_spark.operators.quality import op_krippendorff_alpha
+
+    p = _plan(op_krippendorff_alpha(spark, sf_dir))
+    assert p.count(") Scan parquet") == 1
+    assert "Join" not in p

@@ -397,3 +397,87 @@ def test_dsir_weights_match_python(spark, sf_dir):
     # the estimator must actually separate the target domain: mean
     # per-gram weight of target-lang docs exceeds the rest
     assert sum(en_w) / len(en_w) > sum(other_w) / len(other_w)
+
+
+# --- op_shard_makespan_lpt ------------------------------------------------
+
+
+def test_lpt_makespan_matches_python(spark, sf_dir):
+    from apitap_spark.operators.planning import (
+        LPT_WORKERS,
+        op_shard_makespan_lpt,
+    )
+
+    rows = read_table(spark, sf_dir, "documents").collect()
+    per = defaultdict(int)
+    for r in rows:
+        t = r["text"].strip()
+        per[r["source"]] += len(t.split()) if t else 0
+    order = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    loads = [0] * LPT_WORKERS
+    assign = {}
+    for rnk, (s, tok) in enumerate(order, start=1):
+        w = loads.index(min(loads))  # first minimum = lowest worker id
+        assign[s] = (rnk, tok, w + 1)
+        loads[w] += tok
+    makespan = max(loads)
+    total = sum(per.values())
+    lb = max((total + LPT_WORKERS - 1) // LPT_WORKERS, max(per.values()))
+    got = {r["source"]: r for r in op_shard_makespan_lpt(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for s, (rnk, tok, w) in assign.items():
+        g = got[s]
+        assert g["rnk"] == rnk
+        assert g["n_tokens"] == tok
+        assert g["worker"] == w
+        assert g["makespan"] == makespan
+        assert g["lower_bound"] == lb
+        assert g["ratio_micro"] == makespan * MICRO // lb
+    # Graham's guarantee: LPT makespan <= (4/3 - 1/(3W)) * OPT and OPT
+    # >= lb, so the reported ratio must respect the bound
+    assert makespan * 3 * LPT_WORKERS <= lb * (4 * LPT_WORKERS - 1)
+    # every worker with load > 0 implies the assignment covers the pool
+    assert sum(tok for _, tok, _ in assign.values()) == total
+
+
+# --- op_krippendorff_alpha ------------------------------------------------
+
+
+def test_krippendorff_alpha_matches_python(spark, sf_dir):
+    import re
+
+    from apitap_spark.operators.quality import (
+        KRIPP_CHARS_T,
+        KRIPP_DIV_T,
+        KRIPP_LEN_T,
+        op_krippendorff_alpha,
+    )
+
+    rows = read_table(spark, sf_dir, "documents").collect()
+    n_units = len(rows)
+    n_true = a_num = 0
+    for r in rows:
+        toks = re.split(r"\s+", r["text"].strip()) if r["text"].strip() else [""]
+        nt, nd = len(toks), len(set(toks))
+        n1 = (
+            int(nt >= KRIPP_LEN_T)
+            + int(nd * 1000 // nt >= KRIPP_DIV_T)
+            + int(r["n_chars"] > KRIPP_CHARS_T)
+        )
+        n_true += n1
+        a_num += n1 * (3 - n1)
+    n = 3 * n_units
+    n_false = n - n_true
+    alpha = 1.0 - float((n - 1) * a_num) / float(2 * n_true * n_false)
+    g = op_krippendorff_alpha(spark, sf_dir).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert g["n_units"] == n_units
+    assert g["m_raters"] == 3
+    assert g["n_true"] == n_true and g["n_false"] == n_false
+    assert g["a_num"] == a_num
+    assert g["alpha"] == alpha
+    # alpha is chance-corrected: bounded above by 1, and the raters
+    # must actually disagree somewhere on this corpus (non-vacuous)
+    assert g["alpha"] <= 1.0
+    assert a_num > 0
