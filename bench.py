@@ -39,11 +39,15 @@ DRIFT_WATCHLIST = [
     # round-7 watchlist samples spanned 0.21-0.38s — closed as variance.
     "q_ab_test_chi2",
     # round-7: the lead()-window edge rewrite left the full gate ~1s
-    # slower at sf0.1 in isolated A/B (new ~7.1s vs old ~6.0s) even
-    # though edges-only and checkpoint+distinct phases measure FASTER
-    # and downstream reads identical checkpointed data — no plan-level
-    # mechanism found; watchlisted to see if the freeze medians confirm.
+    # slower; round-10 root-caused the remaining cost to the pair-keyed
+    # exchange above the wedge join and removed it by co-locating the
+    # aggregate with the cu-repartitioned probe side (12.5s -> ~6.5s).
+    # Stays listed so the freeze medians pin the post-fix level.
     "op_graph_link_prediction",
+    # round-10: the RA index shares the wedge co-location and is the
+    # new slowest gate (~8-9s isolated); medians guard the BuildRight
+    # broadcast choice that the co-location depends on.
+    "op_graph_resource_allocation",
 ]
 
 SINK_RUNS = 3
