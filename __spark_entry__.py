@@ -133,6 +133,7 @@ _NEW_GATES: set[str] = {
     "op_dsir_importance_weights",
     "op_shard_makespan_lpt",
     "op_krippendorff_alpha",
+    "op_graph_transitivity",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

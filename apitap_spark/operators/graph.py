@@ -1629,3 +1629,92 @@ def op_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "u", "v", F.col("cn").alias("common_neighbors"), "ra_micro"
     ).withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+
+
+# --- Global clustering coefficient (transitivity) ------------------------
+
+_TRANSITIVITY_ORACLE = f"""
+    WITH grp AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT b, event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY b, event_type ORDER BY user_id) AS rk
+      FROM grp
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS u, c.user_id AS v
+      FROM ranked a JOIN ranked c
+        ON a.b = c.b AND a.event_type = c.event_type
+       AND c.rk - a.rk BETWEEN 1 AND {TRI_NEXT_K}
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges2,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) AS BIGINT) AS deg_sum
+      FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u)
+    )
+    SELECT w.n_nodes, CAST(w.deg_sum // 2 AS BIGINT) AS n_edges, t.n_tri,
+           CAST(w.wedges2 // 2 AS BIGINT) AS n_wedges,
+           CAST(6 * t.n_tri * 1000000 // w.wedges2 AS BIGINT)
+             AS transitivity_micro
+    FROM tri t CROSS JOIN wed w
+"""
+
+
+@_register("op_graph_transitivity", _TRANSITIVITY_ORACLE)
+def op_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the co-activity
+    graph: C = 3·triangles / wedges — the one-number cohesion metric
+    that tells a curation run whether co-activity is clique-like
+    (communities worth mining) or star-like (hubs only), completing the
+    graph-metrics family next to per-node triangles, degree
+    assortativity, and modularity.
+
+    Exactness: triangles come from the oriented u<v join (each counted
+    once), wedges from Σ deg(deg−1)/2 over the symmetrized degree
+    table; C ships as one bigint floor division in micro units
+    (6·tri·1e6 // Σd(d−1) — the /2s cancel).
+
+    Scale shape: the oriented 3-way triangle join (endpoint-keyed,
+    orientation halves the input — op_graph_triangles' shape) plus one
+    degree aggregate; both scalar outputs, one row at any size.
+    """
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    wed = (
+        und.groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges2"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_nodes",
+        F.expr("deg_sum div 2").cast("bigint").alias("n_edges"),
+        "n_tri",
+        F.expr("wedges2 div 2").cast("bigint").alias("n_wedges"),
+        F.expr("6 * n_tri * 1000000L div wedges2")
+        .cast("bigint")
+        .alias("transitivity_micro"),
+    )

@@ -481,3 +481,48 @@ def test_krippendorff_alpha_matches_python(spark, sf_dir):
     # must actually disagree somewhere on this corpus (non-vacuous)
     assert g["alpha"] <= 1.0
     assert a_num > 0
+
+
+# --- op_graph_transitivity ------------------------------------------------
+
+
+def test_transitivity_matches_python(spark, sf_dir):
+    from apitap_spark.operators.graph import (
+        TRI_NEXT_K,
+        op_graph_transitivity,
+    )
+
+    rows = read_table(spark, sf_dir, "events").collect()
+    buckets = defaultdict(set)
+    for r in rows:
+        b = r["ts"].replace(minute=0, second=0, microsecond=0)
+        buckets[(b, r["event_type"])].add(r["user_id"])
+    edges = set()
+    for users in buckets.values():
+        ordered = sorted(users)
+        for i, u in enumerate(ordered):
+            for k in range(1, TRI_NEXT_K + 1):
+                if i + k < len(ordered):
+                    edges.add((u, ordered[i + k]))
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    n_tri = sum(
+        1
+        for (a, b) in edges
+        for c in adj[b]
+        if b < c and (a, c) in edges
+    )
+    wedges2 = sum(d * (d - 1) for d in map(len, adj.values()))
+    g = op_graph_transitivity(spark, sf_dir).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert g["n_nodes"] == len(adj)
+    assert g["n_edges"] == len(edges)
+    assert g["n_tri"] == n_tri
+    assert g["n_wedges"] == wedges2 // 2
+    assert g["transitivity_micro"] == 6 * n_tri * MICRO // wedges2
+    # transitivity is a fraction of closed wedges
+    assert 0 <= g["transitivity_micro"] <= MICRO
+    assert n_tri > 0, "triangle-free fixture makes the gate vacuous"
