@@ -134,6 +134,7 @@ _NEW_GATES: set[str] = {
     "op_shard_makespan_lpt",
     "op_krippendorff_alpha",
     "op_graph_transitivity",
+    "op_tokenizer_unigram_viterbi",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

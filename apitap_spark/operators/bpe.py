@@ -909,3 +909,279 @@ def op_training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+# --- Unigram-LM tokenizer: one Viterbi EM step (Kudo 2018) ---------------
+
+UNI_PIECE_MAX = 4  # candidate piece length cap
+UNI_VOCAB = 256  # seed vocab: top pieces by corpus count (plus all chars)
+UNI_WORD_MAX = 24  # DP length cap (longer tokens are URL/hash junk here)
+UNI_TOPK = 50
+
+_UNI_TOK = r"string_split_regex(TRIM(text), '\s+')"
+
+_UNIGRAM_ORACLE = rf"""
+    WITH RECURSIVE
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_UNI_TOK}) AS w FROM documents)
+      WHERE w <> '' AND LEN(w) <= {UNI_WORD_MAX}
+      GROUP BY w
+    ),
+    subs AS (
+      SELECT substr(wo.w, g.s + 1, g.l) AS p,
+             CAST(SUM(wo.n) AS BIGINT) AS c
+      FROM words wo
+      JOIN LATERAL (
+        SELECT s, l
+        FROM unnest(range(0, LEN(wo.w))) AS t1(s),
+             unnest(range(1, {UNI_PIECE_MAX} + 1)) AS t2(l)
+        WHERE s + l <= LEN(wo.w)
+      ) g ON TRUE
+      GROUP BY 1
+    ),
+    vocab0 AS (
+      -- DISTINCT wrapper, NOT a top-level UNION: under WITH RECURSIVE
+      -- DuckDB gives any `a UNION b` CTE recursive working-table
+      -- semantics and does NOT dedup across the branches (measured:
+      -- `WITH RECURSIVE x AS (SELECT 1 UNION SELECT 1)` has 2 rows) —
+      -- single-char pieces inside the top-{UNI_VOCAB} doubled and the
+      -- final join fanned out.
+      SELECT DISTINCT p, c FROM (
+        SELECT p, c FROM (
+          SELECT p, c, ROW_NUMBER() OVER (ORDER BY c DESC, p) AS rk
+          FROM subs
+        ) WHERE rk <= {UNI_VOCAB}
+        UNION ALL
+        SELECT p, c FROM subs WHERE LEN(p) = 1
+      )
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ct FROM vocab0),
+    vocab AS (
+      SELECT v.p, v.c,
+             CAST(ROUND(ln(CAST(t.ct AS DOUBLE) / CAST(v.c AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS u
+      FROM vocab0 v CROSS JOIN tot t
+    ),
+    pc AS (
+      SELECT w, e, list(struct_pack(s := s, u := u) ORDER BY s, u) AS lst
+      FROM (
+        SELECT wo.w, g.s, g.s + g.l AS e, v.u
+        FROM words wo
+        JOIN LATERAL (
+          SELECT s::INT AS s, l::INT AS l
+          FROM unnest(range(0, LEN(wo.w))) AS t1(s),
+               unnest(range(1, {UNI_PIECE_MAX} + 1)) AS t2(l)
+          WHERE s + l <= LEN(wo.w)
+        ) g ON TRUE
+        JOIN vocab v ON v.p = substr(wo.w, g.s + 1, g.l)
+      ) GROUP BY w, e
+    ),
+    lmax AS (SELECT CAST(MAX(LEN(w)) AS INT) AS m FROM words),
+    dp(w, iter, st) AS (
+      SELECT w, 0,
+             [struct_pack(cost := CAST(0 AS BIGINT), s := CAST(-1 AS INT))]
+      FROM words
+      UNION ALL
+      SELECT d.w, d.iter + 1,
+        CASE WHEN p.lst IS NULL THEN d.st
+             ELSE d.st || [struct_pack(
+               cost := list_min(list_transform(p.lst,
+                         x -> d.st[x.s + 1].cost + x.u)),
+               s := CAST(list_min(list_transform(
+                      list_filter(p.lst, x -> d.st[x.s + 1].cost + x.u =
+                        list_min(list_transform(p.lst,
+                          y -> d.st[y.s + 1].cost + y.u))),
+                      x -> x.s)) AS INT))]
+        END
+      FROM dp d
+      CROSS JOIN lmax
+      LEFT JOIN pc p ON p.w = d.w AND p.e = d.iter + 1
+      WHERE d.iter < lmax.m
+    ),
+    dpf AS (
+      SELECT d.w, d.st FROM dp d CROSS JOIN lmax WHERE d.iter = lmax.m
+    ),
+    walk(w, bounds) AS (
+      SELECT w, [CAST(len(st) - 1 AS INT)] FROM dpf
+      UNION ALL
+      SELECT wk.w, wk.bounds || [d.st[wk.bounds[-1] + 1].s]
+      FROM walk wk JOIN dpf d ON d.w = wk.w
+      WHERE wk.bounds[-1] > 0
+    ),
+    seg AS (SELECT w, bounds FROM walk WHERE bounds[-1] = 0),
+    vit AS (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS viterbi_count
+      FROM (
+        SELECT wo.n,
+               unnest(list_transform(range(1, len(s.bounds)),
+                 i -> substr(s.w, s.bounds[i + 1] + 1,
+                             s.bounds[i] - s.bounds[i + 1]))) AS piece
+        FROM seg s JOIN words wo ON wo.w = s.w
+      ) GROUP BY piece
+    )
+    SELECT piece, v.c AS seed_count, v.u AS score_micro, t.viterbi_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY t.viterbi_count DESC, piece)
+                AS BIGINT) AS rk
+    FROM vit t JOIN vocab v ON v.p = t.piece
+    ORDER BY t.viterbi_count DESC, piece
+    LIMIT {UNI_TOPK}
+"""
+
+
+@_register("op_tokenizer_unigram_viterbi", _UNIGRAM_ORACLE)
+def op_tokenizer_unigram_viterbi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One EM step of the unigram-LM tokenizer (Kudo 2018,
+    arXiv:1804.10959 — the SentencePiece algorithm), completing the
+    tokenizer-training family next to BPE and WordPiece: seed a piece
+    vocabulary from corpus substring counts, score pieces with
+    micro-nat negative log likelihood, Viterbi-segment every distinct
+    word under those scores (the E-step), and recount piece usage over
+    the optimal segmentations (the M-step counts whose normalization
+    feeds the next iteration / prune step). Output: the TOPK pieces by
+    Viterbi count with their seed counts and scores.
+
+    Exactness: the only transcendental is ONE ln per vocab piece on a
+    bit-identical exact-integer ratio, rounded once to micro-nats (the
+    naive-Bayes precedent); the DP then runs entirely in int64
+    (cost ≤ word_len·max_score ≈ 5·10⁸), with ties broken (min cost,
+    then min start = longest piece) identically in both engines; the
+    DuckDB oracle replays the DP as a recursive CTE over a
+    struct-list state and the backtrack as a second recursive walk.
+
+    Scale shape: the DP runs over DISTINCT words (vocabulary
+    cardinality, not corpus size) as ONE JVM `aggregate` HOF per word
+    — no Python, no driver loop, no per-position shuffle; candidate
+    generation is an equi-join of exploded substrings against the
+    broadcast ≤{UNI_VOCAB}+σ piece vocab; the M-step is one
+    map-side-combined count. 100× more documents grows only the word
+    COUNT aggregate; the DP cost is unchanged once the vocabulary
+    saturates (Heaps-law sublinear).
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= UNI_WORD_MAX))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    # ^ distinct-word frame feeds substring counting, the DP grid, and
+    # the M-step weight join — three consumers of one token explode.
+    grid = words.select(
+        "w", "n",
+        F.explode(F.expr("sequence(0, length(w) - 1)")).alias("s"),
+    ).select(
+        "w", "n", "s",
+        F.explode(
+            F.expr(
+                f"sequence(1, least({UNI_PIECE_MAX}, length(w) - s))"
+            )
+        ).alias("l"),
+    ).select(
+        "w", "n", F.col("s").cast("int").alias("s"),
+        F.expr("substr(w, s + 1, l)").alias("p"),
+        (F.col("s") + F.col("l")).cast("int").alias("e"),
+    )
+    subs = grid.groupBy("p").agg(F.sum("n").cast("bigint").alias("c"))
+    top = (
+        subs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("p"))
+            ),
+        )
+        .filter(F.col("rk") <= UNI_VOCAB)
+        .select("p", "c")
+    )
+    vocab0 = top.unionByName(
+        subs.filter(F.length("p") == 1).select("p", "c")
+    ).distinct().localCheckpoint()
+    tot = vocab0.agg(F.sum("c").cast("bigint").alias("ct"))
+    vocab = (
+        vocab0.crossJoin(F.broadcast(tot))
+        .select(
+            "p", "c",
+            F.round(
+                F.log(F.col("ct").cast("double") / F.col("c").cast("double"))
+                * 1000000.0,
+                0,
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+        .localCheckpoint()
+    )
+    ps = (
+        grid.join(F.broadcast(vocab.select("p", "u")), "p")
+        .groupBy("w")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("e").alias("e"),
+                        F.col("s").alias("s"),
+                        F.col("u").alias("u"),
+                    )
+                )
+            ).alias("ps")
+        )
+    )
+    dp = words.join(ps, "w").withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(sequence(1, length(w)),
+              array(struct(cast(0 as bigint) as cost, -1 as s)),
+              (acc, i) -> concat(acc, array(
+                array_min(transform(filter(ps, p -> p.e = i),
+                  p -> struct(element_at(acc, p.s + 1).cost + p.u as cost,
+                              p.s as s))))))
+            """
+        ),
+    )
+    walk = dp.withColumn(
+        "bounds",
+        F.expr(
+            """
+            aggregate(sequence(1, length(w)),
+              array(cast(length(w) as int)),
+              (acc, i) -> CASE WHEN element_at(acc, -1) > 0
+                THEN concat(acc, array(
+                  element_at(st, element_at(acc, -1) + 1).s))
+                ELSE acc END)
+            """
+        ),
+    )
+    vit = (
+        walk.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(bounds) - 1),"
+                    " i -> substr(w, element_at(bounds, i + 1) + 1,"
+                    " element_at(bounds, i) - element_at(bounds, i + 1)))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").cast("bigint").alias("viterbi_count"))
+    )
+    w_rk = Window.orderBy(F.desc("viterbi_count"), F.asc("piece"))
+    return (
+        vit.join(
+            vocab.select(
+                F.col("p").alias("piece"),
+                F.col("c").alias("seed_count"),
+                F.col("u").alias("score_micro"),
+            ),
+            "piece",
+        )
+        .withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+        .filter(F.col("rk") <= UNI_TOPK)
+        .select("piece", "seed_count", "score_micro", "viterbi_count", "rk")
+    )

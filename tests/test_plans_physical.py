@@ -1408,3 +1408,17 @@ def test_krippendorff_single_scan_one_row(spark, sf_dir):
     p = _plan(op_krippendorff_alpha(spark, sf_dir))
     assert p.count(") Scan parquet") == 1
     assert "Join" not in p
+
+
+def test_unigram_dp_jvm_fold_over_distinct_words(spark, sf_dir):
+    """The Viterbi DP runs as a JVM aggregate HOF over the checkpointed
+    distinct-word frame: no Python evaluator in the plan, candidate
+    pieces equi-join against the BROADCAST vocab, nothing cartesian."""
+    from apitap_spark.operators.bpe import op_tokenizer_unigram_viterbi
+
+    p = _plan(op_tokenizer_unigram_viterbi(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the word explode happened below the checkpoint; consumers read RDDs
+    assert "Scan ExistingRDD" in p

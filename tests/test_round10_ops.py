@@ -526,3 +526,68 @@ def test_transitivity_matches_python(spark, sf_dir):
     # transitivity is a fraction of closed wedges
     assert 0 <= g["transitivity_micro"] <= MICRO
     assert n_tri > 0, "triangle-free fixture makes the gate vacuous"
+
+
+# --- op_tokenizer_unigram_viterbi -----------------------------------------
+
+
+def test_unigram_viterbi_matches_python(spark, sf_dir):
+    import math
+    import re
+
+    from apitap_spark.operators.bpe import (
+        UNI_PIECE_MAX,
+        UNI_TOPK,
+        UNI_VOCAB,
+        UNI_WORD_MAX,
+        op_tokenizer_unigram_viterbi,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").collect()
+    words = defaultdict(int)
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].strip()):
+            if w and len(w) <= UNI_WORD_MAX:
+                words[w] += 1
+    subs = defaultdict(int)
+    for w, n in words.items():
+        for s in range(len(w)):
+            for l in range(1, min(UNI_PIECE_MAX, len(w) - s) + 1):
+                subs[w[s:s + l]] += n
+    ranked = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in ranked[:UNI_VOCAB]}
+    vocab |= {p for p in subs if len(p) == 1}
+    ct = sum(subs[p] for p in vocab)
+    u = {
+        p: _round_half_away(math.log(ct / subs[p]) * 1e6) for p in vocab
+    }
+    vit = defaultdict(int)
+    for w, n in words.items():
+        L = len(w)
+        dp = [(0, -1)] + [(None, None)] * L
+        for i in range(1, L + 1):
+            best = None
+            for l in range(1, min(UNI_PIECE_MAX, i) + 1):
+                p = w[i - l:i]
+                if p in vocab:
+                    cand = (dp[i - l][0] + u[p], i - l)
+                    if best is None or cand < best:
+                        best = cand
+            dp[i] = best
+        i = L
+        while i > 0:
+            s = dp[i][1]
+            vit[w[s:i]] += n
+            i = s
+    top = sorted(vit.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPK]
+    got = op_tokenizer_unigram_viterbi(spark, sf_dir).collect()
+    assert len(got) == len(top)
+    for g, (p, c) in zip(sorted(got, key=lambda r: r["rk"]), top):
+        assert g["piece"] == p
+        assert g["viterbi_count"] == c
+        assert g["seed_count"] == subs[p]
+        assert g["score_micro"] == u[p]
+    # the E-step must actually merge characters: at least one chosen
+    # piece is multi-char, and Viterbi counts never exceed seed counts
+    assert any(len(g["piece"]) > 1 for g in got)
+    assert all(g["viterbi_count"] <= g["seed_count"] for g in got)
