@@ -176,7 +176,14 @@ def _gate_priority(names: list[str]) -> list[str]:
        have no oracle (a re-run carries no new information, so they must
        NOT camp in tier 0 and starve never-tested gates — round-2
        verdict fix #2),
-    8. gates whose most recent driver row is green (rotate to the back).
+    8. gates whose most recent driver row is green — rotated OLDEST
+       EVIDENCE FIRST: within this tier gates sort by the round of
+       their latest driver row, so the handful of re-verification
+       slots left after the never-tested queue cycle through all
+       greens across rounds instead of re-proving the same
+       first-registered gates forever (a plain stable sort on
+       registration order would starve late-registered greens of
+       fresh evidence indefinitely).
 
     Across rounds this guarantees every gate — including ones added later —
     eventually gets a green driver row, with the only maintenance being
@@ -185,17 +192,24 @@ def _gate_priority(names: list[str]) -> list[str]:
     import glob
     import json
 
-    # verdict: name -> "green" | "red" | "no_oracle" (latest round wins)
+    # verdict: name -> "green" | "red" | "no_oracle" (latest round wins);
+    # last_round: name -> round number of the gate's most recent row
     verdict: dict[str, str] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            rnd = 0
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            last_round[name] = rnd
             if row.get("err") == "no_oracle":
                 verdict[name] = "no_oracle"
                 continue
@@ -231,7 +245,13 @@ def _gate_priority(names: list[str]) -> list[str]:
             return 0  # crash cause fixed this round: re-prove up front
         return {"red": 0, "harness_err": 5, "green": 8}[state]
 
-    return sorted(names, key=lambda n: tier(n))  # stable: keeps reg. order
+    def key(name: str) -> tuple[int, int]:
+        t = tier(name)
+        # tier 8: oldest driver evidence first (see docstring); other
+        # tiers keep pure registration order (age ~ registration there)
+        return (t, last_round.get(name, 0) if t == 8 else 0)
+
+    return sorted(names, key=key)  # stable within (tier, evidence age)
 
 
 def _oracle_names() -> set[str]:
