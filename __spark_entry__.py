@@ -135,6 +135,8 @@ _NEW_GATES: set[str] = {
     "op_krippendorff_alpha",
     "op_graph_transitivity",
     "op_tokenizer_unigram_viterbi",
+    "op_embedding_isotropy_audit",
+    "op_ann_lsh_recall_curve",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -3076,3 +3076,221 @@ def op_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ndcg_micro"),
     )
+
+
+# --- Embedding isotropy audit (mean pairwise cosine, no pairwise join) ----
+
+_ISOTROPY_ORACLE = f"""
+    WITH nv AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                               / sqrt({_SQL_NORM2.format(a="embedding")})
+                               * 1000000.0, 0) AS BIGINT)) AS vq
+      FROM embeddings
+      WHERE {_SQL_NORM2.format(a="embedding")} > 0
+    ),
+    dims AS (
+      SELECT pos, CAST(SUM(v) AS BIGINT) AS s_u
+      FROM (
+        SELECT u.i AS pos, nv.vq[u.i] AS v
+        FROM nv, unnest(range(1, len(vq) + 1)) AS u(i)
+      ) GROUP BY pos
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+             list_aggregate(list_transform(list(CAST(s_u AS DOUBLE) ORDER BY pos),
+               x -> x * x), 'sum') AS num
+      FROM dims
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nv)
+    SELECT nn.n AS n_vecs, f.n_dims,
+           CAST(FLOOR(1000000.0
+                * (f.num / 1000000000000.0 - CAST(nn.n AS DOUBLE))
+                / CAST(nn.n AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE))
+                AS BIGINT) AS mean_cos_micro,
+           CAST(FLOOR(1000000.0 * sqrt(f.num) / 1000000.0
+                / CAST(nn.n AS DOUBLE)) AS BIGINT) AS rbar_micro
+    FROM folded f CROSS JOIN nn
+"""
+
+
+@_register("op_embedding_isotropy_audit", _ISOTROPY_ORACLE)
+def op_embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (Ethayarajh 2019-style anisotropy
+    measurement, arXiv:1909.00512): the mean pairwise cosine between
+    ALL embedding pairs and the mean resultant norm — near-zero mean
+    cosine = isotropic space (directions used evenly), large = the
+    representation collapsed toward a common direction (the failure
+    mode that ruins cosine-based dedup and retrieval downstream).
+
+    Scale trick: the N² pairwise mean collapses algebraically —
+    Σ_{{i≠j}} v̂ᵢ·v̂ⱼ = ‖Σ v̂‖² − N — so the audit is ONE per-dimension
+    sum (64 groups, map-side combined) and a d-length fold: no
+    pairwise join, no sampling, exact over every pair at any corpus
+    size. This is the canonical example of replacing an O(N²) audit
+    with a sufficient statistic.
+
+    Exactness: unit-normalized components quantize ONCE to micro ints
+    (one IEEE divide + sqrt per component on identical doubles), the
+    per-dim sums are exact int64, and the squared fold runs in doubles
+    over the POSITION-ORDERED dim array (identical association order
+    in both engines); the two outputs floor-divide once each.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    nv = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            l2_norm("embedding").alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            F.expr(
+                "transform(embedding,"
+                " x -> cast(round(cast(x as double) / nrm * 1000000.0, 0)"
+                " as bigint))"
+            ).alias("vq")
+        )
+    )
+    dims = (
+        nv.select(F.posexplode("vq").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").cast("bigint").alias("s_u"))
+    )
+    folded = dims.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(pos, s_u))),"
+            " p -> cast(p.s_u as double)), cast(0.0 as double),"
+            " (acc, x) -> acc + x * x)"
+        ).alias("num"),
+    )
+    nn = nv.agg(F.count("*").cast("bigint").alias("n"))
+    return folded.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_vecs"),
+        "n_dims",
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (num / 1000000000000.0"
+            " - CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+            " / CAST(n - 1 AS DOUBLE)) AS BIGINT)"
+        ).alias("mean_cos_micro"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * sqrt(num) / 1000000.0"
+            " / CAST(n AS DOUBLE)) AS BIGINT)"
+        ).alias("rbar_micro"),
+    )
+
+
+# --- LSH recall-vs-tables curve (index sizing audit) ---------------------
+
+
+def _lsh_recall_curve_oracle() -> str:
+    per_table = []
+    for t in range(N_TABLES):
+        bucket = " + ".join(
+            f"(CASE WHEN {_sql_plane_dot(t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(N_PLANES)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS t, {bucket} AS b FROM embeddings"
+        )
+    bucketed = "\nUNION ALL\n".join(per_table)
+    exact = ORACLES["op_ann_cosine_topk"]
+    return f"""
+    WITH bucketed AS MATERIALIZED ({bucketed}),
+    mt AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, MIN(q.t) AS min_t
+      FROM bucketed q JOIN bucketed c ON q.t = c.t AND q.b = c.b
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (SELECT * FROM ({exact}) t),
+    hit AS (
+      SELECT e.q_id, m.min_t
+      FROM exact e JOIN mt m ON m.q_id = e.q_id AND m.c_id = e.c_id
+    ),
+    denom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM exact),
+    curve AS (
+      SELECT t.t AS tables_used,
+             CAST(COALESCE(SUM(CASE WHEN h.min_t < t.t THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_found
+      FROM (SELECT unnest(range(1, {N_TABLES} + 1)) AS t) t
+      LEFT JOIN hit h ON TRUE
+      GROUP BY 1
+    )
+    SELECT CAST(c.tables_used AS BIGINT) AS tables_used, c.n_found,
+           d.n_truth,
+           CAST(c.n_found * 1000000 // d.n_truth AS BIGINT) AS recall_micro
+    FROM curve c CROSS JOIN denom d
+    ORDER BY tables_used
+    """
+
+
+@_register("op_ann_lsh_recall_curve", _lsh_recall_curve_oracle())
+def op_ann_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical recall-vs-tables curve for the SRP-LSH index: for each
+    prefix of the hash-table bank (1..N_TABLES tables), the fraction
+    of exact cosine top-5 neighbors that appear in the candidate set —
+    the sizing audit that answers "how many tables do I pay for at my
+    recall target", the EMPIRICAL complement to the minhash family's
+    theoretical S-curve (op_lsh_tuning_curve).
+
+    The per-prefix candidate sets are computed in ONE pass: each
+    colliding (query, candidate) pair carries the MINIMUM table index
+    where it first collides, and prefix membership is min_t < t — so
+    the bucket join runs once, not once per prefix. All counts are
+    exact int64; recall floor-divides once.
+
+    Scale shape: the bucket equi-join is the op_ann_lsh_bucketed shape
+    (query side Q rows, bucket keys spread uniformly by construction);
+    the curve aggregate is a broadcast N_TABLES-row grid against the
+    Q×5-row hit list — constant-size output at any corpus size.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", F.explode(_lsh_buckets("embedding")).alias("tb")
+    ).select(
+        "vec_id",
+        F.col("tb.table").alias("t"),
+        F.col("tb.bucket").alias("b"),
+    )
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "t", "b"
+    )
+    mt = (
+        bucketed.select(F.col("vec_id").alias("c_id"), "t", "b")
+        .join(F.broadcast(q), ["t", "b"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.min("t").alias("min_t"))
+    )
+    exact = op_ann_cosine_topk(spark, sf_dir).select(
+        "q_id", F.col("c_id").alias("x_id")
+    ).localCheckpoint()
+    # ^ Q x 5 rows; feeds both the hit join and the denominator count
+    hit = mt.join(
+        exact,
+        (mt.q_id == exact.q_id) & (mt.c_id == F.col("x_id")),
+        "inner",
+    ).select("min_t")
+    denom = exact.agg(F.count("*").cast("bigint").alias("n_truth"))
+    grid = spark.range(1, N_TABLES + 1).select(
+        F.col("id").cast("bigint").alias("tables_used")
+    )
+    curve = (
+        grid.join(F.broadcast(hit), F.expr("min_t < tables_used"), "left")
+        .groupBy("tables_used")
+        .agg(F.count("min_t").cast("bigint").alias("n_found"))
+    )
+    return (
+        curve.crossJoin(F.broadcast(denom))
+        .select(
+            "tables_used",
+            "n_found",
+            "n_truth",
+            F.expr("CAST(n_found * 1000000L div n_truth AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+    )

@@ -1422,3 +1422,25 @@ def test_unigram_dp_jvm_fold_over_distinct_words(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the word explode happened below the checkpoint; consumers read RDDs
     assert "Scan ExistingRDD" in p
+
+
+def test_isotropy_no_pairwise_join(spark, sf_dir):
+    """The N^2 mean-cosine collapses to a per-dim sum: the plan must
+    contain NO join at all between embedding rows — one scan, one
+    64-group aggregate, scalar tail."""
+    from apitap_spark.operators.similarity import op_embedding_isotropy_audit
+
+    p = _plan(op_embedding_isotropy_audit(spark, sf_dir))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count(") Scan parquet") <= 2  # nv + denominator count
+
+
+def test_lsh_recall_curve_single_bucket_join(spark, sf_dir):
+    """One bucket equi-join computes min-collision-table for ALL curve
+    prefixes at once; the per-prefix expansion is a broadcast grid
+    against the Q x k hit list — never a re-join per prefix."""
+    from apitap_spark.operators.similarity import op_ann_lsh_recall_curve
+
+    p = _plan(op_ann_lsh_recall_curve(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -591,3 +591,86 @@ def test_unigram_viterbi_matches_python(spark, sf_dir):
     # piece is multi-char, and Viterbi counts never exceed seed counts
     assert any(len(g["piece"]) > 1 for g in got)
     assert all(g["viterbi_count"] <= g["seed_count"] for g in got)
+
+
+# --- op_embedding_isotropy_audit ------------------------------------------
+
+
+def test_isotropy_matches_python(spark, sf_dir):
+    import math
+
+    from apitap_spark.operators.similarity import op_embedding_isotropy_audit
+
+    rows = read_table(spark, sf_dir, "embeddings").collect()
+    sums = None
+    n = 0
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        norm2 = 0.0
+        for x in v:
+            norm2 += x * x
+        if norm2 <= 0:
+            continue
+        nrm = math.sqrt(norm2)
+        vq = [_round_half_away(x / nrm * 1e6) for x in v]
+        if sums is None:
+            sums = [0] * len(vq)
+        for i, x in enumerate(vq):
+            sums[i] += x
+        n += 1
+    num = 0.0
+    for s in sums:
+        num += float(s) * float(s)
+    mean_cos = math.floor(1e6 * (num / 1e12 - n) / n / (n - 1))
+    rbar = math.floor(1e6 * math.sqrt(num) / 1e6 / n)
+    g = op_embedding_isotropy_audit(spark, sf_dir).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert g["n_vecs"] == n
+    assert g["n_dims"] == len(sums)
+    assert g["mean_cos_micro"] == mean_cos
+    assert g["rbar_micro"] == rbar
+    # sufficient-statistic identity holds: mean cosine is bounded by
+    # [-1/(n-1), 1] for unit vectors
+    assert -MICRO // (n - 1) - 1 <= g["mean_cos_micro"] <= MICRO
+
+
+# --- op_ann_lsh_recall_curve ----------------------------------------------
+
+
+def test_lsh_recall_curve_matches_python(spark, sf_dir):
+    from apitap_spark.operators.similarity import (
+        N_TABLES,
+        op_ann_cosine_topk,
+        op_ann_lsh_bucketed,
+        op_ann_lsh_recall_curve,
+    )
+
+    got = {
+        r["tables_used"]: r
+        for r in op_ann_lsh_recall_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, N_TABLES + 1))
+    # monotone: more tables never lose candidates
+    founds = [got[t]["n_found"] for t in range(1, N_TABLES + 1)]
+    assert founds == sorted(founds)
+    truth = {g["n_truth"] for g in got.values()}
+    assert len(truth) == 1
+    n_truth = truth.pop()
+    for t, g in got.items():
+        assert g["recall_micro"] == g["n_found"] * MICRO // n_truth
+    # the FULL bank's recall must agree with the shipped LSH index's
+    # candidate overlap (triangulation against op_ann_lsh_bucketed's
+    # candidate generation, which uses all tables)
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in op_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh_cand = {
+        (r["q_id"], r["c_id"])
+        for r in op_ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    # op_ann_lsh_bucketed re-ranks to top-5, so its HITS are a subset
+    # of the full-bank candidate overlap measured by the curve
+    assert len(exact & lsh_cand) <= got[N_TABLES]["n_found"]
+    assert n_truth == len(exact)
