@@ -137,6 +137,7 @@ _NEW_GATES: set[str] = {
     "op_tokenizer_unigram_viterbi",
     "op_embedding_isotropy_audit",
     "op_ann_lsh_recall_curve",
+    "op_dedup_threshold_curve",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1818,3 +1818,70 @@ def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_micro"),
         )
     )
+
+
+# --- Near-dup threshold sweep (dedup-aggressiveness tuning curve) --------
+
+DEDUP_SWEEP_THRS = tuple(range(2, 10))  # 0.2 .. 0.9 in tenths
+
+
+def _dedup_threshold_curve_oracle() -> str:
+    pairs = ORACLES["op_dedup_ngram_jaccard"]
+    grid = ", ".join(f"({t})" for t in DEDUP_SWEEP_THRS)
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    grid(t) AS (SELECT * FROM (VALUES {grid}) g(t)),
+    hits AS (
+      SELECT g.t, p.d1, p.d2
+      FROM grid g LEFT JOIN pairs p
+        ON p.jaccard >= CAST(g.t AS DOUBLE) / 10.0
+    )
+    SELECT CAST(t AS BIGINT) * 100000 AS thr_micro,
+           CAST(COUNT(d1) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d1) AS BIGINT) AS n_left_docs
+    FROM hits GROUP BY t ORDER BY t
+    """
+
+
+@_register("op_dedup_threshold_curve", _dedup_threshold_curve_oracle())
+def op_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aggressiveness tuning curve: for each candidate Jaccard
+    bar 0.2..0.9, the number of near-dup pairs and distinct left docs
+    that bar would act on — the sweep a curation run reads before
+    committing to a threshold (too low deletes paraphrases, too high
+    keeps templates; the knee of this curve is the decision point).
+    The quality-bar analogue of op_quality_retention_sweep, pointed at
+    the dedup family.
+
+    One pass: the df-capped exact-Jaccard pair list (the
+    op_dedup_ngram_jaccard pipeline, thr 0.2 floor) is computed once
+    and checkpointed; the 8-row threshold grid broadcasts against it
+    and each row's counts are a conditional aggregate — the pairs
+    self-join never re-runs per threshold.
+
+    Exactness: jaccard is the pairs gate's own ROUND(...,6) double
+    compared against exact tenth literals evaluated identically in
+    both engines; counts are int64.
+    """
+    sh_all = _df_capped_shingles(spark, sf_dir)
+    pairs = _jaccard_pairs(sh_all, None, 0.2).localCheckpoint()
+    grid = spark.range(DEDUP_SWEEP_THRS[0], DEDUP_SWEEP_THRS[-1] + 1).select(
+        F.col("id").cast("int").alias("t")
+    )
+    hits = grid.join(
+        F.broadcast(pairs),
+        F.expr("jaccard >= CAST(t AS DOUBLE) / 10.0"),
+        "left",
+    )
+    return (
+        hits.groupBy("t")
+        .agg(
+            F.count("d1").cast("bigint").alias("n_pairs"),
+            F.countDistinct("d1").cast("bigint").alias("n_left_docs"),
+        )
+        .select(
+            (F.col("t").cast("bigint") * 100000).alias("thr_micro"),
+            "n_pairs",
+            "n_left_docs",
+        )
+    )

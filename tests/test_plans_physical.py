@@ -1444,3 +1444,15 @@ def test_lsh_recall_curve_single_bucket_join(spark, sf_dir):
     p = _plan(op_ann_lsh_recall_curve(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_dedup_threshold_curve_single_pairs_pass(spark, sf_dir):
+    """The pair list is checkpointed and the 8-row bar grid broadcasts
+    against it — the shingle self-join must NOT re-run per threshold
+    (the plan above the checkpoint contains no shingle explode)."""
+    from apitap_spark.operators.dedup import op_dedup_threshold_curve
+
+    p = _plan(op_dedup_threshold_curve(spark, sf_dir))
+    assert "Scan parquet" not in p  # pairs live below the checkpoint
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -674,3 +674,36 @@ def test_lsh_recall_curve_matches_python(spark, sf_dir):
     # of the full-bank candidate overlap measured by the curve
     assert len(exact & lsh_cand) <= got[N_TABLES]["n_found"]
     assert n_truth == len(exact)
+
+
+# --- op_dedup_threshold_curve ---------------------------------------------
+
+
+def test_dedup_threshold_curve_matches_pairs_gate(spark, sf_dir):
+    from apitap_spark.operators.dedup import (
+        DEDUP_SWEEP_THRS,
+        op_dedup_ngram_jaccard,
+        op_dedup_threshold_curve,
+    )
+
+    pairs = [
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in op_dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    got = {
+        r["thr_micro"]: r
+        for r in op_dedup_threshold_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == {t * 100000 for t in DEDUP_SWEEP_THRS}
+    prev = None
+    for t in DEDUP_SWEEP_THRS:
+        sel = [(d1, d2) for d1, d2, j in pairs if j >= t / 10.0]
+        g = got[t * 100000]
+        assert g["n_pairs"] == len(sel)
+        assert g["n_left_docs"] == len({d1 for d1, _ in sel})
+        # monotone: a higher bar never adds pairs
+        if prev is not None:
+            assert g["n_pairs"] <= prev
+        prev = g["n_pairs"]
+    # non-vacuous: the lowest bar must see the corpus's planted near-dups
+    assert got[DEDUP_SWEEP_THRS[0] * 100000]["n_pairs"] > 0
