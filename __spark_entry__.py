@@ -138,6 +138,7 @@ _NEW_GATES: set[str] = {
     "op_embedding_isotropy_audit",
     "op_ann_lsh_recall_curve",
     "op_dedup_threshold_curve",
+    "op_ml_auprc_grid",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -2886,3 +2886,139 @@ def op_conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Step-integrated PR-AUC over a fixed threshold grid ------------------
+
+AUPRC_STEPS = 100
+
+_AUPRC_ORACLE = f"""
+    WITH lab AS (
+      SELECT l_orderkey,
+             CASE WHEN COUNT(*) >= {PR_WIDE_LINES} THEN 1 ELSE 0 END AS lab
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    y AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y,
+             CAST(COALESCE(l.lab, 0) AS BIGINT) AS lab
+      FROM orders o LEFT JOIN lab l ON l.l_orderkey = o.o_orderkey
+    ),
+    g AS (
+      SELECT CAST(MIN(y) AS BIGINT) AS mn, CAST(MAX(y) AS BIGINT) AS mx,
+             CAST(SUM(lab) AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n
+      FROM y
+    ),
+    th AS (
+      SELECT CAST(t.i AS BIGINT) AS i,
+             CAST(g.mn + ((g.mx - g.mn) * t.i) // {AUPRC_STEPS} AS BIGINT)
+               AS thr,
+             g.pos, g.n
+      FROM g CROSS JOIN (SELECT * FROM range(0, {AUPRC_STEPS + 1})) t(i)
+    ),
+    agg AS (
+      SELECT th.i, th.pos, th.n,
+             CAST(SUM(CASE WHEN y.y >= th.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred,
+             CAST(SUM(CASE WHEN y.y >= th.thr THEN y.lab ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM th CROSS JOIN y GROUP BY th.i, th.pos, th.n
+    ),
+    steps AS (
+      SELECT i, pos, n, tp, n_pred,
+             LEAD(tp, 1, 0) OVER (ORDER BY i) AS tp_next,
+             LEAD(n_pred, 1, 0) OVER (ORDER BY i) AS np_next
+      FROM agg
+    )
+    SELECT MAX(n) AS n_orders, MAX(pos) AS pos_total,
+           CAST({AUPRC_STEPS} AS BIGINT) AS steps,
+           CAST(MAX(pos) * 1000000 // MAX(n) AS BIGINT) AS prevalence_micro,
+           CAST(SUM((tp - tp_next)
+                    * (CASE WHEN np_next = 0 THEN 1000000
+                            ELSE tp_next * 1000000 // np_next END))
+                // MAX(pos) AS BIGINT) AS auprc_micro
+    FROM steps
+"""
+
+
+@_register("op_ml_auprc_grid", _AUPRC_ORACLE)
+def op_ml_auprc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-integrated PR-AUC of the order-value ranker at
+    {AUPRC_STEPS} fixed operating points — the single-number summary
+    of op_ml_pr_curve (and the PR-side companion to the ROC AUC gate):
+    AUPRC = Σ ΔR·P over the threshold grid, with P taken at the
+    higher-threshold end of each recall step (the conservative step
+    rule) and P := 1 when nothing is predicted (the recall→0
+    convention).
+
+    Like the curve gate, thresholds are evenly spaced in integer cents
+    between the observed min/max — NO global sort or rank anywhere, so
+    the shape survives 100 TB where a row_number over the score column
+    would be a single-partition window. Exactness: counts are int64,
+    each step's precision floors once to micros, and the Σ ΔR·P sum
+    divides by the positive count ONCE at the end (Σ Δtp·P_micro ≤
+    pos·1e6 — int64-safe to ~9·10¹² positives).
+    """
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    lab = li.groupBy("l_orderkey").agg(
+        (F.count("*") >= PR_WIDE_LINES).cast("bigint").alias("lab")
+    )
+    y = (
+        orders.join(lab, orders.o_orderkey == lab.l_orderkey, "left")
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y"),
+            F.coalesce("lab", F.lit(0)).cast("bigint").alias("lab"),
+        )
+    )
+    g = y.agg(
+        F.min("y").alias("mn"), F.max("y").alias("mx"),
+        F.sum("lab").cast("bigint").alias("pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    th = (
+        spark.range(0, AUPRC_STEPS + 1)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "i", "pos", "n",
+            F.expr(
+                f"CAST(mn + ((mx - mn) * i) div {AUPRC_STEPS} AS BIGINT)"
+            ).alias("thr"),
+        )
+    )
+    agg = (
+        y.crossJoin(F.broadcast(th))
+        .groupBy("i", "pos", "n")
+        .agg(
+            F.sum((F.col("y") >= F.col("thr")).cast("int"))
+            .cast("bigint")
+            .alias("n_pred"),
+            F.sum(
+                F.when(F.col("y") >= F.col("thr"), F.col("lab")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    w = Window.orderBy("i")
+    steps = agg.select(
+        "pos", "n", "tp", "n_pred",
+        F.lead("tp", 1, 0).over(w).alias("tp_next"),
+        F.lead("n_pred", 1, 0).over(w).alias("np_next"),
+    )
+    return steps.agg(
+        F.max("n").alias("n_orders"),
+        F.max("pos").alias("pos_total"),
+        F.lit(AUPRC_STEPS).cast("bigint").alias("steps"),
+        F.expr("CAST(max(pos) * 1000000L div max(n) AS BIGINT)").alias(
+            "prevalence_micro"
+        ),
+        F.expr(
+            "CAST(sum((tp - tp_next)"
+            " * (CASE WHEN np_next = 0 THEN 1000000L"
+            "        ELSE tp_next * 1000000L div np_next END))"
+            " div max(pos) AS BIGINT)"
+        ).alias("auprc_micro"),
+    )

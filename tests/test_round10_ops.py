@@ -707,3 +707,52 @@ def test_dedup_threshold_curve_matches_pairs_gate(spark, sf_dir):
         prev = g["n_pairs"]
     # non-vacuous: the lowest bar must see the corpus's planted near-dups
     assert got[DEDUP_SWEEP_THRS[0] * 100000]["n_pairs"] > 0
+
+
+# --- op_ml_auprc_grid -----------------------------------------------------
+
+
+def test_auprc_grid_matches_python(spark, sf_dir):
+    from apitap_spark.operators.ml import (
+        AUPRC_STEPS,
+        PR_WIDE_LINES,
+        op_ml_auprc_grid,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").collect()
+    orders = read_table(spark, sf_dir, "orders").collect()
+    nlines = defaultdict(int)
+    for r in li:
+        nlines[r["l_orderkey"]] += 1
+    ys = [
+        (int(round(r["o_totalprice"] * 100)),
+         int(nlines.get(r["o_orderkey"], 0) >= PR_WIDE_LINES))
+        for r in orders
+    ]
+    mn = min(y for y, _ in ys)
+    mx = max(y for y, _ in ys)
+    pos = sum(l for _, l in ys)
+    n = len(ys)
+    pts = []
+    for i in range(AUPRC_STEPS + 1):
+        thr = mn + (mx - mn) * i // AUPRC_STEPS
+        n_pred = sum(1 for y, _ in ys if y >= thr)
+        tp = sum(l for y, l in ys if y >= thr)
+        pts.append((tp, n_pred))
+    acc = 0
+    for i in range(AUPRC_STEPS + 1):
+        tp, _ = pts[i]
+        tp_next, np_next = pts[i + 1] if i + 1 < len(pts) else (0, 0)
+        p_micro = 1_000_000 if np_next == 0 else tp_next * MICRO // np_next
+        acc += (tp - tp_next) * p_micro
+    auprc = acc // pos
+    g = op_ml_auprc_grid(spark, sf_dir).collect()
+    assert len(g) == 1
+    g = g[0]
+    assert g["n_orders"] == n and g["pos_total"] == pos
+    assert g["steps"] == AUPRC_STEPS
+    assert g["prevalence_micro"] == pos * MICRO // n
+    assert g["auprc_micro"] == auprc
+    # PR-AUC of any ranker is bounded below by ~prevalence for a random
+    # score and above by 1; the fixture's ranker must beat random
+    assert g["prevalence_micro"] <= g["auprc_micro"] <= MICRO
