@@ -139,6 +139,7 @@ _NEW_GATES: set[str] = {
     "op_ann_lsh_recall_curve",
     "op_dedup_threshold_curve",
     "op_ml_auprc_grid",
+    "op_ab_test_poisson_rates",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

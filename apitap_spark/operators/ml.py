@@ -3022,3 +3022,111 @@ def op_ml_auprc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div max(pos) AS BIGINT)"
         ).alias("auprc_micro"),
     )
+
+
+# --- Two-sample Poisson rate test (conditional binomial z) ---------------
+
+_POISSON_ORACLE = """
+    WITH e AS (
+      SELECT event_type, user_id % 2 AS g,
+             date_trunc('hour', ts) AS h, user_id
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM e GROUP BY 1
+    ),
+    expo AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t2
+      FROM (SELECT DISTINCT event_type, g, h, user_id FROM e)
+      GROUP BY 1
+    )
+    SELECT c.event_type, c.n1, c.n2, x.t1, x.t2,
+           CAST(c.n1 * x.t2 * 1000000 // (c.n2 * x.t1) AS BIGINT)
+             AS rate_ratio_micro,
+           CAST(FLOOR(1000000.0
+                * (CAST(c.n1 AS DOUBLE)
+                   - CAST(c.n1 + c.n2 AS DOUBLE)
+                     * (CAST(x.t1 AS DOUBLE) / CAST(x.t1 + x.t2 AS DOUBLE)))
+                / sqrt(CAST(c.n1 + c.n2 AS DOUBLE)
+                       * (CAST(x.t1 AS DOUBLE) / CAST(x.t1 + x.t2 AS DOUBLE))
+                       * (1.0 - CAST(x.t1 AS DOUBLE)
+                                / CAST(x.t1 + x.t2 AS DOUBLE))))
+                AS BIGINT) AS z_micro,
+           (ABS(CAST(FLOOR(1000000.0
+                * (CAST(c.n1 AS DOUBLE)
+                   - CAST(c.n1 + c.n2 AS DOUBLE)
+                     * (CAST(x.t1 AS DOUBLE) / CAST(x.t1 + x.t2 AS DOUBLE)))
+                / sqrt(CAST(c.n1 + c.n2 AS DOUBLE)
+                       * (CAST(x.t1 AS DOUBLE) / CAST(x.t1 + x.t2 AS DOUBLE))
+                       * (1.0 - CAST(x.t1 AS DOUBLE)
+                                / CAST(x.t1 + x.t2 AS DOUBLE))))
+                AS BIGINT)) >= 1959964) AS significant
+    FROM cnt c JOIN expo x ON x.event_type = c.event_type
+"""
+
+
+@_register("op_ab_test_poisson_rates", _POISSON_ORACLE)
+def op_ab_test_poisson_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate comparison per event type — the
+    COUNT-data member of the A/B family (chi² → proportions, KS/MWU →
+    distributions, this → event rates per unit exposure): variant
+    event counts n₁/n₂ against active-user-hour exposures t₁/t₂, via
+    the standard conditional test (given N = n₁+n₂, n₁ is binomial
+    with p₀ = t₁/(t₁+t₂) under equal rates; Przyborowski & Wilenski
+    1940) with the normal approximation.
+
+    Exactness: counts and exposures are exact int64 (exposure = one
+    DISTINCT over (type, variant, hour, user) — map-side combined);
+    the rate ratio is one integer floor division; p₀ divides once and
+    the z chain is fixed left-associated IEEE with one sqrt (the KS/
+    MWU precedent); significance compares the floored micro-z.
+
+    Scale shape: two grouped aggregates over one scan each (the
+    distinct collapses before the variant counts), 5 output rows at
+    any corpus size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("g"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    )
+    cnt = e.groupBy("event_type").agg(
+        F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("n1"),
+        F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("n2"),
+    )
+    expo = (
+        e.distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("g") == 0).cast("int")).cast("bigint").alias("t1"),
+            F.sum((F.col("g") == 1).cast("int")).cast("bigint").alias("t2"),
+        )
+    )
+    z_micro = F.expr(
+        "CAST(FLOOR(1000000.0"
+        " * (CAST(n1 AS DOUBLE)"
+        "    - CAST(n1 + n2 AS DOUBLE)"
+        "      * (CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE)))"
+        " / sqrt(CAST(n1 + n2 AS DOUBLE)"
+        "        * (CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE))"
+        "        * (1.0 - CAST(t1 AS DOUBLE) / CAST(t1 + t2 AS DOUBLE))))"
+        " AS BIGINT)"
+    )
+    return (
+        cnt.join(expo, "event_type")
+        .select(
+            "event_type", "n1", "n2", "t1", "t2",
+            F.expr(
+                "CAST(n1 * t2 * 1000000L div (n2 * t1) AS BIGINT)"
+            ).alias("rate_ratio_micro"),
+            z_micro.alias("z_micro"),
+        )
+        .withColumn("significant", F.abs(F.col("z_micro")) >= 1959964)
+    )

@@ -756,3 +756,44 @@ def test_auprc_grid_matches_python(spark, sf_dir):
     # PR-AUC of any ranker is bounded below by ~prevalence for a random
     # score and above by 1; the fixture's ranker must beat random
     assert g["prevalence_micro"] <= g["auprc_micro"] <= MICRO
+
+
+# --- op_ab_test_poisson_rates ---------------------------------------------
+
+
+def test_poisson_rates_match_python(spark, sf_dir):
+    import math
+
+    from apitap_spark.operators.ml import op_ab_test_poisson_rates
+
+    rows = read_table(spark, sf_dir, "events").collect()
+    cnt = defaultdict(lambda: [0, 0])
+    expo_sets = defaultdict(set)
+    for r in rows:
+        g = r["user_id"] % 2
+        et = r["event_type"]
+        cnt[et][g] += 1
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        expo_sets[et].add((g, h, r["user_id"]))
+    got = {
+        r["event_type"]: r
+        for r in op_ab_test_poisson_rates(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cnt)
+    for et in cnt:
+        n1, n2 = cnt[et]
+        t1 = sum(1 for g, _, _ in expo_sets[et] if g == 0)
+        t2 = len(expo_sets[et]) - t1
+        p0 = float(t1) / float(t1 + t2)
+        z = math.floor(
+            1e6 * (float(n1) - float(n1 + n2) * p0)
+            / math.sqrt(float(n1 + n2) * p0 * (1.0 - p0))
+        )
+        g = got[et]
+        assert (g["n1"], g["n2"], g["t1"], g["t2"]) == (n1, n2, t1, t2)
+        assert g["rate_ratio_micro"] == n1 * t2 * MICRO // (n2 * t1)
+        assert g["z_micro"] == z
+        assert g["significant"] == (abs(z) >= 1959964)
+        # exposures bound the counts: at most a handful of same-type
+        # events per user-hour, and every event implies exposure
+        assert g["n1"] >= 0 and g["t1"] > 0 and g["t2"] > 0
