@@ -147,6 +147,27 @@ _NEW_GATES: set[str] = {
 # (round-4 verdict: both round-3 members went green, so cleared).
 _REPROVE_FIXED: set[str] = set()
 
+# Gates whose IMPLEMENTATION was modified this round (semantics-
+# preserving rewrites included): front-of-window recheck so the change
+# ships WITH a fresh oracle row the same round instead of waiting for
+# the oldest-evidence rotation to reach it (round-7 ADVICE #2 — the
+# round-6 wedge co-location rewrite shipped without post-change
+# evidence).  Reset this set each round to only the gates actually
+# touched; they sort between true reds (tier 0) and the backlog tiers.
+_RECHECK_FRONT: set[str] = {
+    # round 8: broadcast-orientation fix + AQE-hint drops (dedup),
+    # shared wedge-stats refactor (graph), int64/zero-denominator
+    # guards (ml), element_at clamp (similarity)
+    "op_dedup_threshold_curve",
+    "op_dedup_minhash_lsh",
+    "op_minhash_estimate_audit",
+    "op_graph_link_prediction",
+    "op_graph_resource_allocation",
+    "op_ab_test_poisson_rates",
+    "op_conformal_interval_audit",
+    "op_ann_ndcg_audit",
+}
+
 
 def _gate_priority(names: list[str]) -> list[str]:
     """Order gates so the driver's 50-row CORRECTNESS window hits the gates
@@ -158,6 +179,8 @@ def _gate_priority(names: list[str]) -> list[str]:
 
     0. gates whose most recent driver row is a genuine red (an oracle ran
        and mismatched — must be re-proven),
+    0.5. gates modified this round (_RECHECK_FRONT) — a rewrite must get
+       a fresh oracle row the same round it ships (round-7 ADVICE #2),
     1. round-1 backlog gates with no driver row yet (_ROUND1_BACKLOG),
     2. round-3 backlog gates with no driver row yet (_ROUND3_BACKLOG) —
        the 14 oracle-able stragglers the round-4 window displaced twice,
@@ -234,8 +257,12 @@ def _gate_priority(names: list[str]) -> list[str]:
 
     oracled = _oracle_names()
 
-    def tier(name: str) -> int:
+    def tier(name: str) -> float:
         state = verdict.get(name)
+        if state == "red":
+            return 0
+        if name in _RECHECK_FRONT:
+            return 0.5
         if state is None:
             if name in _ROUND1_BACKLOG:
                 return 1

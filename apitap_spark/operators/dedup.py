@@ -130,14 +130,17 @@ def _candidate_doc_shingles(
     (d1, d2) candidate pair list — the verify-time working set. The
     candidate list is orders of magnitude smaller than the corpus, so
     the semi-join prunes the expensive string-shingle build to a sliver
-    regardless of corpus size."""
+    regardless of corpus size. No broadcast hint: the candidate list is
+    still corpus-PROPORTIONAL, so a forced broadcast removes AQE's
+    safety valve — a plain semi-join lets AQE pick broadcast at small
+    scale and a shuffled semi-join at 100x."""
     cand_docs = (
         candidates.select(F.col("d1").alias("doc_id"))
         .union(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
     docs = read_table(spark, sf_dir, "documents")
-    return shingle_rows(docs.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    return shingle_rows(docs.join(cand_docs, "doc_id", "semi"))
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,8 +865,9 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest check the minhash rung has.
 
     Scale: the pair list is the (already df-capped) near-dup set —
-    tiny; signatures are built ONLY for candidate docs (broadcast
-    semi-join), so the hashing never touches the full corpus. Cost is
+    tiny; signatures are built ONLY for candidate docs (semi-join; no
+    forced broadcast — the candidate list is corpus-proportional, so
+    AQE decides), so the hashing never touches the full corpus. Cost is
     dominated by the exact-Jaccard ground-truth side (the df-capped
     shingle self-join) — inherent to any calibration audit; production
     amortizes it over a rotating pair sample.
@@ -880,7 +884,7 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    csh = sh_all.join(F.broadcast(cand), "doc_id")
+    csh = sh_all.join(cand, "doc_id")
     md5c = F.md5("shingle")
     a = F.conv(F.substring(md5c, 1, 13), 16, 10).cast("long")
     b = F.conv(F.substring(md5c, 17, 13), 16, 10).cast("long").bitwiseOR(
@@ -1855,8 +1859,12 @@ def op_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass: the df-capped exact-Jaccard pair list (the
     op_dedup_ngram_jaccard pipeline, thr 0.2 floor) is computed once
-    and checkpointed; the 8-row threshold grid broadcasts against it
-    and each row's counts are a conditional aggregate — the pairs
+    and checkpointed; the 8-row threshold grid is the BROADCAST side
+    of the non-equi join (the pair list is corpus-proportional at
+    scale — broadcasting it would OOM at 100x), each bar's counts are
+    one conditional aggregate over the fanned-out stream, and a final
+    tiny grid left-join restores empty thresholds as 0-rows (count of
+    no rows == count over null d1, same oracle hash). The pairs
     self-join never re-runs per threshold.
 
     Exactness: jaccard is the pairs gate's own ROUND(...,6) double
@@ -1868,20 +1876,21 @@ def op_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.range(DEDUP_SWEEP_THRS[0], DEDUP_SWEEP_THRS[-1] + 1).select(
         F.col("id").cast("int").alias("t")
     )
-    hits = grid.join(
-        F.broadcast(pairs),
-        F.expr("jaccard >= CAST(t AS DOUBLE) / 10.0"),
-        "left",
-    )
-    return (
-        hits.groupBy("t")
+    counts = (
+        pairs.join(
+            F.broadcast(grid),
+            F.expr("jaccard >= CAST(t AS DOUBLE) / 10.0"),
+        )
+        .groupBy("t")
         .agg(
             F.count("d1").cast("bigint").alias("n_pairs"),
             F.countDistinct("d1").cast("bigint").alias("n_left_docs"),
         )
-        .select(
-            (F.col("t").cast("bigint") * 100000).alias("thr_micro"),
-            "n_pairs",
-            "n_left_docs",
-        )
+    )
+    return grid.join(F.broadcast(counts), "t", "left").select(
+        (F.col("t").cast("bigint") * 100000).alias("thr_micro"),
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("n_left_docs", F.lit(0).cast("bigint")).alias(
+            "n_left_docs"
+        ),
     )

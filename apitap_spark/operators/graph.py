@@ -645,6 +645,90 @@ def op_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINKPRED_TOP_K = 20
 
+# Shared wedge statistics, memoized per (SparkContext, sf_dir):
+# op_graph_link_prediction and op_graph_resource_allocation build the
+# SAME edges/degrees/wedge-enumeration (the two most expensive graph
+# gates, ~13s combined at sf0.1 when each rebuilt it); one checkpointed
+# frame emitting (u, v, cn, ra_micro) serves both — Jaccard derives from
+# cn + broadcast degrees, RA reads ra_micro directly (round-7 verdict
+# task #3). The cache holds one checkpointed candidate frame per
+# (context, sf_dir) for the session's lifetime — candidate-pair-sized
+# (non-adjacent co-wedge pairs), the same frame each gate previously
+# materialized on its own.
+_WEDGE_STATS_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _build_wedge_stats(spark: SparkSession, sf_dir: str):
+    """Lazy (e, deg, wedge_candidates) frames — see _wedge_stats.
+
+    wedge_candidates = non-adjacent u<v pairs with
+    (cn = |N(u)∩N(v)|, ra_micro = Σ_w floor(1e6/deg(w))).
+
+    deg(w) rides the PROBE side (w is the join key, so either side can
+    carry it): keeping y at two columns makes it the narrower relation,
+    so Catalyst builds the broadcast from y and STREAMS x — preserving
+    x's hashpartitioning(cu) through the join for the co-located
+    aggregate. The first cut attached deg to y; Catalyst then built
+    from the narrower x, the cu-repartition was broadcast away, and
+    the pair-keyed exchange came back (12.7s vs 6.7s for the same
+    wedge count — plan read, not guessed).
+    """
+    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    # e is DISTINCT with u < v on every row (coactivity_edges), so the
+    # symmetrized union is duplicate-free by construction — skipping
+    # the distinct saves a full 2|E| shuffle before the checkpoint.
+    # und feeds both sides of the triangle-closing self-join; deg is
+    # consumed by the wedge probe AND broadcast twice downstream (du,
+    # dv). Checkpoint both or each consumer re-runs the union shuffle /
+    # degree groupBy (round-5 double-materialization sweep).
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint()
+    x = und.select(F.col("u").alias("cu"), F.col("v").alias("w")).join(
+        F.broadcast(deg.select(F.col("node").alias("w"), "d")), "w"
+    )
+    y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
+    # Pre-partition the probe side by cu BEFORE the wedge join: the
+    # broadcast join preserves the stream side's hashpartitioning(cu),
+    # which satisfies the groupBy(cu, cv) clustering requirement (cu is
+    # a prefix of the grouping key), so the Sum deg(w)^2 wedge stream is
+    # enumerated, filtered, and aggregated inside ONE codegen stage —
+    # zero shuffle of the ~|wedges| intermediate, and the partial-agg
+    # hash maps stay small because each task only holds its own cu
+    # range (measured 8.2s -> 0.55s for the cn stage at sf0.1). When
+    # the edge list outgrows the broadcast threshold at scale, the join
+    # falls back to SMJ on w and Catalyst re-inserts the exchange above
+    # it — the plan degrades to the classic shape, never breaks.
+    wedge = (
+        x.repartition("cu")
+        .join(y, "w")
+        .filter(F.col("cu") < F.col("cv"))
+        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000L div d")).cast("bigint").alias("ra_micro"),
+        )
+        .join(e, ["u", "v"], "left_anti")
+    )
+    return e, deg, wedge
+
+
+def _wedge_stats(spark: SparkSession, sf_dir: str):
+    """Memoized (e, deg, wedge_candidates) with the candidate frame
+    checkpointed — computed once per session per sf_dir, shared by the
+    link-prediction and resource-allocation gates."""
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _WEDGE_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    e, deg, wedge = _build_wedge_stats(spark, sf_dir)
+    out = (e, deg, wedge.localCheckpoint())
+    _WEDGE_STATS_CACHE[key] = out
+    return out
+
 _LINKPRED_ORACLE = f"""
     WITH grp AS (
       SELECT DISTINCT date_trunc('hour', ts) AS b, event_type, user_id
@@ -702,48 +786,13 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared neighbor, so cost is Σ deg(w)² over hub nodes (the
     bounded-degree construction caps deg), never |V|². The existing-
     edge exclusion is a broadcast anti-join against the canonical
-    u<v edge list; degrees broadcast; top-K is TakeOrdered.
+    u<v edge list; degrees broadcast; top-K is TakeOrdered.  The wedge
+    frame itself is the memoized _wedge_stats shared with
+    op_graph_resource_allocation — computed once per session.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
-    # checkpoint: feeds und, the anti-join, and degrees
-    # und feeds both sides of the triangle-closing self-join; deg is
-    # broadcast twice (du, dv). Checkpoint both or each consumer re-runs
-    # the union+distinct shuffle (4x) / the degree groupBy (2x) — the
-    # round-5 double-materialization sweep.
-    # e is DISTINCT with u < v on every row (coactivity_edges), so the
-    # symmetrized union is duplicate-free by construction — skipping
-    # the distinct saves a full 2|E| shuffle before the checkpoint.
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").cast("bigint").alias("d")
-    ).localCheckpoint()
-    x = und.select(F.col("u").alias("cu"), F.col("v").alias("w"))
-    y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
-    # Pre-partition the probe side by cu BEFORE the wedge join: the
-    # broadcast join preserves the stream side's hashpartitioning(cu),
-    # which satisfies the groupBy(cu, cv) clustering requirement (cu is
-    # a prefix of the grouping key), so the Sum deg(w)^2 wedge stream is
-    # enumerated, filtered, and aggregated inside ONE codegen stage —
-    # zero shuffle of the ~|wedges| intermediate, and the partial-agg
-    # hash maps stay small because each task only holds its own cu
-    # range. Without this, the 24M-row wedge stream was exchanged on
-    # (cu, cv) and every task built a ~0.5M-entry partial map with no
-    # reduction (measured 8.2s -> 0.55s for the cn stage at sf0.1).
-    # When the edge list outgrows the broadcast threshold at scale, the
-    # join falls back to SMJ on w and Catalyst re-inserts the exchange
-    # above it — the plan degrades to the classic shape, never breaks.
-    cn = (
-        x.repartition("cu")
-        .join(y, "w")
-        .filter(F.col("cu") < F.col("cv"))
-        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
-        .agg(F.count("*").cast("bigint").alias("cn"))
-    )
+    _e, deg, wedge = _wedge_stats(spark, sf_dir)
     cand = (
-        cn.join(e, ["u", "v"], "left_anti")
-        .join(
+        wedge.join(
             F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
             "u",
         )
@@ -1586,43 +1635,14 @@ def op_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one floor per WEDGE in both engines, so the per-pair sum is exact
     int64 and the top-K ordering hashes bit-for-bit.
 
-    Scale shape: identical to the rewritten link-prediction cn stage —
-    deg(w) rides the broadcast side of the wedge join, the probe side
-    pre-partitions by cu so the Σ deg(w)² wedge stream aggregates
-    co-located with zero pair-keyed exchange; the existing-edge
-    exclusion is a broadcast anti-join; top-K is TakeOrdered.
+    Scale shape: identical to the link-prediction cn stage — it IS the
+    same memoized _wedge_stats frame (deg(w) on the probe side of the
+    wedge join, cu-co-located aggregate, broadcast anti-join
+    exclusion), computed once per session and read here for ra_micro;
+    top-K is TakeOrdered.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
-    und = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").cast("bigint").alias("d")
-    ).localCheckpoint()
-    # deg(w) rides the PROBE side (w is the join key, so either side can
-    # carry it): keeping y at two columns makes it the narrower relation,
-    # so Catalyst builds the broadcast from y and STREAMS x — preserving
-    # x's hashpartitioning(cu) through the join for the co-located
-    # aggregate. The first cut attached deg to y; Catalyst then built
-    # from the narrower x, the cu-repartition was broadcast away, and
-    # the pair-keyed exchange came back (12.7s vs 6.7s for the same
-    # wedge count — plan read, not guessed).
-    x = und.select(F.col("u").alias("cu"), F.col("v").alias("w")).join(
-        F.broadcast(deg.select(F.col("node").alias("w"), "d")), "w"
-    )
-    y = und.select(F.col("u").alias("cv"), F.col("v").alias("w"))
-    ra = (
-        x.repartition("cu")
-        .join(y, "w")
-        .filter(F.col("cu") < F.col("cv"))
-        .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
-        .agg(
-            F.count("*").cast("bigint").alias("cn"),
-            F.sum(F.expr("1000000L div d")).cast("bigint").alias("ra_micro"),
-        )
-    )
-    cand = ra.join(e, ["u", "v"], "left_anti")
-    topk = cand.orderBy(
+    _e, _deg, wedge = _wedge_stats(spark, sf_dir)
+    topk = wedge.orderBy(
         F.desc("ra_micro"), F.asc("u"), F.asc("v")
     ).limit(RA_TOP_K)
     w_rk = Window.orderBy(F.desc("ra_micro"), F.asc("u"), F.asc("v"))

@@ -2742,7 +2742,9 @@ _CONFORMAL_ORACLE = f"""
     pred AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_train,
-             CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS pred_micro
+             CAST(SUM(n_chars) // COUNT(*) * 1000000
+                  + SUM(n_chars) % COUNT(*) * 1000000 // COUNT(*)
+                  AS BIGINT) AS pred_micro
       FROM d WHERE fold <= 1 GROUP BY source
     ),
     cal AS (
@@ -2812,7 +2814,14 @@ def op_conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over calibration rows only; the window's partition is the
     source key, so 100× data widens partitions but the sort stays
     distributed and spill-safe. int64 bound: n_chars·1e6 holds to
-    ~9·10¹² chars per doc — any real corpus fits.
+    ~9·10¹² chars per doc — any real corpus fits.  The predictor mean
+    divides BEFORE scaling (quotient·1e6 + remainder·1e6 div count —
+    exactly equal to sum·1e6 div count, since sum = q·count + rem):
+    the train-fold SUM(n_chars) alone must fit int64 (~9·10¹⁸ chars
+    per source, any corpus), but it is never multiplied by 1e6, so
+    the per-SOURCE aggregate cannot wrap at 100-TB scale the way the
+    old sum·1e6 form could (DuckDB's HUGEINT SUM would have masked
+    the Spark-side wrap on the oracle).
     """
     from pyspark.sql import Window
 
@@ -2828,8 +2837,11 @@ def op_conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_train"),
-            F.expr("CAST(sum(n_chars) * 1000000L div count(*) AS BIGINT)")
-            .alias("pred_micro"),
+            F.expr(
+                "CAST(sum(n_chars) div count(*) * 1000000L"
+                " + sum(n_chars) % count(*) * 1000000L div count(*)"
+                " AS BIGINT)"
+            ).alias("pred_micro"),
         )
     )
     cal = (
@@ -3046,8 +3058,9 @@ _POISSON_ORACLE = """
       GROUP BY 1
     )
     SELECT c.event_type, c.n1, c.n2, x.t1, x.t2,
-           CAST(c.n1 * x.t2 * 1000000 // (c.n2 * x.t1) AS BIGINT)
-             AS rate_ratio_micro,
+           CAST(CASE WHEN c.n2 * x.t1 = 0 THEN NULL
+                     ELSE c.n1 * x.t2 * 1000000 // (c.n2 * x.t1)
+                END AS BIGINT) AS rate_ratio_micro,
            CAST(FLOOR(1000000.0
                 * (CAST(c.n1 AS DOUBLE)
                    - CAST(c.n1 + c.n2 AS DOUBLE)
@@ -3085,6 +3098,17 @@ def op_ab_test_poisson_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rate ratio is one integer floor division; p₀ divides once and
     the z chain is fixed left-associated IEEE with one sqrt (the KS/
     MWU precedent); significance compares the floored micro-z.
+
+    Int64 bound (the MWU/Krippendorff convention): the ratio numerator
+    n1*t2*1e6 stays exact while n1*t2 < 9.2e12 — ~3e6 events against
+    ~3e6 user-hours per type.  Past that, Spark would wrap where
+    DuckDB promotes to HUGEINT; a 100-TB deployment should shard the
+    test by time window (each window's counts stay under the bound and
+    the windows are independent tests).  n2*t1 = 0 (a variant with no
+    exposure) yields NULL in BOTH engines via an explicit CASE — Spark
+    ``div`` returns NULL on zero but DuckDB ``//`` raises, so the
+    guard keeps the engines aligned rather than relying on either
+    default.
 
     Scale shape: two grouped aggregates over one scan each (the
     distinct collapses before the variant counts), 5 output rows at
@@ -3124,7 +3148,9 @@ def op_ab_test_poisson_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n1", "n2", "t1", "t2",
             F.expr(
-                "CAST(n1 * t2 * 1000000L div (n2 * t1) AS BIGINT)"
+                "CAST(CASE WHEN n2 * t1 = 0 THEN NULL"
+                "          ELSE n1 * t2 * 1000000L div (n2 * t1)"
+                "     END AS BIGINT)"
             ).alias("rate_ratio_micro"),
             z_micro.alias("z_micro"),
         )

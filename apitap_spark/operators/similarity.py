@@ -3047,9 +3047,17 @@ def op_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id").alias("xq"), F.col("c_id").alias("x_id"),
         F.col("rk").alias("xrk"),
     )
-    disc = F.element_at(
-        F.array(*[F.lit(d) for d in NDCG_DISC_MICRO]), F.col("rk").cast("int")
-    )
+    # Clamped like the oracle's CASE (ELSE 0): if the upstream lsh
+    # gate's top-k ever diverged from NDCG_K, an unguarded element_at
+    # would yield NULL (or error under ANSI) where the oracle falls
+    # back to 0 — guard so the two engines degrade identically.
+    disc = F.when(
+        (F.col("rk") >= 1) & (F.col("rk") <= NDCG_K),
+        F.element_at(
+            F.array(*[F.lit(d) for d in NDCG_DISC_MICRO]),
+            F.col("rk").cast("int"),
+        ),
+    ).otherwise(F.lit(0))
     rel = F.when(F.col("xrk").isNull(), F.lit(0)).otherwise(
         F.lit(NDCG_K + 1) - F.col("xrk")
     )

@@ -1315,10 +1315,13 @@ def test_linkpred_wedge_aggregate_colocated_with_probe(spark, sf_dir):
     join output's hashpartitioning(cu) satisfies groupBy(cu, cv) and
     the Sum deg(w)^2 intermediate aggregates in the same stage
     (measured 8.2s -> 0.55s at sf0.1). A pair-keyed exchange above the
-    join would mean the co-location regressed."""
-    from apitap_spark.operators.graph import op_graph_link_prediction
+    join would mean the co-location regressed. Asserted on the LAZY
+    shared builder (_build_wedge_stats) — the gates themselves read
+    the memoized checkpoint, whose plan hides the wedge stage."""
+    from apitap_spark.operators.graph import _build_wedge_stats
 
-    p = _plan(op_graph_link_prediction(spark, sf_dir))
+    _e, _deg, wedge = _build_wedge_stats(spark, sf_dir)
+    p = _plan(wedge)
     import re
 
     assert "BroadcastHashJoin" in p
@@ -1330,6 +1333,27 @@ def test_linkpred_wedge_aggregate_colocated_with_probe(spark, sf_dir):
         if ("cu#" in m and "cv#" in m) or ("u#" in m and "v#" in m and "cu#" not in m)
     ]
     assert pair_exchanges == [], pair_exchanges
+
+
+def test_linkpred_and_ra_share_memoized_wedge_frame(spark, sf_dir):
+    """op_graph_link_prediction and op_graph_resource_allocation must
+    consume the SAME checkpointed wedge-candidate frame (round-7
+    verdict task #3): two calls to _wedge_stats return identical
+    objects, and both gate plans read a checkpointed RDD rather than
+    re-running the wedge join."""
+    from apitap_spark.operators.graph import (
+        _wedge_stats,
+        op_graph_link_prediction,
+        op_graph_resource_allocation,
+    )
+
+    a = _wedge_stats(spark, sf_dir)
+    b = _wedge_stats(spark, sf_dir)
+    assert a[2] is b[2]  # memoized checkpoint, not a rebuild
+    for gate in (op_graph_link_prediction, op_graph_resource_allocation):
+        p = _plan(gate(spark, sf_dir))
+        assert "Scan ExistingRDD" in p  # reads the shared checkpoint
+        assert "Scan parquet" not in p  # never rebuilds from events
 
 
 def test_trustrank_loop_shape_node_keyed(spark, sf_dir):
@@ -1345,23 +1369,18 @@ def test_trustrank_loop_shape_node_keyed(spark, sf_dir):
     assert p.count("Scan ExistingRDD") >= 2  # nodes + final contrib
 
 
-def test_resource_allocation_wedge_colocated(spark, sf_dir):
+def test_resource_allocation_reads_shared_wedge_frame(spark, sf_dir):
     """op_graph_resource_allocation inherits the link-prediction wedge
-    co-location: probe side repartitions by cu, deg(w) rides the
-    broadcast side, and no exchange is keyed by the wedge pair."""
-    import re
-
+    co-location by construction — it reads the SAME memoized
+    _wedge_stats checkpoint (the co-location itself is asserted on the
+    lazy builder in test_linkpred_wedge_aggregate_colocated_with_probe).
+    Its own plan must be checkpoint → TakeOrdered, nothing heavier."""
     from apitap_spark.operators.graph import op_graph_resource_allocation
 
     p = _plan(op_graph_resource_allocation(spark, sf_dir))
-    assert "BroadcastHashJoin" in p
-    assert "hashpartitioning(cu" in p
-    pair_exchanges = [
-        m for m in re.findall(r"hashpartitioning\(([^)]*)\)", p)
-        if ("cu#" in m and "cv#" in m)
-        or ("u#" in m and "v#" in m and "cu#" not in m)
-    ]
-    assert pair_exchanges == [], pair_exchanges
+    assert "Scan ExistingRDD" in p
+    assert "TakeOrderedAndProject" in p  # top-K never globally sorts
+    assert "CartesianProduct" not in p
 
 
 def test_brier_single_scan_ten_row_tail(spark, sf_dir):
@@ -1447,12 +1466,21 @@ def test_lsh_recall_curve_single_bucket_join(spark, sf_dir):
 
 
 def test_dedup_threshold_curve_single_pairs_pass(spark, sf_dir):
-    """The pair list is checkpointed and the 8-row bar grid broadcasts
-    against it — the shingle self-join must NOT re-run per threshold
-    (the plan above the checkpoint contains no shingle explode)."""
+    """The pair list is checkpointed and the 8-row bar grid is the
+    BROADCAST side of the non-equi join (the pair list is
+    corpus-proportional — broadcasting it would OOM at 100x); the
+    shingle self-join must NOT re-run per threshold (the plan above
+    the checkpoint contains no shingle explode)."""
     from apitap_spark.operators.dedup import op_dedup_threshold_curve
 
     p = _plan(op_dedup_threshold_curve(spark, sf_dir))
     assert "Scan parquet" not in p  # pairs live below the checkpoint
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    # Orientation: the BNLJ streams the checkpointed pairs (":-" side,
+    # printed first) and broadcasts the Range grid — the ExistingRDD
+    # scan must appear BEFORE the BroadcastExchange in the tree.
+    tree = p[: p.index("\n\n")]
+    j = tree.index("BroadcastNestedLoopJoin")
+    assert tree.index("Scan ExistingRDD", j) < tree.index(
+        "BroadcastExchange", j
+    ), "pairs must be the streamed side; only the grid broadcasts"
