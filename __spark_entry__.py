@@ -140,6 +140,11 @@ _NEW_GATES: set[str] = {
     "op_dedup_threshold_curve",
     "op_ml_auprc_grid",
     "op_ab_test_poisson_rates",
+    # round 11 (judge r8): evidence-refresh round — only 3 new gates
+    # (round-7 verdict asked <=5) so the window drains r1/r2 staleness
+    "op_event_seasonality",
+    "op_data_skew_audit",
+    "op_text_ngram_novelty",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1894,3 +1894,80 @@ def op_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_left_docs"
         ),
     )
+
+
+# --- First-occurrence n-gram novelty (curriculum/ordering signal) --------
+
+
+def _novelty_oracle() -> str:
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(t) - {ONION_N - 1}, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+      FROM tok
+    ),
+    firsts AS (
+      SELECT g, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = grams.doc_id
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams JOIN firsts f USING (g) GROUP BY doc_id
+    """
+
+
+@_register("op_text_ngram_novelty", _novelty_oracle())
+def op_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence n-gram novelty per document: the share of each
+    doc's distinct word {ONION_N}-grams whose FIRST corpus occurrence
+    (minimum doc_id) is this document — the ordering-aware complement
+    of op_dedup_onion_share (ONION scores how corpus-redundant a doc
+    is regardless of position; novelty scores how much NEW text each
+    doc contributes given everything registered before it).  The
+    resulting curve is the curriculum/dataset-ordering signal: a
+    stream whose novelty collapses early is exhausted; sources can be
+    reordered or truncated where their marginal novelty flattens.
+
+    Exactness: first_doc = MIN(doc_id) per gram is exact int64; the
+    share is one non-negative integer floor division in micro units.
+
+    Scale shape: identical to the ONION/inverted-index rung — one
+    per-doc array expression chain + explode (zero shuffle), one
+    map-side-combined gram-keyed MIN, one LINEAR gram-keyed join back,
+    one doc-keyed aggregate.  No pairwise anything; hot grams cost one
+    join row each, never a blowup.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(sum(CAST(first_doc = doc_id AS INT)) * 1000000L"
+                " div count(*) AS BIGINT)"
+            ).alias("novelty_micro"),
+        )
+    )

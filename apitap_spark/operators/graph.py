@@ -651,14 +651,30 @@ LINKPRED_TOP_K = 20
 # gates, ~13s combined at sf0.1 when each rebuilt it); one checkpointed
 # frame emitting (u, v, cn, ra_micro) serves both — Jaccard derives from
 # cn + broadcast degrees, RA reads ra_micro directly (round-7 verdict
-# task #3). The cache holds one checkpointed candidate frame per
-# (context, sf_dir) for the session's lifetime — candidate-pair-sized
-# (non-adjacent co-wedge pairs), the same frame each gate previously
-# materialized on its own.
+# task #3). The cached deg/wedge checkpoints are PINNED
+# (session.pinned_local_checkpoint) so the between-gate
+# release_persisted sweep doesn't free blocks the second gate still
+# reads (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — found by the bench loop).
+# Footprint: degrees (node-sized) + non-adjacent co-wedge candidate
+# pairs — the same frames each gate previously materialized on its own,
+# held once per (context, sf_dir) for the session's lifetime;
+# clear_wedge_stats_cache() unpins when a long-lived host wants them
+# swept.
 _WEDGE_STATS_CACHE: dict[tuple[int, str], tuple] = {}
+_WEDGE_PINNED_IDS: set[int] = set()
 
 
-def _build_wedge_stats(spark: SparkSession, sf_dir: str):
+def clear_wedge_stats_cache() -> None:
+    """Drop the memoized wedge frames and unpin their RDD blocks (they
+    are then freed by the next release_persisted / ContextCleaner GC)."""
+    from apitap_spark.session import unpin_rdds
+
+    _WEDGE_STATS_CACHE.clear()
+    unpin_rdds(_WEDGE_PINNED_IDS)
+    _WEDGE_PINNED_IDS.clear()
+
+
+def _build_wedge_stats(spark: SparkSession, sf_dir: str, pin: bool = False):
     """Lazy (e, deg, wedge_candidates) frames — see _wedge_stats.
 
     wedge_candidates = non-adjacent u<v pairs with
@@ -686,7 +702,16 @@ def _build_wedge_stats(spark: SparkSession, sf_dir: str):
     ).localCheckpoint()
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
-    ).localCheckpoint()
+    )
+    if pin:
+        # deg is broadcast by link-prediction on LATER gate calls —
+        # its blocks must survive between-gate release sweeps
+        from apitap_spark.session import pinned_local_checkpoint
+
+        deg, ids = pinned_local_checkpoint(deg, spark)
+        _WEDGE_PINNED_IDS.update(ids)
+    else:
+        deg = deg.localCheckpoint()
     x = und.select(F.col("u").alias("cu"), F.col("v").alias("w")).join(
         F.broadcast(deg.select(F.col("node").alias("w"), "d")), "w"
     )
@@ -717,15 +742,19 @@ def _build_wedge_stats(spark: SparkSession, sf_dir: str):
 
 
 def _wedge_stats(spark: SparkSession, sf_dir: str):
-    """Memoized (e, deg, wedge_candidates) with the candidate frame
-    checkpointed — computed once per session per sf_dir, shared by the
+    """Memoized (deg, wedge_candidates), both pin-checkpointed —
+    computed once per session per sf_dir, shared by the
     link-prediction and resource-allocation gates."""
+    from apitap_spark.session import pinned_local_checkpoint
+
     key = (id(spark.sparkContext), sf_dir)
     hit = _WEDGE_STATS_CACHE.get(key)
     if hit is not None:
         return hit
-    e, deg, wedge = _build_wedge_stats(spark, sf_dir)
-    out = (e, deg, wedge.localCheckpoint())
+    _e, deg, wedge = _build_wedge_stats(spark, sf_dir, pin=True)
+    wedge, ids = pinned_local_checkpoint(wedge, spark)
+    _WEDGE_PINNED_IDS.update(ids)
+    out = (deg, wedge)
     _WEDGE_STATS_CACHE[key] = out
     return out
 
@@ -790,7 +819,7 @@ def op_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame itself is the memoized _wedge_stats shared with
     op_graph_resource_allocation — computed once per session.
     """
-    _e, deg, wedge = _wedge_stats(spark, sf_dir)
+    deg, wedge = _wedge_stats(spark, sf_dir)
     cand = (
         wedge.join(
             F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
@@ -1641,7 +1670,7 @@ def op_graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion), computed once per session and read here for ra_micro;
     top-K is TakeOrdered.
     """
-    _e, _deg, wedge = _wedge_stats(spark, sf_dir)
+    _deg, wedge = _wedge_stats(spark, sf_dir)
     topk = wedge.orderBy(
         F.desc("ra_micro"), F.asc("u"), F.asc("v")
     ).limit(RA_TOP_K)

@@ -780,3 +780,90 @@ def op_shard_makespan_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ratio_micro"),
     )
+
+
+# --- Join-key skew audit (shuffle-planning input) ------------------------
+
+_SKEW_ORACLE = """
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM c GROUP BY 1
+    )
+    SELECT s.event_type, s.n_rows, s.n_keys, s.max_key_rows,
+           CAST(s.max_key_rows * 1000000 // s.n_rows AS BIGINT)
+             AS max_share_micro,
+           CAST(SUM(CASE WHEN c.cnt * s.n_keys >= 2 * s.n_rows
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+           CAST(s.max_key_rows * s.n_keys // s.n_rows * 1000000
+                + s.max_key_rows * s.n_keys % s.n_rows
+                  * 1000000 // s.n_rows AS BIGINT) AS skew_micro
+    FROM c JOIN s USING (event_type)
+    GROUP BY 1, 2, 3, 4, 5, 7
+"""
+
+
+@_register("op_data_skew_audit", _SKEW_ORACLE)
+def op_data_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit per event type over the (event_type,
+    user_id) shuffle key — the measurement that decides whether a
+    downstream keyed join/aggregate needs salting or AQE skew-join
+    before it runs at 100 TB: rows per hottest key, its share of the
+    stream, the count of 'hot' keys (≥ 2x the mean), and the
+    max/mean skew ratio in exact micro units.
+
+    Exactness: the hot-key bar cnt ≥ 2·mean is evaluated as
+    cnt·n_keys ≥ 2·n_rows (pure int64 cross-multiplication, no
+    division); the skew ratio max/mean = max·n_keys/n_rows uses the
+    divide-before-scale fixed point (quotient·1e6 + remainder·1e6 div
+    n_rows).  Int64 bounds: cnt·n_keys and max·n_keys must fit —
+    holds while max_key_rows · n_keys < 9.2e18 (a corpus where it
+    doesn't has a skew ratio too extreme to need six decimals).
+
+    Scale shape: one map-side-combined (type, key) count, a ≤|types|-
+    row stats aggregate broadcast back over the per-key frame, one
+    final aggregate — no sort, no window over the key table.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    s = c.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+    )
+    return (
+        c.join(F.broadcast(s), "event_type")
+        .groupBy("event_type", "n_rows", "n_keys", "max_key_rows")
+        .agg(
+            F.sum(
+                (F.col("cnt") * F.col("n_keys") >= 2 * F.col("n_rows"))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("hot_keys")
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.expr("max_key_rows * 1000000L div n_rows")
+            .cast("bigint")
+            .alias("max_share_micro"),
+            "hot_keys",
+            F.expr(
+                "max_key_rows * n_keys div n_rows * 1000000L"
+                " + max_key_rows * n_keys % n_rows * 1000000L div n_rows"
+            )
+            .cast("bigint")
+            .alias("skew_micro"),
+        )
+    )

@@ -961,3 +961,104 @@ def op_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.st.c").cast("bigint").alias("n_censored"),
         F.col("r.1").cast("bigint").alias("survival_micro"),
     )
+
+
+# --- Hour-of-day seasonality profile + uniformity chi² -------------------
+
+_SEASONALITY_ORACLE = """
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS h,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type,
+             CAST(SUM(o) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(o * o) AS BIGINT) AS so2
+      FROM b GROUP BY 1
+    ),
+    pk AS (
+      SELECT event_type, h, o FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY o DESC, h) AS rk
+        FROM b
+      ) WHERE rk = 1
+    )
+    SELECT p.event_type, p.n_events, p.n_hours,
+           CAST(k.h AS BIGINT) AS peak_hour,
+           CAST(k.o * 1000000 // p.n_events AS BIGINT) AS peak_share_micro,
+           CAST((24 * p.so2 - p.n_events * p.n_events) // p.n_events
+                  * 1000000
+                + (24 * p.so2 - p.n_events * p.n_events) % p.n_events
+                  * 1000000 // p.n_events
+                AS BIGINT) AS chi2_uniform_micro
+    FROM prof p JOIN pk k USING (event_type)
+"""
+
+
+@_register("op_event_seasonality", _SEASONALITY_ORACLE)
+def op_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: the 24-bin UTC
+    load histogram summarized as peak hour / peak share plus Pearson's
+    chi-square against the uniform profile — the statistic an
+    experimentation or capacity-planning pass reads before trusting a
+    time-windowed A/B split (a strongly diurnal event type makes
+    hour-confounded variants incomparable) or sizing an ingest fleet.
+
+    Hours are pure epoch arithmetic ((epoch_sec div 3600) mod 24 —
+    Spark's CAST(ts AS LONG) vs DuckDB's epoch_us, the proven asof/KM
+    convention), never tz-dependent EXTRACT.  The chi² statistic
+    collapses algebraically to (24·Σo² − n²)/n — exact integers until
+    ONE divide-before-scale fixed-point division (quotient·1e6 +
+    remainder·1e6 div n, the conformal-gate pattern), so no float
+    enters either engine.  Int64 bound: 24·Σo² needs Σo² < 3.8e17 —
+    holds to ~6·10⁸ events per type; past that, shard the audit by
+    time window (the windows are independent profiles).
+
+    Scale shape: one map-side-combined (type, hour) aggregate over the
+    events scan, then all statistics on the ≤ 24·|types| bin frame —
+    the peak window and the final join run on broadcast-sized data at
+    any corpus size.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    bins = (
+        ev.select(
+            "event_type",
+            F.expr("(CAST(ts AS LONG) div 3600) % 24").cast("int").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    w_pk = Window.partitionBy("event_type").orderBy(F.desc("o"), F.asc("h"))
+    pk = (
+        bins.withColumn("rk", F.row_number().over(w_pk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("h").cast("bigint").alias("peak_hour"),
+            F.col("o").alias("peak_o"),
+        )
+    )
+    prof = bins.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum(F.col("o") * F.col("o")).cast("bigint").alias("so2"),
+    )
+    return prof.join(F.broadcast(pk), "event_type").select(
+        "event_type",
+        "n_events",
+        "n_hours",
+        "peak_hour",
+        F.expr("peak_o * 1000000L div n_events")
+        .cast("bigint")
+        .alias("peak_share_micro"),
+        F.expr(
+            "(24 * so2 - n_events * n_events) div n_events * 1000000L"
+            " + (24 * so2 - n_events * n_events) % n_events"
+            "   * 1000000L div n_events"
+        )
+        .cast("bigint")
+        .alias("chi2_uniform_micro"),
+    )

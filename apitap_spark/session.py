@@ -76,8 +76,43 @@ def get_session(
     return builder.getOrCreate()
 
 
+# RDD ids exempt from release_persisted: cross-gate memoized frames
+# (e.g. the graph wedge-stats cache) checkpoint once per session and are
+# INTENTIONALLY still referenced after a gate finishes — unpersisting a
+# localCheckpointed RDD whose lineage was truncated discards data that
+# cannot be recomputed (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on next read).
+_PINNED_RDD_IDS: set[int] = set()
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+    out: set[int] = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def pinned_local_checkpoint(df, spark: SparkSession):
+    """``df.localCheckpoint()`` whose blocks survive release_persisted.
+
+    For session-lifetime memoized frames shared ACROSS independent gate
+    jobs. The new persistent-RDD ids are diffed around the checkpoint —
+    callers are the single-threaded driver loop, so the diff is exact.
+    Unpin via :func:`unpin_rdds` when the owning cache is cleared.
+    """
+    before = _persistent_rdd_ids(spark)
+    d = df.localCheckpoint()
+    new = _persistent_rdd_ids(spark) - before
+    _PINNED_RDD_IDS.update(new)
+    return d, new
+
+
+def unpin_rdds(ids) -> None:
+    _PINNED_RDD_IDS.difference_update(ids)
+
+
 def release_persisted(spark: SparkSession) -> int:
-    """Unpersist every RDD still pinned in storage memory; returns count.
+    """Unpersist every non-pinned RDD still in storage memory.
 
     ``spark.catalog.clearCache()`` only drops catalog-cached *Datasets*;
     ``DataFrame.localCheckpoint()`` pins RDD-level blocks that linger
@@ -87,14 +122,19 @@ def release_persisted(spark: SparkSession) -> int:
     pressure. Calling this BETWEEN jobs is safe — nothing references the
     finished job's frames — but never mid-job: unpersisting a
     localCheckpointed RDD whose lineage was truncated discards data that
-    cannot be recomputed.
+    cannot be recomputed. Frames registered via
+    :func:`pinned_local_checkpoint` (cross-gate memo caches) are
+    skipped — they are still live by design.
     """
     jsc = spark.sparkContext._jsc.sc()
     jmap = jsc.getPersistentRDDs()
     n = 0
-    it = jmap.values().iterator()
+    it = jmap.keySet().iterator()
     while it.hasNext():
-        it.next().unpersist(False)
+        rid = it.next()
+        if rid in _PINNED_RDD_IDS:
+            continue
+        jmap.get(rid).get().unpersist(False)
         n += 1
     return n
 

@@ -12,10 +12,18 @@ startup + trust/cleartext/md5/SCRAM-SHA-256 auth (RFC 5802/7677 SASL,
 the default password_encryption since PostgreSQL 14), extended query
 protocol (Parse/Bind/Describe/Execute/Sync) with all parameters and
 results in text format, typed decode of the common OIDs, and
-protocol-level COPY IN via ``Cursor.copy_expert`` — the COPY fast path
-``JdbcMergeWriter.bulk_append`` probes for and the bench measures.
-Not implemented: channel binding (SCRAM-SHA-256-PLUS), COPY OUT,
-prepared-statement reuse, binary format — the sink needs none of them.
+protocol-level COPY in both directions via ``Cursor.copy_expert`` —
+COPY IN is the fast path ``JdbcMergeWriter.bulk_append`` probes for
+and the bench measures; COPY OUT feeds the apitap_postgres
+DataSource's per-stride bulk read.
+Not implemented: channel binding (SCRAM-SHA-256-PLUS), binary format —
+the sink needs neither. Statement reuse is transparent (psycopg3
+style): a (sql, param-OIDs) pair seen ``PREPARE_THRESHOLD`` times is
+promoted to a server-side named statement — later executions skip
+Parse and only Bind/Execute, the 10-20% win the reference's own docs
+claim for its VALUES-merge fallback. The cache is capped (evictions
+Close the statement) and cleared on any aborted transaction, since
+ROLLBACK discards statements parsed inside it.
 """
 
 from __future__ import annotations
@@ -146,31 +154,71 @@ class Cursor:
         self._rows = []
 
     def copy_expert(self, sql: str, file) -> None:
-        """COPY ... FROM STDIN with data read from ``file`` (psycopg2's
-        copy_expert surface, which JdbcMergeWriter's bulk-append path
-        probes for). Text/CSV payloads only; chunked CopyData frames."""
+        """COPY in either direction (psycopg2's copy_expert surface).
+
+        ``COPY ... FROM STDIN``: data read from ``file`` and streamed as
+        chunked CopyData frames — the fast path JdbcMergeWriter's
+        bulk-append probes for and the bench measures.
+
+        ``COPY ... TO STDOUT``: CopyData frames written to ``file`` as
+        they arrive (CopyOutResponse 'H' path) — the bulk read-back
+        used by the apitap_postgres DataSource's per-stride COPY
+        reader. Text/CSV payloads only; frames are written verbatim
+        (bytes-mode file preferred; str-mode files get UTF-8 decodes).
+        """
         conn = self._conn
         conn._ensure_txn()
         conn._send(b"Q", sql.encode() + b"\x00")
+        direction = None
         while True:
             mtype, body = conn._recv_msg()
             if mtype == b"G":  # CopyInResponse
+                direction = "in"
+                break
+            if mtype == b"H":  # CopyOutResponse
+                direction = "out"
                 break
             if mtype == b"E":
                 conn._drain_to_ready(PgError(conn._err_fields(body)))
             # 'N'/'S' notices: skip
-        # Chunked read: never materialize the whole payload (a caller
-        # may stream a multi-GB file; per-partition sink batches are
-        # small either way). str-mode files encode per chunk.
+        if direction == "in":
+            # Chunked read: never materialize the whole payload (a
+            # caller may stream a multi-GB file; per-partition sink
+            # batches are small either way). str-mode files encode per
+            # chunk.
+            while True:
+                data = file.read(65536)
+                if not data:
+                    break
+                if isinstance(data, str):
+                    data = data.encode("utf-8")
+                conn._send(b"d", data)
+            conn._send(b"c", b"")
+            conn._drain_to_ready()
+            return
+        # COPY OUT: stream server frames into `file` until CopyDone.
+        text_mode = False
         while True:
-            data = file.read(65536)
-            if not data:
-                break
-            if isinstance(data, str):
-                data = data.encode("utf-8")
-            conn._send(b"d", data)
-        conn._send(b"c", b"")
-        conn._drain_to_ready()
+            mtype, body = conn._recv_msg()
+            if mtype == b"d":  # CopyData
+                if text_mode:
+                    file.write(body.decode("utf-8"))
+                else:
+                    try:
+                        file.write(body)
+                    except TypeError:  # str-mode file
+                        text_mode = True
+                        file.write(body.decode("utf-8"))
+            elif mtype == b"c":  # CopyDone — CommandComplete follows
+                conn._drain_to_ready()
+                return
+            elif mtype == b"E":
+                conn._drain_to_ready(PgError(conn._err_fields(body)))
+            # 'N'/'S' notices: skip
+
+
+PREPARE_THRESHOLD = 2  # promote to a named statement on the 2nd execution
+STMT_CACHE_MAX = 64
 
 
 class Connection:
@@ -182,6 +230,14 @@ class Connection:
         self._buf = b""
         self._in_txn = False
         self.closed = False
+        # Named-statement reuse (the reference's own docs claim 10-20%
+        # on the VALUES-merge fallback): (sql, oid-vector) -> server-side
+        # statement name, promoted after PREPARE_THRESHOLD executions so
+        # one-shot DDL never pollutes the server cache. OIDs are part of
+        # the key because Parse freezes parameter types.
+        self._stmt_cache: dict[tuple, bytes] = {}
+        self._stmt_seen: dict[tuple, int] = {}
+        self._stmt_counter = 0
         user = p.get("user", "postgres")
         db = p.get("dbname", p.get("database", user))
         body = b"".join(
@@ -340,6 +396,10 @@ class Connection:
             if mtype == b"Z":
                 self._in_txn = body != b"I"
                 if err:
+                    # The error aborted the transaction; statements
+                    # parsed inside it are discarded at ROLLBACK —
+                    # conservatively forget every cached name.
+                    self._stmt_cache.clear()
                     raise err
                 return
 
@@ -367,11 +427,38 @@ class Connection:
         return 0
 
     def _extended_query(self, sql: str, params: list):
-        parse = sql.encode() + b"\x00" + struct.pack(">h", len(params))
-        for v in params:
-            parse += struct.pack(">i", self._param_oid(v))
-        self._send(b"P", b"\x00" + parse)
-        bind = [b"\x00\x00", struct.pack(">h", 0)]  # unnamed portal+stmt, text
+        oids = tuple(self._param_oid(v) for v in params)
+        key = (sql, oids)
+        name = self._stmt_cache.get(key)
+        promoted = False
+        if name is None:
+            seen = self._stmt_seen.get(key, 0) + 1
+            if len(self._stmt_seen) > 4 * STMT_CACHE_MAX:
+                self._stmt_seen.clear()  # bounded bookkeeping
+            self._stmt_seen[key] = seen
+            if seen >= PREPARE_THRESHOLD:
+                if len(self._stmt_cache) >= STMT_CACHE_MAX:
+                    evict_key = next(iter(self._stmt_cache))
+                    evict_name = self._stmt_cache.pop(evict_key)
+                    # Close the evicted statement in the same pipeline;
+                    # CloseComplete ('3') is skipped by the recv loop.
+                    self._send(b"C", b"S" + evict_name + b"\x00")
+                self._stmt_counter += 1
+                name = b"_ap%d" % self._stmt_counter
+                self._stmt_cache[key] = name
+                promoted = True
+            else:
+                name = b""
+        stmt = name if (promoted or name == b"") else None
+        if stmt is not None:  # first use of this name (or unnamed): Parse
+            parse = (
+                stmt + b"\x00" + sql.encode() + b"\x00"
+                + struct.pack(">h", len(params))
+            )
+            for oid in oids:
+                parse += struct.pack(">i", oid)
+            self._send(b"P", parse)
+        bind = [b"\x00" + name + b"\x00", struct.pack(">h", 0)]  # text params
         bind.append(struct.pack(">h", len(params)))
         for v in params:
             enc = _encode_param(v)
@@ -424,6 +511,7 @@ class Connection:
             elif mtype == b"Z":
                 self._in_txn = body != b"I"
                 if err:
+                    self._stmt_cache.clear()  # txn aborted: names may vanish
                     raise err
                 return desc, rows, tag
             # '1' ParseComplete, '2' BindComplete, 'n' NoData,
@@ -448,6 +536,9 @@ class Connection:
     def rollback(self) -> None:
         if self._in_txn:
             self._simple("ROLLBACK")
+            # Statements parsed inside the rolled-back txn are gone
+            # server-side; forget all names rather than track txn spans.
+            self._stmt_cache.clear()
 
     def close(self) -> None:
         if not self.closed:

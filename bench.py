@@ -185,7 +185,10 @@ def main(out_path: str | None = None) -> None:
     # answers on :54329; null otherwise so driver runs stay comparable.
     sink_pg_rows_per_sec = None
     sink_pg_merge_rows_per_sec = None
+    source_pg_read_rows_per_sec = None
+    source_pg_row_read_rows_per_sec = None
     sink_pg_runs: list[float] = []
+    read_runs: dict[str, list[float]] = {}
     merge_runs: list[float] = []
     import socket
 
@@ -252,6 +255,37 @@ def main(out_path: str | None = None) -> None:
         merge_sec = sorted(merge_runs)[len(merge_runs) // 2]
         sink_pg_merge_rows_per_sec = round(sink_rows / merge_sec)
 
+        # Read-back throughput (round-7 verdict #5): the merge bench
+        # leaves bench_pg_sink populated — time the DataSource stride
+        # reader directly (driver-side; Spark task scheduling would
+        # swamp a 200K-row delta), COPY-CSV→Arrow default vs the
+        # extended-query row protocol.
+        from apitap_spark.sources.pgsource import (
+            PostgresDataSource,
+            PostgresReader,
+            RangePartition,
+        )
+
+        src_opts = {"dsn": dsn, "table": "bench_pg_sink"}
+        src_schema = PostgresDataSource(options=src_opts).schema()
+        for method in ("row", "copy"):
+            reader = PostgresReader(
+                {**src_opts, "read_method": method}, src_schema
+            )
+            list(reader.read(RangePartition(None)))  # warm
+            runs = []
+            for _ in range(SINK_RUNS):
+                t0 = time.perf_counter()
+                list(reader.read(RangePartition(None)))
+                runs.append(time.perf_counter() - t0)
+            read_runs[method] = runs
+        source_pg_read_rows_per_sec = round(
+            sink_rows / sorted(read_runs["copy"])[len(read_runs["copy"]) // 2]
+        )
+        source_pg_row_read_rows_per_sec = round(
+            sink_rows / sorted(read_runs["row"])[len(read_runs["row"]) // 2]
+        )
+
         conn = pgwire.connect(dsn)
         cur = conn.cursor()
         cur.execute("DROP TABLE IF EXISTS bench_pg_sink")
@@ -310,6 +344,29 @@ def main(out_path: str | None = None) -> None:
         round(ws_tokens / enc_time) if enc_time and ws_tokens else None
     )
 
+    # Evidence-age visibility (round-7 verdict #2 corollary): how stale
+    # is each gate's most recent driver CORRECTNESS row? Published here
+    # so the refresh debt is visible in every BENCH_r{N}.json.
+    evidence_age: dict[str, int] = {}
+    max_evidence_age_round = None
+    try:
+        import glob as _glob
+
+        last_row: dict[str, int] = {}
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            with open(path) as fh:
+                for gname in json.load(fh):
+                    last_row[gname] = rnd
+        for rnd in sorted(set(last_row.values())):
+            evidence_age[f"r{rnd}"] = sum(
+                1 for v in last_row.values() if v == rnd
+            )
+        max_evidence_age_round = min(last_row.values()) if last_row else None
+    except (OSError, ValueError, IndexError):
+        pass
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = json.dumps(
             {
@@ -330,6 +387,13 @@ def main(out_path: str | None = None) -> None:
                 "sink_pg_runs_sec": [round(s, 4) for s in sink_pg_runs],
                 "sink_pg_merge_rows_per_sec": sink_pg_merge_rows_per_sec,
                 "sink_pg_merge_runs_sec": [round(s, 4) for s in merge_runs],
+                "source_pg_read_rows_per_sec": source_pg_read_rows_per_sec,
+                "source_pg_row_read_rows_per_sec": (
+                    source_pg_row_read_rows_per_sec
+                ),
+                "source_pg_read_runs_sec": {
+                    k: [round(s, 4) for s in v] for k, v in read_runs.items()
+                },
                 "watchlist_runs": watchlist_runs,
                 "curation_docs_per_sec": curation_docs_per_sec,
                 "dedup_docs_per_sec": dedup_docs_per_sec,
@@ -337,6 +401,8 @@ def main(out_path: str | None = None) -> None:
                 "encode_ws_tokens_per_sec": encode_ws_tokens_per_sec,
                 "ws_tokens": ws_tokens,
                 "document_rows": doc_rows,
+                "evidence_rows_by_round": evidence_age,
+                "oldest_evidence_round": max_evidence_age_round,
                 "cpus": cpus,
             }
     )

@@ -1349,11 +1349,34 @@ def test_linkpred_and_ra_share_memoized_wedge_frame(spark, sf_dir):
 
     a = _wedge_stats(spark, sf_dir)
     b = _wedge_stats(spark, sf_dir)
-    assert a[2] is b[2]  # memoized checkpoint, not a rebuild
+    assert a[1] is b[1]  # memoized checkpoint, not a rebuild
     for gate in (op_graph_link_prediction, op_graph_resource_allocation):
         p = _plan(gate(spark, sf_dir))
         assert "Scan ExistingRDD" in p  # reads the shared checkpoint
         assert "Scan parquet" not in p  # never rebuilds from events
+
+
+def test_wedge_cache_survives_release_persisted(spark, sf_dir):
+    """The bench loop calls release_persisted between gates; the
+    memoized wedge checkpoint is PINNED so the sweep must not free its
+    blocks (unpinned, the second gate dies with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — reproduced in the r8 bench)."""
+    from apitap_spark.operators.graph import (
+        clear_wedge_stats_cache,
+        op_graph_link_prediction,
+        op_graph_resource_allocation,
+    )
+    from apitap_spark.session import release_persisted
+
+    clear_wedge_stats_cache()  # force a fresh pin-checkpoint
+    release_persisted(spark)
+    assert op_graph_link_prediction(spark, sf_dir).count() >= 0
+    spark.catalog.clearCache()
+    release_persisted(spark)  # the between-gate sweep
+    assert op_graph_resource_allocation(spark, sf_dir).count() > 0
+    # and a full clear makes the blocks sweepable again
+    clear_wedge_stats_cache()
+    assert release_persisted(spark) >= 0
 
 
 def test_trustrank_loop_shape_node_keyed(spark, sf_dir):

@@ -1,0 +1,137 @@
+"""Round-11 operators: independent pure-Python recounts (the third
+implementation next to Spark and the DuckDB oracle) plus the invariant
+each operator exists to provide (chi² non-negativity and its collapse
+on uniform data, skew ratio ≥ 1, novelty telescoping to the distinct
+gram count)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+from apitap_spark.session import read_table
+
+MICRO = 1_000_000
+
+
+def _events_rows(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    ).collect()
+
+
+# --- op_event_seasonality -------------------------------------------------
+
+
+def test_event_seasonality_matches_python(spark, sf_dir):
+    from apitap_spark.operators.temporal import op_event_seasonality
+
+    import calendar
+
+    bins: dict = defaultdict(Counter)
+    for r in _events_rows(spark, sf_dir):
+        # collected datetimes are session-tz (UTC) wall clocks; timegm
+        # treats the naive value as UTC regardless of the host tz
+        epoch = calendar.timegm(r["ts"].timetuple())
+        bins[r["event_type"]][(epoch // 3600) % 24] += 1
+    got = {r["event_type"]: r for r in op_event_seasonality(spark, sf_dir).collect()}
+    assert set(got) == set(bins)
+    for et, cnt in bins.items():
+        n = sum(cnt.values())
+        so2 = sum(o * o for o in cnt.values())
+        peak_hour = min(cnt, key=lambda h: (-cnt[h], h))
+        g = got[et]
+        assert g["n_events"] == n
+        assert g["n_hours"] == len(cnt)
+        assert g["peak_hour"] == peak_hour
+        assert g["peak_share_micro"] == cnt[peak_hour] * MICRO // n
+        d = 24 * so2 - n * n
+        assert d >= 0  # Cauchy-Schwarz: chi2 is non-negative
+        assert g["chi2_uniform_micro"] == d // n * MICRO + d % n * MICRO // n
+
+
+def test_event_seasonality_chi2_zero_iff_uniform():
+    # invariant check on the closed form itself: a perfectly uniform
+    # 24-bin histogram collapses (24*so2 - n^2) to exactly zero
+    o = [7] * 24
+    n, so2 = sum(o), sum(x * x for x in o)
+    assert 24 * so2 - n * n == 0
+
+
+# --- op_data_skew_audit ---------------------------------------------------
+
+
+def test_data_skew_audit_matches_python(spark, sf_dir):
+    from apitap_spark.operators.planning import op_data_skew_audit
+
+    per_key: dict = defaultdict(Counter)
+    for r in _events_rows(spark, sf_dir):
+        per_key[r["event_type"]][r["user_id"]] += 1
+    got = {r["event_type"]: r for r in op_data_skew_audit(spark, sf_dir).collect()}
+    assert set(got) == set(per_key)
+    for et, cnt in per_key.items():
+        n_rows = sum(cnt.values())
+        n_keys = len(cnt)
+        mx = max(cnt.values())
+        g = got[et]
+        assert g["n_rows"] == n_rows
+        assert g["n_keys"] == n_keys
+        assert g["max_key_rows"] == mx
+        assert g["max_share_micro"] == mx * MICRO // n_rows
+        assert g["hot_keys"] == sum(
+            1 for c in cnt.values() if c * n_keys >= 2 * n_rows
+        )
+        p = mx * n_keys
+        assert g["skew_micro"] == (
+            p // n_rows * MICRO + p % n_rows * MICRO // n_rows
+        )
+        # max/mean ratio is >= 1 by construction
+        assert g["skew_micro"] >= MICRO
+
+
+# --- op_text_ngram_novelty ------------------------------------------------
+
+
+def _doc_grams(spark, sf_dir, n=3):
+    out = {}
+    for r in (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        text = r["text"] or ""
+        if not text.strip():
+            continue
+        t = re.split(r"\s+", text.strip())
+        out[r["doc_id"]] = {
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        }
+    return out
+
+
+def test_text_ngram_novelty_matches_python(spark, sf_dir):
+    from apitap_spark.operators.dedup import op_text_ngram_novelty
+
+    grams = _doc_grams(spark, sf_dir)
+    first: dict = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    got = {
+        r["doc_id"]: r for r in op_text_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, gs in grams.items() if gs}
+    total_novel = 0
+    for doc_id, gs in grams.items():
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        total_novel += novel
+        row = got[doc_id]
+        assert row["n_grams"] == len(gs)
+        assert row["n_novel"] == novel
+        assert row["novelty_micro"] == novel * MICRO // len(gs)
+    # telescoping invariant: every distinct gram is novel exactly once
+    assert total_novel == len(first)
+    # non-vacuous: the first doc is fully novel, later dups are not
+    assert any(r["novelty_micro"] < MICRO for r in got.values())

@@ -403,11 +403,17 @@ def test_values_merge_fallback_still_live(spark, pg_conn):
     assert cur.fetchall() == [(1, "a"), (2, "b2")]
 
 
-def test_staged_merge_throughput_beats_values_merge(spark, pg_conn):
+def test_staged_merge_throughput_beats_values_merge(spark, pg_conn, monkeypatch):
     """The point of staging: COPY + one server-side MERGE must beat the
-    VALUES-bind MERGE on the same rows (sanity bound 1.5x here; the
-    bench publishes sink_pg_merge_rows_per_sec at full scale)."""
+    un-prepared VALUES-bind MERGE on the same rows (sanity bound 1.5x
+    here; the bench publishes sink_pg_merge_rows_per_sec at full
+    scale). Statement reuse is disabled for the VALUES leg — with it,
+    the re-Bind path closes most of the gap (see the companion reuse
+    test), which is a win for the fallback, not a regression of
+    staging."""
     import time as _t
+
+    from apitap_spark.sinks import pgwire
 
     schema = T.StructType(
         [
@@ -423,6 +429,8 @@ def test_staged_merge_throughput_beats_values_merge(spark, pg_conn):
 
     timings = {}
     for name, dialect in (("staged", PostgresDialect()), ("values", NoStage())):
+        if name == "values":
+            monkeypatch.setattr(pgwire, "PREPARE_THRESHOLD", 10**9)
         writer = JdbcMergeWriter(
             _factory,
             TABLE,
@@ -440,6 +448,69 @@ def test_staged_merge_throughput_beats_values_merge(spark, pg_conn):
         writer.write_rows(rows, schema)
         timings[name] = _t.perf_counter() - t0
     assert timings["staged"] * 1.5 < timings["values"], timings
+
+
+def test_prepared_reuse_skips_parse_messages(pg_conn):
+    """Deterministic protocol proof of statement reuse: N repeated
+    executes of the same (sql, oid-vector) must send exactly TWO Parse
+    messages (the unnamed first execution + the promotion), never N —
+    counted on the wire, immune to timing noise."""
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    sql = "SELECT %s::bigint * 2 AS x"
+    sent: list[bytes] = []
+    orig = pg_conn._send
+    pg_conn._send = lambda mtype, body: (sent.append(mtype), orig(mtype, body))
+    try:
+        for i in range(8):
+            assert cur.execute(sql, (i,)).fetchone()[0] == 2 * i
+    finally:
+        pg_conn._send = orig
+    assert sent.count(b"P") == 2, sent
+    pg_conn.commit()
+
+
+def test_prepared_reuse_speeds_repeated_big_statement(pg_conn, monkeypatch):
+    """Throughput half of the reuse claim, on the shape where Parse
+    cost is a real fraction: a 10000-placeholder upsert executed
+    repeatedly. Measured ~1.5x on this box; asserted at a lenient
+    1.1x (the reference's own docs claim 10-20% for its equivalent).
+    Within the MERGE writer the server-side MERGE join dominates, so
+    the end-to-end win there is smaller — the protocol-level Parse
+    skip is what this pins."""
+    import time as _t
+
+    from apitap_spark.sinks import pgwire
+
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {TABLE}")
+    cur.execute(
+        f"CREATE TABLE {TABLE} (id BIGINT PRIMARY KEY, v DOUBLE PRECISION)"
+    )
+    pg_conn.commit()
+    nrow = 5000
+    sql = (
+        f"INSERT INTO {TABLE} VALUES " + ",".join(["(%s,%s)"] * nrow)
+        + " ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v"
+    )
+    params = [x for i in range(nrow) for x in (i, i / 7.0)]
+    timings = {}
+    for name, thr in (("reused", 2), ("reparse", 10**9)):
+        monkeypatch.setattr(pgwire, "PREPARE_THRESHOLD", thr)
+        conn = _factory()
+        try:
+            c = conn.cursor()
+            c.execute(sql, params)  # warm; promotes on the 'reused' leg
+            c.execute(sql, params)
+            t0 = _t.perf_counter()
+            for _ in range(8):
+                c.execute(sql, params)
+            timings[name] = _t.perf_counter() - t0
+            conn.commit()
+        finally:
+            conn.close()
+    assert timings["reused"] * 1.1 < timings["reparse"], timings
 
 
 def test_merge_with_cross_partition_duplicate_keys_live(spark, pg_conn):
@@ -462,3 +533,124 @@ def test_merge_with_cross_partition_duplicate_keys_live(spark, pg_conn):
     cur = pg_conn.cursor()
     cur.execute(f"SELECT COUNT(*), COUNT(DISTINCT id) FROM {TABLE}")
     assert cur.fetchone() == (50, 50)
+
+
+def _pgwire_only(conn):
+    from apitap_spark.sinks import pgwire
+
+    if not isinstance(conn, pgwire.Connection):
+        pytest.skip("pgwire-specific protocol test (psycopg in use)")
+
+
+def test_copy_out_roundtrip_matches_row_protocol(pg_conn):
+    """Protocol-level COPY TO STDOUT must return exactly what the
+    extended-query row protocol returns — NULLs, embedded tabs/
+    newlines/backslashes, bytea, timestamps, numerics, booleans.
+    This is the client half of the DataSource's per-stride COPY read."""
+    import datetime as dt
+    import io
+    from decimal import Decimal
+
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {TABLE}")
+    cur.execute(
+        f"""CREATE TABLE {TABLE} (
+            id BIGINT, s TEXT, d DOUBLE PRECISION, f BOOLEAN,
+            by BYTEA, ts TIMESTAMP, n NUMERIC(12, 4))"""
+    )
+    rows = [
+        (1, "plain", 1.5, True, b"\x00\xff\x10", dt.datetime(2026, 1, 2, 3, 4, 5), Decimal("12.3400")),
+        (2, "tab\there", -2.25, False, b"", dt.datetime(2026, 6, 7), Decimal("-0.0001")),
+        (3, "nl\nline", 0.0, None, None, None, None),
+        (4, "back\\slash and 'quote'", 1e300, True, b"\\x", None, Decimal("99999999.9999")),
+        (5, None, None, None, None, dt.datetime(1999, 12, 31, 23, 59, 59), None),
+    ]
+    for r in rows:
+        cur.execute(
+            f"INSERT INTO {TABLE} VALUES (%s, %s, %s, %s, %s, %s, %s)", r
+        )
+    pg_conn.commit()
+    cur.execute(f"SELECT * FROM {TABLE} ORDER BY id")
+    via_rows = cur.fetchall()
+
+    buf = io.BytesIO()
+    cur.copy_expert(f"COPY (SELECT * FROM {TABLE} ORDER BY id) TO STDOUT", buf)
+    pg_conn.commit()
+
+    from pyspark.sql import types as T
+
+    from apitap_spark.sources.pgsource import _pg_text_decoder, _unescape
+
+    decoders = [
+        _pg_text_decoder(t)
+        for t in (
+            T.LongType(), T.StringType(), T.DoubleType(), T.BooleanType(),
+            T.BinaryType(), T.TimestampNTZType(), T.DecimalType(12, 4),
+        )
+    ]
+    via_copy = []
+    for line in buf.getvalue().split(b"\n"):
+        if not line:
+            continue
+        via_copy.append(
+            tuple(
+                None if s == "\\N" else dec(_unescape(s))
+                for s, dec in zip(line.decode().split("\t"), decoders)
+            )
+        )
+    assert via_copy == via_rows
+
+
+def test_copy_out_into_text_mode_file(pg_conn):
+    """str-mode sinks get UTF-8 decodes (psycopg2 copy_expert parity)."""
+    import io
+
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    sio = io.StringIO()
+    cur.copy_expert("COPY (SELECT 1, 'a') TO STDOUT", sio)
+    assert sio.getvalue() == "1\ta\n"
+
+
+def test_prepared_statement_reuse_promotes_and_invalidates(pg_conn):
+    """The (sql, oid-vector) cache must promote to a server-side named
+    statement at the threshold (visible in pg_prepared_statements),
+    keep answering correctly on reuse, and clear itself when a
+    transaction aborts (ROLLBACK discards statements parsed in it)."""
+    from apitap_spark.sinks import pgwire
+
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    sql = "SELECT %s::bigint + 1 AS x"
+    for i in (1, 2, 3):  # 1st: unnamed; 2nd: promote+parse; 3rd: reuse
+        assert cur.execute(sql, (i,)).fetchone()[0] == i + 1
+    assert pg_conn._stmt_cache, "statement was not promoted"
+    cur.execute("SELECT name FROM pg_prepared_statements")
+    names = {r[0] for r in cur.fetchall()}
+    assert any(n.startswith("_ap") for n in names), names
+    pg_conn.commit()
+
+    # error aborts the txn -> conservative full cache clear
+    with pytest.raises(pgwire.PgError):
+        cur.execute("SELECT no_such_column_xyz")
+    pg_conn.rollback()
+    assert pg_conn._stmt_cache == {}
+    # and the same statement re-parses cleanly afterwards
+    assert cur.execute(sql, (7,)).fetchone()[0] == 8
+    pg_conn.commit()
+
+
+def test_prepared_statement_oid_vector_keys_cache(pg_conn):
+    """Same SQL text with different Python param types must prepare
+    separately — Parse freezes parameter OIDs, and binding a float to
+    an int-parsed statement (or vice versa) would corrupt or error."""
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    sql = "SELECT %s AS v"
+    for _ in range(3):
+        assert cur.execute(sql, (5,)).fetchone()[0] == 5
+    for _ in range(3):
+        assert cur.execute(sql, (5.5,)).fetchone()[0] == 5.5
+    assert len(pg_conn._stmt_cache) == 2
+    pg_conn.commit()

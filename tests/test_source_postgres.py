@@ -275,3 +275,78 @@ def test_pipeline_postgres_source_incremental_watermark(
         spark, cfg, str(mod_dir), "incr.sql", "t", WriteMode.MERGE, state=state
     )
     assert s2.rows_written == 0  # nothing past the watermark
+
+
+def test_copy_read_matches_row_protocol_read(spark, seeded_table):
+    """The default per-stride COPY TO STDOUT read must return exactly
+    what the extended-query row protocol returns — same values, same
+    types, across NULLs, bools, doubles, timestamps and numerics."""
+    kw = dict(table=TABLE, partition_column="id", num_partitions=4)
+    via_copy = sorted(
+        _reader(spark, **kw).load().collect(), key=lambda r: r["id"]
+    )
+    via_row = sorted(
+        _reader(spark, read_method="row", **kw).load().collect(),
+        key=lambda r: r["id"],
+    )
+    assert via_copy == via_row
+
+
+def test_copy_read_throughput_beats_row_protocol(seeded_table):
+    """Driver-side reader microbench on a generate_series table: the
+    COPY stride read must beat the one-DataRow-per-row protocol.
+    Measured ~5-10x on this box; asserted at a lenient 2x. (Spark task
+    scheduling would swamp the delta, so the reader object is timed
+    directly — the same code path the executor task runs.)"""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresReader, RangePartition
+
+    big = "pgsrc_bench_big"
+    conn = pgwire.connect(DSN)
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DROP TABLE IF EXISTS {big}")
+        cur.execute(
+            f"""CREATE TABLE {big} AS
+                SELECT g::bigint AS id, md5(g::text) AS name,
+                       g / 7.0 AS val, g % 3 = 0 AS flag
+                FROM generate_series(1, 200000) g"""
+        )
+        conn.commit()
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+                T.StructField("flag", T.BooleanType()),
+            ]
+        )
+        part = RangePartition(None)
+        timings = {}
+        counts = {}
+        for method in ("row", "copy"):  # row first: copy gets no cache edge
+            reader = PostgresReader(
+                {"dsn": DSN, "table": big, "read_method": method}, schema
+            )
+            list(reader.read(part))  # warm (page cache, connection path)
+            t0 = _t.perf_counter()
+            out = list(reader.read(part))
+            timings[method] = _t.perf_counter() - t0
+            counts[method] = (
+                sum(b.num_rows for b in out)  # arrow RecordBatches
+                if method == "copy"
+                else len(out)
+            )
+        assert counts["copy"] == counts["row"] == 200000
+        assert timings["copy"] * 2 < timings["row"], timings
+    finally:
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {big}")
+            conn.commit()
+        finally:
+            conn.close()

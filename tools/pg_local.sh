@@ -28,6 +28,14 @@ run() {
 
 case "${1:-start}" in
 start)
+    # Idempotent: if a postmaster already serves this data dir, just
+    # print the DSN and exit 0 (a second 'start' used to die on the
+    # postmaster lock file even though the running server is fine).
+    if run "pg_ctl -D $PGDATA status" >/dev/null 2>&1; then
+        echo "already running"
+        echo "DSN: host=127.0.0.1 port=$PORT user=postgres dbname=postgres"
+        exit 0
+    fi
     mkdir -p /tmp/pgsock
     [ "$(id -u)" = "0" ] && chown pguser /tmp/pgsock
     if [ ! -d "$PGDATA" ]; then
