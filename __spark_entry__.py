@@ -171,6 +171,15 @@ _RECHECK_FRONT: set[str] = {
     "op_ab_test_poisson_rates",
     "op_conformal_interval_audit",
     "op_ann_ndcg_audit",
+    # shared pinned coactivity-edge cache (plan-only; mimic-green at
+    # sf0.001+sf0.01 this round, but the driver should re-prove too)
+    "op_graph_triangles",
+    "op_graph_degree_profile",
+    "op_graph_bfs_hops",
+    "op_graph_kcore_peel",
+    "op_graph_assortativity",
+    "op_graph_trustrank_seeded",
+    "op_graph_transitivity",
 }
 
 

@@ -515,7 +515,7 @@ def tri_pernode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     still localCheckpointed here — calling this helper eagerly runs the
     edge-build job and the visible plan starts at the RDD scan above
     ``e``; only the join/aggregate ABOVE it is assertable."""
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -620,7 +620,7 @@ def op_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     column's global-window SUM runs over the HISTOGRAM (distinct degree
     values — dozens), never the node table.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K)
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     deg = (
         e.select(F.col("u").alias("user_id"))
         .unionAll(e.select(F.col("v").alias("user_id")))
@@ -661,17 +661,46 @@ LINKPRED_TOP_K = 20
 # clear_wedge_stats_cache() unpins when a long-lived host wants them
 # swept.
 _WEDGE_STATS_CACHE: dict[tuple[int, str], tuple] = {}
-_WEDGE_PINNED_IDS: set[int] = set()
+# coactivity edge lists, keyed (context, sf_dir, k): the shared
+# primitive of EIGHT graph gates (triangles, degree profile, link
+# prediction / RA via the wedge frame, BFS, k-core, assortativity,
+# TrustRank, transitivity) — each previously rebuilt + checkpointed the
+# same distinct-bucket window per gate; one pinned build per session.
+_EDGE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_GRAPH_PINNED_IDS: set[int] = set()
 
 
-def clear_wedge_stats_cache() -> None:
-    """Drop the memoized wedge frames and unpin their RDD blocks (they
-    are then freed by the next release_persisted / ContextCleaner GC)."""
+def clear_graph_frame_caches() -> None:
+    """Drop the memoized edge/wedge frames and unpin their RDD blocks
+    (they are then freed by the next release_persisted / ContextCleaner
+    GC)."""
     from apitap_spark.session import unpin_rdds
 
     _WEDGE_STATS_CACHE.clear()
-    unpin_rdds(_WEDGE_PINNED_IDS)
-    _WEDGE_PINNED_IDS.clear()
+    _EDGE_CACHE.clear()
+    unpin_rdds(_GRAPH_PINNED_IDS)
+    _GRAPH_PINNED_IDS.clear()
+
+
+clear_wedge_stats_cache = clear_graph_frame_caches  # back-compat name
+
+
+def coactivity_edges_cached(
+    spark: SparkSession, sf_dir: str, k: int = TRI_NEXT_K
+) -> DataFrame:
+    """Pinned, memoized checkpoint of :func:`coactivity_edges` — built
+    once per (session, sf_dir, k) and shared by every edge-consuming
+    gate; blocks survive between-gate release_persisted sweeps."""
+    from apitap_spark.session import pinned_local_checkpoint
+
+    key = (id(spark.sparkContext), sf_dir, k)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d, ids = pinned_local_checkpoint(coactivity_edges(spark, sf_dir, k), spark)
+    _GRAPH_PINNED_IDS.update(ids)
+    _EDGE_CACHE[key] = d
+    return d
 
 
 def _build_wedge_stats(spark: SparkSession, sf_dir: str, pin: bool = False):
@@ -689,7 +718,7 @@ def _build_wedge_stats(spark: SparkSession, sf_dir: str, pin: bool = False):
     the pair-keyed exchange came back (12.7s vs 6.7s for the same
     wedge count — plan read, not guessed).
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     # e is DISTINCT with u < v on every row (coactivity_edges), so the
     # symmetrized union is duplicate-free by construction — skipping
     # the distinct saves a full 2|E| shuffle before the checkpoint.
@@ -709,7 +738,7 @@ def _build_wedge_stats(spark: SparkSession, sf_dir: str, pin: bool = False):
         from apitap_spark.session import pinned_local_checkpoint
 
         deg, ids = pinned_local_checkpoint(deg, spark)
-        _WEDGE_PINNED_IDS.update(ids)
+        _GRAPH_PINNED_IDS.update(ids)
     else:
         deg = deg.localCheckpoint()
     x = und.select(F.col("u").alias("cu"), F.col("v").alias("w")).join(
@@ -753,7 +782,7 @@ def _wedge_stats(spark: SparkSession, sf_dir: str):
         return hit
     _e, deg, wedge = _build_wedge_stats(spark, sf_dir, pin=True)
     wedge, ids = pinned_local_checkpoint(wedge, spark)
-    _WEDGE_PINNED_IDS.update(ids)
+    _GRAPH_PINNED_IDS.update(ids)
     out = (deg, wedge)
     _WEDGE_STATS_CACHE[key] = out
     return out
@@ -1217,7 +1246,7 @@ def op_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier BFS where per-round cost is O(edges touched), and R is a
     constant. State per round is one (node) set, never paths.
     """
-    e0 = coactivity_edges(spark, sf_dir, 1)
+    e0 = coactivity_edges_cached(spark, sf_dir, 1)
     # coactivity_edges is DISTINCT with u < v on every row, so the
     # symmetrized union is duplicate-free by construction ((u,v) from
     # the left leg and (v,u) from the right leg can never coincide) —
@@ -1342,7 +1371,7 @@ def op_graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — never paths. The scalar V/E collects are single-row
     aggregates (house collect policy).
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     n_nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -1446,7 +1475,7 @@ def op_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality — broadcast at dim scale, shuffle-keyed beyond);
     the correlation is a single-row aggregate. One scan end to end.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -1559,7 +1588,7 @@ def op_graph_trustrank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     op_graph_pagerank loop shape, bounded rounds, no driver state
     beyond the loop counter.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -1737,7 +1766,7 @@ def op_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation halves the input — op_graph_triangles' shape) plus one
     degree aggregate; both scalar outputs, one row at any size.
     """
-    e = coactivity_edges(spark, sf_dir, TRI_NEXT_K).localCheckpoint()
+    e = coactivity_edges_cached(spark, sf_dir, TRI_NEXT_K)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

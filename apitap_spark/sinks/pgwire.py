@@ -9,15 +9,18 @@ psycopg-style implicit BEGIN.
 
 Protocol (public spec: postgresql.org/docs/current/protocol.html):
 startup + trust/cleartext/md5/SCRAM-SHA-256 auth (RFC 5802/7677 SASL,
-the default password_encryption since PostgreSQL 14), extended query
+the default password_encryption since PostgreSQL 14), TLS via the
+SSLRequest dance (``sslmode=prefer|require|verify-ca|verify-full`` in
+the DSN) including SCRAM-SHA-256-PLUS channel binding
+(tls-server-end-point, RFC 5929), extended query
 protocol (Parse/Bind/Describe/Execute/Sync) with all parameters and
 results in text format, typed decode of the common OIDs, and
 protocol-level COPY in both directions via ``Cursor.copy_expert`` —
 COPY IN is the fast path ``JdbcMergeWriter.bulk_append`` probes for
 and the bench measures; COPY OUT feeds the apitap_postgres
 DataSource's per-stride bulk read.
-Not implemented: channel binding (SCRAM-SHA-256-PLUS), binary format —
-the sink needs neither. Statement reuse is transparent (psycopg3
+Not implemented: binary format — the sink does not need it.
+Statement reuse is transparent (psycopg3
 style): a (sql, param-OIDs) pair seen ``PREPARE_THRESHOLD`` times is
 promoted to a server-side named statement — later executions skip
 Parse and only Bind/Execute, the 10-20% win the reference's own docs
@@ -221,6 +224,28 @@ PREPARE_THRESHOLD = 2  # promote to a named statement on the 2nd execution
 STMT_CACHE_MAX = 64
 
 
+def _cert_sig_hash(der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point channel-binding data: the server
+    certificate's DER hashed with its signature hash algorithm —
+    SHA-256 unless the signatureAlgorithm OID says SHA-384/512 (and
+    MD5/SHA-1 upgrade to SHA-256 per the RFC). The OID is located by
+    byte-string sniff — the specific sha384/512 AlgorithmIdentifier
+    encodings cannot occur incidentally inside a cert that was not
+    signed with them (they appear exactly in the two signature fields)."""
+    for oid_hex, algo in (
+        ("2a864886f70d01010c", "sha384"),  # sha384WithRSAEncryption
+        ("2a864886f70d01010d", "sha512"),  # sha512WithRSAEncryption
+        ("2a8648ce3d040303", "sha384"),    # ecdsa-with-SHA384
+        ("2a8648ce3d040304", "sha512"),    # ecdsa-with-SHA512
+    ):
+        if bytes.fromhex(oid_hex) in der:
+            return hashlib.new(algo, der).digest()
+    return hashlib.sha256(der).digest()
+
+
+_SSLREQUEST = struct.pack(">ii", 8, 80877103)
+
+
 class Connection:
     def __init__(self, dsn: str):
         p = _parse_dsn(dsn)
@@ -230,6 +255,11 @@ class Connection:
         self._buf = b""
         self._in_txn = False
         self.closed = False
+        self._tls_cert_hash: bytes | None = None
+        self.auth_mechanism: str | None = None  # e.g. "SCRAM-SHA-256-PLUS"
+        sslmode = p.get("sslmode", "disable")
+        if sslmode in ("prefer", "require", "verify-ca", "verify-full"):
+            self._negotiate_tls(p, sslmode)
         # Named-statement reuse (the reference's own docs claim 10-20%
         # on the VALUES-merge fallback): (sql, oid-vector) -> server-side
         # statement name, promoted after PREPARE_THRESHOLD executions so
@@ -255,6 +285,49 @@ class Connection:
         # waiting on a lock or a TRUNCATE waiting on ACCESS EXCLUSIVE
         # may legitimately exceed any fixed recv timeout).
         self._sock.settimeout(None)
+
+    def _negotiate_tls(self, p: dict[str, str], sslmode: str) -> None:
+        """SSLRequest dance (public protocol §55.2.10): 8-byte request
+        before the startup packet; 'S' upgrades the socket, 'N' means
+        the server has no SSL (fatal for require/verify, plaintext for
+        prefer). verify-ca/verify-full check against ``sslrootcert``;
+        require encrypts without verification (libpq semantics). The
+        peer certificate's RFC 5929 hash is kept for SCRAM channel
+        binding."""
+        import ssl
+
+        self._sock.sendall(_SSLREQUEST)
+        resp = self._sock.recv(1)
+        if resp == b"N":
+            if sslmode != "prefer":
+                raise PgError(
+                    {"S": "FATAL",
+                     "M": f"server does not support SSL (sslmode={sslmode})"}
+                )
+            return
+        if resp != b"S":
+            raise PgError(
+                {"S": "FATAL", "M": f"unexpected SSLRequest reply {resp!r}"}
+            )
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        if sslmode in ("verify-ca", "verify-full"):
+            root = p.get("sslrootcert")
+            if not root:
+                raise PgError(
+                    {"S": "FATAL",
+                     "M": f"sslmode={sslmode} requires sslrootcert"}
+                )
+            ctx.load_verify_locations(root)
+            ctx.check_hostname = sslmode == "verify-full"
+        else:
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        self._sock = ctx.wrap_socket(
+            self._sock, server_hostname=p.get("host", "127.0.0.1")
+        )
+        der = self._sock.getpeercert(binary_form=True)
+        if der:
+            self._tls_cert_hash = _cert_sig_hash(der)
 
     # -- wire helpers -------------------------------------------------------
     def _recv_msg(self) -> tuple[bytes, bytes]:
@@ -304,12 +377,16 @@ class Connection:
                     self._send(b"p", b"md5" + digest.encode() + b"\x00")
                 elif code == 10:  # AuthenticationSASL: mechanism list
                     mechs = [m for m in body[4:].split(b"\x00") if m]
-                    if b"SCRAM-SHA-256" not in mechs:
+                    use_plus = (
+                        b"SCRAM-SHA-256-PLUS" in mechs
+                        and self._tls_cert_hash is not None
+                    )
+                    if not use_plus and b"SCRAM-SHA-256" not in mechs:
                         raise PgError(
                             {"S": "FATAL",
                              "M": f"no supported SASL mechanism in {mechs}"}
                         )
-                    scram = self._scram_first()
+                    scram = self._scram_first(use_plus)
                 elif code == 11:  # AuthenticationSASLContinue
                     if scram is None:
                         raise PgError(
@@ -332,21 +409,36 @@ class Connection:
                 return
             # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
 
-    # -- SCRAM-SHA-256 (RFC 5802/7677; no channel binding) ------------------
-    def _scram_first(self) -> dict[str, bytes]:
+    # -- SCRAM-SHA-256[-PLUS] (RFC 5802/7677/5929) --------------------------
+    def _scram_first(self, use_plus: bool = False) -> dict[str, bytes]:
         """Send SASLInitialResponse; return the exchange state. The
         username in client-first is empty by PostgreSQL convention (the
-        startup-packet user wins; SASLprep of the name is sidestepped)."""
+        startup-packet user wins; SASLprep of the name is sidestepped).
+
+        gs2 header: ``p=tls-server-end-point`` with the cert hash as
+        channel-binding data when the server offered -PLUS over TLS;
+        ``y`` when we are on TLS but the server lacks -PLUS (lets the
+        server detect a stripped mechanism list); plain ``n`` off TLS.
+        """
         nonce = base64.b64encode(os.urandom(18))
         bare = b"n=,r=" + nonce
-        initial = b"n,," + bare  # gs2 header: no channel binding
-        msg = (
-            b"SCRAM-SHA-256\x00"
-            + struct.pack(">i", len(initial))
-            + initial
-        )
+        if use_plus:
+            gs2 = b"p=tls-server-end-point,,"
+            mech = b"SCRAM-SHA-256-PLUS"
+            cbind = base64.b64encode(gs2 + (self._tls_cert_hash or b""))
+        elif self._tls_cert_hash is not None:
+            gs2 = b"y,,"
+            mech = b"SCRAM-SHA-256"
+            cbind = base64.b64encode(gs2)
+        else:
+            gs2 = b"n,,"
+            mech = b"SCRAM-SHA-256"
+            cbind = b"biws"  # b64("n,,")
+        self.auth_mechanism = mech.decode()
+        initial = gs2 + bare
+        msg = mech + b"\x00" + struct.pack(">i", len(initial)) + initial
         self._send(b"p", msg)
-        return {"nonce": nonce, "bare": bare}
+        return {"nonce": nonce, "bare": bare, "cbind": cbind}
 
     def _scram_final(
         self, st: dict[str, bytes], server_first: bytes, password: str
@@ -366,7 +458,7 @@ class Connection:
         )
         client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
         stored_key = hashlib.sha256(client_key).digest()
-        without_proof = b"c=biws,r=" + r  # biws = b64("n,,")
+        without_proof = b"c=" + st["cbind"] + b",r=" + r
         auth_msg = st["bare"] + b"," + server_first + b"," + without_proof
         sig = hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
         proof = bytes(a ^ b for a, b in zip(client_key, sig))

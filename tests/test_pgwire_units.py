@@ -111,6 +111,7 @@ def test_scram_final_matches_rfc7677_vector():
     st_ = {
         "nonce": b"rOprNGfwEbeRWgbNEkqO",
         "bare": b"n=user,r=rOprNGfwEbeRWgbNEkqO",
+        "cbind": b"biws",  # no channel binding in the RFC vector
     }
     server_first = (
         b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
@@ -139,7 +140,7 @@ def test_scram_final_rejects_nonce_truncation():
     from apitap_spark.sinks.pgwire import Connection, PgError
 
     cap = _ScramCapture()
-    st_ = {"nonce": b"clientnonce", "bare": b"n=,r=clientnonce"}
+    st_ = {"nonce": b"clientnonce", "bare": b"n=,r=clientnonce", "cbind": b"biws"}
     with pytest.raises(PgError):
         Connection._scram_final(
             cap, st_, b"r=other,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", "pw"

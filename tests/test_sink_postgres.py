@@ -654,3 +654,114 @@ def test_prepared_statement_oid_vector_keys_cache(pg_conn):
         assert cur.execute(sql, (5.5,)).fetchone()[0] == 5.5
     assert len(pg_conn._stmt_cache) == 2
     pg_conn.commit()
+
+
+def _tls_dsn():
+    from apitap_spark.sinks import pgwire
+
+    p = pgwire._parse_dsn(DSN)
+    return DSN + " sslmode=require", p
+
+
+def test_tls_connection_roundtrip_live(pg_conn):
+    """sslmode=require: SSLRequest dance, encrypted session visible in
+    pg_stat_ssl, extended queries and COPY both directions all ride
+    the wrapped socket unchanged."""
+    import io
+
+    from apitap_spark.sinks import pgwire
+
+    _pgwire_only(pg_conn)
+    dsn, _ = _tls_dsn()
+    try:
+        conn = pgwire.connect(dsn)
+    except pgwire.PgError as e:
+        if "does not support SSL" in str(e):
+            pytest.skip("server built/started without SSL")
+        raise
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT ssl FROM pg_stat_ssl WHERE pid = pg_backend_pid()"
+        )
+        assert cur.fetchone()[0] is True
+        assert conn._tls_cert_hash is not None
+        # typed params + COPY OUT over TLS
+        assert cur.execute("SELECT %s::bigint * 3", (14,)).fetchone()[0] == 42
+        sio = io.StringIO()
+        cur.copy_expert("COPY (SELECT 7, 'tls') TO STDOUT", sio)
+        assert sio.getvalue() == "7\ttls\n"
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def test_scram_sha256_plus_channel_binding_live(pg_conn):
+    """SCRAM-SHA-256-PLUS over TLS: the server only offers -PLUS on SSL
+    connections; the client must select it, send the
+    tls-server-end-point gs2 header + cert-hash c= attribute, and
+    authenticate (RFC 5929/7677). Off-TLS the same role authenticates
+    via plain SCRAM — both proof paths against one verifier."""
+    import time
+
+    from apitap_spark.sinks import pgwire
+
+    _pgwire_only(pg_conn)
+    role, pw = "apitap_scramplus_probe", "apitap-scramplus-pw"
+    cur = pg_conn.cursor()
+    cur.execute("SELECT ssl FROM pg_stat_ssl LIMIT 1")  # ssl configured?
+    cur.execute("SET password_encryption = 'scram-sha-256'")
+    cur.execute(f"DROP ROLE IF EXISTS {role}")
+    cur.execute(f"CREATE ROLE {role} LOGIN PASSWORD '{pw}'")
+    pg_conn.commit()
+    cur.execute("SHOW hba_file")
+    hba_path = cur.fetchone()[0]
+    try:
+        original = open(hba_path).read()
+    except PermissionError:
+        pytest.skip("cannot edit pg_hba.conf from this uid")
+    rule = (
+        f"hostssl all {role} 127.0.0.1/32 scram-sha-256\n"
+        f"host all {role} 127.0.0.1/32 scram-sha-256\n"
+    )
+    p = pgwire._parse_dsn(DSN)
+    base = (
+        f"host={p.get('host', '127.0.0.1')} port={p.get('port', '5432')} "
+        f"user={role} dbname={p.get('dbname', 'postgres')} password={pw}"
+    )
+    try:
+        with open(hba_path, "w") as f:
+            f.write(rule + original)
+        cur.execute("SELECT pg_reload_conf()")
+        pg_conn.commit()
+        time.sleep(0.5)
+        try:
+            conn = pgwire.connect(base + " sslmode=require")
+        except pgwire.PgError as e:
+            if "does not support SSL" in str(e):
+                pytest.skip("server built/started without SSL")
+            raise
+        try:
+            assert conn.auth_mechanism == "SCRAM-SHA-256-PLUS"
+            c2 = conn.cursor()
+            assert c2.execute("SELECT 11 * 2").fetchone()[0] == 22
+        finally:
+            conn.close()
+        # same role, no TLS -> plain SCRAM (gs2 'n' path) still works
+        conn = pgwire.connect(base)
+        try:
+            assert conn.auth_mechanism == "SCRAM-SHA-256"
+            assert conn.cursor().execute("SELECT 5").fetchone()[0] == 5
+        finally:
+            conn.close()
+        # wrong password is rejected on the -PLUS path too
+        with pytest.raises(pgwire.PgError):
+            pgwire.connect(
+                base.replace(pw, "wrong-password") + " sslmode=require"
+            )
+    finally:
+        with open(hba_path, "w") as f:
+            f.write(original)
+        cur.execute("SELECT pg_reload_conf()")
+        cur.execute(f"DROP ROLE IF EXISTS {role}")
+        pg_conn.commit()

@@ -43,7 +43,22 @@ start)
         [ "$(id -u)" = "0" ] && chown pguser "$PGDATA"
         run "initdb -D $PGDATA -A trust -U postgres" >/dev/null
     fi
-    run "pg_ctl -D $PGDATA -o '-k /tmp/pgsock -p $PORT -c listen_addresses=127.0.0.1' -l /tmp/pg.log start"
+    # Self-signed cert so the server also accepts TLS connections
+    # (sslmode=require / SCRAM-SHA-256-PLUS tests); non-SSL clients are
+    # unaffected — the SSLRequest dance negotiates per connection.
+    SSLOPTS=""
+    if command -v openssl >/dev/null 2>&1; then
+        if [ ! -f "$PGDATA/server.crt" ]; then
+            openssl req -new -x509 -days 3650 -nodes -text \
+                -subj "/CN=localhost" \
+                -keyout "$PGDATA/server.key" -out "$PGDATA/server.crt" \
+                >/dev/null 2>&1
+            chmod 600 "$PGDATA/server.key"
+            [ "$(id -u)" = "0" ] && chown pguser "$PGDATA/server.key" "$PGDATA/server.crt"
+        fi
+        [ -f "$PGDATA/server.crt" ] && SSLOPTS=" -c ssl=on"
+    fi
+    run "pg_ctl -D $PGDATA -o '-k /tmp/pgsock -p $PORT -c listen_addresses=127.0.0.1$SSLOPTS' -l /tmp/pg.log start"
     echo "DSN: host=127.0.0.1 port=$PORT user=postgres dbname=postgres"
     ;;
 stop)
