@@ -180,10 +180,12 @@ _RECHECK_FRONT: set[str] = {
     "op_graph_assortativity",
     "op_graph_trustrank_seeded",
     "op_graph_transitivity",
-    # shared pinned dedup pair-frame caches (plan-only; mimic-green)
+    # shared pinned dedup pair/shingle-frame caches (plan-only;
+    # mimic-green)
     "op_dedup_clusters",
     "op_dedup_keep_best",
     "op_lsh_tuning_curve",
+    "op_dedup_containment",
 }
 
 

@@ -272,8 +272,13 @@ def op_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted, shingle-partitioned (doc_id, shingle) rows with
-    hot shingles (df > DF_CAP_FRACTION of the corpus) dropped.
+    """Pinned-persisted, shingle-partitioned (doc_id, shingle) rows
+    with hot shingles (df > DF_CAP_FRACTION of the corpus) dropped —
+    memoized per (session, sf_dir) and shared by every exact-shingle
+    consumer (ngram pairs, containment, the minhash audit's candidate
+    signatures). persist (not checkpoint) keeps the hashpartitioning
+    (shingle) layout the self-joins rely on; an evicted block
+    recomputes from lineage.
 
     The df-cap uses a COUNT window over the shingle-partitioned layout:
     the window's required distribution is already satisfied, so the cap
@@ -286,20 +291,29 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 1.5x slower because the self-join then re-shuffles both
     sides).
     """
+    key = (id(spark.sparkContext), sf_dir, "df_capped_shingles")
+    hit = _DEDUP_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from apitap_spark.session import pinned_persist
+
     n_docs = read_table(spark, sf_dir, "documents").count()
     # floor the cap at 2: on small corpora int(0.1*n) reaches 0 and would
     # silently drop EVERY shingle (no shared shingle has df < 2 anyway)
     max_df = max(2, int(DF_CAP_FRACTION * n_docs))
     n_par = max(1, spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("shingle")
-    return (
+    sh = (
         _shingle_df(spark, sf_dir)
         .repartition(n_par, "shingle")
         .withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= max_df)
         .drop("df")
-        .persist()
     )
+    d, ids = pinned_persist(sh, spark)
+    _DEDUP_PINNED_IDS.update(ids)
+    _DEDUP_FRAME_CACHE[key] = d
+    return d
 
 
 N_HASHES = 128

@@ -107,6 +107,21 @@ def pinned_local_checkpoint(df, spark: SparkSession):
     return d, new
 
 
+def pinned_persist(df, spark: SparkSession):
+    """``df.persist()`` materialized now, whose blocks survive
+    release_persisted. Unlike :func:`pinned_local_checkpoint` the
+    lineage AND the Catalyst output partitioning are retained — use for
+    memoized frames whose physical layout downstream joins rely on
+    (e.g. the shingle-hash-partitioned dedup cache). An evicted block
+    recomputes from lineage, so pinning persists is always safe."""
+    before = _persistent_rdd_ids(spark)
+    d = df.persist()
+    d.count()  # materialize so the id diff sees the new blocks
+    new = _persistent_rdd_ids(spark) - before
+    _PINNED_RDD_IDS.update(new)
+    return d, new
+
+
 def unpin_rdds(ids) -> None:
     _PINNED_RDD_IDS.difference_update(ids)
 
