@@ -186,6 +186,12 @@ _RECHECK_FRONT: set[str] = {
     "op_dedup_keep_best",
     "op_lsh_tuning_curve",
     "op_dedup_containment",
+    # shared pinned ANN top-k memos: only the two gates whose own body
+    # changed front here — the audit consumers (mrr/recall/ndcg/curve)
+    # are code-untouched and mimic-green at both SFs, and fronting them
+    # too would push round-1-evidence gates out of the 50-row window
+    "op_ann_cosine_topk",
+    "op_ann_lsh_bucketed",
 }
 
 

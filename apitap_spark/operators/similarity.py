@@ -31,6 +31,20 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
+# Pinned memo for the two composed ANN baselines (exact top-k, LSH
+# top-k): the retrieval-audit family re-derives both as ground truth —
+# recall, MRR, nDCG, and the LSH recall curve each re-ran the full
+# corpus scoring before this cache. Both results are Q x k rows.
+from apitap_spark.session import FrameMemo as _FrameMemo  # noqa: E402
+
+_ANN_MEMO = _FrameMemo()
+
+
+def clear_ann_frame_caches() -> None:
+    """Drop the memoized top-k frames and unpin their RDD blocks."""
+    _ANN_MEMO.clear()
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -81,7 +95,18 @@ def op_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice of the corpus and the window keeps 5 per query. At 100 TB the
     only shuffle is the per-query top-k (rows = Q x 5 after
     WindowGroupLimit pushdown).
+
+    The Q×5 result is the pinned ``exact_topk`` memo — the four audit
+    gates that use brute force as ground truth (recall, MRR, nDCG, LSH
+    recall curve) read it instead of re-scanning the corpus each.
     """
+    return _ANN_MEMO.get(
+        spark, (sf_dir, "exact_topk"),
+        lambda: _cosine_topk_build(spark, sf_dir),
+    )
+
+
+def _cosine_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     # Norms precomputed per SIDE (O(rows) folds), not per pair (O(Q x N)):
     # the pair kernel keeps only the dot product. Same d/(nq*nc) double
@@ -231,7 +256,17 @@ def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     left fold in index order, and the final cosine re-rank reuses the
     exact-cosine oracle fragments — so bucket assignment, candidate set,
     and ranking are all checked bit-for-bit. Recall vs brute force is
-    asserted separately in tests."""
+    asserted separately in tests.
+
+    The Q×5 result is the pinned ``lsh_topk`` memo shared with the MRR
+    and nDCG audits."""
+    return _ANN_MEMO.get(
+        spark, (sf_dir, "lsh_topk"),
+        lambda: _lsh_bucketed_build(spark, sf_dir),
+    )
+
+
+def _lsh_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id",

@@ -126,6 +126,37 @@ def unpin_rdds(ids) -> None:
     _PINNED_RDD_IDS.difference_update(ids)
 
 
+class FrameMemo:
+    """Session-scoped memoization of small result frames as pinned
+    checkpoints (or pinned persists when the Catalyst partitioning must
+    survive — ``persist=True``). Keys are (SparkContext id, *key);
+    ``clear()`` unpins everything so the next release_persisted sweep
+    can free the blocks. Use ONLY for frames that are orders of
+    magnitude smaller than their inputs (pair lists, top-k tables,
+    degree tables) — the cache holds them for the session's lifetime.
+    """
+
+    def __init__(self) -> None:
+        self._cache: dict = {}
+        self._ids: set[int] = set()
+
+    def get(self, spark: SparkSession, key: tuple, build, persist: bool = False):
+        k = (id(spark.sparkContext), *key)
+        hit = self._cache.get(k)
+        if hit is not None:
+            return hit
+        fn = pinned_persist if persist else pinned_local_checkpoint
+        d, ids = fn(build(), spark)
+        self._ids.update(ids)
+        self._cache[k] = d
+        return d
+
+    def clear(self) -> None:
+        unpin_rdds(self._ids)
+        self._ids.clear()
+        self._cache.clear()
+
+
 def release_persisted(spark: SparkSession) -> int:
     """Unpersist every non-pinned RDD still in storage memory.
 

@@ -63,10 +63,33 @@ def test_window_topn_group_limit(spark, sf_dir):
 
 
 def test_ann_topk_broadcasts_queries(spark, sf_dir):
-    from apitap_spark.operators.similarity import op_ann_cosine_topk
+    # asserted on the lazy builder — the gate returns the pinned memo
+    from apitap_spark.operators.similarity import _cosine_topk_build
 
-    p = _plan(op_ann_cosine_topk(spark, sf_dir))
+    p = _plan(_cosine_topk_build(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ann_topk_memo_survives_release_persisted(spark, sf_dir):
+    """The audit gates read the memoized exact/LSH top-k between
+    release_persisted sweeps — pinned blocks must survive."""
+    from apitap_spark.operators.similarity import (
+        clear_ann_frame_caches,
+        op_ann_cosine_topk,
+        op_ann_mrr_audit,
+    )
+    from apitap_spark.session import release_persisted
+
+    clear_ann_frame_caches()
+    release_persisted(spark)
+    a = op_ann_cosine_topk(spark, sf_dir)
+    assert a is op_ann_cosine_topk(spark, sf_dir)
+    n = a.count()
+    release_persisted(spark)
+    assert a.count() == n
+    assert op_ann_mrr_audit(spark, sf_dir).count() > 0
+    clear_ann_frame_caches()
+    assert release_persisted(spark) >= 0
 
 
 def test_exact_dedup_is_single_shuffle(spark, sf_dir):
