@@ -186,6 +186,9 @@ _RECHECK_FRONT: set[str] = {
     "op_dedup_keep_best",
     "op_lsh_tuning_curve",
     "op_dedup_containment",
+    # shared weight memo: logreg quality + AUC eval train once
+    "op_ml_logreg_quality",
+    "op_ml_logreg_eval_auc",
     # shared pinned ANN top-k memos: only the two gates whose own body
     # changed front here — the audit consumers (mrr/recall/ndcg/curve)
     # are code-untouched and mimic-green at both SFs, and fronting them

