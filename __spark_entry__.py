@@ -145,6 +145,8 @@ _NEW_GATES: set[str] = {
     "op_event_seasonality",
     "op_data_skew_audit",
     "op_text_ngram_novelty",
+    "op_dedup_cluster_size_histogram",
+    "op_event_gap_quantiles",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

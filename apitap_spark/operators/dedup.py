@@ -2053,3 +2053,65 @@ def op_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_micro"),
         )
     )
+
+
+# --- Cluster-size histogram (the dedup report's headline table) ----------
+
+
+def _cluster_size_hist_oracle() -> str:
+    clusters = ORACLES["op_dedup_clusters"]
+    return f"""
+    WITH cl AS MATERIALIZED ({clusters}),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM cl GROUP BY cluster_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM cl)
+    SELECT s.sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(s.sz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST(s.sz * COUNT(*) * 1000000 // t.n_docs AS BIGINT)
+             AS docs_share_micro
+    FROM sizes s CROSS JOIN tot t
+    GROUP BY s.sz, t.n_docs
+    """
+
+
+@_register("op_dedup_cluster_size_histogram", _cluster_size_hist_oracle())
+def op_dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup cluster-size histogram — the headline table of a dedup
+    report: how many clusters of each size exist and what share of the
+    corpus sits in them.  Singletons (size 1) are the unique mass; the
+    tail tells whether duplication is pairwise mirroring (mass at 2) or
+    template flooding (heavy sizes), which decides between keep-best
+    canonicalization and outright source quarantine.
+
+    Exactness: pure int64 counts and one floor division against the
+    corpus total.
+
+    Scale shape: rides the pinned ``minhash_lsh_pairs``/clusters memo;
+    on top of the cluster assignment it is two map-side-combined
+    aggregates (docs → cluster sizes → size histogram) and a 1-row
+    broadcast total — histogram cardinality is the number of DISTINCT
+    sizes, which grows logarithmically in practice.
+    """
+    cl = op_dedup_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    tot = cl.agg(F.count("*").cast("bigint").alias("n_docs_total"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.expr("sz * n_clusters * 1000000L div n_docs_total")
+            .cast("bigint")
+            .alias("docs_share_micro"),
+        )
+    )

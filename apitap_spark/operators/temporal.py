@@ -1062,3 +1062,88 @@ def op_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_uniform_micro"),
     )
+
+
+# --- Inter-event gap quantiles (sessionization-threshold tuning) ---------
+
+_GAP_QUANTILES_ORACLE = """
+    WITH e AS (
+      SELECT event_type, user_id,
+             epoch_us(ts) // 1000000 AS es, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             es - LAG(es) OVER (PARTITION BY event_type, user_id
+                                ORDER BY es, event_id) AS g
+      FROM e
+    ),
+    ranked AS (
+      SELECT event_type, g,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY g) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM gaps WHERE g IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN g END) AS BIGINT)
+             AS p50_sec,
+           CAST(MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN g END) AS BIGINT)
+             AS p90_sec,
+           CAST(MAX(g) AS BIGINT) AS max_sec
+    FROM ranked GROUP BY event_type
+"""
+
+
+@_register("op_event_gap_quantiles", _GAP_QUANTILES_ORACLE)
+def op_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap quantiles per event type (p50 / p90 / max of the
+    per-user consecutive-event gap in whole seconds) — the measurement
+    a sessionization pass reads BEFORE fixing its inactivity threshold
+    (q_sessionization hard-codes one; this gate is where that number
+    comes from: the threshold should sit in the p90..max valley between
+    within-session and between-session gaps).
+
+    Exactness: gaps are epoch-second differences (CAST(ts AS LONG) vs
+    DuckDB epoch_us//1e6 — the proven convention); quantiles are exact
+    order statistics (lower-median (n+1) div 2, ceil-p90 (9n+9) div 10)
+    — a duplicate gap VALUE at the boundary rank is deterministic
+    regardless of tie order, so no tiebreak column is needed.
+
+    Scale shape: one lag window per (type, user) partition over the
+    events scan, then one rank window per type over the GAP rows.  The
+    per-type global sort is the cost of exact quantiles — run per time
+    window at 100 TB (each window is an independent tuning input), or
+    swap in approx_percentile when ±1% suffices; this gate is the
+    exact-tuning variant.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id",
+        F.col("ts").cast("long").alias("es"), "event_id",
+    )
+    w_lag = Window.partitionBy("event_type", "user_id").orderBy(
+        "es", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        (F.col("es") - F.lag("es").over(w_lag)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    w_rk = Window.partitionBy("event_type").orderBy("g")
+    w_n = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "g",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("g"))
+        ).cast("bigint").alias("p50_sec"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("g"))
+        ).cast("bigint").alias("p90_sec"),
+        F.max("g").cast("bigint").alias("max_sec"),
+    )

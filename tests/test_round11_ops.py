@@ -135,3 +135,75 @@ def test_text_ngram_novelty_matches_python(spark, sf_dir):
     assert total_novel == len(first)
     # non-vacuous: the first doc is fully novel, later dups are not
     assert any(r["novelty_micro"] < MICRO for r in got.values())
+
+
+# --- op_dedup_cluster_size_histogram --------------------------------------
+
+
+def test_cluster_size_histogram_matches_clusters(spark, sf_dir):
+    from collections import Counter
+
+    from apitap_spark.operators.dedup import (
+        op_dedup_cluster_size_histogram,
+        op_dedup_clusters,
+    )
+
+    cl = [r["cluster_id"] for r in op_dedup_clusters(spark, sf_dir).collect()]
+    sizes = Counter(Counter(cl).values())  # size -> n_clusters
+    total = len(cl)
+    got = {
+        r["cluster_size"]: r
+        for r in op_dedup_cluster_size_histogram(spark, sf_dir).collect()
+    }
+    assert set(got) == set(sizes)
+    for sz, n_cl in sizes.items():
+        row = got[sz]
+        assert row["n_clusters"] == n_cl
+        assert row["n_docs"] == sz * n_cl
+        assert row["docs_share_micro"] == sz * n_cl * MICRO // total
+    # partition of the corpus: shares' doc counts sum to every doc
+    assert sum(r["n_docs"] for r in got.values()) == total
+    # non-vacuous: the corpus has planted near-dups -> some size >= 2
+    assert max(sizes) >= 2
+
+
+# --- op_event_gap_quantiles -----------------------------------------------
+
+
+def test_event_gap_quantiles_matches_python(spark, sf_dir):
+    import calendar
+
+    from apitap_spark.operators.temporal import op_event_gap_quantiles
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "ts", "event_id")
+        .collect()
+    )
+    series: dict = defaultdict(list)
+    for r in rows:
+        series[(r["event_type"], r["user_id"])].append(
+            (calendar.timegm(r["ts"].timetuple()), r["event_id"])
+        )
+    gaps: dict = defaultdict(list)
+    for (et, _uid), evs in series.items():
+        evs.sort()
+        for a, b in zip(evs, evs[1:]):
+            gaps[et].append(b[0] - a[0])
+    got = {
+        r["event_type"]: r
+        for r in op_event_gap_quantiles(spark, sf_dir).collect()
+    }
+    assert set(got) == {et for et, g in gaps.items() if g}
+    for et, g in gaps.items():
+        if not g:
+            continue
+        g.sort()
+        n = len(g)
+        row = got[et]
+        assert row["n_gaps"] == n
+        assert row["p50_sec"] == g[(n + 1) // 2 - 1]
+        assert row["p90_sec"] == g[(9 * n + 9) // 10 - 1]
+        assert row["max_sec"] == g[-1]
+        # quantile ordering invariant
+        assert row["p50_sec"] <= row["p90_sec"] <= row["max_sec"]
