@@ -176,8 +176,10 @@ _RECHECK_FRONT: set[str] = {
     # shared pinned coactivity-edge cache (plan-only; mimic-green at
     # sf0.001+sf0.01 this round, but the driver should re-prove too)
     "op_graph_triangles",
-    "op_graph_degree_profile",
-    "op_graph_bfs_hops",
+    # degree_profile/bfs_hops: same plan-only edge-cache change, but
+    # dropped from the front so the five round-8 new gates don't push
+    # round-1-evidence gates out of the window (both mimic-green at
+    # both SFs; the rotation reaches them next round)
     "op_graph_kcore_peel",
     "op_graph_assortativity",
     "op_graph_trustrank_seeded",
