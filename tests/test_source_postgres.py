@@ -350,3 +350,41 @@ def test_copy_read_throughput_beats_row_protocol(seeded_table):
             conn.commit()
         finally:
             conn.close()
+
+
+def test_copy_read_yields_arrow_batches_for_safe_schema(seeded_table):
+    """The default read path must actually hand Spark Arrow
+    RecordBatches (a silent fallback to per-tuple decode would keep
+    results correct but lose the vectorized handoff)."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from apitap_spark.sources.pgsource import PostgresReader, RangePartition
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("amt", T.DecimalType(38, 18)),
+        ]
+    )
+    reader = PostgresReader({"dsn": DSN, "table": TABLE}, schema)
+    out = list(reader.read(RangePartition(None)))
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert sum(b.num_rows for b in out) == N_ROWS
+    # a bytea column forces the tuple fallback (pyarrow can't parse
+    # PG hex from CSV) — same reader, different schema
+    with_bin = T.StructType(
+        schema.fields[:1] + [T.StructField("name", T.BinaryType())]
+    )
+    reader2 = PostgresReader(
+        {"dsn": DSN, "query": f"SELECT id, name::bytea AS name FROM {TABLE}"},
+        with_bin,
+    )
+    rows = list(reader2.read(RangePartition(None)))
+    assert rows and all(isinstance(r, tuple) for r in rows)
+    assert len(rows) == N_ROWS
