@@ -393,7 +393,17 @@ class PostgresReader(DataSourceReader):
         measured ~4x the row protocol client-side at 200K rows, more
         end-to-end once Spark's row pickling is counted. NULLs travel
         as unquoted \\N (PG quotes any data value equal to the marker,
-        and quoted_strings_can_be_null=False keeps those as strings)."""
+        and quoted_strings_can_be_null=False keeps those as strings).
+
+        ``newlines_in_values=True`` is mandatory, not an option: PG's CSV
+        COPY quotes embedded newlines, but pyarrow's parallel chunker
+        splits blocks on raw newlines, so without it any stride over the
+        block size whose text contains ``\\n`` dies with ``ArrowInvalid:
+        CSV parser got out of sync with chunker``. Document corpora —
+        this engine's core shape — always contain newlines. The flag
+        forces serial chunking; the parse is still C++-vectorized and
+        measured well above the row protocol (see bench
+        ``source_pg_read_rows_per_sec``)."""
         from pyarrow import csv as pacsv
 
         buf = self._copy_fetch(
@@ -405,6 +415,7 @@ class PostgresReader(DataSourceReader):
         tbl = pacsv.read_csv(
             buf,
             read_options=pacsv.ReadOptions(column_names=names),
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
             convert_options=pacsv.ConvertOptions(
                 column_types=dict(zip(names, arrow_types)),
                 null_values=["\\N"],

@@ -35,12 +35,30 @@ def seeded_table():
             id BIGINT, name TEXT, val DOUBLE PRECISION,
             flag BOOLEAN, ts TIMESTAMP, amt NUMERIC(10, 2))"""
     )
+    # adversarial CSV/COPY payloads (round-8 verdict #1): embedded LF,
+    # CRLF, comma, double-quote, tab, and a literal \N that must stay a
+    # string (only the UNQUOTED marker means NULL)
+    nasty = [
+        "multi\nline",
+        "comma,and\"quote\"",
+        "\\N",
+        "tab\there",
+        "crlf\r\nend",
+    ]
+
+    def _name(i: int):
+        if i % 97 == 0:
+            return None
+        if i % 13 == 7:
+            return f"{nasty[i % 5]}-{i}"
+        return f"name-{i % 7}"
+
     rows = []
     for i in range(N_ROWS):
         rows.append(
             (
                 i,
-                None if i % 97 == 0 else f"name-{i % 7}",
+                _name(i),
                 i / 8.0,
                 i % 3 == 0,
                 dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i),
@@ -292,6 +310,54 @@ def test_copy_read_matches_row_protocol_read(spark, seeded_table):
     assert via_copy == via_row
 
 
+def test_copy_arrow_newlines_survive_large_stride(spark):
+    """Regression for the round-8 COPY-Arrow crash: a single stride
+    whose CSV payload exceeds pyarrow's 1 MB block size AND contains
+    quoted embedded newlines used to die with ``ArrowInvalid: CSV
+    parser got out of sync with chunker`` (the parallel chunker splits
+    blocks on raw newlines; ParseOptions(newlines_in_values=True) is
+    the fix). Builds ~4 MB of newline-laden text server-side, reads it
+    through the DEFAULT path in ONE partition, and cross-checks the
+    row protocol."""
+    from apitap_spark.sinks import pgwire
+
+    table = "pgsrc_newline_docs"
+    conn = pgwire.connect(DSN)
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        # each body ~2.6 KB with 60 embedded newlines + quotes + commas;
+        # 1500 rows -> ~4 MB CSV in one stride (>> 1 MB arrow block)
+        cur.execute(
+            f"""CREATE TABLE {table} AS
+                SELECT g::bigint AS id,
+                       repeat(E'lorem, "ipsum" dolor\\n', 60)
+                         || 'tail-' || g AS body
+                FROM generate_series(1, 1500) g"""
+        )
+        conn.commit()
+        got = sorted(
+            _reader(spark, table=table).load().collect(),
+            key=lambda r: r["id"],
+        )
+        assert len(got) == 1500
+        assert got[0]["body"].count("\n") == 60
+        assert got[0]["body"].endswith("tail-1")
+        assert '"ipsum"' in got[0]["body"]
+        via_row = sorted(
+            _reader(spark, table=table, read_method="row").load().collect(),
+            key=lambda r: r["id"],
+        )
+        assert got == via_row
+    finally:
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
+            conn.commit()
+        finally:
+            conn.close()
+
+
 def test_copy_read_throughput_beats_row_protocol(seeded_table):
     """Driver-side reader microbench on a generate_series table: the
     COPY stride read must beat the one-DataRow-per-row protocol.
@@ -382,7 +448,14 @@ def test_copy_read_yields_arrow_batches_for_safe_schema(seeded_table):
         schema.fields[:1] + [T.StructField("name", T.BinaryType())]
     )
     reader2 = PostgresReader(
-        {"dsn": DSN, "query": f"SELECT id, name::bytea AS name FROM {TABLE}"},
+        # convert_to(), not ::bytea — the cast re-parses backslash
+        # escapes and chokes on the fixture's literal '\N' name
+        {
+            "dsn": DSN,
+            "query": (
+                f"SELECT id, convert_to(name, 'UTF8') AS name FROM {TABLE}"
+            ),
+        },
         with_bin,
     )
     rows = list(reader2.read(RangePartition(None)))
