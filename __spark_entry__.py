@@ -140,13 +140,18 @@ _NEW_GATES: set[str] = {
     "op_dedup_threshold_curve",
     "op_ml_auprc_grid",
     "op_ab_test_poisson_rates",
-    # round 11 (judge r8): evidence-refresh round — only 3 new gates
-    # (round-7 verdict asked <=5) so the window drains r1/r2 staleness
+    # round 8: five new gates (round-7 verdict asked <=5) — the window
+    # still drained most of the r1 staleness alongside them
     "op_event_seasonality",
     "op_data_skew_audit",
     "op_text_ngram_novelty",
     "op_dedup_cluster_size_histogram",
     "op_event_gap_quantiles",
+    # round 9: evidence-drain round — three new gates only, so the
+    # 50-row window covers every remaining r1/r2-evidence gate
+    "op_chi2_token_selection",
+    "op_text_rouge_overlap",
+    "op_text_entropy_rate",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window
@@ -162,43 +167,11 @@ _REPROVE_FIXED: set[str] = set()
 # evidence).  Reset this set each round to only the gates actually
 # touched; they sort between true reds (tier 0) and the backlog tiers.
 _RECHECK_FRONT: set[str] = {
-    # round 8: broadcast-orientation fix + AQE-hint drops (dedup),
-    # shared wedge-stats refactor (graph), int64/zero-denominator
-    # guards (ml), element_at clamp (similarity)
-    "op_dedup_threshold_curve",
-    "op_dedup_minhash_lsh",
-    "op_minhash_estimate_audit",
-    "op_graph_link_prediction",
-    "op_graph_resource_allocation",
-    "op_ab_test_poisson_rates",
-    "op_conformal_interval_audit",
-    "op_ann_ndcg_audit",
-    # shared pinned coactivity-edge cache (plan-only; mimic-green at
-    # sf0.001+sf0.01 this round, but the driver should re-prove too)
-    "op_graph_triangles",
-    # degree_profile/bfs_hops: same plan-only edge-cache change, but
-    # dropped from the front so the five round-8 new gates don't push
-    # round-1-evidence gates out of the window (both mimic-green at
-    # both SFs; the rotation reaches them next round)
-    "op_graph_kcore_peel",
-    "op_graph_assortativity",
-    "op_graph_trustrank_seeded",
-    "op_graph_transitivity",
-    # shared pinned dedup pair/shingle-frame caches (plan-only;
-    # mimic-green)
-    "op_dedup_clusters",
-    "op_dedup_keep_best",
-    "op_lsh_tuning_curve",
-    "op_dedup_containment",
-    # shared weight memo: logreg quality + AUC eval train once
-    "op_ml_logreg_quality",
-    "op_ml_logreg_eval_auc",
-    # shared pinned ANN top-k memos: only the two gates whose own body
-    # changed front here — the audit consumers (mrr/recall/ndcg/curve)
-    # are code-untouched and mimic-green at both SFs, and fronting them
-    # too would push round-1-evidence gates out of the 50-row window
-    "op_ann_cosine_topk",
-    "op_ann_lsh_bucketed",
+    # round 9: epoch-bucket floor-division fix (ADVICE #5 — Spark
+    # div/% truncates toward zero while the DuckDB oracle floors;
+    # both gates' Spark side now floors explicitly)
+    "op_event_seasonality",
+    "op_event_gap_quantiles",
 }
 
 
@@ -233,10 +206,6 @@ def _gate_priority(names: list[str]) -> list[str]:
        mode the round-2 fix removed for ``no_oracle`` (round-3 ADVICE),
     6. gates with no driver row and no oracle (one rows-only row is worth
        recording, but never at the cost of an oracle-able gate),
-    7. gates whose most recent row is ``err='no_oracle'`` and that still
-       have no oracle (a re-run carries no new information, so they must
-       NOT camp in tier 0 and starve never-tested gates — round-2
-       verdict fix #2),
     8. gates whose most recent driver row is green — rotated OLDEST
        EVIDENCE FIRST: within this tier gates sort by the round of
        their latest driver row, so the handful of re-verification
@@ -244,7 +213,13 @@ def _gate_priority(names: list[str]) -> list[str]:
        greens across rounds instead of re-proving the same
        first-registered gates forever (a plain stable sort on
        registration order would starve late-registered greens of
-       fresh evidence indefinitely).
+       fresh evidence indefinitely),
+    9. gates whose most recent row is ``err='no_oracle'`` and that still
+       have no oracle — a re-run records the identical no_oracle row
+       (zero new information), so these sort LAST, after green
+       refreshes (round-8 verdict #2: at a tier below green they camped
+       in every window from r6 on, displacing the exact oldest-evidence
+       refreshes the rotation exists to serve).
 
     Across rounds this guarantees every gate — including ones added later —
     eventually gets a green driver row, with the only maintenance being
@@ -305,7 +280,14 @@ def _gate_priority(names: list[str]) -> list[str]:
                 return 6
             return 4 if name in _NEW_GATES else 3
         if state == "no_oracle":
-            return 3 if name in oracled else 7
+            # oracle gained since the row was recorded: re-run now
+            # yields a hash verdict — real new information (tier 3).
+            # Still no oracle: a re-run records the SAME no_oracle row
+            # forever, so it must sort AFTER the greens (tier 9), not
+            # before them — at tier 7 (< green's 8) the two rows-only
+            # gates camped in every window from r6 on, displacing
+            # oldest-evidence green refreshes (round-8 verdict #2).
+            return 3 if name in oracled else 9
         if state == "harness_err" and name in _REPROVE_FIXED:
             return 0  # crash cause fixed this round: re-prove up front
         return {"red": 0, "harness_err": 5, "green": 8}[state]

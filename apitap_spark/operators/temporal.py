@@ -966,11 +966,22 @@ def op_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Hour-of-day seasonality profile + uniformity chi² -------------------
 
 _SEASONALITY_ORACLE = """
-    WITH b AS (
+    WITH es AS (
+      -- FLOOR division: DuckDB's integer // truncates toward zero, so
+      -- subtract 1 when the remainder is negative (pre-1970 fractional
+      -- seconds) to match Spark's flooring CAST(ts AS LONG)
       SELECT event_type,
-             (epoch_us(ts) // 3600000000) % 24 AS h,
+             epoch_us(ts) // 1000000
+               - CASE WHEN epoch_us(ts) % 1000000 < 0 THEN 1 ELSE 0 END
+               AS es
+      FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             ((es // 3600 - CASE WHEN es % 3600 < 0 THEN 1 ELSE 0 END)
+                % 24 + 24) % 24 AS h,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM events GROUP BY 1, 2
+      FROM es GROUP BY 1, 2
     ),
     prof AS (
       SELECT event_type,
@@ -1007,9 +1018,11 @@ def op_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-windowed A/B split (a strongly diurnal event type makes
     hour-confounded variants incomparable) or sizing an ingest fleet.
 
-    Hours are pure epoch arithmetic ((epoch_sec div 3600) mod 24 —
-    Spark's CAST(ts AS LONG) vs DuckDB's epoch_us, the proven asof/KM
-    convention), never tz-dependent EXTRACT.  The chi² statistic
+    Hours are pure epoch arithmetic (floor(epoch_sec / 3600) mod 24,
+    floor-division on BOTH engines — Spark's truncating div and
+    DuckDB's truncating // each get a negative-remainder correction so
+    pre-1970 timestamps bucket identically), never tz-dependent
+    EXTRACT.  The chi² statistic
     collapses algebraically to (24·Σo² − n²)/n — exact integers until
     ONE divide-before-scale fixed-point division (quotient·1e6 +
     remainder·1e6 div n, the conformal-gate pattern), so no float
@@ -1023,10 +1036,18 @@ def op_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size.
     """
     ev = read_table(spark, sf_dir, "events")
+    # pmod + floor-corrected div so pre-1970 timestamps land in the
+    # true containing hour (Spark div truncates; CAST(ts AS LONG)
+    # already floors) — mirrors the oracle's CASE-corrected // exactly
+    # (ADVICE r8 #5)
     bins = (
         ev.select(
             "event_type",
-            F.expr("(CAST(ts AS LONG) div 3600) % 24").cast("int").alias("h"),
+            F.expr(
+                "pmod(CAST(ts AS LONG) div 3600"
+                " - (CASE WHEN CAST(ts AS LONG) % 3600 < 0"
+                "    THEN 1 ELSE 0 END), 24)"
+            ).cast("int").alias("h"),
         )
         .groupBy("event_type", "h")
         .agg(F.count("*").cast("bigint").alias("o"))
@@ -1068,8 +1089,13 @@ def op_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAP_QUANTILES_ORACLE = """
     WITH e AS (
+      -- floor-corrected //: matches Spark's flooring CAST(ts AS LONG)
+      -- for pre-1970 fractional seconds (DuckDB // truncates)
       SELECT event_type, user_id,
-             epoch_us(ts) // 1000000 AS es, event_id
+             epoch_us(ts) // 1000000
+               - CASE WHEN epoch_us(ts) % 1000000 < 0 THEN 1 ELSE 0 END
+               AS es,
+             event_id
       FROM events
     ),
     gaps AS (
@@ -1104,8 +1130,9 @@ def op_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from: the threshold should sit in the p90..max valley between
     within-session and between-session gaps).
 
-    Exactness: gaps are epoch-second differences (CAST(ts AS LONG) vs
-    DuckDB epoch_us//1e6 — the proven convention); quantiles are exact
+    Exactness: gaps are epoch-second differences (Spark's flooring
+    CAST(ts AS LONG) vs DuckDB's floor-corrected epoch_us//1e6 — both
+    floor, so pre-1970 fractional seconds agree); quantiles are exact
     order statistics (lower-median (n+1) div 2, ceil-p90 (9n+9) div 10)
     — a duplicate gap VALUE at the boundary rank is deterministic
     regardless of tie order, so no tiebreak column is needed.

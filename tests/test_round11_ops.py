@@ -50,6 +50,52 @@ def test_event_seasonality_matches_python(spark, sf_dir):
         assert g["chi2_uniform_micro"] == d // n * MICRO + d % n * MICRO // n
 
 
+def test_epoch_buckets_floor_for_pre_1970(spark):
+    """Round-8 ADVICE #5 regression: pre-1970 (negative-epoch)
+    timestamps — including fractional seconds — must land in the TRUE
+    containing hour on BOTH engines. 1969-12-31 23:59:59.5 lives in
+    hour 23 of Dec 31, not hour 0 of Jan 1; truncating division put it
+    in 0 on one engine and 23 on the other."""
+    import duckdb
+
+    rows = [
+        ("1969-12-31 23:59:59.5", 23),  # fractional negative second
+        ("1969-12-31 23:00:00", 23),
+        ("1969-12-31 22:59:59", 22),
+        ("1970-01-01 00:00:00.5", 0),
+        ("1932-04-01 07:30:00", 7),
+    ]
+    # Spark side: the exact expression op_event_seasonality uses
+    df = spark.createDataFrame(
+        [(s,) for s, _ in rows], ["s"]
+    ).selectExpr(
+        "s",
+        "pmod(CAST(CAST(s AS TIMESTAMP) AS LONG) div 3600"
+        " - (CASE WHEN CAST(CAST(s AS TIMESTAMP) AS LONG) % 3600 < 0"
+        "    THEN 1 ELSE 0 END), 24) AS h",
+    )
+    got_spark = {r["s"]: r["h"] for r in df.collect()}
+    # DuckDB side: the exact expression the oracle uses
+    con = duckdb.connect()
+    got_duck = {}
+    for s, _ in rows:
+        (es,) = con.execute(
+            "SELECT epoch_us(CAST(? AS TIMESTAMP)) // 1000000"
+            " - CASE WHEN epoch_us(CAST(? AS TIMESTAMP)) % 1000000 < 0"
+            "   THEN 1 ELSE 0 END",
+            [s, s],
+        ).fetchone()
+        (h,) = con.execute(
+            "SELECT ((? // 3600 - CASE WHEN ? % 3600 < 0 THEN 1 ELSE 0 END)"
+            " % 24 + 24) % 24",
+            [es, es],
+        ).fetchone()
+        got_duck[s] = h
+    for s, want in rows:
+        assert got_spark[s] == want, (s, got_spark[s])
+        assert got_duck[s] == want, (s, got_duck[s])
+
+
 def test_event_seasonality_chi2_zero_iff_uniform():
     # invariant check on the closed form itself: a perfectly uniform
     # 24-bin histogram collapses (24*so2 - n^2) to exactly zero
