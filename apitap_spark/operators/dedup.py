@@ -33,7 +33,7 @@ from apitap_spark.functions.text import (
     tokens,
 )
 from apitap_spark.operators.graph import connected_components
-from apitap_spark.session import read_table
+from apitap_spark.session import context_key, note_memo_event, read_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -291,8 +291,9 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 1.5x slower because the self-join then re-shuffles both
     sides).
     """
-    key = (id(spark.sparkContext), sf_dir, "df_capped_shingles")
+    key = (context_key(spark), sf_dir, "df_capped_shingles")
     hit = _DEDUP_FRAME_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
     if hit is not None:
         return hit
     from apitap_spark.session import pinned_persist
@@ -390,8 +391,9 @@ def clear_dedup_frame_caches() -> None:
 
 
 def _cached_pinned(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (id(spark.sparkContext), sf_dir, name)
+    key = (context_key(spark), sf_dir, name)
     hit = _DEDUP_FRAME_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
     if hit is not None:
         return hit
     from apitap_spark.session import pinned_local_checkpoint

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from apitap_spark.session import read_table
+from apitap_spark.session import context_key, note_memo_event, read_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -693,8 +693,9 @@ def coactivity_edges_cached(
     gate; blocks survive between-gate release_persisted sweeps."""
     from apitap_spark.session import pinned_local_checkpoint
 
-    key = (id(spark.sparkContext), sf_dir, k)
+    key = (context_key(spark), sf_dir, k)
     hit = _EDGE_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
     if hit is not None:
         return hit
     d, ids = pinned_local_checkpoint(coactivity_edges(spark, sf_dir, k), spark)
@@ -776,8 +777,9 @@ def _wedge_stats(spark: SparkSession, sf_dir: str):
     link-prediction and resource-allocation gates."""
     from apitap_spark.session import pinned_local_checkpoint
 
-    key = (id(spark.sparkContext), sf_dir)
+    key = (context_key(spark), sf_dir)
     hit = _WEDGE_STATS_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
     if hit is not None:
         return hit
     _e, deg, wedge = _build_wedge_stats(spark, sf_dir, pin=True)

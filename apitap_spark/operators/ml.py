@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from apitap_spark.session import read_table
+from apitap_spark.session import context_key, note_memo_event, read_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -447,8 +447,9 @@ _LOGREG_WEIGHTS_MEMO: dict[tuple[int, str], list[int]] = {}
 def trained_logreg_weights(
     spark: SparkSession, sf_dir: str, X_u: DataFrame
 ) -> list[int]:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (context_key(spark), sf_dir)
     hit = _LOGREG_WEIGHTS_MEMO.get(key)
+    note_memo_event(hit=hit is not None)
     if hit is None:
         hit = train_logreg_newton_fixed(X_u)
         _LOGREG_WEIGHTS_MEMO[key] = hit

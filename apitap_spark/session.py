@@ -126,10 +126,40 @@ def unpin_rdds(ids) -> None:
     _PINNED_RDD_IDS.difference_update(ids)
 
 
+# Session-wide memo telemetry: every cross-gate cache (FrameMemo and
+# the module-local dict caches in dedup/graph/ml) reports whether a
+# lookup BUILT the shared frame or HIT an existing one. bench.py reads
+# the deltas around each gate to tag freeze rows, so a 0.04s cache-read
+# timing is never mistaken for the operator's cost (round-8 verdict #4).
+MEMO_COUNTERS = {"hits": 0, "builds": 0}
+
+
+def note_memo_event(hit: bool) -> None:
+    MEMO_COUNTERS["hits" if hit else "builds"] += 1
+
+
+def context_key(spark: SparkSession) -> str:
+    """Stable identity for per-context cache keys.
+
+    ``id(spark.sparkContext)`` is unsafe: after a context is stopped
+    and garbage-collected, CPython can hand the same id to a NEW
+    context, returning cached DataFrames bound to the dead JVM session
+    (round-8 ADVICE #3). ``applicationId:startTime`` is unique per JVM
+    context and never recycled. Cached on the Python wrapper so the
+    two py4j round-trips happen once per context, not per lookup.
+    """
+    sc = spark.sparkContext
+    tok = sc.__dict__.get("_apitap_ctx_token")
+    if tok is None:
+        tok = f"{sc.applicationId}:{sc.startTime}"
+        sc.__dict__["_apitap_ctx_token"] = tok
+    return tok
+
+
 class FrameMemo:
     """Session-scoped memoization of small result frames as pinned
     checkpoints (or pinned persists when the Catalyst partitioning must
-    survive — ``persist=True``). Keys are (SparkContext id, *key);
+    survive — ``persist=True``). Keys are (:func:`context_key`, *key);
     ``clear()`` unpins everything so the next release_persisted sweep
     can free the blocks. Use ONLY for frames that are orders of
     magnitude smaller than their inputs (pair lists, top-k tables,
@@ -141,10 +171,12 @@ class FrameMemo:
         self._ids: set[int] = set()
 
     def get(self, spark: SparkSession, key: tuple, build, persist: bool = False):
-        k = (id(spark.sparkContext), *key)
+        k = (context_key(spark), *key)
         hit = self._cache.get(k)
         if hit is not None:
+            note_memo_event(hit=True)
             return hit
+        note_memo_event(hit=False)
         fn = pinned_persist if persist else pinned_local_checkpoint
         d, ids = fn(build(), spark)
         self._ids.update(ids)
