@@ -224,23 +224,97 @@ PREPARE_THRESHOLD = 2  # promote to a named statement on the 2nd execution
 STMT_CACHE_MAX = 64
 
 
+def _der_tlv(buf: bytes, i: int) -> tuple[int, int, int, int]:
+    """One DER TLV: (tag, content_start, content_end, next_sibling)."""
+    tag = buf[i]
+    i += 1
+    ln = buf[i]
+    i += 1
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(buf[i : i + n], "big")
+        i += n
+    return tag, i, i + ln, i + ln
+
+
+def _der_oid(content: bytes) -> str:
+    """Decode OID content bytes to dotted-decimal."""
+    out = [str(content[0] // 40), str(content[0] % 40)]
+    v = 0
+    for b in content[1:]:
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            out.append(str(v))
+            v = 0
+    return ".".join(out)
+
+
+# signatureAlgorithm OID -> digest for RFC 5929 tls-server-end-point.
+# MD5/SHA-1 upgrade to SHA-256 per the RFC (so they map to sha256 here);
+# absent entries fall back to SHA-256, matching libpq's conservative
+# default for unrecognized algorithms (auth then fails closed).
+_SIG_OID_HASH = {
+    "1.2.840.113549.1.1.4": "sha256",   # md5WithRSAEncryption (upgrade)
+    "1.2.840.113549.1.1.5": "sha256",   # sha1WithRSAEncryption (upgrade)
+    "1.2.840.113549.1.1.11": "sha256",  # sha256WithRSAEncryption
+    "1.2.840.113549.1.1.12": "sha384",  # sha384WithRSAEncryption
+    "1.2.840.113549.1.1.13": "sha512",  # sha512WithRSAEncryption
+    "1.2.840.10045.4.1": "sha256",      # ecdsa-with-SHA1 (upgrade)
+    "1.2.840.10045.4.3.2": "sha256",    # ecdsa-with-SHA256
+    "1.2.840.10045.4.3.3": "sha384",    # ecdsa-with-SHA384
+    "1.2.840.10045.4.3.4": "sha512",    # ecdsa-with-SHA512
+}
+_PSS_HASH_OID = {
+    "1.3.14.3.2.26": "sha256",          # sha1 (upgrade)
+    "2.16.840.1.101.3.4.2.1": "sha256",
+    "2.16.840.1.101.3.4.2.2": "sha384",
+    "2.16.840.1.101.3.4.2.3": "sha512",
+}
+_OID_RSASSA_PSS = "1.2.840.113549.1.1.10"
+
+
 def _cert_sig_hash(der: bytes) -> bytes:
     """RFC 5929 tls-server-end-point channel-binding data: the server
-    certificate's DER hashed with its signature hash algorithm —
-    SHA-256 unless the signatureAlgorithm OID says SHA-384/512 (and
-    MD5/SHA-1 upgrade to SHA-256 per the RFC). The OID is located by
-    byte-string sniff — the specific sha384/512 AlgorithmIdentifier
-    encodings cannot occur incidentally inside a cert that was not
-    signed with them (they appear exactly in the two signature fields)."""
-    for oid_hex, algo in (
-        ("2a864886f70d01010c", "sha384"),  # sha384WithRSAEncryption
-        ("2a864886f70d01010d", "sha512"),  # sha512WithRSAEncryption
-        ("2a8648ce3d040303", "sha384"),    # ecdsa-with-SHA384
-        ("2a8648ce3d040304", "sha512"),    # ecdsa-with-SHA512
-    ):
-        if bytes.fromhex(oid_hex) in der:
-            return hashlib.new(algo, der).digest()
-    return hashlib.sha256(der).digest()
+    certificate's DER hashed with its signature hash algorithm (MD5 and
+    SHA-1 upgrade to SHA-256 per the RFC).
+
+    The algorithm comes from a structural DER walk — Certificate ::=
+    SEQUENCE { tbsCertificate, signatureAlgorithm AlgorithmIdentifier,
+    signatureValue } — never a whole-DER byte sniff, so a coincidental
+    OID byte pattern inside an extension cannot pick the wrong hash,
+    and RSA-PSS resolves via the hashAlgorithm in its parameters
+    (round-8 ADVICE #1). Unknown/malformed structures fall back to
+    SHA-256 (libpq's default; a mismatch fails authentication closed).
+    """
+    algo = "sha256"
+    try:
+        _, cert_s, _cert_e, _ = _der_tlv(der, 0)        # Certificate
+        _, _, _, after_tbs = _der_tlv(der, cert_s)      # skip tbsCertificate
+        _, alg_s, alg_e, _ = _der_tlv(der, after_tbs)   # signatureAlgorithm
+        oid_tag, oid_s, oid_e, after_oid = _der_tlv(der, alg_s)
+        if oid_tag == 0x06:
+            oid = _der_oid(der[oid_s:oid_e])
+            if oid == _OID_RSASSA_PSS:
+                # RSASSA-PSS-params ::= SEQUENCE { [0] hashAlgorithm ... };
+                # an absent hashAlgorithm defaults to SHA-1 -> sha256
+                if after_oid < alg_e:
+                    _, ps, pe, _ = _der_tlv(der, after_oid)
+                    i = ps
+                    while i < pe:
+                        t, cs, _ce, nxt = _der_tlv(der, i)
+                        if t == 0xA0:  # [0] EXPLICIT hashAlgorithm
+                            _, hs, _he, _ = _der_tlv(der, cs)
+                            _, hos, hoe, _ = _der_tlv(der, hs)
+                            algo = _PSS_HASH_OID.get(
+                                _der_oid(der[hos:hoe]), "sha256"
+                            )
+                            break
+                        i = nxt
+            else:
+                algo = _SIG_OID_HASH.get(oid, "sha256")
+    except (IndexError, ValueError):
+        algo = "sha256"
+    return hashlib.new(algo, der).digest()
 
 
 _SSLREQUEST = struct.pack(">ii", 8, 80877103)
@@ -268,6 +342,14 @@ class Connection:
         self._stmt_cache: dict[tuple, bytes] = {}
         self._stmt_seen: dict[tuple, int] = {}
         self._stmt_counter = 0
+        # Names dropped from the cache that may still exist server-side
+        # (parsed in an EARLIER committed txn, then forgotten when an
+        # error cleared the cache). Closed lazily by piggybacking Close
+        # messages on the next healthy extended query — without this a
+        # long-lived connection with recurring errors leaks server-side
+        # prepared statements unboundedly (round-8 ADVICE #2).
+        self._stmt_orphans: list[bytes] = []
+        self._txn_failed = False
         user = p.get("user", "postgres")
         db = p.get("dbname", p.get("database", user))
         body = b"".join(
@@ -487,11 +569,14 @@ class Connection:
                 err = PgError(self._err_fields(body))
             if mtype == b"Z":
                 self._in_txn = body != b"I"
+                self._txn_failed = body == b"E"
                 if err:
                     # The error aborted the transaction; statements
                     # parsed inside it are discarded at ROLLBACK —
-                    # conservatively forget every cached name.
-                    self._stmt_cache.clear()
+                    # conservatively forget every cached name (names
+                    # from earlier committed txns survive server-side
+                    # and are Close'd lazily via _stmt_orphans).
+                    self._forget_statements()
                     raise err
                 return
 
@@ -518,7 +603,22 @@ class Connection:
             return 1082
         return 0
 
+    def _forget_statements(self) -> None:
+        """Drop every cached statement name. Names may still exist
+        server-side (only statements parsed inside a rolled-back txn
+        vanish), so they move to _stmt_orphans for a lazy Close."""
+        self._stmt_orphans.extend(self._stmt_cache.values())
+        self._stmt_cache.clear()
+
     def _extended_query(self, sql: str, params: list):
+        if self._stmt_orphans and not self._txn_failed:
+            # Piggyback Close for orphaned names on this pipeline: zero
+            # extra round trips (like the eviction path), CloseComplete
+            # ('3') is skipped by the recv loop, and the protocol makes
+            # Close on a nonexistent name a no-op rather than an error.
+            for nm in self._stmt_orphans:
+                self._send(b"C", b"S" + nm + b"\x00")
+            self._stmt_orphans.clear()
         oids = tuple(self._param_oid(v) for v in params)
         key = (sql, oids)
         name = self._stmt_cache.get(key)
@@ -602,8 +702,11 @@ class Connection:
                     err = PgError(self._err_fields(body))
             elif mtype == b"Z":
                 self._in_txn = body != b"I"
+                self._txn_failed = body == b"E"
                 if err:
-                    self._stmt_cache.clear()  # txn aborted: names may vanish
+                    # txn aborted: in-txn names vanish at ROLLBACK, the
+                    # rest get a lazy Close via _stmt_orphans
+                    self._forget_statements()
                     raise err
                 return desc, rows, tag
             # '1' ParseComplete, '2' BindComplete, 'n' NoData,
@@ -630,7 +733,9 @@ class Connection:
             self._simple("ROLLBACK")
             # Statements parsed inside the rolled-back txn are gone
             # server-side; forget all names rather than track txn spans.
-            self._stmt_cache.clear()
+            # Pre-txn names survive and are Close'd by the next healthy
+            # extended query via _stmt_orphans.
+            self._forget_statements()
 
     def close(self) -> None:
         if not self.closed:

@@ -145,3 +145,96 @@ def test_scram_final_rejects_nonce_truncation():
         Connection._scram_final(
             cap, st_, b"r=other,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096", "pw"
         )
+
+
+# --- RFC 5929 certificate signature-hash selection (DER walk) -------------
+
+
+def _tlv(tag: int, content: bytes) -> bytes:
+    n = len(content)
+    if n < 0x80:
+        ln = bytes([n])
+    else:
+        b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+        ln = bytes([0x80 | len(b)]) + b
+    return bytes([tag]) + ln + content
+
+
+def _oid(dotted: str) -> bytes:
+    parts = [int(x) for x in dotted.split(".")]
+    body = bytearray([parts[0] * 40 + parts[1]])
+    for v in parts[2:]:
+        enc = bytearray([v & 0x7F])
+        v >>= 7
+        while v:
+            enc.insert(0, 0x80 | (v & 0x7F))
+            v >>= 7
+        body += enc
+    return _tlv(0x06, bytes(body))
+
+
+def _fake_cert(sig_alg: bytes, tbs_extra: bytes = b"") -> bytes:
+    tbs = _tlv(0x30, b"\x02\x01\x01" + tbs_extra)  # INTEGER 1 + filler
+    sig_value = _tlv(0x03, b"\x00" + b"\xAB" * 16)  # BIT STRING
+    return _tlv(0x30, tbs + sig_alg + sig_value)
+
+
+def _alg(oid_dotted: str, params: bytes = b"\x05\x00") -> bytes:
+    return _tlv(0x30, _oid(oid_dotted) + params)
+
+
+def _pss_alg(hash_oid: str) -> bytes:
+    hash_alg = _tlv(0x30, _oid(hash_oid) + b"\x05\x00")
+    params = _tlv(0x30, _tlv(0xA0, hash_alg))
+    return _tlv(0x30, _oid("1.2.840.113549.1.1.10") + params)
+
+
+def test_cert_sig_hash_structural_walk():
+    import hashlib
+
+    from apitap_spark.sinks.pgwire import _cert_sig_hash
+
+    cases = [
+        (_alg("1.2.840.113549.1.1.11"), "sha256"),
+        (_alg("1.2.840.113549.1.1.12"), "sha384"),
+        (_alg("1.2.840.113549.1.1.13"), "sha512"),
+        (_alg("1.2.840.10045.4.3.3"), "sha384"),   # ecdsa-with-SHA384
+        (_alg("1.2.840.113549.1.1.5"), "sha256"),  # sha1 upgrades
+        (_pss_alg("2.16.840.1.101.3.4.2.2"), "sha384"),  # RSA-PSS/SHA-384
+        (_pss_alg("2.16.840.1.101.3.4.2.3"), "sha512"),  # RSA-PSS/SHA-512
+    ]
+    for alg, want in cases:
+        der = _fake_cert(alg)
+        assert _cert_sig_hash(der) == hashlib.new(want, der).digest(), want
+
+
+def test_cert_sig_hash_ignores_decoy_oid_in_tbs():
+    """A sha512WithRSAEncryption OID embedded in an EXTENSION must not
+    flip the hash — the round-8 byte-sniff would have matched it."""
+    import hashlib
+
+    from apitap_spark.sinks.pgwire import _cert_sig_hash
+
+    decoy = _alg("1.2.840.113549.1.1.13")  # whole AlgorithmIdentifier
+    der = _fake_cert(_alg("1.2.840.113549.1.1.11"), tbs_extra=decoy)
+    assert _cert_sig_hash(der) == hashlib.sha256(der).digest()
+
+
+def test_cert_sig_hash_malformed_falls_back_sha256():
+    import hashlib
+
+    from apitap_spark.sinks.pgwire import _cert_sig_hash
+
+    for der in (b"", b"\x30\x03\x02\x01", b"\xff" * 8):
+        assert _cert_sig_hash(der) == hashlib.sha256(der).digest()
+
+
+def test_forget_statements_moves_names_to_orphans():
+    from apitap_spark.sinks.pgwire import Connection
+
+    conn = Connection.__new__(Connection)
+    conn._stmt_cache = {("SELECT 1", ()): b"_ap1", ("SELECT 2", ()): b"_ap2"}
+    conn._stmt_orphans = [b"_ap0"]
+    conn._forget_statements()
+    assert conn._stmt_cache == {}
+    assert sorted(conn._stmt_orphans) == [b"_ap0", b"_ap1", b"_ap2"]

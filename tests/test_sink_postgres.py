@@ -641,6 +641,36 @@ def test_prepared_statement_reuse_promotes_and_invalidates(pg_conn):
     pg_conn.commit()
 
 
+def test_no_server_side_statement_leak_across_error_cycles(pg_conn):
+    """Round-8 ADVICE #2 regression: statements promoted in COMMITTED
+    transactions survive a later error's cache clear server-side; the
+    client must Close them (piggybacked on the next healthy query)
+    instead of leaking a fresh _apN per re-promotion. After many
+    error/recover cycles, pg_prepared_statements must hold at most the
+    live cache, not one statement per cycle."""
+    from apitap_spark.sinks import pgwire
+
+    _pgwire_only(pg_conn)
+    cur = pg_conn.cursor()
+    sql = "SELECT %s::bigint * 2 AS x"
+    for cycle in range(6):
+        for i in (1, 2, 3):  # promote (threshold 2) then reuse
+            assert cur.execute(sql, (i,)).fetchone()[0] == 2 * i
+        pg_conn.commit()  # statement now survives any later ROLLBACK
+        with pytest.raises(pgwire.PgError):
+            cur.execute("SELECT no_such_column_zzz")
+        pg_conn.rollback()
+        assert pg_conn._stmt_cache == {}
+        assert pg_conn._stmt_orphans  # the survivor awaits a Close
+    # next healthy query flushes every orphaned Close
+    assert cur.execute(sql, (10,)).fetchone()[0] == 20
+    assert pg_conn._stmt_orphans == []
+    cur.execute("SELECT COUNT(*) FROM pg_prepared_statements")
+    n_server = cur.fetchone()[0]
+    assert n_server <= len(pg_conn._stmt_cache) + 1, n_server
+    pg_conn.commit()
+
+
 def test_prepared_statement_oid_vector_keys_cache(pg_conn):
     """Same SQL text with different Python param types must prepare
     separately — Parse freezes parameter OIDs, and binding a float to
