@@ -106,6 +106,10 @@ class SourceConfig:
     dest_table: str | None = None
     primary_key: str | None = None
     incremental: IncrementalConfig | None = None
+    # OAuth2 client-credentials block (reference roadmap README.md:124);
+    # kept raw here and resolved (incl. client_secret_env) when the
+    # HttpSource is built, so secrets never live in parsed YAML dumps
+    auth: dict | None = None
     max_concurrency: int = 5  # reference src/cmd/mod.rs:18 CONCURRENT_REQUESTS
     min_request_interval_sec: float = 0.0
     # postgres-kind fields (sources/pgsource.py reader options)
@@ -135,6 +139,27 @@ class SourceConfig:
         else:
             raise ConfigError(f"source {d['name']!r}: unknown kind {kind!r}")
         retry = d.get("retry") or {}
+        auth = d.get("auth")
+        if auth is not None:
+            if auth.get("type", "oauth2_client_credentials") != (
+                "oauth2_client_credentials"
+            ):
+                raise ConfigError(
+                    f"source {d['name']!r}: unknown auth type "
+                    f"{auth.get('type')!r}"
+                )
+            for req in ("token_url", "client_id"):
+                if not auth.get(req):
+                    raise ConfigError(
+                        f"source {d['name']!r}: auth requires {req}"
+                    )
+            if not auth.get("client_secret") and not auth.get(
+                "client_secret_env"
+            ):
+                raise ConfigError(
+                    f"source {d['name']!r}: auth requires client_secret "
+                    "or client_secret_env"
+                )
         inc = d.get("incremental")
         incremental = None
         if inc:
@@ -162,6 +187,7 @@ class SourceConfig:
             dest_table=d.get("dest_table"),
             primary_key=d.get("primary_key_in_dest") or d.get("primary_key"),
             incremental=incremental,
+            auth=dict(auth) if auth else None,
             max_concurrency=int(d.get("max_concurrency", 5)),
             min_request_interval_sec=float(d.get("min_request_interval_sec", 0.0)),
             dsn=d.get("dsn"),
@@ -185,6 +211,33 @@ class SourceConfig:
             return val
         raise ConfigError(f"source {self.name!r}: no dsn configured")
 
+    def resolved_auth(self):
+        """Build the OAuth2 helper, resolving client_secret_env the same
+        way target credentials resolve — secrets live in the process
+        environment, never in YAML."""
+        if not self.auth:
+            return None
+        from apitap_spark.sources.http import OAuth2ClientCredentials
+
+        secret = self.auth.get("client_secret", "")
+        env = self.auth.get("client_secret_env")
+        if not secret and env:
+            secret = os.environ.get(env, "")
+            if not secret:
+                raise ConfigError(
+                    f"source {self.name!r}: env {env} not set"
+                )
+        return OAuth2ClientCredentials(
+            token_url=self.auth["token_url"],
+            client_id=self.auth["client_id"],
+            client_secret=secret,
+            scope=self.auth.get("scope"),
+            audience=self.auth.get("audience"),
+            refresh_slack_sec=float(
+                self.auth.get("refresh_slack_sec", 60.0)
+            ),
+        )
+
     def to_http_source(self) -> HttpSource:
         if self.kind != "http":
             raise ConfigError(
@@ -202,6 +255,7 @@ class SourceConfig:
             primary_key=self.primary_key,
             max_concurrency=self.max_concurrency,
             min_request_interval_sec=self.min_request_interval_sec,
+            auth=self.resolved_auth(),
         )
 
 

@@ -106,6 +106,95 @@ class RetryPolicy:
 
 
 @dataclass
+class OAuth2ClientCredentials:
+    """RFC 6749 §4.4 client-credentials token acquisition with
+    refresh-on-401 (reference roadmap README.md:124 "OAuth2
+    authentication" — unimplemented there; static ``headers:`` covered
+    fixed bearer tokens but not expiring ones).
+
+    One POST to ``token_url`` per partition session acquires a bearer
+    token, cached on the instance until ``expires_in`` minus
+    ``refresh_slack_sec``; a 401 mid-run invalidates and refreshes ONCE
+    before the request is retried (a second 401 with a fresh token
+    means bad credentials and fails fast). The instance pickles into
+    executor closures WITHOUT its cached token — each Python worker
+    acquires its own, so a long fetch never ships a stale token and
+    the token server sees at most one acquisition per worker per
+    expiry window.
+    """
+
+    token_url: str
+    client_id: str
+    client_secret: str = ""
+    scope: str | None = None
+    audience: str | None = None
+    refresh_slack_sec: float = 60.0
+    timeout: float = 30.0
+
+    def __post_init__(self):
+        self._reset_state()
+
+    def _reset_state(self):
+        import threading
+
+        self._token: str | None = None
+        self._expires_at = 0.0
+        self._lock = threading.Lock()
+
+    # token + lock never pickle: executors authenticate themselves
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        for k in ("_token", "_expires_at", "_lock"):
+            d.pop(k, None)
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._reset_state()
+
+    def headers(self, session=None) -> dict:
+        return {"Authorization": f"Bearer {self._get_token(session)}"}
+
+    def invalidate(self) -> None:
+        with self._lock:
+            self._token = None
+            self._expires_at = 0.0
+
+    def _get_token(self, session=None) -> str:
+        import requests
+
+        with self._lock:
+            now = time.time()
+            if self._token and now < self._expires_at - self.refresh_slack_sec:
+                return self._token
+            data = {
+                "grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+            }
+            if self.scope:
+                data["scope"] = self.scope
+            if self.audience:
+                data["audience"] = self.audience
+            sess = session or requests
+            resp = sess.post(self.token_url, data=data, timeout=self.timeout)
+            if resp.status_code != 200:
+                raise RuntimeError(
+                    f"OAuth2 token endpoint {self.token_url} returned "
+                    f"{resp.status_code}"
+                )
+            payload = resp.json()
+            tok = payload.get("access_token")
+            if not tok:
+                raise RuntimeError(
+                    "OAuth2 token response missing access_token"
+                )
+            self._token = tok
+            self._expires_at = now + float(payload.get("expires_in", 3600))
+            return self._token
+
+
+@dataclass
 class TotalHint:
     """Where to find the total item/page count in the page-1 envelope
     (reference src/http/fetcher.rs:194-198)."""
@@ -185,18 +274,33 @@ def _fetch_raw(
     timeout: float = 30.0,
     session=None,
     on_retry=None,
+    auth=None,
 ):
     """One GET with bounded exponential-backoff retry (S1). Returns the
     ``requests`` response. Raises after max_attempts. ``on_retry`` (if
-    given) is called once per retried attempt — the FetchStats hook."""
+    given) is called once per retried attempt — the FetchStats hook.
+    ``auth`` (OAuth2ClientCredentials) contributes a bearer header per
+    attempt; a 401 triggers ONE immediate invalidate+refresh retry that
+    does not consume the backoff budget (token expiry mid-run is not a
+    transport fault)."""
     import requests
 
     sess = session or requests.Session()
     delays = list(retry.delays()) + [None]
     last_exc: Exception | None = None
+    auth_retried = False
+
+    def _get():
+        hdrs = headers if auth is None else {**headers, **auth.headers(sess)}
+        return sess.get(url, params=params, headers=hdrs, timeout=timeout)
+
     for delay in delays:
         try:
-            resp = sess.get(url, params=params, headers=headers, timeout=timeout)
+            resp = _get()
+            if resp.status_code == 401 and auth is not None and not auth_retried:
+                auth.invalidate()
+                auth_retried = True
+                resp = _get()  # fresh token; a second 401 fails fast below
             if 400 <= resp.status_code < 500 and resp.status_code != 429:
                 # Client errors are deterministic — retrying wastes the
                 # budget and hammers the API (429 excepted: that IS the
@@ -250,9 +354,13 @@ def fetch_page_rows(
     retry: RetryPolicy,
     session=None,
     on_retry=None,
+    auth=None,
 ) -> list:
     """Fetch one page and return its rows (S1+S2+S3)."""
-    resp = _fetch_raw(url, params, headers, retry, session=session, on_retry=on_retry)
+    resp = _fetch_raw(
+        url, params, headers, retry, session=session, on_retry=on_retry,
+        auth=auth,
+    )
     return parse_response(resp, data_path)[0]
 
 
@@ -279,6 +387,9 @@ class HttpSource:
     # min_request_interval_sec additionally rate-limits each task.
     max_concurrency: int = DEFAULT_CONCURRENCY
     min_request_interval_sec: float = 0.0
+    # OAuth2 client-credentials (reference roadmap README.md:124); None
+    # keeps the static-headers path byte-identical
+    auth: OAuth2ClientCredentials | None = None
 
     def __post_init__(self):
         self._driver_stats = FetchStats()
@@ -323,6 +434,7 @@ class HttpSource:
             self.retry,
             session=session,
             on_retry=on_retry,
+            auth=self.auth,
         )
 
     # ---- total discovery -------------------------------------------------
@@ -389,7 +501,7 @@ class HttpSource:
                 time.sleep(self.min_request_interval_sec)
             resp = _fetch_raw(
                 self.url, params, self.headers, self.retry,
-                session=sess, on_retry=count_retry,
+                session=sess, on_retry=count_retry, auth=self.auth,
             )
             obj = resp.json()
             self._driver_stats.pages += 1
@@ -444,7 +556,7 @@ class HttpSource:
         )
         resp = _fetch_raw(
             self.url, self._page_params(0), self.headers, self.retry,
-            session=sess, on_retry=count_retry,
+            session=sess, on_retry=count_retry, auth=self.auth,
         )
         first, envelope = parse_response(resp, self.data_path)
         self._driver_stats.pages += 1

@@ -14,6 +14,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+class Unauthorized(Exception):
+    """Raised by handle() for a 401 (expired/missing bearer token)."""
+
+
 class MockApi:
     def __init__(self, rows: list[dict]):
         self.rows = rows
@@ -24,6 +28,18 @@ class MockApi:
         self.delay_sec = 0.0  # per-request hold, makes overlap observable
         self.lock = threading.Lock()
         self.server: ThreadingHTTPServer | None = None
+        # OAuth2 client-credentials endpoint state (/token + /protected)
+        self.client_id = "cid"
+        self.client_secret = "sek"
+        self.token_ttl_sec = 3600.0
+        self.tokens: dict[str, float] = {}  # token -> expiry epoch
+        self.tokens_issued = 0
+
+    def expire_all_tokens(self):
+        """Force every outstanding token stale (mid-run expiry tests)."""
+        with self.lock:
+            for t in self.tokens:
+                self.tokens[t] = 0.0
 
     def start(self) -> str:
         api = self
@@ -52,7 +68,14 @@ class MockApi:
                     qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
                     route = parsed.path.strip("/")
                     try:
-                        body, ctype = api.handle(route, qs)
+                        body, ctype = api.handle(
+                            route, qs, headers=dict(self.headers)
+                        )
+                    except Unauthorized:
+                        self.send_response(401)
+                        self.end_headers()
+                        self.wfile.write(b"unauthorized")
+                        return
                     except Exception as exc:  # noqa: BLE001
                         self.send_response(400)
                         self.end_headers()
@@ -70,6 +93,47 @@ class MockApi:
                     with api.lock:
                         api.inflight -= 1
 
+            def do_POST(self):
+                with api.lock:
+                    api.request_count += 1
+                n = int(self.headers.get("Content-Length", "0"))
+                form = {
+                    k: v[0]
+                    for k, v in parse_qs(
+                        self.rfile.read(n).decode("utf-8")
+                    ).items()
+                }
+                route = urlparse(self.path).path.strip("/")
+                if route != "token":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if (
+                    form.get("grant_type") != "client_credentials"
+                    or form.get("client_id") != api.client_id
+                    or form.get("client_secret") != api.client_secret
+                ):
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b'{"error":"invalid_client"}')
+                    return
+                with api.lock:
+                    api.tokens_issued += 1
+                    tok = f"tok-{api.tokens_issued}"
+                    api.tokens[tok] = time.time() + api.token_ttl_sec
+                data = json.dumps(
+                    {
+                        "access_token": tok,
+                        "token_type": "Bearer",
+                        "expires_in": api.token_ttl_sec,
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         threading.Thread(target=self.server.serve_forever, daemon=True).start()
         host, port = self.server.server_address
@@ -80,7 +144,18 @@ class MockApi:
             self.server.shutdown()
 
     # ---- route logic -----------------------------------------------------
-    def handle(self, route: str, qs: dict):
+    def handle(self, route: str, qs: dict, headers: dict | None = None):
+        if route == "protected":
+            # limit/offset pagination behind a live bearer token
+            authz = (headers or {}).get("Authorization", "")
+            tok = authz.removeprefix("Bearer ").strip()
+            with self.lock:
+                exp = self.tokens.get(tok)
+            if exp is None or exp < time.time():
+                raise Unauthorized(tok or "<missing>")
+            limit = int(qs.get("limit", 10))
+            offset = int(qs.get("offset", 0))
+            return self.rows[offset : offset + limit], "application/json"
         if route == "limit_offset":
             limit = int(qs.get("limit", qs.get("_limit", 10)))
             offset = int(qs.get("offset", qs.get("_start", 0)))

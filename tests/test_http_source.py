@@ -445,3 +445,161 @@ def test_min_request_interval_throttles(spark, big_api):
     assert src.load(spark).count() == len(BIG_ROWS)
     # 4 pages, 3 of them throttled executor-side at >=0.1s spacing
     assert _t.perf_counter() - t0 >= 0.3
+
+
+# --- OAuth2 client-credentials (reference roadmap README.md:124) ----------
+
+
+def _oauth(api, **kw):
+    from apitap_spark.sources.http import OAuth2ClientCredentials
+
+    return OAuth2ClientCredentials(
+        token_url=f"{api.base}/token",
+        client_id=api.client_id,
+        client_secret=api.client_secret,
+        **kw,
+    )
+
+
+def test_oauth2_token_acquired_once_and_reused(spark, api):
+    api.tokens.clear()
+    api.tokens_issued = 0
+    src = HttpSource(
+        name="oauth",
+        url=f"{api.base}/protected",
+        pagination=LimitOffsetPagination(limit=10),
+        auth=_oauth(api),
+    )
+    df = src.load(spark)
+    assert _ids(df) == ALL_IDS
+    # one token per Python worker at most; the driver-side probe +
+    # load shares ONE (53 rows / limit 10 = 6+ requests >> tokens)
+    assert 1 <= api.tokens_issued <= 5
+
+
+def test_oauth2_refresh_on_mid_run_401(spark, api):
+    """Page 1 succeeds, every outstanding token then expires, and the
+    next 401 must trigger exactly one invalidate+refresh that completes
+    the pull (round-8 verdict next-step #5's done-criterion)."""
+    api.tokens.clear()
+    api.tokens_issued = 0
+    auth = _oauth(api, refresh_slack_sec=0.0)
+    # drive the fetch loop directly so expiry lands mid-run
+    # deterministically (Spark partitions would race the expiry)
+    from apitap_spark.sources.http import fetch_page_rows
+
+    rows = []
+    for page in range(6):
+        got = fetch_page_rows(
+            f"{api.base}/protected",
+            {"limit": 10, "offset": page * 10},
+            {},
+            None,
+            RetryPolicy(max_attempts=2, min_delay_sec=0.01,
+                        max_delay_sec=0.02),
+            auth=auth,
+        )
+        rows.extend(got)
+        if page == 0:
+            api.expire_all_tokens()  # every later request 401s once
+    assert sorted(r["id"] for r in rows) == ALL_IDS
+    assert api.tokens_issued == 2  # initial + exactly one refresh
+
+
+def test_oauth2_bad_credentials_fail_fast(api):
+    from apitap_spark.sources.http import (
+        OAuth2ClientCredentials,
+        fetch_page_rows,
+    )
+
+    bad = OAuth2ClientCredentials(
+        token_url=f"{api.base}/token",
+        client_id=api.client_id,
+        client_secret="wrong",
+    )
+    with pytest.raises(RuntimeError, match="token endpoint"):
+        fetch_page_rows(
+            f"{api.base}/protected",
+            {"limit": 10, "offset": 0},
+            {},
+            None,
+            RetryPolicy(max_attempts=2, min_delay_sec=0.01,
+                        max_delay_sec=0.02),
+            auth=bad,
+        )
+
+
+def test_oauth2_second_401_fails_fast_not_retried(spark, api):
+    """A 401 that survives a fresh token is a credential problem: one
+    refresh, then the client-error fail-fast path — never the backoff
+    loop hammering the API."""
+    api.tokens.clear()
+    api.tokens_issued = 0
+    auth = _oauth(api, refresh_slack_sec=0.0)
+    from apitap_spark.sources.http import fetch_page_rows
+
+    real_ttl = api.token_ttl_sec
+    api.token_ttl_sec = -1.0  # every issued token is already expired
+    try:
+        n0 = api.request_count
+        with pytest.raises(RuntimeError, match="401"):
+            fetch_page_rows(
+                f"{api.base}/protected",
+                {"limit": 10, "offset": 0},
+                {},
+                None,
+                RetryPolicy(max_attempts=3, min_delay_sec=0.01,
+                            max_delay_sec=0.02),
+                auth=auth,
+            )
+        # 2 GETs (401 + refreshed 401) + 2 token POSTs, no backoff walk
+        assert api.request_count - n0 <= 4
+        assert api.tokens_issued == 2
+    finally:
+        api.token_ttl_sec = real_ttl
+
+
+def test_oauth2_config_block_builds_source(monkeypatch):
+    from apitap_spark.config.models import ConfigError, SourceConfig
+
+    monkeypatch.setenv("T_OAUTH_SECRET", "sek")
+    cfg = SourceConfig.from_dict(
+        {
+            "name": "s",
+            "url": "http://x/items",
+            "auth": {
+                "token_url": "http://x/token",
+                "client_id": "cid",
+                "client_secret_env": "T_OAUTH_SECRET",
+                "scope": "read",
+            },
+        }
+    )
+    src = cfg.to_http_source()
+    assert src.auth is not None
+    assert src.auth.client_secret == "sek"
+    assert src.auth.scope == "read"
+    # missing secret env -> loud error at build time, not a silent 401
+    monkeypatch.delenv("T_OAUTH_SECRET")
+    with pytest.raises(ConfigError, match="T_OAUTH_SECRET"):
+        cfg.to_http_source()
+    # malformed blocks rejected at parse time
+    with pytest.raises(ConfigError, match="client_secret"):
+        SourceConfig.from_dict(
+            {
+                "name": "s2",
+                "url": "http://x/items",
+                "auth": {"token_url": "http://x/token", "client_id": "c"},
+            }
+        )
+
+
+def test_oauth2_pickles_without_token_state(api):
+    import pickle
+
+    auth = _oauth(api)
+    auth._token = "secret-cached"
+    auth._expires_at = 9e9
+    clone = pickle.loads(pickle.dumps(auth))
+    assert clone._token is None  # workers re-authenticate themselves
+    assert clone.client_id == api.client_id
