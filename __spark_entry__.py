@@ -151,7 +151,7 @@ _NEW_GATES: set[str] = {
     # 50-row window covers every remaining r1/r2-evidence gate
     "op_chi2_token_selection",
     "op_text_rouge_overlap",
-    "op_text_entropy_rate",
+    "op_text_bigram_predictability",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1231,3 +1231,134 @@ def op_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang").join(per_doc, "doc_id").select(
         "doc_id", "lang", "n_grams", "weight_micro"
     )
+
+
+# --- Chi-square token selection (per-language discriminative vocab) ------
+
+CHI2_MIN_DF = 5  # tokens in fewer docs are noise; in N-5+ docs, glue
+
+_CHI2_TOKEN_ORACLE = f"""
+    WITH dt AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+               AS tok
+      FROM documents
+    ),
+    tl AS (
+      SELECT tok, lang, CAST(COUNT(*) AS BIGINT) AS a
+      FROM dt GROUP BY 1, 2
+    ),
+    tt AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS t_docs FROM tl GROUP BY 1),
+    lt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS l_docs
+      FROM documents GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    x AS (
+      SELECT tl.lang, tl.tok, tl.a, tt.t_docs,
+             n.n_docs * (tl.a * (n.n_docs - tt.t_docs - lt.l_docs + tl.a)
+               - (tt.t_docs - tl.a) * (lt.l_docs - tl.a))
+               * (tl.a * (n.n_docs - tt.t_docs - lt.l_docs + tl.a)
+               - (tt.t_docs - tl.a) * (lt.l_docs - tl.a)) AS num,
+             tt.t_docs * (n.n_docs - tt.t_docs)
+               * lt.l_docs * (n.n_docs - lt.l_docs) AS den
+      FROM tl
+      JOIN tt USING (tok)
+      JOIN lt USING (lang)
+      CROSS JOIN n
+      WHERE tt.t_docs >= {CHI2_MIN_DF}
+        AND tt.t_docs <= n.n_docs - {CHI2_MIN_DF}
+    ),
+    scored AS (
+      SELECT lang, tok, a AS n_lang_tok_docs, t_docs AS token_docs,
+             CAST(num // den * 1000
+                  + num % den * 1000 // den AS BIGINT) AS chi2_milli
+      FROM x
+    )
+    SELECT lang, tok, n_lang_tok_docs, token_docs, chi2_milli,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY chi2_milli DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@_register("op_chi2_token_selection", _CHI2_TOKEN_ORACLE)
+def op_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 chi-square-selected tokens per language — the classic
+    feature-selection pass a lang-ID / quality-classifier training run
+    executes to pick its discriminative vocabulary (and, inverted, the
+    debugging pass that surfaces label leakage: a token with absurd chi²
+    against a supposedly-content-independent label is a pipeline bug).
+
+    Exactness: chi² over the 2x2 presence table collapses to
+    N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — exact integers until ONE
+    divide-before-scale fixed-point division (quotient·1e3 + remainder
+    ·1e3 div den, the seasonality-gate pattern at milli precision).
+    Int64 budget: num = N·(ad−bc)² ≤ N⁵/16 needs N ≤ ~2·10⁴ docs per
+    audit shard; den·1e3 ≤ N⁴/16·10³ binds the same bound. Past that,
+    shard the audit by source (each shard is an independent selection)
+    or rank in double — the ranking, not the digits, is the product.
+    Ubiquitous tokens (df > N−{CHI2_MIN_DF}) and rare ones
+    (df < {CHI2_MIN_DF}) are excluded: both have no selective value and
+    the df ≤ N−5 guard also keeps den > 0.
+
+    Scale shape: one per-doc distinct-token explode (linear scan), one
+    token-keyed aggregate, doc-frequency join on the pruned token set,
+    broadcast language totals + N, and a per-language top-5 window over
+    the vocabulary-sized score frame — no corpus-sized shuffle anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            )
+        ).alias("tok"),
+    )
+    tl = dt.groupBy("tok", "lang").agg(F.count("*").cast("bigint").alias("a"))
+    tt = tl.groupBy("tok").agg(F.sum("a").cast("bigint").alias("t_docs"))
+    lt = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("l_docs")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    x = (
+        tl.join(tt, "tok")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("t_docs") >= CHI2_MIN_DF)
+            & (F.col("t_docs") <= F.col("n_docs") - CHI2_MIN_DF)
+        )
+        .withColumn(
+            "diff",
+            F.expr(
+                "a * (n_docs - t_docs - l_docs + a)"
+                " - (t_docs - a) * (l_docs - a)"
+            ),
+        )
+        .withColumn("num", F.expr("n_docs * diff * diff"))
+        .withColumn(
+            "den",
+            F.expr("t_docs * (n_docs - t_docs) * l_docs * (n_docs - l_docs)"),
+        )
+    )
+    scored = x.select(
+        "lang",
+        "tok",
+        F.col("a").alias("n_lang_tok_docs"),
+        F.col("t_docs").alias("token_docs"),
+        F.expr("num div den * 1000 + num % den * 1000 div den")
+        .cast("bigint")
+        .alias("chi2_milli"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("chi2_milli"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )

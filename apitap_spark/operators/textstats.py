@@ -1925,3 +1925,206 @@ def op_text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         F.expr("n_docs * 1000000L div n_src").alias("share_micro"),
     )
+
+
+# --- ROUGE-2 overlap between adjacent same-language documents ------------
+
+_ROUGE_OVERLAP_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents
+    ),
+    bgs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM tok WHERE len(t) >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bgs GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    p AS (
+      SELECT lang, ref_id, cand_id FROM (
+        SELECT lang, doc_id AS ref_id,
+               LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                 AS cand_id
+        FROM documents
+      ) WHERE cand_id IS NOT NULL
+    ),
+    ov AS (
+      SELECT p.ref_id, p.cand_id,
+             CAST(SUM(LEAST(r.c, q.c)) AS BIGINT) AS overlap
+      FROM p
+      JOIN cnt r ON r.doc_id = p.ref_id
+      JOIN cnt q ON q.doc_id = p.cand_id AND q.bg = r.bg
+      GROUP BY 1, 2
+    )
+    SELECT p.lang, p.ref_id, p.cand_id,
+           tr.n AS ref_bigrams, tq.n AS cand_bigrams,
+           COALESCE(ov.overlap, 0) AS overlap,
+           CAST(COALESCE(ov.overlap, 0) * 1000000 // tr.n AS BIGINT)
+             AS rouge2_recall_micro,
+           CAST(COALESCE(ov.overlap, 0) * 1000000 // tq.n AS BIGINT)
+             AS rouge2_precision_micro
+    FROM p
+    JOIN tot tr ON tr.doc_id = p.ref_id
+    JOIN tot tq ON tq.doc_id = p.cand_id
+    LEFT JOIN ov ON ov.ref_id = p.ref_id AND ov.cand_id = p.cand_id
+"""
+
+
+@_register("op_text_rouge_overlap", _ROUGE_OVERLAP_ORACLE)
+def op_text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 clipped-bigram recall/precision between each document and
+    its same-language doc_id successor — the n-gram-overlap eval metric
+    (Lin 2004) a summarization / paraphrase-mining pass computes per
+    (reference, candidate) pair; the adjacent-id pairing is the eval
+    harness's deterministic stand-in for a real alignment table (swap
+    the ``p`` frame for one to productionize).
+
+    Exactness: clipped counts Σ min(c_ref, c_cand) are pure integers;
+    recall/precision are one fixed-point division each (overlap·1e6 div
+    total, both engines truncating non-negatives identically). Pairs
+    where either side has <2 tokens (no bigrams) drop via the totals
+    inner join on BOTH engines.
+
+    Scale shape: bigram counts are one doc-keyed aggregate over the
+    corpus scan; each doc joins at most two pairs (its predecessor's
+    and its own), so the overlap join is linear in corpus size and
+    keyed by (pair, gram) — never all-pairs. A real alignment table
+    keeps the same plan with pair fan-out bounded by the alignment.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bgs = docs.select(
+        "doc_id", F.explode(shingle_grams("text", 2)).alias("bg")
+    )
+    cnt = bgs.groupBy("doc_id", "bg").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    p = (
+        docs.select(
+            "lang",
+            F.col("doc_id").alias("ref_id"),
+            F.lead("doc_id").over(w).alias("cand_id"),
+        )
+        .filter(F.col("cand_id").isNotNull())
+    )
+    r = cnt.select(
+        F.col("doc_id").alias("ref_id"), "bg", F.col("c").alias("c_ref")
+    )
+    q = cnt.select(
+        F.col("doc_id").alias("cand_id"), "bg", F.col("c").alias("c_cand")
+    )
+    ov = (
+        p.join(r, "ref_id")
+        .join(q, ["cand_id", "bg"])
+        .groupBy("ref_id", "cand_id")
+        .agg(F.sum(F.least("c_ref", "c_cand")).cast("bigint").alias("overlap"))
+    )
+    tr = tot.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("ref_bigrams"))
+    tq = tot.select(
+        F.col("doc_id").alias("cand_id"), F.col("n").alias("cand_bigrams")
+    )
+    return (
+        p.join(tr, "ref_id")
+        .join(tq, "cand_id")
+        .join(ov, ["ref_id", "cand_id"], "left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("bigint"))
+        .select(
+            "lang",
+            "ref_id",
+            "cand_id",
+            "ref_bigrams",
+            "cand_bigrams",
+            "overlap",
+            F.expr("overlap * 1000000L div ref_bigrams")
+            .cast("bigint")
+            .alias("rouge2_recall_micro"),
+            F.expr("overlap * 1000000L div cand_bigrams")
+            .cast("bigint")
+            .alias("rouge2_precision_micro"),
+        )
+    )
+
+
+# --- Bigram predictability (Simpson collision, conditioned on prev) ------
+
+_BIGRAM_PREDICT_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> {'p': t[i], 'w': t[i + 1]})) AS u
+      FROM tok WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT doc_id, u.p AS p, u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    prev AS (
+      SELECT doc_id, p, CAST(SUM(c) AS BIGINT) AS np,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(np) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_prev_types,
+           CAST(SUM(sc2) * 1000000 // SUM(np * np) AS BIGINT)
+             AS predictability_micro
+    FROM prev GROUP BY doc_id
+"""
+
+
+@_register("op_text_bigram_predictability", _BIGRAM_PREDICT_ORACLE)
+def op_text_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document next-token predictability: the Simpson collision
+    probability that two bigram occurrences drawn from the SAME
+    preceding token share their next token — a rational-arithmetic
+    stand-in for conditional bigram entropy (log-free on purpose:
+    ln/exp are last-ulp engine-specific, so an entropy column could
+    never hash-match across engines). High values flag templated /
+    machine-generated text whose continuations are near-deterministic;
+    low values flag incoherent token soup — both ends are what a
+    pretraining quality filter trims.
+
+    Exactness: collisions = Σ_{prev,next} c², base = Σ_prev n_prev²,
+    score = collisions·1e6 div base — all integer, one truncating
+    division of non-negatives (identical both engines). Int64: a doc of
+    T tokens bounds base ≤ T²; T·1e3-token docs leave 1e6 headroom
+    after the 1e6 scale.
+
+    Scale shape: one (doc, prev, next) aggregate then one (doc, prev)
+    aggregate, both map-side-combinable and keyed under doc_id — linear
+    in corpus size, no window, no self-join.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingle_grams("text", 2)).alias("bg")
+    ).select(
+        "doc_id",
+        F.substring_index("bg", " ", 1).alias("p"),
+        F.substring_index("bg", " ", -1).alias("w"),
+    )
+    c = bg.groupBy("doc_id", "p", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    prev = c.groupBy("doc_id", "p").agg(
+        F.sum("c").cast("bigint").alias("np"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("sc2"),
+    )
+    return prev.groupBy("doc_id").agg(
+        F.sum("np").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_prev_types"),
+        F.expr("sum(sc2) * 1000000L div sum(np * np)")
+        .cast("bigint")
+        .alias("predictability_micro"),
+    )
