@@ -152,6 +152,7 @@ _NEW_GATES: set[str] = {
     "op_chi2_token_selection",
     "op_text_rouge_overlap",
     "op_text_bigram_predictability",
+    "op_event_burstiness",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

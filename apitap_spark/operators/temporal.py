@@ -1174,3 +1174,102 @@ def op_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("p90_sec"),
         F.max("g").cast("bigint").alias("max_sec"),
     )
+
+
+# --- Event-rate burstiness (Fano factor over hourly buckets) -------------
+
+_BURSTINESS_ORACLE = """
+    WITH es AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000
+               - CASE WHEN epoch_us(ts) % 1000000 < 0 THEN 1 ELSE 0 END
+               AS es
+      FROM events
+    ),
+    hb AS (
+      SELECT event_type,
+             es // 3600 - CASE WHEN es % 3600 < 0 THEN 1 ELSE 0 END AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM es GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS n_hours_span,
+             CAST(COUNT(*) AS BIGINT) AS occupied_hours,
+             CAST(SUM(x) AS BIGINT) AS n_events,
+             CAST(SUM(x * x) AS BIGINT) AS sx2
+      FROM hb GROUP BY 1
+    )
+    SELECT event_type, n_hours_span, occupied_hours, n_events,
+           CAST((n_hours_span * sx2 - n_events * n_events)
+                  // (n_hours_span * n_events) * 1000000
+                + (n_hours_span * sx2 - n_events * n_events)
+                  % (n_hours_span * n_events)
+                  * 1000000 // (n_hours_span * n_events)
+                AS BIGINT) AS fano_micro
+    FROM agg
+"""
+
+
+@_register("op_event_burstiness", _BURSTINESS_ORACLE)
+def op_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of the per-hour event count
+    per event type, empty hours inside the observed span counted as
+    zero — the dispersion statistic that separates Poisson-like arrival
+    (fano ≈ 1e6 micro) from bursty traffic (≫ 1e6) and from
+    metronomic/batched feeds (≪ 1e6). The capacity-planning complement
+    of op_event_seasonality: that gate asks WHICH hours load, this one
+    asks how VIOLENTLY the load swings — the input to queue sizing and
+    to rate-anomaly alert thresholds.
+
+    Exactness: over n span-hours with per-hour counts x (zeros
+    included), Var/Mean collapses to (n·Σx² − S²)/(n·S) — empty hours
+    contribute nothing to Σx² and S, so only occupied buckets are ever
+    materialized. Integers until the one divide-before-scale micro
+    division; n·Σx² ≥ S² by Cauchy-Schwarz keeps everything
+    non-negative (truncating div == floor on both engines). Int64:
+    n·Σx²·hmm — num ≤ n·S² needs span·events² < 9.2e18, i.e. ~1e6
+    events/type over a year of hours; past that shard by time window
+    (Fano composes per window for the alerting use case anyway).
+    Hour buckets reuse the floor-corrected epoch convention
+    (op_event_seasonality), so pre-1970 data buckets identically.
+
+    Scale shape: one map-side-combined (type, hour) count over the
+    events scan, then per-type scalars on the bucket frame — identical
+    partitioning to the seasonality gate; at 100 TB both share one
+    shuffle if computed in the same pass.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hb = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(ts AS LONG) div 3600"
+                " - (CASE WHEN CAST(ts AS LONG) % 3600 < 0"
+                "    THEN 1 ELSE 0 END)"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    agg = hb.groupBy("event_type").agg(
+        (F.max("h") - F.min("h") + 1).cast("bigint").alias("n_hours_span"),
+        F.count("*").cast("bigint").alias("occupied_hours"),
+        F.sum("x").cast("bigint").alias("n_events"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sx2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours_span",
+        "occupied_hours",
+        "n_events",
+        F.expr(
+            "(n_hours_span * sx2 - n_events * n_events)"
+            " div (n_hours_span * n_events) * 1000000L"
+            " + (n_hours_span * sx2 - n_events * n_events)"
+            "   % (n_hours_span * n_events)"
+            "   * 1000000L div (n_hours_span * n_events)"
+        )
+        .cast("bigint")
+        .alias("fano_micro"),
+    )

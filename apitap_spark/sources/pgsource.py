@@ -401,9 +401,10 @@ class PostgresReader(DataSourceReader):
         block size whose text contains ``\\n`` dies with ``ArrowInvalid:
         CSV parser got out of sync with chunker``. Document corpora —
         this engine's core shape — always contain newlines. The flag
-        forces serial chunking; the parse is still C++-vectorized and
-        measured well above the row protocol (see bench
-        ``source_pg_read_rows_per_sec``)."""
+        forces serial chunking; measured cost is 4.6→8.9 ms per 200K
+        rows of parse time — ~1% of the stride read (COPY transfer
+        dominates), so it stays unconditional rather than adaptive (see
+        bench ``source_pg_read_rows_per_sec``)."""
         from pyarrow import csv as pacsv
 
         buf = self._copy_fetch(

@@ -192,3 +192,53 @@ def test_bigram_predictability_extremes(spark):
             # doc 2: prevs x(2: y,z), y(1: x) -> collisions 1+1+1=3,
             # base 4+1=5 -> 600000
             assert score == 600000
+
+
+# --- op_event_burstiness -----------------------------------------------------
+
+
+def test_event_burstiness_matches_python(spark, sf_dir):
+    import calendar
+
+    from apitap_spark.operators.temporal import op_event_burstiness
+
+    buckets: dict = defaultdict(Counter)
+    for r in read_table(spark, sf_dir, "events").select(
+        "event_type", "ts"
+    ).collect():
+        epoch = calendar.timegm(r["ts"].timetuple())
+        buckets[r["event_type"]][epoch // 3600] += 1
+    got = {
+        r["event_type"]: r for r in op_event_burstiness(spark, sf_dir).collect()
+    }
+    assert set(got) == set(buckets)
+    for et, cnt in buckets.items():
+        n = max(cnt) - min(cnt) + 1  # span hours incl. empty buckets
+        s = sum(cnt.values())
+        sx2 = sum(x * x for x in cnt.values())
+        g = got[et]
+        assert g["n_hours_span"] == n
+        assert g["occupied_hours"] == len(cnt)
+        assert g["n_events"] == s
+        num = n * sx2 - s * s
+        assert num >= 0  # Cauchy-Schwarz
+        den = n * s
+        assert g["fano_micro"] == num // den * MICRO + num % den * MICRO // den
+
+
+def test_fano_closed_form_extremes():
+    # metronome: one event every hour for 10 hours -> Var 0 -> fano 0
+    cnt = {h: 1 for h in range(10)}
+    n, s = 10, 10
+    sx2 = sum(x * x for x in cnt.values())
+    assert n * sx2 - s * s == 0
+    # burst: all 10 events in one hour of a 10-hour span
+    # Var/Mean = (10*100-100)/(10*10) = 9 -> 9e6 micro
+    n, s, sx2 = 10, 10, 100
+    num, den = n * sx2 - s * s, n * s
+    assert num // den * MICRO + num % den * MICRO // den == 9 * MICRO
+    # Poisson-ish dispersion sits near 1e6: two hours of 2, two of 0
+    # over a 4-hour span -> Var/Mean = (4*8-16)/(4*4) = 1 -> 1e6
+    n, s, sx2 = 4, 4, 8
+    num, den = n * sx2 - s * s, n * s
+    assert num // den * MICRO + num % den * MICRO // den == MICRO
