@@ -147,8 +147,9 @@ _NEW_GATES: set[str] = {
     "op_text_ngram_novelty",
     "op_dedup_cluster_size_histogram",
     "op_event_gap_quantiles",
-    # round 9: evidence-drain round — three new gates only, so the
-    # 50-row window covers every remaining r1/r2-evidence gate
+    # round 9: evidence-drain round — four new gates only (2 rechecks +
+    # 4 new + 44 oldest greens), so the 50-row window still covers
+    # every remaining r1/r2-evidence gate
     "op_chi2_token_selection",
     "op_text_rouge_overlap",
     "op_text_bigram_predictability",
