@@ -1561,3 +1561,59 @@ def test_dedup_pair_caches_survive_release_persisted(spark, sf_dir):
     assert b is lsh_pairs_cached(spark, sf_dir)
     clear_dedup_frame_caches()
     assert release_persisted(spark) >= 0
+
+
+def test_chi2_selection_broadcasts_label_totals(spark, sf_dir):
+    """The chi² join must broadcast language totals + N (label-sized
+    frames) and never SortMergeJoin them; the only shuffles are the
+    token-keyed aggregates — no corpus-sized exchange above the token
+    frame."""
+    from apitap_spark.operators.corpus import op_chi2_token_selection
+
+    p = _plan(op_chi2_token_selection(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # the N scalar crossJoin
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # map-side combine on the token agg
+
+
+def test_rouge_overlap_no_cartesian_and_partial_counts(spark, sf_dir):
+    """Adjacent-pair ROUGE must stay linear: gram counts partially
+    aggregate map-side and the overlap join is keyed (pair, gram) —
+    never a cartesian/nested-loop pairing of documents."""
+    from apitap_spark.operators.textstats import op_text_rouge_overlap
+
+    p = _plan(op_text_rouge_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_bigram_predictability_two_stage_partial_agg(spark, sf_dir):
+    """Both aggregates (doc,prev,next) and (doc,prev) must partially
+    aggregate before their exchanges, and the whole plan carries no
+    join or window at all — it is two shuffles over doc-keyed data."""
+    from apitap_spark.operators.textstats import (
+        op_text_bigram_predictability,
+    )
+
+    p = _plan(op_text_bigram_predictability(spark, sf_dir))
+    assert "partial_count" in p
+    assert "partial_sum" in p
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_burstiness_shares_seasonality_shuffle_shape(spark, sf_dir):
+    """Fano buckets aggregate map-side on (type, hour); the per-type
+    reduction runs on the bucket frame — no window, no join, no second
+    scan of events."""
+    from apitap_spark.operators.temporal import op_event_burstiness
+
+    p = _plan(op_event_burstiness(spark, sf_dir))
+    assert "partial_count" in p
+    assert "Join" not in p
+    assert "Window" not in p
+    # exactly one parquet scan (the formatted details section repeats
+    # each scan node's Location line once per scan)
+    assert p.count("Location: InMemoryFileIndex") == 1
