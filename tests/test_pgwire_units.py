@@ -238,3 +238,23 @@ def test_forget_statements_moves_names_to_orphans():
     conn._forget_statements()
     assert conn._stmt_cache == {}
     assert sorted(conn._stmt_orphans) == [b"_ap0", b"_ap1", b"_ap2"]
+
+
+@given(st.binary(max_size=96))
+def test_cert_sig_hash_total_on_arbitrary_bytes(junk):
+    """The DER walk must be total: any byte soup falls back to SHA-256
+    of the input, never an exception (a malformed certificate should
+    fail the SCRAM proof, not crash the handshake)."""
+    import hashlib
+
+    from apitap_spark.sinks.pgwire import _cert_sig_hash
+
+    out = _cert_sig_hash(junk)
+    assert len(out) in (32, 48, 64)
+    if len(out) == 32 and out == hashlib.sha256(junk).digest():
+        return  # the overwhelmingly common fallback path
+    # otherwise the walk genuinely parsed a signature algorithm; the
+    # digest must be of the whole input under one of the table's algos
+    assert out in {
+        hashlib.new(a, junk).digest() for a in ("sha256", "sha384", "sha512")
+    }
