@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -481,6 +482,147 @@ class PostgresDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return PostgresReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return PostgresSimpleStreamReader(self.options, schema)
+
+
+class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Structured-Streaming incremental poll of an append-only table —
+    CDC-lite over the same stdlib pgwire transport (the batch pipeline's
+    high-watermark sync, re-expressed as a streaming source)::
+
+        spark.readStream.format("apitap_postgres")
+             .option("dsn", ...).option("table", "events")
+             .option("cursor_column", "event_id").load()
+
+    ``cursor_column`` must be monotonically increasing for new rows
+    (serial PK, ingest timestamp cast to a comparable) — the standard
+    append-only contract every watermark-based sync shares. Each
+    micro-batch reads ``WHERE cursor > last ORDER BY cursor LIMIT
+    max_rows_per_batch`` (parameterized, never string-spliced), so
+    backpressure falls out of the row budget. Exactly-once delivery
+    comes from Spark's offset log: ``readBetweenOffsets`` replays a
+    committed (start, end] range deterministically. Ties at the
+    boundary are safe because the offset is the batch's MAX cursor:
+    rows sharing that cursor value are all inside the LIMIT'd batch or
+    all after it only if the column is unique per value — for non-unique
+    cursors (timestamps) the batch extends past the LIMIT to finish the
+    boundary value, so a value never straddles two offsets.
+
+    Polling is driver-side by design (the `simple` reader): one
+    watermark probe per micro-batch is inherently serial; downstream
+    stages parallelize as usual. The initial offset starts BEFORE the
+    existing data (full backfill) unless ``start_from=latest``.
+    """
+
+    def __init__(self, options: dict, schema):
+        self.options = dict(options)
+        self.schema_struct = schema
+        self._col = options.get("cursor_column")
+        if not self._col:
+            raise ValueError(
+                "apitap_postgres streaming: 'cursor_column' is required"
+            )
+        self._max_rows = int(options.get("max_rows_per_batch", 10000))
+        self._reader = PostgresReader(self.options, schema)
+
+    # SimpleDataSourceStreamReader contract -----------------------------
+    def initialOffset(self) -> dict:
+        if (self.options.get("start_from") or "earliest") != "latest":
+            return {"cursor": None}
+        from apitap_spark.sinks import pgwire
+
+        conn = pgwire.connect(self._reader._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT MAX({_quote_ident(self._col)})"
+                f" FROM {self._reader._relation()}"
+            )
+            (mx,) = cur.fetchone()
+        finally:
+            conn.close()
+        return {"cursor": None if mx is None else str(mx)}
+
+    def _select(self, where: str, params: list, limit: int | None):
+        from apitap_spark.sinks import pgwire
+
+        cols = ", ".join(
+            _quote_ident(f.name) for f in self.schema_struct.fields
+        )
+        col = _quote_ident(self._col)
+        sql = (
+            f"SELECT {cols} FROM {self._reader._relation()}"
+            f" WHERE {where} ORDER BY {col}"
+        )
+        if limit is not None:
+            sql += f" LIMIT {int(limit)}"
+        conn = pgwire.connect(self._reader._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(sql, params)
+            return cur.fetchall()
+        finally:
+            conn.close()
+
+    def _cursor_param(self, raw: str):
+        """Offsets serialize as strings; bind back as the column's
+        Python type so pgwire sends a correctly-OID'd parameter."""
+        from pyspark.sql import types as T
+
+        dt = self.schema_struct[self._col].dataType
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+            return int(raw)
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return float(raw)
+        return raw  # strings / timestamps compare as text literals
+
+    def read(self, start: dict):
+        col = _quote_ident(self._col)
+        last = start.get("cursor")
+        if last is None:
+            rows = self._select(f"{col} IS NOT NULL", [], self._max_rows)
+        else:
+            rows = self._select(
+                f"{col} > %s", [self._cursor_param(last)], self._max_rows
+            )
+        if not rows:
+            return iter([]), dict(start)
+        idx = [f.name for f in self.schema_struct.fields].index(self._col)
+        boundary = rows[-1][idx]
+        if len(rows) == self._max_rows:
+            # finish the boundary value so a non-unique cursor never
+            # straddles two offsets (replay safety)
+            extra = self._select(
+                f"{col} = %s", [boundary],
+                None,
+            )
+            seen = len([r for r in rows if r[idx] == boundary])
+            rows.extend(extra[seen:])
+        return iter(rows), {"cursor": str(boundary)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        col = _quote_ident(self._col)
+        lo, hi = start.get("cursor"), end.get("cursor")
+        if hi is None:
+            return iter([])
+        if lo is None:
+            return iter(
+                self._select(
+                    f"{col} <= %s", [self._cursor_param(hi)], None
+                )
+            )
+        return iter(
+            self._select(
+                f"{col} > %s AND {col} <= %s",
+                [self._cursor_param(lo), self._cursor_param(hi)],
+                None,
+            )
+        )
+
+    def commit(self, end: dict) -> None:  # nothing to clean up
+        pass
 
 
 def register(spark) -> None:

@@ -461,3 +461,113 @@ def test_copy_read_yields_arrow_batches_for_safe_schema(seeded_table):
     rows = list(reader2.read(RangePartition(None)))
     assert rows and all(isinstance(r, tuple) for r in rows)
     assert len(rows) == N_ROWS
+
+
+def test_stream_read_incremental_microbatches(spark, tmp_path):
+    """readStream polls the table by cursor_column; rows inserted
+    between micro-batches arrive exactly once (offset log + replayable
+    (start, end] ranges)."""
+    from apitap_spark.sinks import pgwire
+
+    table = "pgsrc_stream_items"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT, v DOUBLE PRECISION)")
+    for i in range(25):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, i * 1.0))
+    conn.commit()
+    try:
+        from apitap_spark.sources.pgsource import PostgresDataSource
+
+        spark.dataSource.register(PostgresDataSource)
+        stream = (
+            spark.readStream.format("apitap_postgres")
+            .option("dsn", DSN)
+            .option("table", table)
+            .option("cursor_column", "id")
+            .option("max_rows_per_batch", 10)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pg_stream_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT id FROM pg_stream_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(25))
+            for i in range(25, 40):
+                cur.execute(
+                    f"INSERT INTO {table} VALUES (%s, %s)", (i, i * 1.0)
+                )
+            conn.commit()
+            q.processAllAvailable()
+            got = spark.sql("SELECT id FROM pg_stream_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(40))
+        finally:
+            q.stop()
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_reader_boundary_value_never_straddles_offsets(spark):
+    """A non-unique cursor (duplicated boundary value) must be read
+    whole in one batch: the LIMIT'd read extends past max_rows to
+    finish the boundary value, so a committed offset never splits a
+    cursor value (replay safety)."""
+    from pyspark.sql import types as T
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_stream_dups"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (k BIGINT, payload TEXT)")
+    # cursor values: 1,1,1,2,2,2,2,3 — max_rows 4 lands mid-value-2
+    for k, p in [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e"),
+                 (2, "f"), (2, "g"), (3, "h")]:
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (k, p))
+    conn.commit()
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("payload", T.StringType()),
+            ]
+        )
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "k",
+                "max_rows_per_batch": 4,
+            },
+            schema,
+        )
+        start = rd.initialOffset()
+        rows1, off1 = rd.read(start)
+        rows1 = list(rows1)
+        # batch extended from 4 to 7 rows: all of k=2 included
+        assert [r[0] for r in rows1] == [1, 1, 1, 2, 2, 2, 2]
+        assert off1 == {"cursor": "2"}
+        rows2, off2 = rd.read(off1)
+        assert [r[0] for r in list(rows2)] == [3]
+        assert off2 == {"cursor": "3"}
+        # replay of the committed first range is byte-identical
+        replay = sorted(rd.readBetweenOffsets(start, off1))
+        assert replay == sorted(rows1)
+        # caught up: offset unchanged, no rows
+        rows3, off3 = rd.read(off2)
+        assert list(rows3) == [] and off3 == off2
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
