@@ -571,3 +571,57 @@ def test_stream_reader_boundary_value_never_straddles_offsets(spark):
         cur.execute(f"DROP TABLE IF EXISTS {table}")
         conn.commit()
         conn.close()
+
+
+def test_copy_arrow_randomized_unicode_roundtrip(spark):
+    """Deterministic fuzz of the COPY-CSV->Arrow read: 2000 rows of
+    generated text spanning quotes, commas, CR/LF runs, tabs, literal
+    \\N, unicode (CJK, emoji, combining marks, RTL) and control chars
+    (minus NUL, which PG text rejects) must round-trip the DEFAULT
+    read path identically to the row protocol."""
+    import random
+
+    from apitap_spark.sinks import pgwire
+
+    rng = random.Random(42)
+    alphabet = (
+        list("abc ,\"'\t")
+        + ["\n", "\r\n", "\r", "\\N", "\\", "\u4e16", "\u754c",
+           "\U0001f680", "\u00e9", "e\u0301", "\u05e9", "\x01",
+           "\x1f", "%", "_"]
+    )
+    rows = []
+    for i in range(2000):
+        n = rng.randint(0, 40)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    table = "pgsrc_fuzz_text"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT, body TEXT)")
+    # chunked multi-row VALUES: one statement per 200 rows keeps the
+    # live module's seeding fast
+    for lo in range(0, len(rows), 200):
+        chunk = rows[lo : lo + 200]
+        sql = f"INSERT INTO {table} VALUES " + ", ".join(
+            ["(%s, %s)"] * len(chunk)
+        )
+        cur.execute(sql, [v for r in chunk for v in r])
+    conn.commit()
+    try:
+        got_copy = sorted(
+            _reader(spark, table=table).load().collect(),
+            key=lambda r: r["id"],
+        )
+        got_row = sorted(
+            _reader(spark, table=table, read_method="row").load().collect(),
+            key=lambda r: r["id"],
+        )
+        assert got_copy == got_row
+        assert len(got_copy) == 2000
+        for (i, body), g in zip(rows, got_copy):
+            assert g["id"] == i and g["body"] == body, (i, body, g["body"])
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
