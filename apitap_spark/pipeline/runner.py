@@ -171,6 +171,81 @@ def run_module(
     return stats
 
 
+def run_module_stream(
+    spark: SparkSession,
+    cfg: Config,
+    modules_dir: str,
+    rel_path: str,
+    target_name: str,
+    checkpoint_dir: str,
+    mode: WriteMode = WriteMode.MERGE,
+    max_rows_per_batch: int = 10000,
+):
+    """Continuous-sync variant of :func:`run_module`: the module's single
+    postgres-kind source becomes a STREAMING high-watermark read
+    (``readStream.format("apitap_postgres")``), the module SQL runs per
+    micro-batch, and the result merges into the target through the
+    batch writer's foreachBatch bridge — the reference roadmap's
+    "incremental sync" (README.md:123) as a long-running query instead
+    of scheduler-driven re-runs.
+
+    Exactly-once end to end: the source's offset log replays committed
+    (start, end] cursor ranges deterministically, and the MERGE-by-PK
+    sink makes batch replays idempotent. The watermark lives in the
+    stream checkpoint, not in pipeline/state.py — restart with the same
+    ``checkpoint_dir`` to resume. The query triggers continuously
+    (processingTime=0 — Python data sources don't honor availableNow);
+    drain a bounded sync with ``q.processAllAvailable(); q.stop()``.
+
+    Contract: exactly ONE ``use_source`` per streaming module, kind=
+    postgres with ``incremental.cursor_field``; the module SQL must be
+    a stateless transform (projection/filter/static joins) — streaming
+    aggregations need watermark semantics that batch MERGE modules
+    don't express. Returns the StreamingQuery (trigger availableNow;
+    caller awaits or re-invokes on a schedule).
+    """
+    from apitap_spark.streaming.ingest import stream_merge_to_sink
+
+    rendered = render_module(modules_dir, rel_path)
+    if len(rendered.sources) != 1:
+        raise ValueError(
+            f"module {rel_path}: streaming sync needs exactly one source"
+        )
+    src_name, view = next(iter(rendered.sources.items()))
+    sc = cfg.source(src_name)
+    if getattr(sc, "kind", "http") != "postgres" or not sc.incremental:
+        raise ValueError(
+            f"source {src_name!r}: streaming sync requires kind=postgres "
+            "with incremental.cursor_field"
+        )
+    from apitap_spark.sources.pgsource import PostgresDataSource
+
+    spark.dataSource.register(PostgresDataSource)
+    stream_df = (
+        spark.readStream.format("apitap_postgres")
+        .option("dsn", sc.resolved_dsn())
+        .option("table", sc.table)
+        .option("cursor_column", sc.incremental.cursor_field)
+        .option("max_rows_per_batch", max_rows_per_batch)
+        .load()
+    )
+    stream_df.createOrReplaceTempView(view)
+    result = spark.sql(rendered.sql)
+    dest = rendered.sink or sc.dest_table
+    if not dest:
+        raise ValueError(
+            f"module {rel_path}: no sink() and source has no dest_table"
+        )
+    pk = sc.primary_key
+    writer = _writer_for(
+        cfg, target_name, dest, pk, mode if pk else WriteMode.APPEND
+    )
+    return stream_merge_to_sink(
+        result, writer, checkpoint_dir,
+        trigger={"processingTime": "0 seconds"},
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     modules_dir: str,

@@ -73,12 +73,22 @@ def streaming_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
-def stream_merge_to_sink(stream_df: DataFrame, writer, checkpoint_dir: str):
+def stream_merge_to_sink(
+    stream_df: DataFrame,
+    writer,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
     """Continuously merge a stream into the warehouse via foreachBatch.
 
     ``writer`` is a JdbcMergeWriter; each micro-batch runs the same
     partition-parallel merge as the batch path. Returns the
-    StreamingQuery (caller awaits/stops)."""
+    StreamingQuery (caller awaits/stops). ``trigger`` defaults to
+    availableNow — note Python data sources (PythonMicroBatchStream)
+    don't honor availableNow and fall back to ONE batch; callers
+    streaming from those should pass
+    ``{"processingTime": "0 seconds"}`` and drain with
+    ``processAllAvailable()`` (run_module_stream does)."""
     def sink_batch(batch_df: DataFrame, _batch_id: int):
         if batch_df.take(1):
             writer.write(batch_df)  # prepare() inside is IF NOT EXISTS — idempotent
@@ -86,7 +96,7 @@ def stream_merge_to_sink(stream_df: DataFrame, writer, checkpoint_dir: str):
     return (
         stream_df.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

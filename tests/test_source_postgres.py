@@ -625,3 +625,77 @@ def test_copy_arrow_randomized_unicode_roundtrip(spark):
         cur.execute(f"DROP TABLE IF EXISTS {table}")
         conn.commit()
         conn.close()
+
+
+def test_pipeline_streaming_sync_exactly_once(spark, tmp_path):
+    """run_module_stream: the module's postgres source streams by
+    cursor, the SQL transform runs per micro-batch, and the DuckDB
+    MERGE sink receives each row exactly once across TWO invocations
+    sharing a checkpoint (restart = resume from the offset log)."""
+    import duckdb
+
+    from apitap_spark.config.models import load_config
+    from apitap_spark.pipeline.runner import run_module_stream
+    from apitap_spark.sinks import pgwire
+
+    table = "pgsrc_cdc_items"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT, name TEXT, val DOUBLE PRECISION)")
+    for i in range(30):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s, %s)",
+                    (i, f"n-{i % 3}", i * 1.5))
+    conn.commit()
+    mod_dir = tmp_path / "sql"
+    mod_dir.mkdir()
+    (mod_dir / "sync.sql").write_text(
+        "{{ sink('items_live') }}\n"
+        "SELECT id, name, val * 2 AS val2\n"
+        "FROM {{ use_source('cdc_items') }} WHERE id % 5 != 4"
+    )
+    duck_path = str(tmp_path / "cdc.duckdb")
+    cfg = load_config(
+        {
+            "sources": [
+                {
+                    "name": "cdc_items",
+                    "kind": "postgres",
+                    "dsn": DSN,
+                    "table": table,
+                    "primary_key": "id",
+                    "incremental": {"cursor_field": "id"},
+                }
+            ],
+            "targets": [{"name": "t", "kind": "duckdb", "path": duck_path}],
+        }
+    )
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        q = run_module_stream(spark, cfg, str(mod_dir), "sync.sql", "t", ckpt,
+                              max_rows_per_batch=7)
+        q.processAllAvailable()
+        q.stop()
+        con = duckdb.connect(duck_path)
+        got = dict(con.execute("SELECT id, val2 FROM items_live").fetchall())
+        want = {i: i * 3.0 for i in range(30) if i % 5 != 4}
+        assert got == want
+        con.close()
+        # rows appended while "down"; second run resumes from checkpoint
+        for i in range(30, 45):
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s, %s)",
+                        (i, f"n-{i % 3}", i * 1.5))
+        conn.commit()
+        q2 = run_module_stream(spark, cfg, str(mod_dir), "sync.sql", "t", ckpt,
+                               max_rows_per_batch=7)
+        q2.processAllAvailable()
+        q2.stop()
+        con = duckdb.connect(duck_path)
+        got = dict(con.execute("SELECT id, val2 FROM items_live").fetchall())
+        want = {i: i * 3.0 for i in range(45) if i % 5 != 4}
+        assert got == want  # no dupes, no gaps
+        con.close()
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
