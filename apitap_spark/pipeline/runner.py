@@ -310,6 +310,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--state", default=None, help="JSON state file enabling incremental sync"
     )
+    ap.add_argument(
+        "--stream",
+        default=None,
+        metavar="CHECKPOINT_DIR",
+        help="continuous sync: run each module as a streaming "
+        "high-watermark query (postgres sources with "
+        "incremental.cursor_field); per-module checkpoints live under "
+        "this directory and a restart resumes from them",
+    )
     ap.add_argument("--log-json", action="store_true")
     ap.add_argument("--log-level", default="info")
     args = ap.parse_args(argv)
@@ -318,6 +327,30 @@ def main(argv: list[str] | None = None) -> int:
     from apitap_spark.session import get_session
 
     spark = get_session(app_name="apitap-pipeline")
+    if args.stream:
+        import os as _os
+
+        cfg = load_config_from_path(args.yaml_config)
+        target = args.target
+        if target is None:
+            if len(cfg.targets) != 1:
+                ap.error("--target required when config has multiple targets")
+            target = next(iter(cfg.targets))
+        queries = []
+        for rel in list_sql_templates(args.modules):
+            ckpt = _os.path.join(
+                args.stream, rel.replace("/", "__").removesuffix(".sql")
+            )
+            queries.append(
+                run_module_stream(
+                    spark, cfg, args.modules, rel, target, ckpt,
+                    mode=WriteMode(args.write_mode),
+                )
+            )
+        log.info("streaming sync: %d module queries running", len(queries))
+        for q in queries:
+            q.awaitTermination()
+        return 0
     stats = run_pipeline(
         spark,
         args.modules,
