@@ -1228,7 +1228,7 @@ def op_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized. Integers until the one divide-before-scale micro
     division; n·Σx² ≥ S² by Cauchy-Schwarz keeps everything
     non-negative (truncating div == floor on both engines). Int64:
-    n·Σx²·hmm — num ≤ n·S² needs span·events² < 9.2e18, i.e. ~1e6
+    num ≤ n·S² needs span·events² < 9.2e18, i.e. ~1e6
     events/type over a year of hours; past that shard by time window
     (Fano composes per window for the alerting use case anyway).
     Hour buckets reuse the floor-corrected epoch convention
