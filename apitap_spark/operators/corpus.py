@@ -1297,8 +1297,9 @@ def op_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — exact integers until ONE
     divide-before-scale fixed-point division (quotient·1e3 + remainder
     ·1e3 div den, the seasonality-gate pattern at milli precision).
-    Int64 budget: num = N·(ad−bc)² ≤ N⁵/16 needs N ≤ ~2·10⁴ docs per
-    audit shard; den·1e3 ≤ N⁴/16·10³ binds the same bound. Past that,
+    Int64 budget: num = N·(ad−bc)² ≤ N⁵/16 is the binding constraint
+    — N⁵/16 < 2⁶³ needs N ≤ ~1.08·10⁴ docs per audit shard (den·1e3 ≤
+    N⁴/16·10³ only binds at ~1.96·10⁴). Past that,
     shard the audit by source (each shard is an independent selection)
     or rank in double — the ranking, not the digits, is the product.
     Ubiquitous tokens (df > N−{CHI2_MIN_DF}) and rare ones

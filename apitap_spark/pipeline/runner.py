@@ -180,6 +180,7 @@ def run_module_stream(
     checkpoint_dir: str,
     mode: WriteMode = WriteMode.MERGE,
     max_rows_per_batch: int = 10000,
+    poll_interval: str = "5 seconds",
 ):
     """Continuous-sync variant of :func:`run_module`: the module's single
     postgres-kind source becomes a STREAMING high-watermark read
@@ -193,16 +194,20 @@ def run_module_stream(
     (start, end] cursor ranges deterministically, and the MERGE-by-PK
     sink makes batch replays idempotent. The watermark lives in the
     stream checkpoint, not in pipeline/state.py — restart with the same
-    ``checkpoint_dir`` to resume. The query triggers continuously
-    (processingTime=0 — Python data sources don't honor availableNow);
-    drain a bounded sync with ``q.processAllAvailable(); q.stop()``.
+    ``checkpoint_dir`` to resume. The query triggers continuously at
+    ``poll_interval`` (processingTime — Python data sources don't honor
+    availableNow): a caught-up sync issues ONE watermark probe per
+    interval, never a tight SELECT loop against the production server.
+    Tests pass "0 seconds" to drain immediately via
+    ``q.processAllAvailable(); q.stop()``.
 
     Contract: exactly ONE ``use_source`` per streaming module, kind=
     postgres with ``incremental.cursor_field``; the module SQL must be
     a stateless transform (projection/filter/static joins) — streaming
     aggregations need watermark semantics that batch MERGE modules
-    don't express. Returns the StreamingQuery (trigger availableNow;
-    caller awaits or re-invokes on a schedule).
+    don't express. Returns the never-terminating StreamingQuery — the
+    caller owns its lifecycle (awaitTermination for a daemon,
+    processAllAvailable + stop for a bounded drain).
     """
     from apitap_spark.streaming.ingest import stream_merge_to_sink
 
@@ -242,7 +247,7 @@ def run_module_stream(
     )
     return stream_merge_to_sink(
         result, writer, checkpoint_dir,
-        trigger={"processingTime": "0 seconds"},
+        trigger={"processingTime": poll_interval},
     )
 
 
@@ -319,6 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         "incremental.cursor_field); per-module checkpoints live under "
         "this directory and a restart resumes from them",
     )
+    ap.add_argument(
+        "--poll-interval",
+        default="5 seconds",
+        help="streaming trigger interval (with --stream): how often a "
+        "caught-up sync probes the source for new rows",
+    )
     ap.add_argument("--log-json", action="store_true")
     ap.add_argument("--log-level", default="info")
     args = ap.parse_args(argv)
@@ -345,12 +356,25 @@ def main(argv: list[str] | None = None) -> int:
                 run_module_stream(
                     spark, cfg, args.modules, rel, target, ckpt,
                     mode=WriteMode(args.write_mode),
+                    poll_interval=args.poll_interval,
                 )
             )
         log.info("streaming sync: %d module queries running", len(queries))
+        # awaitAnyTermination, not a sequential await: with a per-query
+        # await, a failure in any query OTHER than the one currently
+        # awaited would be silently swallowed while the process keeps
+        # running as if healthy. Any termination here is abnormal
+        # (processingTime queries never finish on their own), so stop
+        # the survivors and surface the dead query's exception.
+        spark.streams.awaitAnyTermination()
+        failed = [q for q in queries if not q.isActive]
         for q in queries:
-            q.awaitTermination()
-        return 0
+            if q.isActive:
+                q.stop()
+        for q in failed:
+            if q.exception() is not None:
+                raise q.exception()
+        return 1  # a streaming query terminated without an exception
     stats = run_pipeline(
         spark,
         args.modules,

@@ -125,7 +125,9 @@ class OAuth2ClientCredentials:
 
     token_url: str
     client_id: str
-    client_secret: str = ""
+    # repr=False: dataclass reprs surface in logs, assertion messages
+    # and Spark task errors — the secret must never ride along
+    client_secret: str = field(default="", repr=False)
     scope: str | None = None
     audience: str | None = None
     refresh_slack_sec: float = 60.0
@@ -178,6 +180,16 @@ class OAuth2ClientCredentials:
                 data["audience"] = self.audience
             sess = session or requests
             resp = sess.post(self.token_url, data=data, timeout=self.timeout)
+            if resp.status_code >= 500 or resp.status_code == 429:
+                # transient: surface as a RETRYABLE transport error so
+                # _fetch_raw's backoff treats a token-endpoint blip the
+                # same as a data-endpoint blip instead of failing the
+                # whole partition on one 503
+                raise requests.HTTPError(
+                    f"retryable status {resp.status_code} from OAuth2 "
+                    f"token endpoint {self.token_url}",
+                    response=resp,
+                )
             if resp.status_code != 200:
                 raise RuntimeError(
                     f"OAuth2 token endpoint {self.token_url} returned "

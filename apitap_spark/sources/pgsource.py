@@ -592,14 +592,17 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         idx = [f.name for f in self.schema_struct.fields].index(self._col)
         boundary = rows[-1][idx]
         if len(rows) == self._max_rows:
-            # finish the boundary value so a non-unique cursor never
-            # straddles two offsets (replay safety)
-            extra = self._select(
-                f"{col} = %s", [boundary],
-                None,
-            )
-            seen = len([r for r in rows if r[idx] == boundary])
-            rows.extend(extra[seen:])
+            # Finish the boundary value so a non-unique cursor never
+            # straddles two offsets (replay safety). The LIMIT'd batch
+            # and this follow-up may order ties DIFFERENTLY
+            # (plan-dependent), so slicing the follow-up by a count
+            # could duplicate emitted rows and drop others — instead
+            # REPLACE every boundary-valued row with the follow-up's
+            # complete, authoritative set (exactly what
+            # readBetweenOffsets replays for this range).
+            extra = self._select(f"{col} = %s", [boundary], None)
+            rows = [r for r in rows if r[idx] != boundary]
+            rows.extend(extra)
         return iter(rows), {"cursor": str(boundary)}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -96,6 +96,14 @@ class MockApi:
             def do_POST(self):
                 with api.lock:
                     api.request_count += 1
+                    fail = api.fail_next > 0
+                    if fail:
+                        api.fail_next -= 1
+                if fail:
+                    self.send_response(503)
+                    self.end_headers()
+                    self.wfile.write(b"boom")
+                    return
                 n = int(self.headers.get("Content-Length", "0"))
                 form = {
                     k: v[0]

@@ -603,3 +603,26 @@ def test_oauth2_pickles_without_token_state(api):
     clone = pickle.loads(pickle.dumps(auth))
     assert clone._token is None  # workers re-authenticate themselves
     assert clone.client_id == api.client_id
+
+
+def test_oauth2_token_endpoint_blip_is_retried(spark, api):
+    """A one-off 503 from the TOKEN endpoint rides the same backoff as
+    a data-endpoint blip: the partition fetch survives instead of
+    failing fast (code-review finding: token 5xx used to bypass the
+    retry budget as a RuntimeError)."""
+    from apitap_spark.sources.http import fetch_page_rows
+
+    api.tokens.clear()
+    api.tokens_issued = 0
+    auth = _oauth(api)
+    api.fail_next = 1  # next request (the token POST) 503s once
+    rows = fetch_page_rows(
+        f"{api.base}/protected",
+        {"limit": 10, "offset": 0},
+        {},
+        None,
+        RetryPolicy(max_attempts=3, min_delay_sec=0.01, max_delay_sec=0.02),
+        auth=auth,
+    )
+    assert [r["id"] for r in rows] == list(range(10))
+    assert api.tokens_issued == 1  # retry then ONE successful acquire

@@ -673,7 +673,8 @@ def test_pipeline_streaming_sync_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     try:
         q = run_module_stream(spark, cfg, str(mod_dir), "sync.sql", "t", ckpt,
-                              max_rows_per_batch=7)
+                              max_rows_per_batch=7,
+                              poll_interval="0 seconds")
         q.processAllAvailable()
         q.stop()
         con = duckdb.connect(duck_path)
@@ -687,7 +688,8 @@ def test_pipeline_streaming_sync_exactly_once(spark, tmp_path):
                         (i, f"n-{i % 3}", i * 1.5))
         conn.commit()
         q2 = run_module_stream(spark, cfg, str(mod_dir), "sync.sql", "t", ckpt,
-                               max_rows_per_batch=7)
+                               max_rows_per_batch=7,
+                               poll_interval="0 seconds")
         q2.processAllAvailable()
         q2.stop()
         con = duckdb.connect(duck_path)
