@@ -78,6 +78,34 @@ def _source_from_options(options: dict) -> HttpSource:
         raise ValueError(f"unknown pagination_type {kind!r}")
     headers = json.loads(options["headers"]) if options.get("headers") else {}
     params = json.loads(options["params"]) if options.get("params") else {}
+    auth = None
+    if options.get("oauth_token_url"):
+        # OAuth2 client-credentials via flat data-source options —
+        # parity with the pipeline config's auth: block. Secret comes
+        # from oauth_client_secret_env when given (preferred: option
+        # strings surface in plans/logs; the env var resolves HERE on
+        # the driver and ships only inside the pickled auth object,
+        # whose repr hides it).
+        import os as _os
+
+        from apitap_spark.sources.http import OAuth2ClientCredentials
+
+        secret = options.get("oauth_client_secret", "")
+        env = options.get("oauth_client_secret_env")
+        if not secret and env:
+            secret = _os.environ.get(env, "")
+            if not secret:
+                raise ValueError(
+                    f"apitap_http: env {env} (oauth_client_secret_env) "
+                    "not set"
+                )
+        auth = OAuth2ClientCredentials(
+            token_url=options["oauth_token_url"],
+            client_id=options.get("oauth_client_id", ""),
+            client_secret=secret,
+            scope=options.get("oauth_scope"),
+            audience=options.get("oauth_audience"),
+        )
     return HttpSource(
         name=options.get("name", "http_source"),
         url=options["url"],
@@ -93,6 +121,7 @@ def _source_from_options(options: dict) -> HttpSource:
         sample_size=int(options.get("sample_size", 100)),
         max_concurrency=int(options.get("max_concurrency", DEFAULT_CONCURRENCY)),
         min_request_interval_sec=float(options.get("min_request_interval_sec", 0.0)),
+        auth=auth,
     )
 
 
@@ -125,7 +154,10 @@ class HttpJsonReader(DataSourceReader):
         # the total hint (same fetch-once discipline as HttpSource.load).
         from apitap_spark.sources.http import _fetch_raw, parse_response
 
-        resp = _fetch_raw(src.url, src._page_params(0), src.headers, src.retry)
+        resp = _fetch_raw(
+            src.url, src._page_params(0), src.headers, src.retry,
+            auth=src.auth,
+        )
         first, envelope = parse_response(resp, src.data_path)
         if not first:
             return [PagePartition((0,))]
@@ -187,7 +219,10 @@ class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):
         params = dict(src.extra_params)
         params[pg.limit_param] = limit
         params[pg.offset_param] = row_offset
-        return fetch_page_rows(src.url, params, src.headers, src.data_path, src.retry)
+        return fetch_page_rows(
+            src.url, params, src.headers, src.data_path, src.retry,
+            auth=src.auth,
+        )
 
     def read(self, start: dict):
         src = _source_from_options(self._options)
