@@ -513,7 +513,11 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
     Polling is driver-side by design (the `simple` reader): one
     watermark probe per micro-batch is inherently serial; downstream
     stages parallelize as usual. The initial offset starts BEFORE the
-    existing data (full backfill) unless ``start_from=latest``.
+    existing data (full backfill) unless ``start_from=latest``. Batches
+    move over the row protocol (~150K rows/s measured — delta-sized
+    polls, not bulk); backfill a LARGE existing table with the batch
+    reader instead (COPY/Arrow parallel strides, ~5x) and start the
+    stream at ``start_from=latest``.
     """
 
     def __init__(self, options: dict, schema):

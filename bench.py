@@ -205,6 +205,7 @@ def main(out_path: str | None = None) -> None:
     sink_pg_merge_rows_per_sec = None
     source_pg_read_rows_per_sec = None
     source_pg_row_read_rows_per_sec = None
+    source_pg_stream_rows_per_sec = None
     sink_pg_runs: list[float] = []
     read_runs: dict[str, list[float]] = {}
     merge_runs: list[float] = []
@@ -302,6 +303,44 @@ def main(out_path: str | None = None) -> None:
         )
         source_pg_row_read_rows_per_sec = round(
             sink_rows / sorted(read_runs["row"])[len(read_runs["row"]) // 2]
+        )
+
+        # Streaming read-back drain rate (round-9 feature): full
+        # high-watermark drain of the same table through the
+        # SimpleDataSourceStreamReader in 4 cursor batches — the
+        # incremental-sync rows/s a continuous pipeline sustains.
+        from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+        stream_reader = PostgresSimpleStreamReader(
+            {
+                "dsn": dsn,
+                "table": "bench_pg_sink",
+                "cursor_column": "l_orderkey",
+                "max_rows_per_batch": 50000,
+            },
+            src_schema,
+        )
+        stream_runs = []
+        stream_rows = 0
+        for _ in range(SINK_RUNS):
+            t0 = time.perf_counter()
+            off = stream_reader.initialOffset()
+            drained = 0
+            while True:
+                rows, new_off = stream_reader.read(off)
+                n_batch = sum(1 for _ in rows)
+                if n_batch == 0 and new_off == off:
+                    break
+                drained += n_batch
+                off = new_off
+            stream_runs.append(time.perf_counter() - t0)
+            # NOTE: the merge table holds DISTINCT (orderkey, linenumber)
+            # rows — the synthetic lineitem carries duplicate pairs, so
+            # this is FEWER than sink_rows; rate over what was drained.
+            assert drained > 0 and (not stream_rows or drained == stream_rows)
+            stream_rows = drained
+        source_pg_stream_rows_per_sec = round(
+            stream_rows / sorted(stream_runs)[len(stream_runs) // 2]
         )
 
         conn = pgwire.connect(dsn)
@@ -408,6 +447,9 @@ def main(out_path: str | None = None) -> None:
                 "source_pg_read_rows_per_sec": source_pg_read_rows_per_sec,
                 "source_pg_row_read_rows_per_sec": (
                     source_pg_row_read_rows_per_sec
+                ),
+                "source_pg_stream_rows_per_sec": (
+                    source_pg_stream_rows_per_sec
                 ),
                 "source_pg_read_runs_sec": {
                     k: [round(s, 4) for s in v] for k, v in read_runs.items()
