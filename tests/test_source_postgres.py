@@ -701,3 +701,68 @@ def test_pipeline_streaming_sync_exactly_once(spark, tmp_path):
         cur.execute(f"DROP TABLE IF EXISTS {table}")
         conn.commit()
         conn.close()
+
+
+def test_stream_reader_randomized_drain_equivalence(spark):
+    """Randomized fortification of the offset logic the round-9 review
+    fixed: for random duplicate-heavy cursor distributions and random
+    batch limits, (a) the drain equals the table exactly, (b) each
+    committed (start, end] replay equals the live batch as a multiset,
+    and (c) offsets advance strictly monotonically."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    rng = random.Random(1234)
+    table = "pgsrc_stream_fuzz"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("payload", T.LongType()),
+        ]
+    )
+    try:
+        for trial in range(4):
+            n = rng.randint(5, 60)
+            rows = sorted(
+                (rng.randint(0, 9), i) for i in range(n)
+            )  # heavy duplicates in k
+            cur.execute(f"DROP TABLE IF EXISTS {table}")
+            cur.execute(f"CREATE TABLE {table} (k BIGINT, payload BIGINT)")
+            for r in rows:
+                cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", r)
+            conn.commit()
+            max_rows = rng.randint(1, 9)
+            rd = PostgresSimpleStreamReader(
+                {
+                    "dsn": DSN,
+                    "table": table,
+                    "cursor_column": "k",
+                    "max_rows_per_batch": max_rows,
+                },
+                schema,
+            )
+            off = rd.initialOffset()
+            drained: list = []
+            cursors = []
+            while True:
+                batch, new_off = rd.read(off)
+                batch = list(batch)
+                if not batch and new_off == off:
+                    break
+                replay = sorted(rd.readBetweenOffsets(off, new_off))
+                assert replay == sorted(batch), (trial, off, new_off)
+                drained.extend(batch)
+                cursors.append(int(new_off["cursor"]))
+                off = new_off
+            assert sorted(drained) == rows, (trial, max_rows)
+            assert cursors == sorted(set(cursors))  # strictly increasing
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
