@@ -83,9 +83,12 @@ def _source_from_options(options: dict) -> HttpSource:
         # OAuth2 client-credentials via flat data-source options —
         # parity with the pipeline config's auth: block. Secret comes
         # from oauth_client_secret_env when given (preferred: option
-        # strings surface in plans/logs; the env var resolves HERE on
-        # the driver and ships only inside the pickled auth object,
-        # whose repr hides it).
+        # strings surface in plans/logs). The env var resolves in the
+        # process that calls this — readers therefore call it ONCE in
+        # their driver-side constructor and let the built HttpSource
+        # pickle into executor tasks (auth.__getstate__ drops only the
+        # token/lock, never the secret), so a cluster where the env var
+        # exists solely on the driver still reads every partition.
         import os as _os
 
         from apitap_spark.sources.http import OAuth2ClientCredentials
@@ -145,9 +148,16 @@ class HttpJsonReader(DataSourceReader):
     def __init__(self, options: dict, schema):
         self._options = dict(options)
         self._schema = schema
+        # Build the source (and resolve oauth_client_secret_env) ONCE,
+        # here on the driver: executor processes on a real cluster
+        # don't inherit driver-only env vars, so read() must never
+        # re-resolve them — the HttpSource pickles into each task with
+        # the secret inside the auth object (repr-hidden, token/lock
+        # stripped by __getstate__).
+        self._src = _source_from_options(self._options)
 
     def partitions(self) -> Sequence[InputPartition]:
-        src = _source_from_options(self._options)
+        src = self._src
         if isinstance(src.pagination, CursorPagination):
             return [CursorPartition()]
         # One page-0 request serves both the emptiness/page-size check and
@@ -175,7 +185,7 @@ class HttpJsonReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         import requests
 
-        src = _source_from_options(self._options)
+        src = self._src
         if isinstance(partition, CursorPartition):
             rows = src._cursor_rows()
             for row in rows:
@@ -208,6 +218,12 @@ class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):
         self._options = dict(options)
         self._schema = schema
         self._max_pages = int(options.get("max_pages_per_batch", 10))
+        # Same driver-side construction contract as HttpJsonReader: one
+        # env resolution, one auth object reused across EVERY micro-batch
+        # (the process-wide token cache in OAuth2ClientCredentials then
+        # guarantees at most one token POST per expiry window even on a
+        # 5s poll interval).
+        self._src = _source_from_options(self._options)
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
@@ -225,7 +241,7 @@ class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):
         )
 
     def read(self, start: dict):
-        src = _source_from_options(self._options)
+        src = self._src
         if not isinstance(src.pagination, LimitOffsetPagination):
             raise ValueError(
                 "streaming reads support pagination_type=limit_offset "
@@ -245,7 +261,7 @@ class HttpJsonSimpleStreamReader(SimpleDataSourceStreamReader):
         )
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        src = _source_from_options(self._options)
+        src = self._src
         limit = src.pagination.limit
         pos, stop = int(start["offset"]), int(end["offset"])
         while pos < stop:

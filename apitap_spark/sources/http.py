@@ -105,6 +105,28 @@ class RetryPolicy:
             d *= 2
 
 
+# Process-wide token cache: (token_url, client_id, scope, audience) ->
+# (access_token, expires_at_epoch).  Auth objects are rebuilt from
+# options on many paths (one per micro-batch poll, one per rendered
+# config) — without a shared cache each rebuild would POST for a fresh
+# token even when the previous one has an hour left, hammering the IdP
+# on long-running syncs.  The cache is per Python process (driver or
+# executor worker), so secrets never cross process boundaries through
+# it; invalidate() evicts the shared entry too, or a 401-triggered
+# refresh would just read the same stale token back.
+_TOKEN_CACHE: dict = {}
+_TOKEN_CACHE_LOCK = None  # created lazily: module import must stay cheap
+
+
+def _token_cache_lock():
+    global _TOKEN_CACHE_LOCK
+    if _TOKEN_CACHE_LOCK is None:
+        import threading
+
+        _TOKEN_CACHE_LOCK = threading.Lock()
+    return _TOKEN_CACHE_LOCK
+
+
 @dataclass
 class OAuth2ClientCredentials:
     """RFC 6749 §4.4 client-credentials token acquisition with
@@ -112,15 +134,19 @@ class OAuth2ClientCredentials:
     authentication" — unimplemented there; static ``headers:`` covered
     fixed bearer tokens but not expiring ones).
 
-    One POST to ``token_url`` per partition session acquires a bearer
-    token, cached on the instance until ``expires_in`` minus
-    ``refresh_slack_sec``; a 401 mid-run invalidates and refreshes ONCE
-    before the request is retried (a second 401 with a fresh token
-    means bad credentials and fails fast). The instance pickles into
-    executor closures WITHOUT its cached token — each Python worker
-    acquires its own, so a long fetch never ships a stale token and
-    the token server sees at most one acquisition per worker per
-    expiry window.
+    One POST to ``token_url`` acquires a bearer token, cached on the
+    instance AND in a process-wide cache keyed by (token_url,
+    client_id, scope, audience) until ``expires_in`` minus
+    ``refresh_slack_sec`` — so even callers that rebuild the auth
+    object per request (each streaming micro-batch, each rendered
+    pipeline module) reuse one token per expiry window per process.
+    A 401 mid-run invalidates both caches and refreshes ONCE before
+    the request is retried (a second 401 with a fresh token means bad
+    credentials and fails fast). The instance pickles into executor
+    closures WITHOUT its cached token — each Python worker acquires
+    (or cache-shares) its own, so a long fetch never ships a stale
+    token and the token server sees at most one acquisition per
+    worker process per expiry window.
     """
 
     token_url: str
@@ -157,10 +183,27 @@ class OAuth2ClientCredentials:
     def headers(self, session=None) -> dict:
         return {"Authorization": f"Bearer {self._get_token(session)}"}
 
+    def _cache_key(self) -> tuple:
+        # The key must bind the CREDENTIAL, not just the identity: two
+        # auth objects with the same client_id but different secrets
+        # must never share a token (one may be misconfigured). A digest
+        # keeps the secret itself out of any key dump / debugger view.
+        import hashlib
+
+        digest = hashlib.sha256(
+            self.client_secret.encode("utf-8")
+        ).hexdigest()[:16]
+        return (
+            self.token_url, self.client_id, digest,
+            self.scope, self.audience,
+        )
+
     def invalidate(self) -> None:
         with self._lock:
             self._token = None
             self._expires_at = 0.0
+        with _token_cache_lock():
+            _TOKEN_CACHE.pop(self._cache_key(), None)
 
     def _get_token(self, session=None) -> str:
         import requests
@@ -168,6 +211,11 @@ class OAuth2ClientCredentials:
         with self._lock:
             now = time.time()
             if self._token and now < self._expires_at - self.refresh_slack_sec:
+                return self._token
+            with _token_cache_lock():
+                hit = _TOKEN_CACHE.get(self._cache_key())
+            if hit and now < hit[1] - self.refresh_slack_sec:
+                self._token, self._expires_at = hit
                 return self._token
             data = {
                 "grant_type": "client_credentials",
@@ -203,6 +251,8 @@ class OAuth2ClientCredentials:
                 )
             self._token = tok
             self._expires_at = now + float(payload.get("expires_in", 3600))
+            with _token_cache_lock():
+                _TOKEN_CACHE[self._cache_key()] = (tok, self._expires_at)
             return self._token
 
 

@@ -247,3 +247,70 @@ def test_datasource_oauth_env_indirection_unit(monkeypatch):
                 "oauth_client_secret_env": "T_DS_OAUTH_SECRET",
             }
         )
+
+
+def test_reader_resolves_secret_env_once_at_construction(monkeypatch):
+    """The env var backing oauth_client_secret_env exists only on the
+    DRIVER of a real cluster. Readers must therefore resolve it in
+    __init__ (driver-side) and carry the secret inside the pickled
+    HttpSource — read() on an executor whose env lacks the var must
+    still authenticate (round-9 ADVICE #1)."""
+    import pickle
+
+    from apitap_spark.sources.datasource import (
+        HttpJsonReader,
+        HttpJsonSimpleStreamReader,
+    )
+
+    monkeypatch.setenv("T_DS_OAUTH_SECRET2", "driver-only")
+    opts = {
+        "url": "http://x/items",
+        "oauth_token_url": "http://x/token",
+        "oauth_client_id": "cid",
+        "oauth_client_secret_env": "T_DS_OAUTH_SECRET2",
+    }
+    batch = HttpJsonReader(opts, None)
+    stream = HttpJsonSimpleStreamReader(opts, None)
+    monkeypatch.delenv("T_DS_OAUTH_SECRET2")  # simulate the executor env
+    for reader in (batch, stream):
+        clone = pickle.loads(pickle.dumps(reader))  # ships to the task
+        assert clone._src.auth is not None
+        assert clone._src.auth.client_secret == "driver-only"
+        # the token cache state never rides the pickle
+        assert clone._src.auth._token is None
+
+
+def test_process_token_cache_spans_rebuilt_auth_objects():
+    """One token POST per expiry window per process, even when the auth
+    object is rebuilt for every micro-batch (round-9 ADVICE #2): a
+    second OAuth2ClientCredentials with the same url/id/secret/scope
+    must reuse the process-cached token instead of re-POSTing."""
+    from tests.mock_api import MockApi
+
+    from apitap_spark.sources import http as http_mod
+    from apitap_spark.sources.datasource import _source_from_options
+
+    api = MockApi([{"id": i} for i in range(5)])
+    base = api.start()
+    http_mod._TOKEN_CACHE.clear()
+    try:
+        opts = {
+            "url": f"{base}/protected",
+            "oauth_token_url": f"{base}/token",
+            "oauth_client_id": api.client_id,
+            "oauth_client_secret": api.client_secret,
+        }
+        for _ in range(4):  # four "micro-batches", each a fresh source
+            src = _source_from_options(opts)
+            rows = src._fetch_page(0)
+            assert [r["id"] for r in rows] == list(range(5))
+        assert api.tokens_issued == 1
+        # a DIFFERENT secret must not share the cached token
+        bad = _source_from_options({**opts, "oauth_client_secret": "nope"})
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="token endpoint"):
+            bad._fetch_page(0)
+    finally:
+        api.stop()
+        http_mod._TOKEN_CACHE.clear()

@@ -461,9 +461,22 @@ def _oauth(api, **kw):
     )
 
 
-def test_oauth2_token_acquired_once_and_reused(spark, api):
+def _reset_token_state(api):
+    """Clear BOTH sides of token state: the mock IdP's server store and
+    the client's process-wide token cache (http._TOKEN_CACHE). A test
+    that clears only the server would otherwise watch the client replay
+    a cached token issued by an earlier test with the same
+    url/id/secret, and every acquisition counter under test goes stale.
+    """
+    from apitap_spark.sources import http as http_mod
+
     api.tokens.clear()
     api.tokens_issued = 0
+    http_mod._TOKEN_CACHE.clear()
+
+
+def test_oauth2_token_acquired_once_and_reused(spark, api):
+    _reset_token_state(api)
     src = HttpSource(
         name="oauth",
         url=f"{api.base}/protected",
@@ -481,8 +494,7 @@ def test_oauth2_refresh_on_mid_run_401(spark, api):
     """Page 1 succeeds, every outstanding token then expires, and the
     next 401 must trigger exactly one invalidate+refresh that completes
     the pull (round-8 verdict next-step #5's done-criterion)."""
-    api.tokens.clear()
-    api.tokens_issued = 0
+    _reset_token_state(api)
     auth = _oauth(api, refresh_slack_sec=0.0)
     # drive the fetch loop directly so expiry lands mid-run
     # deterministically (Spark partitions would race the expiry)
@@ -533,8 +545,7 @@ def test_oauth2_second_401_fails_fast_not_retried(spark, api):
     """A 401 that survives a fresh token is a credential problem: one
     refresh, then the client-error fail-fast path — never the backoff
     loop hammering the API."""
-    api.tokens.clear()
-    api.tokens_issued = 0
+    _reset_token_state(api)
     auth = _oauth(api, refresh_slack_sec=0.0)
     from apitap_spark.sources.http import fetch_page_rows
 
@@ -612,8 +623,7 @@ def test_oauth2_token_endpoint_blip_is_retried(spark, api):
     retry budget as a RuntimeError)."""
     from apitap_spark.sources.http import fetch_page_rows
 
-    api.tokens.clear()
-    api.tokens_issued = 0
+    _reset_token_state(api)
     auth = _oauth(api)
     api.fail_next = 1  # next request (the token POST) 503s once
     rows = fetch_page_rows(
