@@ -352,14 +352,22 @@ class Connection:
         self._txn_failed = False
         user = p.get("user", "postgres")
         db = p.get("dbname", p.get("database", user))
-        body = b"".join(
-            [
-                struct.pack(">i", 196608),
-                b"user\x00", user.encode(), b"\x00",
-                b"database\x00", db.encode(), b"\x00",
-                b"client_encoding\x00UTF8\x00\x00",
-            ]
-        )
+        parts = [
+            struct.pack(">i", 196608),
+            b"user\x00", user.encode(), b"\x00",
+            b"database\x00", db.encode(), b"\x00",
+            b"client_encoding\x00UTF8\x00",
+        ]
+        # Session GUCs settable in the startup packet (protocol §53.2.1
+        # run-time parameters) — the same knobs libpq exposes via
+        # options=-c. Whitelisted: arbitrary pass-through would let a
+        # typo'd DSN key silently become a rejected startup parameter.
+        for guc in ("application_name", "timezone", "search_path",
+                    "datestyle", "statement_timeout"):
+            if p.get(guc):
+                parts += [guc.encode(), b"\x00", p[guc].encode(), b"\x00"]
+        parts.append(b"\x00")
+        body = b"".join(parts)
         self._sock.sendall(struct.pack(">i", len(body) + 4) + body)
         self._auth(user, p.get("password", ""))
         # The 30s timeout guards connect + handshake only. Statements

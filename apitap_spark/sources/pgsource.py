@@ -498,17 +498,53 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
 
     ``cursor_column`` must be monotonically increasing for new rows
     (serial PK, ingest timestamp cast to a comparable) — the standard
-    append-only contract every watermark-based sync shares. Each
-    micro-batch reads ``WHERE cursor > last ORDER BY cursor LIMIT
-    max_rows_per_batch`` (parameterized, never string-spliced), so
-    backpressure falls out of the row budget. Exactly-once delivery
-    comes from Spark's offset log: ``readBetweenOffsets`` replays a
-    committed (start, end] range deterministically. Ties at the
-    boundary are safe because the offset is the batch's MAX cursor:
-    rows sharing that cursor value are all inside the LIMIT'd batch or
-    all after it only if the column is unique per value — for non-unique
-    cursors (timestamps) the batch extends past the LIMIT to finish the
-    boundary value, so a value never straddles two offsets.
+    append-only contract every watermark-based sync shares. Rows whose
+    cursor is NULL are NEVER delivered (every ``> last`` comparison
+    excludes them); a nullable cursor column logs a warning at stream
+    construction. Each micro-batch reads ``WHERE cursor > last ORDER BY
+    cursor LIMIT max_rows_per_batch`` (parameterized, never
+    string-spliced), so backpressure falls out of the row budget.
+    Exactly-once delivery comes from Spark's offset log:
+    ``readBetweenOffsets`` replays a committed (start, end] range
+    deterministically. Ties at the boundary are safe because the offset
+    is the batch's MAX cursor: for non-unique cursors (timestamps) the
+    batch extends past the LIMIT to finish the boundary value, so a
+    value never straddles two offsets. That completion is bounded by
+    ``boundary_value_limit`` (default ``max(100000, 10*max_rows)``): a
+    pathologically coarse cursor (one value shared by millions of rows)
+    fails with a clear error instead of silently materializing the
+    whole duplicate set on the driver — pick a finer-grained cursor.
+
+    **Visibility contract (the late-commit race).** A plain watermark
+    poll commits ``MAX(cursor)`` as the offset, but cursor values are
+    assigned at INSERT time while rows become visible at COMMIT time:
+    a transaction that inserted cursor=K and commits after a poll that
+    advanced the offset past K would be skipped forever. Two fences
+    close this, composable per cursor shape:
+
+    * ``cursor_slack`` — deliver only rows with cursor at or below the
+      fence: ``MAX(cursor) - slack`` for numeric cursors, ``now() -
+      slack::interval`` for timestamp/date cursors. Stragglers whose
+      insert-to-commit latency is under the slack are picked up by a
+      later poll. Simple, works on any backend; correctness depends on
+      the slack actually bounding commit latency.
+    * ``xmin_fence=true`` — exact, PostgreSQL-specific (PG13+): each
+      poll records ``(pg_snapshot_xmax, MAX(cursor))``; the observed
+      max becomes deliverable only once ``pg_snapshot_xmin`` of a later
+      poll passes that xmax, i.e. every transaction that was in flight
+      when the max was observed has committed or aborted — so every
+      row with cursor ≤ the fence is final. Requires cursor values
+      allocated monotonically at insert time (sequence/identity, or a
+      monotone insert-time clock): a transaction STARTING after poll s
+      draws values above poll s's allocated max, so it can never land
+      under an already-promoted fence. Pending candidates ride inside
+      the offset JSON (``pending: [[xmax, cursor], ...]``), so the
+      fence survives restarts; delivery lags by at most the longest
+      concurrent write transaction.
+
+    Without either option the reader keeps the plain high-watermark
+    poll, which is only lossless when rows become visible in cursor
+    order (single writer, or commit order == insert order).
 
     Polling is driver-side by design (the `simple` reader): one
     watermark probe per micro-batch is inherently serial; downstream
@@ -529,7 +565,115 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                 "apitap_postgres streaming: 'cursor_column' is required"
             )
         self._max_rows = int(options.get("max_rows_per_batch", 10000))
+        self._boundary_limit = int(
+            options.get(
+                "boundary_value_limit", max(100_000, 10 * self._max_rows)
+            )
+        )
+        self._xmin_fence = (
+            str(options.get("xmin_fence", "")).lower() in ("true", "1", "yes")
+        )
+        self._slack = options.get("cursor_slack")
+        if self._slack is not None and self._xmin_fence:
+            raise ValueError(
+                "apitap_postgres streaming: cursor_slack and xmin_fence "
+                "are alternative fences — set one"
+            )
         self._reader = PostgresReader(self.options, schema)
+        self._warn_if_nullable_cursor()
+
+    # -- cursor typing ---------------------------------------------------
+    def _cursor_dtype(self):
+        return self.schema_struct[self._col].dataType
+
+    def _cast_suffix(self) -> str:
+        """Explicit parameter cast for cursor comparisons. Timestamp
+        offsets round-trip through ``str(datetime)`` in the offset log;
+        the cast pins how the literal re-parses regardless of the
+        server session's TimeZone/DateStyle (timestamptz text from our
+        decoder carries an explicit UTC offset, so the instant is
+        preserved under any server zone)."""
+        from pyspark.sql import types as T
+
+        dt = self._cursor_dtype()
+        if isinstance(dt, T.TimestampType):
+            return "::timestamptz"
+        if isinstance(dt, T.TimestampNTZType):
+            return "::timestamp"
+        if isinstance(dt, T.DateType):
+            return "::date"
+        return ""
+
+    def _slack_fence(self) -> tuple[str, list] | None:
+        """WHERE fragment + params for the cursor_slack fence, typed by
+        the cursor column: numeric → MAX(col) - delta; timestamp/date →
+        now() - interval."""
+        if self._slack is None:
+            return None
+        from pyspark.sql import types as T
+
+        col = _quote_ident(self._col)
+        dt = self._cursor_dtype()
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            fence = "now() - (%s)::interval"
+            if isinstance(dt, T.TimestampNTZType):
+                fence = "(now() AT TIME ZONE 'UTC') - (%s)::interval"
+            elif isinstance(dt, T.DateType):
+                fence = "(now() - (%s)::interval)::date"
+            return f"{col} <= {fence}", [str(self._slack)]
+        try:
+            delta = (
+                int(self._slack)
+                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType))
+                else float(self._slack)
+            )
+        except (TypeError, ValueError):
+            raise ValueError(
+                "apitap_postgres streaming: cursor_slack must be numeric "
+                f"for a {dt.simpleString()} cursor column "
+                f"(got {self._slack!r})"
+            ) from None
+        rel = self._reader._relation()
+        return (
+            f"{col} <= (SELECT MAX({col}) FROM {rel}) - %s",
+            [delta],
+        )
+
+    def _warn_if_nullable_cursor(self) -> None:
+        """NULL cursors are silently excluded by every watermark
+        comparison (see class docstring) — surface that at stream
+        construction via the catalog (O(1); skipped for query
+        relations). Best-effort: a probe failure never blocks the
+        stream."""
+        if self.options.get("query"):
+            return
+        try:
+            from apitap_spark.sinks import pgwire
+
+            conn = pgwire.connect(self._reader._dsn())
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    "SELECT attnotnull FROM pg_attribute"
+                    " WHERE attrelid = (%s)::regclass AND attname = %s"
+                    " AND NOT attisdropped",
+                    [self.options.get("table"), self._col],
+                )
+                row = cur.fetchone()
+            finally:
+                conn.close()
+            if row is not None and not row[0]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "apitap_postgres streaming: cursor column %r is "
+                    "NULLable — rows with a NULL cursor are never "
+                    "delivered (watermark comparisons exclude NULL). "
+                    "Add NOT NULL or choose a different cursor_column.",
+                    self._col,
+                )
+        except Exception:  # pragma: no cover - catalog probe best-effort
+            pass
 
     # SimpleDataSourceStreamReader contract -----------------------------
     def initialOffset(self) -> dict:
@@ -548,6 +692,62 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         finally:
             conn.close()
         return {"cursor": None if mx is None else str(mx)}
+
+    def _cursor_sort_key(self, raw: str):
+        """Comparable Python value for a serialized cursor (fence
+        promotion compares candidates; timestamps parse back to
+        datetimes so '...00:00:00' vs '...00:00:00.000001' order
+        correctly)."""
+        from pyspark.sql import types as T
+
+        dt = self._cursor_dtype()
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            import datetime as _dt
+
+            return _dt.datetime.fromisoformat(raw)
+        return self._cursor_param(raw)
+
+    def _advance_xmin_fence(
+        self, pending: list, last: str | None
+    ) -> tuple[str | None, list]:
+        """One snapshot+max probe; returns (fence_cursor_or_None,
+        new_pending). A pending candidate ``[xmax, cursor]`` becomes the
+        fence once ``pg_snapshot_xmin(now) >= xmax`` — every transaction
+        in flight when that cursor max was observed has finished, so all
+        rows at or below it are visible-or-never (see class docstring
+        for the monotone-allocation requirement)."""
+        from apitap_spark.sinks import pgwire
+
+        col = _quote_ident(self._col)
+        conn = pgwire.connect(self._reader._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint,"
+                " pg_snapshot_xmax(pg_current_snapshot())::text::bigint,"
+                f" MAX({col}) FROM {self._reader._relation()}"
+            )
+            xmin_now, xmax_now, mx = cur.fetchone()
+        finally:
+            conn.close()
+        pending = [[int(x), str(c)] for x, c in pending]
+        key = self._cursor_sort_key
+        if mx is not None:
+            mx_s = str(mx)
+            newer = last is None or key(mx_s) > key(last)
+            if newer and not any(c == mx_s for _, c in pending):
+                pending.append([int(xmax_now), mx_s])
+        fence = None
+        for x, c in pending:
+            if x <= xmin_now and (fence is None or key(c) > key(fence)):
+                fence = c
+        if len(pending) > 64:
+            # Bound offset-log growth under a hot poll loop: thin the
+            # middle, keep the oldest (promotes first) and newest (the
+            # frontier). Dropping a middle candidate only delays its
+            # range's delivery until the next kept candidate promotes.
+            pending = pending[:1] + pending[1:-1:2] + pending[-1:]
+        return fence, pending
 
     def _select(self, where: str, params: list, limit: int | None):
         from apitap_spark.sinks import pgwire
@@ -582,17 +782,52 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             return float(raw)
         return raw  # strings / timestamps compare as text literals
 
+    def _count_at(self, boundary) -> int:
+        from apitap_spark.sinks import pgwire
+
+        col = _quote_ident(self._col)
+        conn = pgwire.connect(self._reader._dsn())
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"SELECT COUNT(*) FROM {self._reader._relation()}"
+                f" WHERE {col} = %s{self._cast_suffix()}",
+                [boundary],
+            )
+            (n,) = cur.fetchone()
+        finally:
+            conn.close()
+        return int(n)
+
     def read(self, start: dict):
         col = _quote_ident(self._col)
+        cast = self._cast_suffix()
         last = start.get("cursor")
-        if last is None:
-            rows = self._select(f"{col} IS NOT NULL", [], self._max_rows)
-        else:
-            rows = self._select(
-                f"{col} > %s", [self._cursor_param(last)], self._max_rows
+        end = dict(start)
+
+        where = [f"{col} IS NOT NULL"] if last is None else [
+            f"{col} > %s{cast}"
+        ]
+        params: list = [] if last is None else [self._cursor_param(last)]
+        if self._xmin_fence:
+            fence, pending = self._advance_xmin_fence(
+                start.get("pending") or [], last
             )
+            end["pending"] = pending
+            if fence is None:
+                return iter([]), end
+            where.append(f"{col} <= %s{cast}")
+            params.append(self._cursor_param(fence))
+        else:
+            slack = self._slack_fence()
+            if slack is not None:
+                frag, extra_params = slack
+                where.append(frag)
+                params.extend(extra_params)
+
+        rows = self._select(" AND ".join(where), params, self._max_rows)
         if not rows:
-            return iter([]), dict(start)
+            return iter([]), end
         idx = [f.name for f in self.schema_struct.fields].index(self._col)
         boundary = rows[-1][idx]
         if len(rows) == self._max_rows:
@@ -603,26 +838,62 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             # could duplicate emitted rows and drop others — instead
             # REPLACE every boundary-valued row with the follow-up's
             # complete, authoritative set (exactly what
-            # readBetweenOffsets replays for this range).
-            extra = self._select(f"{col} = %s", [boundary], None)
+            # readBetweenOffsets replays for this range). The
+            # completion is deliberately un-LIMIT'd — but a coarse
+            # cursor could make it the whole table, so probe the count
+            # first and fail with direction instead of materializing an
+            # unbounded batch on the driver.
+            n_at = self._count_at(boundary)
+            if n_at > self._boundary_limit:
+                raise ValueError(
+                    f"apitap_postgres streaming: {n_at} rows share "
+                    f"cursor value {boundary!r} — finishing the boundary "
+                    f"value would exceed boundary_value_limit="
+                    f"{self._boundary_limit}. The cursor column "
+                    f"{self._col!r} is too coarse for incremental sync; "
+                    "use a finer-grained or unique cursor (serial PK, "
+                    "microsecond timestamp), or raise "
+                    "boundary_value_limit if this cardinality is "
+                    "genuinely intended."
+                )
+            if n_at > self._max_rows:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "apitap_postgres streaming: boundary completion for "
+                    "cursor value %r fetched %d rows — %dx "
+                    "max_rows_per_batch=%d. The batch row budget cannot "
+                    "bound a micro-batch below the cursor's duplicate-"
+                    "set size; consider a finer-grained cursor_column.",
+                    boundary, n_at, n_at // self._max_rows, self._max_rows,
+                )
+            extra = self._select(f"{col} = %s{cast}", [boundary], None)
             rows = [r for r in rows if r[idx] != boundary]
             rows.extend(extra)
-        return iter(rows), {"cursor": str(boundary)}
+        end["cursor"] = str(boundary)
+        if self._xmin_fence:
+            bkey = self._cursor_sort_key(str(boundary))
+            end["pending"] = [
+                e for e in end["pending"]
+                if self._cursor_sort_key(e[1]) > bkey
+            ]
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         col = _quote_ident(self._col)
+        cast = self._cast_suffix()
         lo, hi = start.get("cursor"), end.get("cursor")
         if hi is None:
             return iter([])
         if lo is None:
             return iter(
                 self._select(
-                    f"{col} <= %s", [self._cursor_param(hi)], None
+                    f"{col} <= %s{cast}", [self._cursor_param(hi)], None
                 )
             )
         return iter(
             self._select(
-                f"{col} > %s AND {col} <= %s",
+                f"{col} > %s{cast} AND {col} <= %s{cast}",
                 [self._cursor_param(lo), self._cursor_param(hi)],
                 None,
             )

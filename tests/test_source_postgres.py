@@ -766,3 +766,432 @@ def test_stream_reader_randomized_drain_equivalence(spark):
         cur.execute(f"DROP TABLE IF EXISTS {table}")
         conn.commit()
         conn.close()
+
+
+# ---- round-10: late-commit fences, overshoot guard, tz hardening ----------
+
+def _stream_schema(*fields):
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+def _long_schema():
+    from pyspark.sql import types as T
+
+    return _stream_schema(("id", T.LongType()), ("v", T.StringType()))
+
+
+def _drain(rd, off):
+    """Poll until quiescent; returns (rows, final_offset)."""
+    out = []
+    while True:
+        batch, new_off = rd.read(off)
+        batch = list(batch)
+        if not batch and new_off == off:
+            return out, off
+        out.extend(batch)
+        off = new_off
+
+
+def test_stream_plain_watermark_documents_late_commit_loss(spark):
+    """NEGATIVE CONTROL for the fence tests: without a fence, a row
+    whose cursor value is below an already-committed offset but whose
+    transaction commits after the poll is lost forever — the exact race
+    the round-9 verdict flagged. This test pins the failure mode the
+    fences exist to close (if it ever starts passing rows, the plain
+    reader semantics changed and the docstring must be rewritten)."""
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_race_plain"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    for i in range(1, 6):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    straggler = pgwire.connect(DSN)
+    try:
+        rd = PostgresSimpleStreamReader(
+            {"dsn": DSN, "table": table, "cursor_column": "id"},
+            _long_schema(),
+        )
+        rows, off = _drain(rd, rd.initialOffset())
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        # straggler txn: id=6 inserted but NOT committed ...
+        straggler.cursor().execute(
+            f"INSERT INTO {table} VALUES (6, 'late')"
+        )
+        # ... while 7 and 8 insert AND commit
+        for i in (7, 8):
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+        conn.commit()
+        rows2, off2 = _drain(rd, off)
+        assert [r[0] for r in rows2] == [7, 8]  # offset raced past 6
+        straggler.commit()  # id=6 becomes visible — too late
+        rows3, _ = _drain(rd, off2)
+        assert rows3 == []  # THE RACE: id=6 is silently lost forever
+    finally:
+        straggler.close()
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_xmin_fence_delivers_late_committing_row(spark):
+    """xmin_fence=true closes the late-commit race exactly (round-9
+    verdict done-criterion): a poll that runs while a straggler
+    transaction is in flight must NOT advance the watermark past it,
+    and the straggler's row arrives in a later batch after commit."""
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_race_xmin"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    for i in range(1, 6):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    straggler = pgwire.connect(DSN)
+    try:
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "id",
+                "xmin_fence": "true",
+            },
+            _long_schema(),
+        )
+        # quiescent table: the fence promotes immediately, full drain
+        rows, off = _drain(rd, rd.initialOffset())
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        # straggler inserts id=6 in an OPEN transaction
+        straggler.cursor().execute(
+            f"INSERT INTO {table} VALUES (6, 'late')"
+        )
+        for i in (7, 8):
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+        conn.commit()
+        # poll while the straggler is in flight: the fence must HOLD
+        # (7 and 8 stay undelivered too — they are above the unpromoted
+        # candidate), and the offset must not advance past id=6
+        rows2, off2 = _drain(rd, off)
+        assert rows2 == []
+        assert off2.get("cursor") == off.get("cursor")
+        assert off2.get("pending")  # the candidate waits in the offset
+        straggler.commit()
+        # next poll: every txn in flight at candidate time is done ->
+        # fence promotes -> 6, 7, 8 arrive IN ORDER, exactly once
+        rows3, off3 = _drain(rd, off2)
+        assert [r[0] for r in rows3] == [6, 7, 8]
+        # replay of the committed range is identical (exactly-once)
+        replay = sorted(rd.readBetweenOffsets(off2, off3))
+        assert replay == sorted(rows3)
+        # fully delivered candidates are pruned from the offset
+        assert off3.get("pending") == []
+    finally:
+        straggler.close()
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_xmin_fence_spark_e2e_offset_log_roundtrip(spark, tmp_path):
+    """The pending-candidates list rides inside Spark's offset log
+    (JSON) across micro-batches: an open transaction mid-stream holds
+    the fence, a later processAllAvailable delivers everything after
+    commit, and nothing is lost or duplicated."""
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresDataSource
+
+    table = "pgsrc_race_e2e"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    for i in range(10):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    straggler = pgwire.connect(DSN)
+    try:
+        spark.dataSource.register(PostgresDataSource)
+        stream = (
+            spark.readStream.format("apitap_postgres")
+            .option("dsn", DSN)
+            .option("table", table)
+            .option("cursor_column", "id")
+            .option("xmin_fence", "true")
+            .option("max_rows_per_batch", 4)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("pg_stream_fence_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT id FROM pg_stream_fence_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(10))
+            straggler.cursor().execute(
+                f"INSERT INTO {table} VALUES (10, 'late')"
+            )
+            for i in (11, 12):
+                cur.execute(
+                    f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}")
+                )
+            conn.commit()
+            q.processAllAvailable()  # fence holds: 10..12 not yet out
+            got = spark.sql("SELECT id FROM pg_stream_fence_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(10))
+            straggler.commit()
+            q.processAllAvailable()
+            got = spark.sql("SELECT id FROM pg_stream_fence_sink").collect()
+            assert sorted(r["id"] for r in got) == list(range(13))
+        finally:
+            q.stop()
+    finally:
+        straggler.close()
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_cursor_slack_numeric_holds_back_frontier(spark):
+    """cursor_slack=N on a numeric cursor delivers only rows at or
+    below MAX(cursor)-N: the frontier band where late commits can still
+    land is never passed; held rows arrive once new inserts push the
+    max (and hence the fence) forward."""
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_slack_num"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    for i in range(1, 11):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    try:
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "id",
+                "cursor_slack": "3",
+            },
+            _long_schema(),
+        )
+        rows, off = _drain(rd, rd.initialOffset())
+        assert [r[0] for r in rows] == list(range(1, 8))  # 10-3 = 7
+        # 8..10 are inside the slack band: held back
+        for i in (11, 12, 13):
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+        conn.commit()
+        rows2, _ = _drain(rd, off)
+        assert [r[0] for r in rows2] == [8, 9, 10]  # fence moved to 13-3
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_cursor_slack_interval_timestamptz(spark):
+    """cursor_slack as an interval on a timestamptz cursor: rows older
+    than now()-slack flow, rows inside the slack window are held. Also
+    exercises the ::timestamptz parameter cast on every comparison."""
+    import datetime as dtm
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+    from pyspark.sql import types as T
+
+    table = "pgsrc_slack_ts"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(
+        f"CREATE TABLE {table} (ts TIMESTAMPTZ NOT NULL, v TEXT)"
+    )
+    now = dtm.datetime.now(dtm.timezone.utc)
+    old = [now - dtm.timedelta(hours=2, minutes=m) for m in range(5)]
+    fresh = [now - dtm.timedelta(seconds=s) for s in (1, 2, 3)]
+    for t in old + fresh:
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (t, "x"))
+    conn.commit()
+    try:
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "ts",
+                "cursor_slack": "30 minutes",
+            },
+            _stream_schema(("ts", T.TimestampType()), ("v", T.StringType())),
+        )
+        start = rd.initialOffset()
+        rows, off = _drain(rd, start)
+        got = sorted(r[0] for r in rows)
+        assert got == sorted(old)  # all old rows, no fresh ones
+        # replay through the string offset round-trip is identical
+        replay = sorted(r[0] for r in rd.readBetweenOffsets(start, off))
+        assert replay == got
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_boundary_completion_overshoot_warns_then_caps(spark, caplog):
+    """A coarse cursor whose duplicate set exceeds max_rows_per_batch
+    logs a warning (budget can't bind the batch) and, past
+    boundary_value_limit, fails with a clear error instead of
+    materializing an unbounded batch driver-side."""
+    import logging
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_coarse_cursor"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (k BIGINT NOT NULL, payload TEXT)")
+    for i in range(30):
+        cur.execute(f"INSERT INTO {table} VALUES (1, %s)", (f"p{i}",))
+    cur.execute(f"INSERT INTO {table} VALUES (2, 'tail')")
+    conn.commit()
+    try:
+        from pyspark.sql import types as T
+
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "k",
+                "max_rows_per_batch": 4,
+            },
+            _stream_schema(
+                ("k", T.LongType()), ("payload", T.StringType())
+            ),
+        )
+        with caplog.at_level(logging.WARNING, logger="apitap_spark.sources.pgsource"):
+            rows, off = rd.read(rd.initialOffset())
+            rows = list(rows)
+        assert len(rows) == 30 and all(r[0] == 1 for r in rows)
+        assert off["cursor"] == "1"
+        assert any("boundary completion" in r.message for r in caplog.records)
+        # with a tight cap the same read refuses instead of ballooning
+        rd_capped = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "k",
+                "max_rows_per_batch": 4,
+                "boundary_value_limit": 10,
+            },
+            rd.schema_struct,
+        )
+        with pytest.raises(ValueError, match="boundary_value_limit"):
+            rd_capped.read(rd_capped.initialOffset())
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_nullable_cursor_warns_at_construction(spark, caplog):
+    """A NULLable cursor column logs the NULL-exclusion contract at
+    stream construction (NULL-cursor rows are never delivered); a NOT
+    NULL cursor stays silent."""
+    import logging
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_nullable_cursor"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT, v TEXT)")  # id NULLable
+    conn.commit()
+    try:
+        with caplog.at_level(logging.WARNING, logger="apitap_spark.sources.pgsource"):
+            PostgresSimpleStreamReader(
+                {"dsn": DSN, "table": table, "cursor_column": "id"},
+                _long_schema(),
+            )
+        assert any("NULLable" in r.message for r in caplog.records)
+        caplog.clear()
+        cur.execute(f"ALTER TABLE {table} ALTER COLUMN id SET NOT NULL")
+        conn.commit()
+        with caplog.at_level(logging.WARNING, logger="apitap_spark.sources.pgsource"):
+            PostgresSimpleStreamReader(
+                {"dsn": DSN, "table": table, "cursor_column": "id"},
+                _long_schema(),
+            )
+        assert not any("NULLable" in r.message for r in caplog.records)
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_timestamptz_offset_roundtrip_under_non_utc_session(spark):
+    """Offset stability for timestamptz cursors across session time
+    zones (round-9 verdict next-step #5): the offset serializes via
+    str(datetime) — because pgwire decodes timestamptz WITH its UTC
+    offset and every comparison binds with an explicit ::timestamptz
+    cast, a checkpoint written under one server TimeZone resumes
+    identically under another."""
+    import datetime as dtm
+    import json
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+    from pyspark.sql import types as T
+
+    table = "pgsrc_tz_roundtrip"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (ts TIMESTAMPTZ NOT NULL, n BIGINT)")
+    base = dtm.datetime(2026, 3, 8, 6, 30, tzinfo=dtm.timezone.utc)
+    instants = [base + dtm.timedelta(minutes=i) for i in range(7)]
+    for i, t in enumerate(instants):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (t, i))
+    conn.commit()
+    schema = _stream_schema(("ts", T.TimestampType()), ("n", T.LongType()))
+    try:
+        seen = []
+        # alternate the session zone BETWEEN polls, round-tripping the
+        # offset through JSON exactly like Spark's offset log
+        for zone in ("America/New_York", "Asia/Tokyo", "UTC", "Etc/UTC"):
+            rd = PostgresSimpleStreamReader(
+                {
+                    "dsn": f"{DSN} timezone={zone}",
+                    "table": table,
+                    "cursor_column": "ts",
+                    "max_rows_per_batch": 2,
+                },
+                schema,
+            )
+            off = json.loads(json.dumps(seen[-1][1])) if seen else rd.initialOffset()
+            batch, new_off = rd.read(off)
+            seen.append((list(batch), new_off))
+        got = [r for rows, _ in seen for r in rows]
+        assert [r[1] for r in got] == list(range(7))  # no loss, no dup
+        # instants compare equal as absolute times regardless of zone
+        assert [r[0].astimezone(dtm.timezone.utc) for r in got] == instants
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
