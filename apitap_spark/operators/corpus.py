@@ -1268,6 +1268,7 @@ _CHI2_TOKEN_ORACLE = f"""
       CROSS JOIN n
       WHERE tt.t_docs >= {CHI2_MIN_DF}
         AND tt.t_docs <= n.n_docs - {CHI2_MIN_DF}
+        AND lt.l_docs <= n.n_docs - 1
     ),
     scored AS (
       SELECT lang, tok, a AS n_lang_tok_docs, t_docs AS token_docs,
@@ -1303,8 +1304,11 @@ def op_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard the audit by source (each shard is an independent selection)
     or rank in double — the ranking, not the digits, is the product.
     Ubiquitous tokens (df > N−{CHI2_MIN_DF}) and rare ones
-    (df < {CHI2_MIN_DF}) are excluded: both have no selective value and
-    the df ≤ N−5 guard also keeps den > 0.
+    (df < {CHI2_MIN_DF}) are excluded, as is a language that covers the
+    whole corpus (l_docs = N): together the two guards keep every den
+    factor positive — df bounds the t_docs pair, the l_docs ≤ N−1
+    filter the language pair — so den > 0 on any shard, including
+    single-language ones.
 
     Scale shape: one per-doc distinct-token explode (linear scan), one
     token-keyed aggregate, doc-frequency join on the pruned token set,
@@ -1333,6 +1337,12 @@ def op_chi2_token_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("t_docs") >= CHI2_MIN_DF)
             & (F.col("t_docs") <= F.col("n_docs") - CHI2_MIN_DF)
+            # a language covering the WHOLE corpus zeroes the l_docs
+            # factors of den (the df guard only protects the t_docs
+            # pair) — DuckDB's // would error and Spark's div would
+            # yield NULL on a single-language shard. Such a language
+            # has no between-language contrast to score anyway.
+            & (F.col("l_docs") <= F.col("n_docs") - 1)
         )
         .withColumn(
             "diff",

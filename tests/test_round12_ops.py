@@ -69,6 +69,34 @@ def test_chi2_token_selection_matches_python(spark, sf_dir):
         assert g["rk"] == rk
 
 
+def test_chi2_single_language_shard_is_empty_not_crash(spark, tmp_path):
+    """A shard where ONE language covers the whole corpus used to zero
+    the l_docs factors of den — DuckDB's // errored and Spark's div
+    yielded NULL (round-9 ADVICE #3). With the l_docs <= n_docs-1 guard
+    both engines now return the same EMPTY selection: a language with
+    no between-language contrast has nothing to score."""
+    import duckdb
+
+    from apitap_spark.operators.corpus import op_chi2_token_selection
+    from apitap_spark.operators import ORACLES
+
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma common words " * 3, "s", 30)
+         for i in range(12)],
+        "doc_id long, lang string, text string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = op_chi2_token_selection(spark, str(tmp_path)).collect()
+    assert got == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = con.execute(ORACLES["op_chi2_token_selection"]).fetchall()
+    assert oracle == []  # and, critically, no division-by-zero error
+
+
 def test_chi2_closed_form_on_known_table():
     # a=30 of l_docs=50 contain t; 10 of the other 50 do: textbook 2x2
     n, a, td, ld = 100, 30, 40, 50
