@@ -978,25 +978,50 @@ def op_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     csh = csh.select(
         "doc_id", a.alias("ha"), b.alias("hb")
     )
-    sig = csh.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("ha") + F.lit(j) * F.col("hb")).alias(f"h{j}")
-            for j in range(N_HASHES)
-        ]
-    ).localCheckpoint()
+    # The signature is ONE array<bigint> column, not 128 h{j} columns:
+    # the first cut's 128 separate min-aggregates spent more time in
+    # Python expression construction + Catalyst analysis than in
+    # execution (measured 1.65s plan-build + 1.9s run at sf0.1; the
+    # array form is a constant-size expression tree — 3.5s -> 1.7s
+    # for the whole gate, byte-identical output, and the plan cost no
+    # longer scales with N_HASHES). Shape: explode the permutation
+    # index (|csh| x 128 skinny rows), min per (doc, j), then fold back
+    # to a j-ordered array via the sorted-struct idiom.
+    perm = csh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_HASHES - 1}),"
+                " j -> struct(j AS j, ha + j * hb AS v))"
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.j").alias("j"), F.col("e.v").alias("v"))
+    sig = (
+        perm.groupBy("doc_id", "j")
+        .agg(F.min("v").alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, m))),"
+                " s -> s.m)"
+            ).alias("sig")
+        )
+        .localCheckpoint()
+    )
     # ^ candidate-doc cardinality (tiny); consumed by BOTH join sides —
-    # without the checkpoint the 128-min aggregate + shingle semi-join
+    # without the checkpoint the signature build + shingle semi-join
     # runs twice (A/B: consistent ~5% gate win, round-9 sweep).
-    s1 = sig.alias("s1")
-    s2 = sig.alias("s2")
-    matches = None
-    for j in range(N_HASHES):
-        t = F.when(F.col(f"s1.h{j}") == F.col(f"s2.h{j}"), 1).otherwise(0)
-        matches = t if matches is None else matches + t
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    matches = F.expr(
+        "aggregate(zip_with(sig1, sig2,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0L, (acc, x) -> acc + x)"
+    )
     est = matches.cast("double") / F.lit(float(N_HASHES))
     return (
-        pairs.join(s1, F.col("s1.doc_id") == F.col("d1"))
-        .join(s2, F.col("s2.doc_id") == F.col("d2"))
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",
@@ -2115,5 +2140,171 @@ def op_dedup_cluster_size_histogram(
             F.expr("sz * n_clusters * 1000000L div n_docs_total")
             .cast("bigint")
             .alias("docs_share_micro"),
+        )
+    )
+
+
+# --- Record-linkage blocking-quality audit (round-10 verdict #6) -----------
+
+BLOCK_LEN_BUCKET = 64  # n_chars bucket width for the length strategy
+
+
+def _blocking_audit_oracle() -> str:
+    head = (
+        f"md5(array_to_string(string_split_regex(TRIM(text), "
+        f"'\\s+')[1:{EDIT_HEAD_TOKENS}], ' '))"
+    )
+    return rf"""
+    WITH truth AS ({_SQL_JACCARD_PAIRS_CAPPED}),
+    keyed AS (
+      SELECT 'head{EDIT_HEAD_TOKENS}' AS strategy, doc_id, {head} AS k
+      FROM documents
+      UNION ALL
+      SELECT 'len{BLOCK_LEN_BUCKET}', doc_id,
+             CAST(n_chars // {BLOCK_LEN_BUCKET} AS VARCHAR)
+      FROM documents
+      UNION ALL
+      SELECT 'lang_source', doc_id, lang || '|' || source FROM documents
+    ),
+    cand AS (
+      SELECT strategy,
+             CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+      FROM (
+        SELECT strategy, k, COUNT(*) AS n FROM keyed GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    caught AS (
+      SELECT a.strategy,
+             CAST(COUNT(*) AS BIGINT) AS caught_pairs
+      FROM truth t
+      JOIN keyed a ON a.doc_id = t.d1
+      JOIN keyed b ON b.doc_id = t.d2 AND b.strategy = a.strategy
+       AND b.k = a.k
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_pairs,
+             CAST((SELECT COUNT(*) * (COUNT(*) - 1) // 2 FROM documents)
+               AS BIGINT) AS all_pairs
+    )
+    SELECT c.strategy, c.candidate_pairs, tot.truth_pairs,
+           CAST(COALESCE(g.caught_pairs, 0) AS BIGINT) AS caught_pairs,
+           CAST(CASE WHEN c.candidate_pairs = 0 THEN 0
+                ELSE COALESCE(g.caught_pairs, 0) * 1000000
+                     // c.candidate_pairs END AS BIGINT) AS precision_micro,
+           CAST(CASE WHEN tot.truth_pairs = 0 THEN 0
+                ELSE COALESCE(g.caught_pairs, 0) * 1000000
+                     // tot.truth_pairs END AS BIGINT) AS recall_micro,
+           CAST(c.candidate_pairs * 1000000 // tot.all_pairs AS BIGINT)
+             AS candidate_share_micro
+    FROM cand c LEFT JOIN caught g USING (strategy) CROSS JOIN tot
+    """
+
+
+@_register("op_dedup_blocking_audit", _blocking_audit_oracle())
+def op_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit for record linkage / dedup candidate
+    generation: for each blocking strategy — 16-token head fingerprint
+    (the edit-distance gate's key), n_chars//{BLOCK_LEN_BUCKET} length
+    band, and (lang, source) block — measure how well its candidate
+    pairs cover the ground-truth near-dup set (exact df-capped Jaccard
+    >= 0.2, the pinned ``exact_pairs_02`` memo):
+
+    * ``precision_micro`` — caught / candidate pairs (how much of the
+      block budget is spent on real near-dups),
+    * ``recall_micro`` — caught / truth pairs (pairs a verifier fed by
+      this blocking would never even see — the silent-loss number),
+    * ``candidate_share_micro`` — candidate / all N(N-1)/2 pairs (the
+      reduction ratio; the whole point of blocking).
+
+    This is the audit that chooses blocking keys BEFORE a linkage run:
+    recall bounds achievable dedup quality, candidate share bounds cost.
+
+    Exactness: pure int64 counts; three fixed-point floor divisions
+    (guarded against empty denominators on both engines). Int64 budget:
+    candidate_pairs*1e6 <= N^2/2 * 1e6 binds at N ~ 4.3e6 docs per
+    audit shard; beyond that compute the shares in double (the counts
+    stay exact).
+
+    Scale shape: the truth side rides the pinned exact-pairs memo; the
+    blocking side is one narrow per-doc key projection unpivoted to
+    (strategy, doc, key) rows, a (strategy, key)-keyed count for the
+    candidate total (never materializing candidate PAIRS — the audit
+    needs only their count), and two doc-keyed joins to tag each truth
+    pair's keys. Nothing pair-quadratic is ever built.
+    """
+    from apitap_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, EDIT_HEAD_TOKENS), " ")
+        ).alias("k_head"),
+        (F.col("n_chars").cast("bigint") / BLOCK_LEN_BUCKET)
+        .cast("bigint")  # n_chars >= 0: floor == truncate, matches //
+        .cast("string")
+        .alias("k_len"),
+        F.concat_ws("|", "lang", "source").alias("k_ls"),
+    ).selectExpr(
+        "doc_id",
+        f"stack(3, 'head{EDIT_HEAD_TOKENS}', k_head,"
+        f" 'len{BLOCK_LEN_BUCKET}', k_len,"
+        " 'lang_source', k_ls) AS (strategy, k)",
+    ).localCheckpoint()  # consumed by cand AND both caught join sides
+    cand = (
+        keyed.groupBy("strategy", "k")
+        .agg(F.count("*").alias("n"))
+        .groupBy("strategy")
+        .agg(
+            F.sum(F.expr("n * (n - 1) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs")
+        )
+    )
+    truth = exact_pairs_cached(spark, sf_dir)
+    a = keyed.select(
+        F.col("doc_id").alias("d1"), "strategy", F.col("k").alias("k1")
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("d2"), "strategy", F.col("k").alias("k2")
+    )
+    caught = (
+        truth.join(a, "d1")
+        .join(b, ["d2", "strategy"])
+        .filter(F.col("k1") == F.col("k2"))
+        .groupBy("strategy")
+        .agg(F.count("*").cast("bigint").alias("caught_pairs"))
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    tot = truth.agg(
+        F.count("*").cast("bigint").alias("truth_pairs")
+    ).crossJoin(
+        n_docs.select(
+            F.expr("nd * (nd - 1) div 2").cast("bigint").alias("all_pairs")
+        )
+    )
+    return (
+        cand.join(caught, "strategy", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "strategy",
+            "candidate_pairs",
+            "truth_pairs",
+            F.coalesce("caught_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("caught_pairs"),
+            F.expr(
+                "CASE WHEN candidate_pairs = 0 THEN 0L ELSE"
+                " coalesce(caught_pairs, 0L) * 1000000L div candidate_pairs"
+                " END"
+            ).cast("bigint").alias("precision_micro"),
+            F.expr(
+                "CASE WHEN truth_pairs = 0 THEN 0L ELSE"
+                " coalesce(caught_pairs, 0L) * 1000000L div truth_pairs END"
+            ).cast("bigint").alias("recall_micro"),
+            F.expr("candidate_pairs * 1000000L div all_pairs")
+            .cast("bigint")
+            .alias("candidate_share_micro"),
         )
     )
