@@ -154,6 +154,11 @@ _NEW_GATES: set[str] = {
     "op_text_rouge_overlap",
     "op_text_bigram_predictability",
     "op_event_burstiness",
+    # round 10: three new gates (window budget: 3 rechecks + 3 new +
+    # ~44 oldest-evidence drains)
+    "op_dedup_blocking_audit",
+    "op_drift_wasserstein",
+    "op_event_markov_transition",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window
@@ -169,11 +174,14 @@ _REPROVE_FIXED: set[str] = set()
 # evidence).  Reset this set each round to only the gates actually
 # touched; they sort between true reds (tier 0) and the backlog tiers.
 _RECHECK_FRONT: set[str] = {
-    # round 9: epoch-bucket floor-division fix (ADVICE #5 — Spark
-    # div/% truncates toward zero while the DuckDB oracle floors;
-    # both gates' Spark side now floors explicitly)
-    "op_event_seasonality",
-    "op_event_gap_quantiles",
+    # round 10: den>0 guard for single-language shards (ADVICE #3 —
+    # l_docs <= n_docs-1 filter added on BOTH engines)
+    "op_chi2_token_selection",
+    # round 10 perf rewrites, semantics-preserving (hash-verified
+    # locally at sf0.01 and sf0.1): window-mean normalization in hits()
+    # and the array-signature minhash audit
+    "op_graph_hits",
+    "op_minhash_estimate_audit",
 }
 
 

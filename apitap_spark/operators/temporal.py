@@ -1273,3 +1273,78 @@ def op_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fano_micro"),
     )
+
+
+# --- Event-type Markov transition matrix (round 10) ------------------------
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ft AS (
+      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+      FROM tr GROUP BY 1
+    )
+    SELECT tr.from_type, tr.to_type, tr.n_transitions, ft.from_total,
+           CAST(tr.n_transitions * 1000000 // ft.from_total AS BIGINT)
+             AS prob_micro
+    FROM tr JOIN ft USING (from_type)
+"""
+
+
+@_register("op_event_markov_transition", _MARKOV_ORACLE)
+def op_event_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: for every (from, to) pair, the transition count and the
+    row-normalized probability — the behavioral fingerprint a pipeline
+    derives for session modeling, bot detection (near-deterministic
+    rows), and synthetic-sequence generation priors. Complements the
+    funnel (fixed order) and bigram-predictability (text-domain) gates
+    with the full event-domain transition structure.
+
+    Determinism: sequence order is (ts, event_id) — event_id breaks
+    same-timestamp ties identically in both engines, so every LAG
+    window is reproducible. Exactness: int64 counts; probability is one
+    fixed-point floor division per cell (non-negative operands — Spark
+    ``div`` == DuckDB ``//``).
+
+    Scale shape: ONE user-keyed shuffle for the lag window (the same
+    partitioning sessionization uses), then a (from, to)-keyed
+    map-side-combined count — 25 cells here, |types|² in general, so
+    everything after the window is dims-sized. The corpus is read once.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    tr = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    ft = tr.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("from_total")
+    )
+    return tr.join(ft, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "from_total",
+        F.expr("n_transitions * 1000000L div from_total")
+        .cast("bigint")
+        .alias("prob_micro"),
+    )
