@@ -87,10 +87,21 @@ def _pagination_from(d: dict | None):
 
 @dataclass
 class IncrementalConfig:
-    """High-watermark incremental sync (reference roadmap README.md:123,532)."""
+    """High-watermark incremental sync (reference roadmap README.md:123,532).
+
+    The two fence options guard the streaming (--stream) variant against
+    the late-commit race — a row whose cursor was assigned before, but
+    whose transaction commits after, a watermark poll. ``cursor_slack``
+    (numeric delta or interval string, per cursor type) holds the fence
+    back from the frontier; ``xmin_fence`` is the exact
+    pg_current_snapshot protocol for monotonically-allocated cursors.
+    See sources/pgsource.py PostgresSimpleStreamReader for semantics.
+    """
 
     cursor_field: str  # column in the fetched rows holding the watermark
     cursor_param: str = "since"  # query param carrying the last watermark
+    cursor_slack: str | None = None  # streaming fence: delta/interval
+    xmin_fence: bool = False  # streaming fence: snapshot-exact (PG13+)
 
 
 @dataclass
@@ -167,9 +178,20 @@ class SourceConfig:
                 raise ConfigError(
                     f"source {d['name']!r}: incremental requires cursor_field"
                 )
+            if inc.get("cursor_slack") is not None and inc.get("xmin_fence"):
+                raise ConfigError(
+                    f"source {d['name']!r}: cursor_slack and xmin_fence "
+                    "are alternative fences — set one"
+                )
             incremental = IncrementalConfig(
                 cursor_field=inc["cursor_field"],
                 cursor_param=inc.get("cursor_param", "since"),
+                cursor_slack=(
+                    None
+                    if inc.get("cursor_slack") is None
+                    else str(inc["cursor_slack"])
+                ),
+                xmin_fence=bool(inc.get("xmin_fence", False)),
             )
         return cls(
             name=d["name"],

@@ -226,14 +226,20 @@ def run_module_stream(
     from apitap_spark.sources.pgsource import PostgresDataSource
 
     spark.dataSource.register(PostgresDataSource)
-    stream_df = (
+    reader = (
         spark.readStream.format("apitap_postgres")
         .option("dsn", sc.resolved_dsn())
         .option("table", sc.table)
         .option("cursor_column", sc.incremental.cursor_field)
         .option("max_rows_per_batch", max_rows_per_batch)
-        .load()
     )
+    # Late-commit fences from the config's incremental: block — see
+    # PostgresSimpleStreamReader's visibility contract.
+    if sc.incremental.cursor_slack is not None:
+        reader = reader.option("cursor_slack", sc.incremental.cursor_slack)
+    if sc.incremental.xmin_fence:
+        reader = reader.option("xmin_fence", "true")
+    stream_df = reader.load()
     stream_df.createOrReplaceTempView(view)
     result = spark.sql(rendered.sql)
     dest = rendered.sink or sc.dest_table

@@ -375,3 +375,46 @@ def test_postgres_source_config_validation():
     # a postgres source never impersonates the http path
     with _pytest.raises(ConfigError, match="not http"):
         sc.to_http_source()
+
+
+def test_incremental_fence_config_parsing():
+    """incremental: block accepts the streaming late-commit fences —
+    cursor_slack (numeric/interval string) XOR xmin_fence — and rejects
+    setting both, since they are alternative visibility protocols."""
+    import pytest as _pytest
+
+    from apitap_spark.config.models import ConfigError, SourceConfig
+
+    base = {
+        "name": "wh",
+        "kind": "postgres",
+        "dsn": "host=h",
+        "table": "t",
+    }
+    sc = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "id", "cursor_slack": 3}}
+    )
+    assert sc.incremental.cursor_slack == "3"  # normalized to str
+    assert sc.incremental.xmin_fence is False
+    sc2 = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "ts",
+                                 "cursor_slack": "5 minutes"}}
+    )
+    assert sc2.incremental.cursor_slack == "5 minutes"
+    sc3 = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "id", "xmin_fence": True}}
+    )
+    assert sc3.incremental.xmin_fence is True
+    assert sc3.incremental.cursor_slack is None
+    # defaults: no fence unless asked
+    sc4 = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "id"}}
+    )
+    assert sc4.incremental.cursor_slack is None
+    assert sc4.incremental.xmin_fence is False
+    with _pytest.raises(ConfigError, match="alternative fences"):
+        SourceConfig.from_dict(
+            {**base, "incremental": {"cursor_field": "id",
+                                     "cursor_slack": 3,
+                                     "xmin_fence": True}}
+        )

@@ -703,6 +703,66 @@ def test_pipeline_streaming_sync_exactly_once(spark, tmp_path):
         conn.close()
 
 
+def test_pipeline_stream_fence_options_reach_reader(spark, tmp_path):
+    """run_module_stream forwards the incremental: block's fence options
+    to the streaming reader. Proven behaviorally: with cursor_slack=3
+    and ids 0..29, the sink must receive only ids <= 26 (frontier 29
+    minus slack) — an unfenced reader would deliver all 30."""
+    import duckdb
+
+    from apitap_spark.config.models import load_config
+    from apitap_spark.pipeline.runner import run_module_stream
+    from apitap_spark.sinks import pgwire
+
+    table = "pgsrc_fence_wire"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT, name TEXT)")
+    for i in range(30):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"n-{i}"))
+    conn.commit()
+    mod_dir = tmp_path / "sql"
+    mod_dir.mkdir()
+    (mod_dir / "sync.sql").write_text(
+        "{{ sink('fenced_live') }}\n"
+        "SELECT id, name FROM {{ use_source('fence_wire') }}"
+    )
+    duck_path = str(tmp_path / "fence.duckdb")
+    cfg = load_config(
+        {
+            "sources": [
+                {
+                    "name": "fence_wire",
+                    "kind": "postgres",
+                    "dsn": DSN,
+                    "table": table,
+                    "primary_key": "id",
+                    "incremental": {"cursor_field": "id",
+                                    "cursor_slack": 3},
+                }
+            ],
+            "targets": [{"name": "t", "kind": "duckdb", "path": duck_path}],
+        }
+    )
+    try:
+        q = run_module_stream(spark, cfg, str(mod_dir), "sync.sql", "t",
+                              str(tmp_path / "ckpt"),
+                              max_rows_per_batch=8,
+                              poll_interval="0 seconds")
+        q.processAllAvailable()
+        q.stop()
+        con = duckdb.connect(duck_path)
+        got = sorted(r[0] for r in
+                     con.execute("SELECT id FROM fenced_live").fetchall())
+        con.close()
+        assert got == list(range(27))  # 27..29 held inside the slack band
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
 def test_stream_reader_randomized_drain_equivalence(spark):
     """Randomized fortification of the offset logic the round-9 review
     fixed: for random duplicate-heavy cursor distributions and random
