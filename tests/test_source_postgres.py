@@ -1024,6 +1024,112 @@ def test_stream_xmin_fence_spark_e2e_offset_log_roundtrip(spark, tmp_path):
         conn.close()
 
 
+def test_stream_xmin_fence_randomized_concurrent_writers(spark):
+    """Randomized adversary for the xmin fence's exactly-once claim:
+    four writer connections open transactions, insert monotonically-
+    allocated ids, and commit or abort in random interleavings with the
+    polls. Under every schedule the fenced reader must deliver exactly
+    the committed ids (aborted ids never), each once, in cursor order,
+    and every recorded (start, end] offset range must replay
+    identically. The deterministic straggler tests above pin single
+    schedules; this explores the interleaving space the race lives in."""
+    import random
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_fuzz_xmin"
+    admin = pgwire.connect(DSN)
+    acur = admin.cursor()
+    acur.execute(f"DROP TABLE IF EXISTS {table}")
+    acur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    admin.commit()
+    writers = [pgwire.connect(DSN) for _ in range(4)]
+    try:
+        for seed in (11, 23, 47):
+            for wconn in writers:
+                wconn.rollback()  # no open txn may hold TRUNCATE back
+            acur.execute(f"TRUNCATE {table}")
+            admin.commit()
+            rng = random.Random(seed)
+            rd = PostgresSimpleStreamReader(
+                {"dsn": DSN, "table": table, "cursor_column": "id",
+                 "xmin_fence": "true", "max_rows_per_batch": 5},
+                _long_schema(),
+            )
+            next_id = 1
+            open_ids: dict[int, list[int]] = {}  # writer -> uncommitted ids
+            committed: set[int] = set()
+            delivered: list[int] = []
+            ledger = []  # (start_offset, end_offset, batch rows)
+            off = rd.initialOffset()
+            for _ in range(90):
+                act = rng.random()
+                w = rng.randrange(len(writers))
+                if act < 0.45:
+                    # allocate-and-insert a short run inside w's open txn
+                    # (allocation order == execution order, the monotone
+                    # contract the fence documents)
+                    cur = writers[w].cursor()
+                    for _ in range(rng.randint(1, 3)):
+                        cur.execute(
+                            f"INSERT INTO {table} VALUES (%s, %s)",
+                            (next_id, f"v{next_id}"),
+                        )
+                        open_ids.setdefault(w, []).append(next_id)
+                        next_id += 1
+                elif act < 0.70:
+                    if open_ids.get(w):
+                        if rng.random() < 0.8:
+                            writers[w].commit()
+                            committed.update(open_ids.pop(w))
+                        else:
+                            writers[w].rollback()  # visible NEVER
+                            open_ids.pop(w)
+                else:
+                    batch, new_off = rd.read(off)
+                    batch = list(batch)
+                    if batch:
+                        ledger.append((off, new_off, batch))
+                        delivered.extend(r[0] for r in batch)
+                    off = new_off
+            for w in list(open_ids):
+                writers[w].commit()
+                committed.update(open_ids.pop(w))
+            # drain: the table is quiescent, so the fence promotes the
+            # frontier within two polls — 3 consecutive empties = done
+            idle = 0
+            while idle < 3:
+                batch, new_off = rd.read(off)
+                batch = list(batch)
+                if batch:
+                    ledger.append((off, new_off, batch))
+                    delivered.extend(r[0] for r in batch)
+                    idle = 0
+                else:
+                    idle += 1
+                off = new_off
+            assert delivered == sorted(delivered), f"seed {seed}: disorder"
+            assert len(delivered) == len(set(delivered)), f"seed {seed}: dup"
+            assert set(delivered) == committed, (
+                f"seed {seed}: lost {sorted(committed - set(delivered))}, "
+                f"phantom {sorted(set(delivered) - committed)}"
+            )
+            for s, e, batch in ledger:  # exactly-once replay per range
+                replay = sorted(rd.readBetweenOffsets(s, e))
+                assert replay == sorted(batch), f"seed {seed}: replay drift"
+    finally:
+        for wconn in writers:
+            try:
+                wconn.rollback()
+                wconn.close()
+            except Exception:
+                pass
+        acur.execute(f"DROP TABLE IF EXISTS {table}")
+        admin.commit()
+        admin.close()
+
+
 def test_stream_cursor_slack_numeric_holds_back_frontier(spark):
     """cursor_slack=N on a numeric cursor delivers only rows at or
     below MAX(cursor)-N: the frontier band where late commits can still
