@@ -158,7 +158,7 @@ _NEW_GATES: set[str] = {
     # ~44 oldest-evidence drains)
     "op_dedup_blocking_audit",
     "op_drift_wasserstein",
-    "op_event_markov_transition",
+    "op_markov_stationarity_drift",
 }
 
 # Harness-crash gates whose FIX landed this round: one front-of-window

@@ -1275,76 +1275,145 @@ def op_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Event-type Markov transition matrix (round 10) ------------------------
+# --- Markov stationarity drift (round 10) ----------------------------------
 
-_MARKOV_ORACLE = """
+# Epoch-micros boundary splitting the synthetic corpus's January 2024
+# span at mid-month: 2024-01-16T00:00:00Z. A fixed integer (not a
+# timestamp literal) so the split is identical under ANY session or
+# server timezone — the epoch-floor convention of the seasonality
+# gates.
+_DRIFT_SPLIT_US = 1_705_363_200_000_000
+
+_MARKOV_DRIFT_ORACLE = f"""
     WITH seq AS (
-      SELECT user_id, event_type,
+      SELECT user_id, event_type, epoch_us(ts) AS us,
              LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS prev_type
       FROM events
     ),
     tr AS (
-      SELECT prev_type AS from_type, event_type AS to_type,
-             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      SELECT CASE WHEN us < {_DRIFT_SPLIT_US} THEN 1 ELSE 2 END AS period,
+             prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
       FROM seq WHERE prev_type IS NOT NULL
-      GROUP BY 1, 2
+      GROUP BY 1, 2, 3
     ),
     ft AS (
-      SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
-      FROM tr GROUP BY 1
+      SELECT period, from_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM tr GROUP BY 1, 2
+    ),
+    probs AS (
+      SELECT tr.period, tr.from_type, tr.to_type,
+             CAST(tr.n * 1000000 // ft.tot AS BIGINT) AS p
+      FROM tr JOIN ft USING (period, from_type)
+    ),
+    cells AS (
+      SELECT from_type, to_type,
+             CAST(COALESCE(SUM(CASE WHEN period = 1 THEN p END), 0)
+                  AS BIGINT) AS p1,
+             CAST(COALESCE(SUM(CASE WHEN period = 2 THEN p END), 0)
+                  AS BIGINT) AS p2
+      FROM probs GROUP BY 1, 2
+    ),
+    halves AS (
+      SELECT a.from_type, a.tot AS pairs_h1, b.tot AS pairs_h2
+      FROM ft a JOIN ft b
+        ON a.from_type = b.from_type AND a.period = 1 AND b.period = 2
     )
-    SELECT tr.from_type, tr.to_type, tr.n_transitions, ft.from_total,
-           CAST(tr.n_transitions * 1000000 // ft.from_total AS BIGINT)
-             AS prob_micro
-    FROM tr JOIN ft USING (from_type)
+    SELECT c.from_type, halves.pairs_h1, halves.pairs_h2,
+           CAST(SUM(ABS(c.p1 - c.p2)) AS BIGINT) AS l1_micro
+    FROM cells c JOIN halves USING (from_type)
+    GROUP BY 1, 2, 3
 """
 
 
-@_register("op_event_markov_transition", _MARKOV_ORACLE)
-def op_event_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event-type
-    sequences: for every (from, to) pair, the transition count and the
-    row-normalized probability — the behavioral fingerprint a pipeline
-    derives for session modeling, bot detection (near-deterministic
-    rows), and synthetic-sequence generation priors. Complements the
-    funnel (fixed order) and bigram-predictability (text-domain) gates
-    with the full event-domain transition structure.
+@_register("op_markov_stationarity_drift", _MARKOV_DRIFT_ORACLE)
+def op_markov_stationarity_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-stationarity audit of user-journey dynamics: the L1 distance
+    between each from-state's transition-probability row computed on
+    the first half of the time range vs the second half. A stationary
+    process drifts only by sampling noise; a large ``l1_micro`` on a
+    from-state flags regime change (product launch, bot wave,
+    instrumentation break) — the check a sequence-model pipeline runs
+    before treating history as one training distribution. Distinct
+    from ``op_markov_transitions`` (the matrix itself) and
+    ``op_drift_wasserstein`` (length distribution per source): this
+    measures drift of the *dynamics* over *time*.
 
-    Determinism: sequence order is (ts, event_id) — event_id breaks
-    same-timestamp ties identically in both engines, so every LAG
-    window is reproducible. Exactness: int64 counts; probability is one
-    fixed-point floor division per cell (non-negative operands — Spark
-    ``div`` == DuckDB ``//``).
+    Exactness: counts are int64; each cell probability is one
+    fixed-point floor division (non-negative — Spark ``div`` == DuckDB
+    ``//``); the L1 sum is an integer sum of absolute differences of
+    those micros. The half-split compares epoch MICROS against a fixed
+    integer boundary, so no timestamp literal ever parses under a
+    session timezone. From-states are emitted only when they transition
+    in BOTH halves (the inner ``both`` join) — a one-sided row has no
+    second distribution to compare against.
 
-    Scale shape: ONE user-keyed shuffle for the lag window (the same
-    partitioning sessionization uses), then a (from, to)-keyed
-    map-side-combined count — 25 cells here, |types|² in general, so
-    everything after the window is dims-sized. The corpus is read once.
+    Scale shape: ONE user-keyed shuffle for the lag window (the
+    sessionization partitioning), then (period, from, to)-keyed
+    map-side-combined counts — 2·|types|² cells, so everything past
+    the window is dims-sized and the later joins broadcast. The events
+    table is read once.
     """
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
     seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag("event_type").over(w).alias("prev_type"),
     )
     tr = (
         seq.filter(F.col("prev_type").isNotNull())
         .groupBy(
+            F.when(F.col("us") < F.lit(_DRIFT_SPLIT_US), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("period"),
             F.col("prev_type").alias("from_type"),
             F.col("event_type").alias("to_type"),
         )
-        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    ft = tr.groupBy("from_type").agg(
-        F.sum("n_transitions").cast("bigint").alias("from_total")
+    ft = tr.groupBy("period", "from_type").agg(
+        F.sum("n").cast("bigint").alias("tot")
     )
-    return tr.join(ft, "from_type").select(
+    probs = tr.join(F.broadcast(ft), ["period", "from_type"]).select(
+        "period",
         "from_type",
         "to_type",
-        "n_transitions",
-        "from_total",
-        F.expr("n_transitions * 1000000L div from_total")
+        F.expr("n * 1000000L div tot").cast("bigint").alias("p"),
+    )
+    cells = probs.groupBy("from_type", "to_type").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("period") == 1, F.col("p"))), F.lit(0)
+        )
         .cast("bigint")
-        .alias("prob_micro"),
+        .alias("p1"),
+        F.coalesce(
+            F.sum(F.when(F.col("period") == 2, F.col("p"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("p2"),
+    )
+    both = (
+        ft.filter(F.col("period") == 1)
+        .select("from_type", F.col("tot").alias("pairs_h1"))
+        .join(
+            ft.filter(F.col("period") == 2).select(
+                "from_type", F.col("tot").alias("pairs_h2")
+            ),
+            "from_type",
+        )
+    )
+    return (
+        cells.groupBy("from_type")
+        .agg(
+            F.sum(F.abs(F.col("p1") - F.col("p2")))
+            .cast("bigint")
+            .alias("l1_micro")
+        )
+        .join(F.broadcast(both), "from_type")
+        .select("from_type", "pairs_h1", "pairs_h2", "l1_micro")
     )

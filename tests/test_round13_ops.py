@@ -1,13 +1,15 @@
 """Round-10 new operators: independent pure-Python recounts (the third
 implementation next to Spark and the DuckDB oracle) plus each
 operator's defining invariant (blocking precision<=1 and the
-perfect-block edge case, W1 triangle/zero properties, Markov rows
-summing to ~1e6)."""
+perfect-block edge case, W1 triangle/zero properties, Markov drift
+bounded by the two distributions' total mass)."""
 
 from __future__ import annotations
 
 import re
 from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
 
 from apitap_spark.session import read_table
 
@@ -155,41 +157,55 @@ def test_wasserstein_closed_forms():
     assert _w1_scaled([1, 2, 3], [2, 3, 4]) == 1 * 3 * 3
 
 
-# --- op_event_markov_transition ----------------------------------------------
+# --- op_markov_stationarity_drift ------------------------------------------
 
 
-def test_markov_transition_matches_python(spark, sf_dir):
-    from apitap_spark.operators.temporal import op_event_markov_transition
+def test_markov_stationarity_drift_matches_python(spark, sf_dir):
+    """Independent Python recount: per-user consecutive pairs split at
+    the fixed epoch-micros boundary; per-half row-normalized micros;
+    L1 per from-state. Must agree with the Spark frame exactly."""
+    from apitap_spark.operators.temporal import (
+        _DRIFT_SPLIT_US,
+        op_markov_stationarity_drift,
+    )
 
     rows = read_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
     ).collect()
     by_user = defaultdict(list)
     for r in rows:
-        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
-    tr = Counter()
+        by_user[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    n = {1: Counter(), 2: Counter()}  # period -> (from, to) -> count
     for seq in by_user.values():
         seq.sort()
-        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
-            tr[(a, b)] += 1
-    from_tot = Counter()
-    for (a, _), c in tr.items():
-        from_tot[a] += c
-    got = {
-        (r["from_type"], r["to_type"]): r
-        for r in op_event_markov_transition(spark, sf_dir).collect()
+        for (_, _, a), (us_b, _, b) in zip(seq, seq[1:]):
+            n[1 if us_b < _DRIFT_SPLIT_US else 2][(a, b)] += 1
+    tot = {p: Counter() for p in (1, 2)}
+    for p in (1, 2):
+        for (a, _), c in n[p].items():
+            tot[p][a] += c
+    probs = {
+        p: {(a, b): c * MICRO // tot[p][a] for (a, b), c in n[p].items()}
+        for p in (1, 2)
     }
-    assert set(got) == set(tr)
-    for (a, b), c in tr.items():
-        g = got[(a, b)]
-        assert g["n_transitions"] == c
-        assert g["from_total"] == from_tot[a]
-        assert g["prob_micro"] == c * MICRO // from_tot[a]
-    # row-stochastic invariant: each from-row's probs sum to ~1e6
-    # (floor division loses < |types| micros per row)
-    by_from = defaultdict(int)
-    for (a, _), g in got.items():
-        by_from[a] += g["prob_micro"]
-    n_types = len({b for _, b in tr})
-    for a, s in by_from.items():
-        assert MICRO - n_types <= s <= MICRO
+    want = {}
+    for a in set(tot[1]) & set(tot[2]):  # both-halves contract
+        cells = {b for (x, b) in probs[1] if x == a} | {
+            b for (x, b) in probs[2] if x == a
+        }
+        l1 = sum(
+            abs(probs[1].get((a, b), 0) - probs[2].get((a, b), 0))
+            for b in cells
+        )
+        want[a] = (tot[1][a], tot[2][a], l1)
+    got = {
+        r["from_type"]: (r["pairs_h1"], r["pairs_h2"], r["l1_micro"])
+        for r in op_markov_stationarity_drift(spark, sf_dir).collect()
+    }
+    assert got == want
+    # drift is bounded by 2e6 micros (two distributions' total mass)
+    for _, _, l1 in got.values():
+        assert 0 <= l1 <= 2 * MICRO
