@@ -549,7 +549,11 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
     Polling is driver-side by design (the `simple` reader): one
     watermark probe per micro-batch is inherently serial; downstream
     stages parallelize as usual. The initial offset starts BEFORE the
-    existing data (full backfill) unless ``start_from=latest``. Batches
+    existing data (full backfill) unless ``start_from=latest`` — note
+    that the latest-start probe is an *unfenced* ``MAX(cursor)``: rows
+    from transactions in flight at stream start are skipped as
+    pre-stream history even with a fence configured (a warning is
+    logged); the fences govern every poll after that point. Batches
     move over the row protocol (~150K rows/s measured — delta-sized
     polls, not bulk); backfill a LARGE existing table with the batch
     reader instead (COPY/Arrow parallel strides, ~5x) and start the
@@ -580,6 +584,29 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                 "are alternative fences — set one"
             )
         self._reader = PostgresReader(self.options, schema)
+        if self._xmin_fence:
+            from pyspark.sql import types as T
+
+            dt = self._cursor_dtype()
+            if not isinstance(
+                dt,
+                (
+                    T.LongType, T.IntegerType, T.ShortType,
+                    T.DoubleType, T.FloatType, T.DecimalType,
+                    T.TimestampType, T.TimestampNTZType, T.DateType,
+                ),
+            ):
+                # Fence promotion compares candidate cursors in PYTHON
+                # (_cursor_sort_key); for text cursors Python byte
+                # order can disagree with the server collation, which
+                # would silently stall the fence. Text cursors also
+                # can't satisfy the monotone-allocation contract.
+                raise ValueError(
+                    "apitap_postgres streaming: xmin_fence requires a "
+                    "numeric, decimal, timestamp, or date cursor_column"
+                    f" (got {dt.simpleString()} for {self._col!r}) — "
+                    "text cursors have no engine-independent ordering"
+                )
         self._warn_if_nullable_cursor()
 
     # -- cursor typing ---------------------------------------------------
@@ -622,12 +649,15 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                 fence = "(now() - (%s)::interval)::date"
             return f"{col} <= {fence}", [str(self._slack)]
         try:
-            delta = (
-                int(self._slack)
-                if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType))
-                else float(self._slack)
-            )
-        except (TypeError, ValueError):
+            if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)):
+                delta = int(self._slack)
+            elif isinstance(dt, T.DecimalType):
+                import decimal
+
+                delta = decimal.Decimal(self._slack)
+            else:
+                delta = float(self._slack)
+        except (TypeError, ValueError, ArithmeticError):
             raise ValueError(
                 "apitap_postgres streaming: cursor_slack must be numeric "
                 f"for a {dt.simpleString()} cursor column "
@@ -679,6 +709,25 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         if (self.options.get("start_from") or "earliest") != "latest":
             return {"cursor": None}
+        if self._xmin_fence or self._slack is not None:
+            import logging
+
+            # The latest-start probe is an UNFENCED MAX(cursor): a row
+            # from a transaction in flight at stream start whose cursor
+            # lands at or below this max is treated as pre-stream
+            # history and never delivered. The fences guard every poll
+            # AFTER this point. Quiesce writers across stream start (or
+            # backfill with the batch reader from an explicit cursor)
+            # if that window matters.
+            logging.getLogger(__name__).warning(
+                "apitap_postgres streaming: start_from=latest takes an "
+                "unfenced snapshot — rows from transactions in flight "
+                "RIGHT NOW with cursor <= MAX(%s) are skipped as "
+                "pre-stream history; the %s fence applies to later "
+                "polls only.",
+                self._col,
+                "xmin" if self._xmin_fence else "cursor_slack",
+            )
         from apitap_spark.sinks import pgwire
 
         conn = pgwire.connect(self._reader._dsn())
@@ -708,7 +757,7 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         return self._cursor_param(raw)
 
     def _advance_xmin_fence(
-        self, pending: list, last: str | None
+        self, pending: list, last: str | None, conn=None
     ) -> tuple[str | None, list]:
         """One snapshot+max probe; returns (fence_cursor_or_None,
         new_pending). A pending candidate ``[xmax, cursor]`` becomes the
@@ -719,7 +768,9 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         from apitap_spark.sinks import pgwire
 
         col = _quote_ident(self._col)
-        conn = pgwire.connect(self._reader._dsn())
+        owned = conn is None
+        if owned:
+            conn = pgwire.connect(self._reader._dsn())
         try:
             cur = conn.cursor()
             cur.execute(
@@ -729,7 +780,8 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             )
             xmin_now, xmax_now, mx = cur.fetchone()
         finally:
-            conn.close()
+            if owned:
+                conn.close()
         pending = [[int(x), str(c)] for x, c in pending]
         key = self._cursor_sort_key
         if mx is not None:
@@ -749,7 +801,8 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             pending = pending[:1] + pending[1:-1:2] + pending[-1:]
         return fence, pending
 
-    def _select(self, where: str, params: list, limit: int | None):
+    def _select(self, where: str, params: list, limit: int | None,
+                conn=None):
         from apitap_spark.sinks import pgwire
 
         cols = ", ".join(
@@ -762,17 +815,25 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         )
         if limit is not None:
             sql += f" LIMIT {int(limit)}"
-        conn = pgwire.connect(self._reader._dsn())
+        owned = conn is None
+        if owned:
+            conn = pgwire.connect(self._reader._dsn())
         try:
             cur = conn.cursor()
             cur.execute(sql, params)
             return cur.fetchall()
         finally:
-            conn.close()
+            if owned:
+                conn.close()
 
     def _cursor_param(self, raw: str):
         """Offsets serialize as strings; bind back as the column's
-        Python type so pgwire sends a correctly-OID'd parameter."""
+        Python type so pgwire sends a correctly-OID'd parameter AND so
+        :meth:`_cursor_sort_key` compares numerically — a DECIMAL
+        cursor compared as a Python string would order "10" < "9" and
+        permanently stall the xmin fence at the digit-count boundary."""
+        import decimal
+
         from pyspark.sql import types as T
 
         dt = self.schema_struct[self._col].dataType
@@ -780,13 +841,17 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             return int(raw)
         if isinstance(dt, (T.DoubleType, T.FloatType)):
             return float(raw)
+        if isinstance(dt, T.DecimalType):
+            return decimal.Decimal(raw)
         return raw  # strings / timestamps compare as text literals
 
-    def _count_at(self, boundary) -> int:
+    def _count_at(self, boundary, conn=None) -> int:
         from apitap_spark.sinks import pgwire
 
         col = _quote_ident(self._col)
-        conn = pgwire.connect(self._reader._dsn())
+        owned = conn is None
+        if owned:
+            conn = pgwire.connect(self._reader._dsn())
         try:
             cur = conn.cursor()
             cur.execute(
@@ -796,10 +861,13 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             )
             (n,) = cur.fetchone()
         finally:
-            conn.close()
+            if owned:
+                conn.close()
         return int(n)
 
     def read(self, start: dict):
+        from apitap_spark.sinks import pgwire
+
         col = _quote_ident(self._col)
         cast = self._cast_suffix()
         last = start.get("cursor")
@@ -809,67 +877,84 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             f"{col} > %s{cast}"
         ]
         params: list = [] if last is None else [self._cursor_param(last)]
-        if self._xmin_fence:
-            fence, pending = self._advance_xmin_fence(
-                start.get("pending") or [], last
+        # ONE connection per poll (fence probe + select + optional
+        # boundary count/completion share it): a caught-up 5s-trigger
+        # sync costs one handshake per interval, not 2-4. Statements on
+        # a READ COMMITTED connection each take a fresh snapshot, so
+        # visibility is identical to per-statement connections.
+        conn = pgwire.connect(self._reader._dsn())
+        try:
+            if self._xmin_fence:
+                fence, pending = self._advance_xmin_fence(
+                    start.get("pending") or [], last, conn=conn
+                )
+                end["pending"] = pending
+                if fence is None:
+                    return iter([]), end
+                where.append(f"{col} <= %s{cast}")
+                params.append(self._cursor_param(fence))
+            else:
+                slack = self._slack_fence()
+                if slack is not None:
+                    frag, extra_params = slack
+                    where.append(frag)
+                    params.extend(extra_params)
+
+            rows = self._select(
+                " AND ".join(where), params, self._max_rows, conn=conn
             )
-            end["pending"] = pending
-            if fence is None:
+            if not rows:
                 return iter([]), end
-            where.append(f"{col} <= %s{cast}")
-            params.append(self._cursor_param(fence))
-        else:
-            slack = self._slack_fence()
-            if slack is not None:
-                frag, extra_params = slack
-                where.append(frag)
-                params.extend(extra_params)
+            idx = [
+                f.name for f in self.schema_struct.fields
+            ].index(self._col)
+            boundary = rows[-1][idx]
+            if len(rows) == self._max_rows:
+                # Finish the boundary value so a non-unique cursor never
+                # straddles two offsets (replay safety). The LIMIT'd
+                # batch and this follow-up may order ties DIFFERENTLY
+                # (plan-dependent), so slicing the follow-up by a count
+                # could duplicate emitted rows and drop others — instead
+                # REPLACE every boundary-valued row with the follow-up's
+                # complete, authoritative set (exactly what
+                # readBetweenOffsets replays for this range). The
+                # completion is deliberately un-LIMIT'd — but a coarse
+                # cursor could make it the whole table, so probe the
+                # count first and fail with direction instead of
+                # materializing an unbounded batch on the driver.
+                n_at = self._count_at(boundary, conn=conn)
+                if n_at > self._boundary_limit:
+                    raise ValueError(
+                        f"apitap_postgres streaming: {n_at} rows share "
+                        f"cursor value {boundary!r} — finishing the "
+                        f"boundary value would exceed "
+                        f"boundary_value_limit={self._boundary_limit}. "
+                        f"The cursor column {self._col!r} is too coarse "
+                        "for incremental sync; use a finer-grained or "
+                        "unique cursor (serial PK, microsecond "
+                        "timestamp), or raise boundary_value_limit if "
+                        "this cardinality is genuinely intended."
+                    )
+                if n_at > self._max_rows:
+                    import logging
 
-        rows = self._select(" AND ".join(where), params, self._max_rows)
-        if not rows:
-            return iter([]), end
-        idx = [f.name for f in self.schema_struct.fields].index(self._col)
-        boundary = rows[-1][idx]
-        if len(rows) == self._max_rows:
-            # Finish the boundary value so a non-unique cursor never
-            # straddles two offsets (replay safety). The LIMIT'd batch
-            # and this follow-up may order ties DIFFERENTLY
-            # (plan-dependent), so slicing the follow-up by a count
-            # could duplicate emitted rows and drop others — instead
-            # REPLACE every boundary-valued row with the follow-up's
-            # complete, authoritative set (exactly what
-            # readBetweenOffsets replays for this range). The
-            # completion is deliberately un-LIMIT'd — but a coarse
-            # cursor could make it the whole table, so probe the count
-            # first and fail with direction instead of materializing an
-            # unbounded batch on the driver.
-            n_at = self._count_at(boundary)
-            if n_at > self._boundary_limit:
-                raise ValueError(
-                    f"apitap_postgres streaming: {n_at} rows share "
-                    f"cursor value {boundary!r} — finishing the boundary "
-                    f"value would exceed boundary_value_limit="
-                    f"{self._boundary_limit}. The cursor column "
-                    f"{self._col!r} is too coarse for incremental sync; "
-                    "use a finer-grained or unique cursor (serial PK, "
-                    "microsecond timestamp), or raise "
-                    "boundary_value_limit if this cardinality is "
-                    "genuinely intended."
+                    logging.getLogger(__name__).warning(
+                        "apitap_postgres streaming: boundary completion "
+                        "for cursor value %r fetched %d rows — %dx "
+                        "max_rows_per_batch=%d. The batch row budget "
+                        "cannot bound a micro-batch below the cursor's "
+                        "duplicate-set size; consider a finer-grained "
+                        "cursor_column.",
+                        boundary, n_at, n_at // self._max_rows,
+                        self._max_rows,
+                    )
+                extra = self._select(
+                    f"{col} = %s{cast}", [boundary], None, conn=conn
                 )
-            if n_at > self._max_rows:
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "apitap_postgres streaming: boundary completion for "
-                    "cursor value %r fetched %d rows — %dx "
-                    "max_rows_per_batch=%d. The batch row budget cannot "
-                    "bound a micro-batch below the cursor's duplicate-"
-                    "set size; consider a finer-grained cursor_column.",
-                    boundary, n_at, n_at // self._max_rows, self._max_rows,
-                )
-            extra = self._select(f"{col} = %s{cast}", [boundary], None)
-            rows = [r for r in rows if r[idx] != boundary]
-            rows.extend(extra)
+                rows = [r for r in rows if r[idx] != boundary]
+                rows.extend(extra)
+        finally:
+            conn.close()
         end["cursor"] = str(boundary)
         if self._xmin_fence:
             bkey = self._cursor_sort_key(str(boundary))

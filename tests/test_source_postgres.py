@@ -1130,6 +1130,118 @@ def test_stream_xmin_fence_randomized_concurrent_writers(spark):
         admin.close()
 
 
+def test_stream_xmin_fence_decimal_cursor_crosses_digit_boundary(spark):
+    """A NUMERIC cursor must compare numerically in the fence
+    bookkeeping: string ordering would put '10' < '9' and stall the
+    stream forever at the digit-count boundary. Drive the fence across
+    9 -> 10 and on to 100 and assert every row arrives in order."""
+    from pyspark.sql import types as T
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_fence_decimal"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(
+        f"CREATE TABLE {table} (id NUMERIC(10,2) NOT NULL, v TEXT)"
+    )
+    for i in range(1, 10):  # 1..9 — single digit
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    try:
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "id",
+                "xmin_fence": "true",
+                "max_rows_per_batch": 4,
+            },
+            _stream_schema(("id", T.DecimalType(10, 2)),
+                           ("v", T.StringType())),
+        )
+        rows, off = _drain(rd, rd.initialOffset())
+        assert [int(r[0]) for r in rows] == list(range(1, 10))
+        # cross the digit boundary: 10 > 9 numerically, "10" < "9" as
+        # strings — a lexicographic fence would never deliver these
+        for i in (10, 11, 100):
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s)",
+                        (i, f"r{i}"))
+        conn.commit()
+        rows2, off2 = _drain(rd, off)
+        assert [int(r[0]) for r in rows2] == [10, 11, 100]
+        # replay equivalence across the decimal range
+        replay = sorted(rd.readBetweenOffsets(off, off2))
+        assert replay == sorted(rows2)
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
+def test_stream_xmin_fence_rejects_text_cursor():
+    """Text cursors have no engine-independent ordering (Python byte
+    order vs server collation) and can't satisfy monotone allocation —
+    the fence must refuse them at construction, not stall silently."""
+    from pyspark.sql import types as T
+
+    import pytest as _pytest
+
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    with _pytest.raises(ValueError, match="xmin_fence requires"):
+        PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": "whatever",
+                "cursor_column": "v",
+                "xmin_fence": "true",
+            },
+            _stream_schema(("id", T.LongType()), ("v", T.StringType())),
+        )
+
+
+def test_stream_latest_start_with_fence_warns_unfenced_snapshot(caplog):
+    """start_from=latest takes an UNFENCED MAX(cursor) — with a fence
+    configured the reader must say so (rows in flight at stream start
+    are skipped as pre-stream history; the fence only guards later
+    polls)."""
+    import logging
+
+    from apitap_spark.sinks import pgwire
+    from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
+
+    table = "pgsrc_latest_warn"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    cur.execute(f"INSERT INTO {table} VALUES (1, 'a'), (2, 'b')")
+    conn.commit()
+    try:
+        rd = PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": table,
+                "cursor_column": "id",
+                "xmin_fence": "true",
+                "start_from": "latest",
+            },
+            _long_schema(),
+        )
+        with caplog.at_level(logging.WARNING,
+                             logger="apitap_spark.sources.pgsource"):
+            off = rd.initialOffset()
+        assert off == {"cursor": "2"}
+        assert any("unfenced snapshot" in r.message for r in caplog.records)
+    finally:
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+
+
 def test_stream_cursor_slack_numeric_holds_back_frontier(spark):
     """cursor_slack=N on a numeric cursor delivers only rows at or
     below MAX(cursor)-N: the frontier band where late commits can still
