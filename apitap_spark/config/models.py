@@ -178,7 +178,13 @@ class SourceConfig:
                 raise ConfigError(
                     f"source {d['name']!r}: incremental requires cursor_field"
                 )
-            if inc.get("cursor_slack") is not None and inc.get("xmin_fence"):
+            # String-aware truthiness, matching the reader's option
+            # parse (pgsource.py) — a templating layer that stringifies
+            # YAML values must not turn "false" into an enabled fence.
+            xmin = str(inc.get("xmin_fence", "")).lower() in (
+                "true", "1", "yes",
+            )
+            if inc.get("cursor_slack") is not None and xmin:
                 raise ConfigError(
                     f"source {d['name']!r}: cursor_slack and xmin_fence "
                     "are alternative fences — set one"
@@ -191,7 +197,7 @@ class SourceConfig:
                     if inc.get("cursor_slack") is None
                     else str(inc["cursor_slack"])
                 ),
-                xmin_fence=bool(inc.get("xmin_fence", False)),
+                xmin_fence=xmin,
             )
         return cls(
             name=d["name"],

@@ -2245,7 +2245,11 @@ def op_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")  # n_chars >= 0: floor == truncate, matches //
         .cast("string")
         .alias("k_len"),
-        F.concat_ws("|", "lang", "source").alias("k_ls"),
+        # F.concat (not concat_ws): NULL-propagating like the oracle's
+        # `lang || '|' || source`, so a NULL lang/source keys the doc
+        # into the NULL non-block on BOTH engines (concat_ws would
+        # silently skip the NULL and collide 'NULL|web' with 'web').
+        F.concat(F.col("lang"), F.lit("|"), F.col("source")).alias("k_ls"),
     ).selectExpr(
         "doc_id",
         f"stack(3, 'head{EDIT_HEAD_TOKENS}', k_head,"

@@ -412,6 +412,20 @@ def test_incremental_fence_config_parsing():
     )
     assert sc4.incremental.cursor_slack is None
     assert sc4.incremental.xmin_fence is False
+    # string-aware truthiness (a templating layer may stringify):
+    # "false" must NOT enable the fence — nor trip the conflict check
+    sc5 = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "id",
+                                 "xmin_fence": "false",
+                                 "cursor_slack": 3}}
+    )
+    assert sc5.incremental.xmin_fence is False
+    assert sc5.incremental.cursor_slack == "3"
+    sc6 = SourceConfig.from_dict(
+        {**base, "incremental": {"cursor_field": "id",
+                                 "xmin_fence": "true"}}
+    )
+    assert sc6.incremental.xmin_fence is True
     with _pytest.raises(ConfigError, match="alternative fences"):
         SourceConfig.from_dict(
             {**base, "incremental": {"cursor_field": "id",
