@@ -51,6 +51,11 @@ DRIFT_WATCHLIST = [
     # round-8 freeze: 1.94 -> 3.97s with untouched code (verdict #4
     # watch item) — medians decide variance vs regression.
     "op_kmeans_refine",
+    # round-10: 6.7s -> 17.5s between two same-day freezes of byte-
+    # identical code (the suite's biggest position-dependent swing);
+    # medians separate the shuffle-plan gate's real cost from whatever
+    # the suite left in the page cache ahead of it.
+    "op_training_shuffle_plan",
 ]
 
 SINK_RUNS = 3
