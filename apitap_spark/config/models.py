@@ -178,12 +178,25 @@ class SourceConfig:
                 raise ConfigError(
                     f"source {d['name']!r}: incremental requires cursor_field"
                 )
-            # String-aware truthiness, matching the reader's option
-            # parse (pgsource.py) — a templating layer that stringifies
-            # YAML values must not turn "false" into an enabled fence.
-            xmin = str(inc.get("xmin_fence", "")).lower() in (
-                "true", "1", "yes",
-            )
+            # String-aware truthiness — a templating layer that
+            # stringifies YAML values must not turn "false" into an
+            # enabled fence — and STRICT: an unrecognized value raises
+            # instead of silently disabling the loss protection the
+            # user asked for.
+            raw_fence = inc.get("xmin_fence", False)
+            if isinstance(raw_fence, bool):
+                xmin = raw_fence
+            else:
+                s = str(raw_fence).strip().lower()
+                if s in ("true", "1", "yes"):
+                    xmin = True
+                elif s in ("false", "0", "no", ""):
+                    xmin = False
+                else:
+                    raise ConfigError(
+                        f"source {d['name']!r}: xmin_fence must be a "
+                        f"boolean (got {raw_fence!r})"
+                    )
             if inc.get("cursor_slack") is not None and xmin:
                 raise ConfigError(
                     f"source {d['name']!r}: cursor_slack and xmin_fence "

@@ -2156,7 +2156,7 @@ def _blocking_audit_oracle() -> str:
     )
     return rf"""
     WITH truth AS ({_SQL_JACCARD_PAIRS_CAPPED}),
-    keyed AS (
+    keyed_raw AS (
       SELECT 'head{EDIT_HEAD_TOKENS}' AS strategy, doc_id, {head} AS k
       FROM documents
       UNION ALL
@@ -2166,6 +2166,10 @@ def _blocking_audit_oracle() -> str:
       UNION ALL
       SELECT 'lang_source', doc_id, lang || '|' || source FROM documents
     ),
+    -- a NULL key means "this strategy cannot block this doc": such
+    -- docs join no block at all (they would otherwise pile into one
+    -- giant uncatchable NULL group in cand)
+    keyed AS (SELECT * FROM keyed_raw WHERE k IS NOT NULL),
     cand AS (
       SELECT strategy,
              CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
@@ -2246,15 +2250,20 @@ def op_dedup_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("k_len"),
         # F.concat (not concat_ws): NULL-propagating like the oracle's
-        # `lang || '|' || source`, so a NULL lang/source keys the doc
-        # into the NULL non-block on BOTH engines (concat_ws would
-        # silently skip the NULL and collide 'NULL|web' with 'web').
+        # `lang || '|' || source` (concat_ws would silently skip the
+        # NULL and collide 'NULL|web' with 'web').
         F.concat(F.col("lang"), F.lit("|"), F.col("source")).alias("k_ls"),
     ).selectExpr(
         "doc_id",
         f"stack(3, 'head{EDIT_HEAD_TOKENS}', k_head,"
         f" 'len{BLOCK_LEN_BUCKET}', k_len,"
         " 'lang_source', k_ls) AS (strategy, k)",
+    ).filter(
+        # a NULL key means "this strategy cannot block this doc" —
+        # exclude it everywhere (cand AND caught), mirroring the
+        # oracle's keyed CTE, so uncatchable pairs never inflate
+        # candidate_pairs
+        F.col("k").isNotNull()
     ).localCheckpoint()  # consumed by cand AND both caught join sides
     cand = (
         keyed.groupBy("strategy", "k")

@@ -574,9 +574,18 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                 "boundary_value_limit", max(100_000, 10 * self._max_rows)
             )
         )
-        self._xmin_fence = (
-            str(options.get("xmin_fence", "")).lower() in ("true", "1", "yes")
-        )
+        raw_fence = str(options.get("xmin_fence", "")).strip().lower()
+        if raw_fence in ("true", "1", "yes"):
+            self._xmin_fence = True
+        elif raw_fence in ("false", "0", "no", ""):
+            self._xmin_fence = False
+        else:
+            # Strict: a typo'd fence option must not silently disable
+            # the loss protection it asked for.
+            raise ValueError(
+                "apitap_postgres streaming: xmin_fence must be a boolean"
+                f" (got {options.get('xmin_fence')!r})"
+            )
         self._slack = options.get("cursor_slack")
         if self._slack is not None and self._xmin_fence:
             raise ValueError(
@@ -584,7 +593,7 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                 "are alternative fences — set one"
             )
         self._reader = PostgresReader(self.options, schema)
-        if self._xmin_fence:
+        if self._xmin_fence or self._slack is not None:
             from pyspark.sql import types as T
 
             dt = self._cursor_dtype()
@@ -596,16 +605,22 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
                     T.TimestampType, T.TimestampNTZType, T.DateType,
                 ),
             ):
-                # Fence promotion compares candidate cursors in PYTHON
-                # (_cursor_sort_key); for text cursors Python byte
-                # order can disagree with the server collation, which
-                # would silently stall the fence. Text cursors also
-                # can't satisfy the monotone-allocation contract.
+                # xmin fence: promotion compares candidate cursors in
+                # PYTHON (_cursor_sort_key); for text cursors Python
+                # byte order can disagree with the server collation,
+                # which would silently stall the fence (and text can't
+                # satisfy monotone allocation anyway). cursor_slack:
+                # there is no "text minus delta" — the generated SQL
+                # would die at the first poll with a server type error;
+                # fail here with direction instead.
+                fence_name = (
+                    "xmin_fence" if self._xmin_fence else "cursor_slack"
+                )
                 raise ValueError(
-                    "apitap_postgres streaming: xmin_fence requires a "
-                    "numeric, decimal, timestamp, or date cursor_column"
-                    f" (got {dt.simpleString()} for {self._col!r}) — "
-                    "text cursors have no engine-independent ordering"
+                    f"apitap_postgres streaming: {fence_name} requires "
+                    "a numeric, decimal, timestamp, or date "
+                    f"cursor_column (got {dt.simpleString()} for "
+                    f"{self._col!r})"
                 )
         self._warn_if_nullable_cursor()
 
@@ -756,6 +771,18 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
             return _dt.datetime.fromisoformat(raw)
         return self._cursor_param(raw)
 
+    def _conn_or_own(self, conn):
+        """Context manager: yield ``conn`` when the caller holds the
+        poll's shared connection, else open a dedicated one and close
+        it on exit — the own-or-borrow dance of every probe helper."""
+        import contextlib
+
+        if conn is not None:
+            return contextlib.nullcontext(conn)
+        from apitap_spark.sinks import pgwire
+
+        return contextlib.closing(pgwire.connect(self._reader._dsn()))
+
     def _advance_xmin_fence(
         self, pending: list, last: str | None, conn=None
     ) -> tuple[str | None, list]:
@@ -765,23 +792,15 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         in flight when that cursor max was observed has finished, so all
         rows at or below it are visible-or-never (see class docstring
         for the monotone-allocation requirement)."""
-        from apitap_spark.sinks import pgwire
-
         col = _quote_ident(self._col)
-        owned = conn is None
-        if owned:
-            conn = pgwire.connect(self._reader._dsn())
-        try:
-            cur = conn.cursor()
+        with self._conn_or_own(conn) as c:
+            cur = c.cursor()
             cur.execute(
                 "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint,"
                 " pg_snapshot_xmax(pg_current_snapshot())::text::bigint,"
                 f" MAX({col}) FROM {self._reader._relation()}"
             )
             xmin_now, xmax_now, mx = cur.fetchone()
-        finally:
-            if owned:
-                conn.close()
         pending = [[int(x), str(c)] for x, c in pending]
         key = self._cursor_sort_key
         if mx is not None:
@@ -803,8 +822,6 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def _select(self, where: str, params: list, limit: int | None,
                 conn=None):
-        from apitap_spark.sinks import pgwire
-
         cols = ", ".join(
             _quote_ident(f.name) for f in self.schema_struct.fields
         )
@@ -815,16 +832,10 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         )
         if limit is not None:
             sql += f" LIMIT {int(limit)}"
-        owned = conn is None
-        if owned:
-            conn = pgwire.connect(self._reader._dsn())
-        try:
-            cur = conn.cursor()
+        with self._conn_or_own(conn) as c:
+            cur = c.cursor()
             cur.execute(sql, params)
             return cur.fetchall()
-        finally:
-            if owned:
-                conn.close()
 
     def _cursor_param(self, raw: str):
         """Offsets serialize as strings; bind back as the column's
@@ -846,23 +857,15 @@ class PostgresSimpleStreamReader(SimpleDataSourceStreamReader):
         return raw  # strings / timestamps compare as text literals
 
     def _count_at(self, boundary, conn=None) -> int:
-        from apitap_spark.sinks import pgwire
-
         col = _quote_ident(self._col)
-        owned = conn is None
-        if owned:
-            conn = pgwire.connect(self._reader._dsn())
-        try:
-            cur = conn.cursor()
+        with self._conn_or_own(conn) as c:
+            cur = c.cursor()
             cur.execute(
                 f"SELECT COUNT(*) FROM {self._reader._relation()}"
                 f" WHERE {col} = %s{self._cast_suffix()}",
                 [boundary],
             )
             (n,) = cur.fetchone()
-        finally:
-            if owned:
-                conn.close()
         return int(n)
 
     def read(self, start: dict):

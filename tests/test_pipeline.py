@@ -426,6 +426,13 @@ def test_incremental_fence_config_parsing():
                                  "xmin_fence": "true"}}
     )
     assert sc6.incremental.xmin_fence is True
+    # an unrecognized value must RAISE, not silently disable the loss
+    # protection the user asked for
+    with _pytest.raises(ConfigError, match="must be a boolean"):
+        SourceConfig.from_dict(
+            {**base, "incremental": {"cursor_field": "id",
+                                     "xmin_fence": "on"}}
+        )
     with _pytest.raises(ConfigError, match="alternative fences"):
         SourceConfig.from_dict(
             {**base, "incremental": {"cursor_field": "id",

@@ -71,7 +71,13 @@ def test_blocking_audit_matches_python(spark, sf_dir):
         f"len{BLOCK_LEN_BUCKET}": lambda r: str(
             r["n_chars"] // BLOCK_LEN_BUCKET
         ),
-        "lang_source": lambda r: f"{r['lang']}|{r['source']}",
+        # None (NULL-propagating concat) = "cannot block this doc":
+        # excluded from candidate AND caught counts, like both engines
+        "lang_source": lambda r: (
+            None
+            if r["lang"] is None or r["source"] is None
+            else f"{r['lang']}|{r['source']}"
+        ),
     }
     n = len(rows)
     got = {
@@ -79,10 +85,17 @@ def test_blocking_audit_matches_python(spark, sf_dir):
     }
     assert set(got) == set(keys)
     for strat, keyfn in keys.items():
-        k = {r["doc_id"]: keyfn(r) for r in rows}
+        k = {
+            r["doc_id"]: keyfn(r)
+            for r in rows
+            if keyfn(r) is not None
+        }
         sizes = Counter(k.values())
         candidates = sum(c * (c - 1) // 2 for c in sizes.values())
-        caught = sum(1 for a, b in truth if k[a] == k[b])
+        caught = sum(
+            1 for a, b in truth
+            if a in k and b in k and k[a] == k[b]
+        )
         g = got[strat]
         assert g["candidate_pairs"] == candidates
         assert g["truth_pairs"] == len(truth)
@@ -206,6 +219,10 @@ def test_markov_stationarity_drift_matches_python(spark, sf_dir):
         for r in op_markov_stationarity_drift(spark, sf_dir).collect()
     }
     assert got == want
+    # non-vacuity: the fixed epoch split must actually bisect the
+    # corpus — an empty half would make this (and the oracle compare)
+    # a meaningless 0-rows == 0-rows green after a testdata regen
+    assert want and tot[1] and tot[2]
     # drift is bounded by 2e6 micros (two distributions' total mass)
     for _, _, l1 in got.values():
         assert 0 <= l1 <= 2 * MICRO

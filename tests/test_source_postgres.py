@@ -1191,6 +1191,7 @@ def test_stream_xmin_fence_rejects_text_cursor():
 
     from apitap_spark.sources.pgsource import PostgresSimpleStreamReader
 
+    schema = _stream_schema(("id", T.LongType()), ("v", T.StringType()))
     with _pytest.raises(ValueError, match="xmin_fence requires"):
         PostgresSimpleStreamReader(
             {
@@ -1199,7 +1200,30 @@ def test_stream_xmin_fence_rejects_text_cursor():
                 "cursor_column": "v",
                 "xmin_fence": "true",
             },
-            _stream_schema(("id", T.LongType()), ("v", T.StringType())),
+            schema,
+        )
+    # cursor_slack on a text cursor would generate `text - double` SQL
+    # and crash at the first poll — same construction-time rejection
+    with _pytest.raises(ValueError, match="cursor_slack requires"):
+        PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": "whatever",
+                "cursor_column": "v",
+                "cursor_slack": "5",
+            },
+            schema,
+        )
+    # a typo'd fence value must raise, not silently disable the fence
+    with _pytest.raises(ValueError, match="must be a boolean"):
+        PostgresSimpleStreamReader(
+            {
+                "dsn": DSN,
+                "table": "whatever",
+                "cursor_column": "id",
+                "xmin_fence": "enabled",
+            },
+            schema,
         )
 
 
