@@ -1617,3 +1617,41 @@ def test_burstiness_shares_seasonality_shuffle_shape(spark, sf_dir):
     # exactly one parquet scan (the formatted details section repeats
     # each scan node's Location line once per scan)
     assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_blocking_audit_no_cartesian_no_python(spark, sf_dir):
+    """Blocking audit: the caught joins are keyed (doc_id/strategy) and
+    the 1-row totals ride broadcast nested-loop — never a
+    CartesianProduct; the whole gate stays JVM-side. (The keyed frame
+    itself sits under a localCheckpoint, so this asserts the operators
+    ABOVE it — cand, caught, totals.)"""
+    from apitap_spark.operators.dedup import op_dedup_blocking_audit
+
+    p = _plan(op_dedup_blocking_audit(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_wasserstein_grid_windows_broadcast(spark, sf_dir):
+    """W1 drift: the (source x value) grid cross-join is dims-sized and
+    must compile to a broadcast nested loop (never CartesianProduct);
+    the CDF accumulations are source-partitioned windows; no Python."""
+    from apitap_spark.operators.quality import op_drift_wasserstein
+
+    p = _plan(op_drift_wasserstein(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_stationarity_drift_window_and_broadcast(spark, sf_dir):
+    """Markov stationarity drift: one user-keyed window for the lag
+    sequences; the per-period totals and the both-halves frame join
+    back broadcast (dims-sized); no Python."""
+    from apitap_spark.operators.temporal import op_markov_stationarity_drift
+
+    p = _plan(op_markov_stationarity_drift(spark, sf_dir))
+    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
