@@ -769,7 +769,104 @@ def test_pipeline_stream_fence_options_reach_reader(spark, tmp_path):
         conn.close()
 
 
-def test_stream_reader_randomized_drain_equivalence(spark):
+def test_cli_stream_mode_end_to_end(spark, tmp_path):
+    """The CLI --stream branch as a user runs it: module discovery,
+    per-module checkpoint naming, default-target resolution, continuous
+    polling, and the awaitAnyTermination stop/surface logic. main()
+    runs on a thread (processingTime queries never finish on their
+    own); the test proves rows flow continuously, then stops the query
+    and asserts the documented no-exception exit code."""
+    import threading
+    import time as _t
+
+    import duckdb
+    import yaml
+
+    from apitap_spark.pipeline.runner import main as cli_main
+    from apitap_spark.sinks import pgwire
+
+    table = "pgsrc_cli_stream"
+    conn = pgwire.connect(DSN)
+    cur = conn.cursor()
+    cur.execute(f"DROP TABLE IF EXISTS {table}")
+    cur.execute(f"CREATE TABLE {table} (id BIGINT NOT NULL, v TEXT)")
+    for i in range(20):
+        cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+    conn.commit()
+    mod_dir = tmp_path / "sql"
+    mod_dir.mkdir()
+    (mod_dir / "cli_sync.sql").write_text(
+        "{{ sink('cli_live') }}\n"
+        "SELECT id, v FROM {{ use_source('cli_items') }}"
+    )
+    duck_path = str(tmp_path / "cli.duckdb")
+    cfg_path = tmp_path / "pipelines.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "sources": [{
+            "name": "cli_items",
+            "kind": "postgres",
+            "dsn": DSN,
+            "table": table,
+            "primary_key": "id",
+            "incremental": {"cursor_field": "id", "xmin_fence": True},
+        }],
+        "targets": [{"name": "t", "kind": "duckdb", "path": duck_path}],
+    }))
+    rc_box = {}
+
+    def run():
+        rc_box["rc"] = cli_main([
+            "-m", str(mod_dir), "-y", str(cfg_path),
+            "--stream", str(tmp_path / "ckpt"),
+            "--poll-interval", "0 seconds",
+            "--log-level", "warning",
+        ])
+
+    th = threading.Thread(target=run, daemon=True)
+
+    def replica_count() -> int:
+        try:
+            c = duckdb.connect(duck_path, read_only=True)
+        except duckdb.Error:
+            return -1
+        try:
+            return c.execute("SELECT COUNT(*) FROM cli_live").fetchone()[0]
+        except duckdb.Error:
+            return -1
+        finally:
+            c.close()
+
+    def wait_for(n: int, deadline_s: float = 120.0) -> None:
+        t0 = _t.monotonic()
+        while _t.monotonic() - t0 < deadline_s:
+            if replica_count() == n:
+                return
+            _t.sleep(0.5)
+        raise AssertionError(
+            f"replica never reached {n} rows (at {replica_count()})"
+        )
+
+    th.start()
+    try:
+        wait_for(20)  # backfill
+        for i in range(20, 30):  # continuous: new rows flow while live
+            cur.execute(f"INSERT INTO {table} VALUES (%s, %s)", (i, f"r{i}"))
+        conn.commit()
+        wait_for(30)
+    finally:
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline and not spark.streams.active:
+            _t.sleep(0.2)
+        for q in spark.streams.active:
+            q.stop()
+        th.join(timeout=120)
+        cur.execute(f"DROP TABLE IF EXISTS {table}")
+        conn.commit()
+        conn.close()
+    assert not th.is_alive(), "CLI stream loop did not unwind after stop"
+    # documented contract: a query terminating WITHOUT an exception
+    # exits 1 (processingTime syncs never finish on their own)
+    assert rc_box.get("rc") == 1
     """Randomized fortification of the offset logic the round-9 review
     fixed: for random duplicate-heavy cursor distributions and random
     batch limits, (a) the drain equals the table exactly, (b) each
