@@ -353,6 +353,13 @@ def main(argv: list[str] | None = None) -> int:
             if len(cfg.targets) != 1:
                 ap.error("--target required when config has multiple targets")
             target = next(iter(cfg.targets))
+        # Terminations are recorded process-wide until reset: without
+        # this, any streaming query that ran earlier in the process
+        # (embedded use, a prior sync) makes awaitAnyTermination below
+        # return IMMEDIATELY and tear down the fresh queries before
+        # they deliver a single batch. Reset BEFORE starting ours so a
+        # fast-failing query's termination is never cleared.
+        spark.streams.resetTerminated()
         queries = []
         for rel in list_sql_templates(args.modules):
             ckpt = _os.path.join(
