@@ -38,10 +38,83 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apitap_spark.functions.text import tokens
-from apitap_spark.session import read_table
+from apitap_spark.session import FrameMemo, context_key, read_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+# Cross-gate memo (round-10 optimization): EIGHT gates (learn, apply,
+# encode, pack, fertility, decode, wordpiece, shuffle-plan) compose the
+# SAME N_MERGES learning pass and, for five of them, the same encode.
+# All four memo frames are pinned LOCAL CHECKPOINTS (RDD-level,
+# MEMORY_AND_DISK): dataset-level persist() does not survive the bench
+# loop's spark.catalog.clearCache(), and a lineage recompute after that
+# walks into gate-internal checkpoints release_persisted() has already
+# freed (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the second run
+# of the pack gate under the bench protocol).  final_vocab and sym_ids
+# are vocab-sized; seqs and the packed rows are encoded-corpus-sized —
+# the same class as the dedup family's persisted shingle frame, and at
+# production scale the materialization a pipeline would write as a
+# parquet intermediate anyway.  bench.py's memo-honesty counters tag
+# the building gate vs warm readers.
+_BPE_MEMO = FrameMemo()
+# (context, sf_dir) -> {"merges": [...], "eos": int} driver-side scalars
+_BPE_AUX: dict = {}
+
+
+def clear_bpe_memo() -> None:
+    """Drop the family's memoized frames + scalars (tests/teardown)."""
+    _BPE_MEMO.clear()
+    _BPE_AUX.clear()
+
+
+def _gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+
+
+def learned_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], DataFrame]:
+    """Memoized (merges, final_vocab) for the sf_dir documents corpus —
+    one learning pass per (session, sf_dir) shared by the whole family."""
+    key = (context_key(spark), sf_dir)
+
+    def build() -> DataFrame:
+        merges, fv = learn_bpe_with_vocab(
+            char_vocab(_gate_docs(spark, sf_dir)), carry=("w",)
+        )
+        _BPE_AUX.setdefault(key, {})["merges"] = merges
+        return fv
+
+    fv = _BPE_MEMO.get(spark, ("bpe_final_vocab", sf_dir), build)
+    return _BPE_AUX[key]["merges"], fv
+
+
+def encoded_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized (seqs, sym_ids) — the encode step over the memoized
+    vocabulary.  Both pinned checkpoints (see the module-memo note)."""
+    _merges, fv = learned_bpe(spark, sf_dir)
+    sym_ids = _BPE_MEMO.get(
+        spark, ("bpe_sym_ids", sf_dir), lambda: _sym_id_table(fv)
+    )
+    seqs = _BPE_MEMO.get(
+        spark,
+        ("bpe_seqs", sf_dir),
+        lambda: _encode_seqs(_gate_docs(spark, sf_dir), fv, sym_ids),
+    )
+    return seqs, sym_ids
+
+
+def _eos_id(spark: SparkSession, sf_dir: str, sym_ids: DataFrame) -> int:
+    """EOS token id (= vocabulary size), counted once per (session, sf)."""
+    aux = _BPE_AUX.setdefault((context_key(spark), sf_dir), {})
+    if "eos" not in aux:
+        aux["eos"] = sym_ids.count()
+    return aux["eos"]
 
 
 def _register(name: str, oracle: str | None = None):
@@ -92,7 +165,12 @@ def learn_bpe_with_vocab(
     Stops early when no adjacent pair remains (fully merged corpus).
     """
     keep = [c for c in carry if c not in ("symbols",)]
-    cur = vocab.select(*keep, "symbols", "cnt").localCheckpoint()
+    # Lazy checkpoints (round-10, guide §1/§2): each round's argmax
+    # collect materializes the fold AND caches the truncated-lineage
+    # blocks in the SAME job, halving the loop's job count vs the eager
+    # form (eager paid a separate materialization job per round, plus a
+    # 13th for the final fold that merge-only callers never consume).
+    cur = vocab.select(*keep, "symbols", "cnt").localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         pairs = cur.select(
@@ -118,7 +196,7 @@ def learn_bpe_with_vocab(
         merges.append((rank, l, r, int(c)))
         cur = cur.select(
             *keep, _apply_merge(F.col("symbols"), l, r).alias("symbols"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, cur
 
 
@@ -245,11 +323,8 @@ def op_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly twice (vocab build, final join). Oracle: the recursive-CTE
     replay's final vocabulary state joined the same way.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
-    return bpe_token_budgets(docs, final_vocab)
+    _merges, final_vocab = learned_bpe(spark, sf_dir)
+    return bpe_token_budgets(_gate_docs(spark, sf_dir), final_vocab)
 
 
 def char_vocab(docs: DataFrame) -> DataFrame:
@@ -350,10 +425,7 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic throughout → hash-checked against the recursive-CTE
     replay's final vocabulary.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    seqs, _sym_ids = bpe_encode(docs)
+    seqs, _sym_ids = encoded_bpe(spark, sf_dir)
     return seqs.select(
         "doc_id",
         F.size("token_ids").cast("bigint").alias("n_tokens"),
@@ -383,15 +455,29 @@ def encode_with_vocab(
     Blank/whitespace-only docs are dropped HERE (tokens('') is ['']; an
     unfiltered blank doc would otherwise encode a bogus empty-string
     token) — same contract as chunk_passages."""
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    sym_ids = _sym_id_table(final_vocab).localCheckpoint()
+    return _encode_seqs(docs, final_vocab, sym_ids), sym_ids
+
+
+def _sym_id_table(final_vocab: DataFrame) -> DataFrame:
+    """(sym, sym_id) dense lexicographic id table — pure expression; the
+    single-partition row_number is over distinct SYMBOLS (thousands at
+    web scale, never the corpus)."""
     from pyspark.sql import Window as W
 
-    docs = docs.filter(F.length(F.trim("text")) > 0)
-    sym_ids = (
+    return (
         final_vocab.select(F.explode("symbols").alias("sym"))
         .distinct()
         .withColumn("sym_id", F.row_number().over(W.orderBy("sym")) - 1)
-        .localCheckpoint()
     )
+
+
+def _encode_seqs(
+    docs: DataFrame, final_vocab: DataFrame, sym_ids: DataFrame
+) -> DataFrame:
+    """(doc_id, token_ids) sequences — pure expression over an already
+    materialized sym_ids table (callers checkpoint/pin it)."""
     word_ids = (
         final_vocab.select("w", F.posexplode("symbols").alias("sp", "sym"))
         .join(sym_ids, "sym")
@@ -416,7 +502,7 @@ def encode_with_vocab(
             ).alias("token_ids")
         )
     )
-    return seqs, sym_ids
+    return seqs
 
 
 SEQ_LEN = 128  # tokens per packed training row
@@ -467,15 +553,19 @@ def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's own size. The oracle computes the same integers with a
     plain global running sum.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
+    seqs, sym_ids = encoded_bpe(spark, sf_dir)
+    eos = _eos_id(spark, sf_dir, sym_ids)
+    # The packed frame is memoized too (pinned persist): the shuffle-plan
+    # gate composes this gate, so without the memo the explode+groupBy
+    # over the full token stream ran twice per suite.
+    packed = _BPE_MEMO.get(
+        spark,
+        ("bpe_packed", sf_dir),
+        lambda: pack_rows_frame(seqs, eos),
     )
-    seqs, sym_ids = bpe_encode(docs)
     # Gate projection serializes token_ids (driver pandas canonicalizer
     # can't hash list cells); pack_rows_frame keeps the raw array.
-    return pack_rows_frame(seqs, sym_ids.count()).withColumn(
-        "token_ids", F.array_join("token_ids", ",")
-    )
+    return packed.withColumn("token_ids", F.array_join("token_ids", ","))
 
 
 def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:
@@ -540,12 +630,10 @@ def op_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts replay exactly; the greedy merge fold has a
     closed-form SQL equivalent (see _BPE_ORACLE). The plain-Python
     equality pytest remains the semantic anchor."""
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
+    merges, _fv = learned_bpe(spark, sf_dir)
     # createDataFrame, not f-string VALUES SQL: learned symbols may contain
     # quote/backslash characters that no escaping scheme keeps portable.
-    return merges_frame(spark, learn_bpe_merges(char_vocab(docs)))
+    return merges_frame(spark, merges)
 
 
 # Tokenizer fertility per language: the post-BPE budget joined to the
@@ -599,10 +687,8 @@ def op_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     end in a fixed chain, so the gate hash-checks against the
     recursive-CTE replay.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    docs = _gate_docs(spark, sf_dir)
+    _merges, final_vocab = learned_bpe(spark, sf_dir)
     budgets = bpe_token_budgets(docs, final_vocab)
     joined = budgets.join(docs.select("doc_id", "lang"), "doc_id")
     bpe_tokens = F.sum("bpe_tokens")
@@ -664,10 +750,8 @@ def op_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear, no pairwise work); the verdict aggregate is map-side
     combined per source.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    seqs, sym_ids = bpe_encode(docs)
+    docs = _gate_docs(spark, sf_dir)
+    seqs, sym_ids = encoded_bpe(spark, sf_dir)
     exploded = seqs.select(
         "doc_id", F.posexplode("token_ids").alias("i", "sym_id")
     )
@@ -764,10 +848,8 @@ def op_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical greedy scan in a recursive CTE whose longest-match is
     a correlated MAX over the symbol table.
     """
-    docs = read_table(spark, sf_dir, "documents").filter(
-        F.length(F.trim("text")) > 0
-    )
-    _merges, final_vocab = learn_bpe_with_vocab(char_vocab(docs), carry=("w",))
+    docs = _gate_docs(spark, sf_dir)
+    _merges, final_vocab = learned_bpe(spark, sf_dir)
     syms = [
         r["sym"]
         for r in final_vocab.select(F.explode("symbols").alias("sym"))
