@@ -296,7 +296,7 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     note_memo_event(hit=hit is not None)
     if hit is not None:
         return hit
-    from apitap_spark.session import pinned_persist
+    from apitap_spark.session import pinned_local_checkpoint
 
     n_docs = read_table(spark, sf_dir, "documents").count()
     # floor the cap at 2: on small corpora int(0.1*n) reaches 0 and would
@@ -311,7 +311,7 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= max_df)
         .drop("df")
     )
-    d, ids = pinned_persist(sh, spark)
+    d, ids = pinned_local_checkpoint(sh, spark)
     _DEDUP_PINNED_IDS.update(ids)
     _DEDUP_FRAME_CACHE[key] = d
     return d
