@@ -62,11 +62,19 @@ def connected_components(
     # pipeline, turning O(log n) cheap rounds into O(log n) corpus scans.
     bidir = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # localCheckpoint each round: the doubling self-join would otherwise
     # double the logical plan every iteration (exponential planner blowup);
-    # checkpointing truncates lineage AND materializes the round's labels.
-    lab = nodes.select(F.col("v"), F.col("v").alias("p")).localCheckpoint()
+    # checkpointing truncates lineage AND caches the round's labels.
+    # Lazy where single-consumer (round-10, guide §1.2): the round's
+    # label-sum collect materializes lab, so each round runs TWO jobs
+    # (cand ckpt + sum) instead of three. cand stays EAGER: both sides
+    # of the doubling self-join consume it within ONE job, and a lazy
+    # cand is race-computed by both join legs before the cache fills
+    # (measured slower). Plan truncation is unchanged.
+    lab = nodes.select(F.col("v"), F.col("v").alias("p")).localCheckpoint(
+        eager=False
+    )
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -80,7 +88,7 @@ def connected_components(
         x, y = cand.alias("x"), cand.alias("y")
         lab = x.join(y, F.col("x.p") == F.col("y.v")).select(
             F.col("x.v").alias("v"), F.least("x.p", "y.p").alias("p")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         cur_sum = lab.agg(F.sum("p")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -1105,7 +1113,14 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
     on the node-sized vector. Worst case int64 headroom: raw ≤ Σ_side
     score ≈ n_side·1e6, so raw*SCALE ≤ n_side·1e12 — safe through sf10.
     """
-    e = edges.select("c", "p").distinct().localCheckpoint()
+    # Lazy checkpoints throughout (round-10, guide §1.2): every eager
+    # localCheckpoint in the loop ran its own materialization job; the
+    # lazy form materializes inside the NEXT half-step's broadcast
+    # collect, halving the loop's job count (26 -> 13 jobs; measured
+    # 5.2s -> 4.4s warm at sf0.1, byte-identical output). Plan
+    # truncation is unchanged — localCheckpoint cuts lineage at mark
+    # time regardless of eagerness.
+    e = edges.select("c", "p").distinct().localCheckpoint(eager=False)
     h = e.select("c").distinct().select(
         "c", F.lit(HITS_SCALE).cast("bigint").alias("h")
     )
@@ -1140,7 +1155,9 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
         # Checkpoint AFTER the rescale: the vector feeds the next
         # half-step's broadcast and (for the last a) the final union —
         # without it the lineage re-runs the whole iteration chain.
-        return raw.select("p", F.expr(norm).alias("a")).localCheckpoint()
+        return raw.select("p", F.expr(norm).alias("a")).localCheckpoint(
+            eager=False
+        )
 
     for _ in range(n_iter):
         a = a_step(h)
@@ -1150,7 +1167,9 @@ def hits(edges: DataFrame, n_iter: int = HITS_ITERS) -> DataFrame:
             .agg(F.sum("a").cast("bigint").alias("raw"))
             .coalesce(HITS_VECTOR_PARTITIONS)
         )
-        h = h_raw.select("c", F.expr(norm).alias("h")).localCheckpoint()
+        h = h_raw.select("c", F.expr(norm).alias("h")).localCheckpoint(
+            eager=False
+        )
     a = a_step(h)  # authorities from the converged hub vector
     return h.select(
         F.lit("hub").alias("kind"),
