@@ -422,6 +422,22 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_buckets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned MinHash band-bucket rows (32/doc — linear in the corpus,
+    tiny next to it): the shared signature store of the full-batch LSH
+    rung (_minhash_lsh_pairs) and the incremental rung
+    (op_dedup_incremental_minhash), which previously each re-ran the
+    dominant 128-permutation signature aggregate. This is exactly the
+    bucket table a production pipeline materializes as persistent state
+    (see operators.incremental module docstring)."""
+    return _cached_pinned(
+        spark, sf_dir, "minhash_buckets",
+        lambda: minhash_band_buckets(
+            gram_hash_rows(read_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 @_register("op_dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(thr=0.8))
 def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(32 bands x 4 rows) near-dup pairs at Jaccard>=0.8.
@@ -447,14 +463,12 @@ def op_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    # Eager checkpoint: the bucket rows feed both sides of the self-join
-    # as a shuffle side and a broadcast side — different exchange kinds,
-    # so ReuseExchange never fires and the signature aggregate would run
-    # twice. Bucket rows are 32/doc (linear, tiny next to the corpus);
-    # production materializes them anyway as the incremental signature
-    # store (operators.incremental).
-    buckets = minhash_band_buckets(gram_hash_rows(docs)).localCheckpoint()
+    # Pinned memo: the bucket rows feed both sides of the self-join as a
+    # shuffle side and a broadcast side — different exchange kinds, so
+    # ReuseExchange never fires and the signature aggregate would run
+    # twice; the memo also shares the build with the incremental rung
+    # (round-10).
+    buckets = minhash_buckets_cached(spark, sf_dir)
     x = buckets.alias("x")
     y = buckets.alias("y")
     candidates = (

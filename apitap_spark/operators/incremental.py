@@ -42,8 +42,6 @@ from apitap_spark.operators.dedup import (
     _SQL_SHINGLES,
     _candidate_doc_shingles,
     _jaccard_pairs,
-    gram_hash_rows,
-    minhash_band_buckets,
 )
 from apitap_spark.session import read_table
 
@@ -187,10 +185,12 @@ def op_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate hash-matching proves the candidate set loses nothing at
     the 0.8 threshold (miss probability < 1e-7).
     """
-    docs = read_table(spark, sf_dir, "documents")
-    # checkpoint: store and batch sides would otherwise each re-run the
-    # signature aggregate (see op_dedup_minhash_lsh)
-    buckets = minhash_band_buckets(gram_hash_rows(docs)).localCheckpoint()
+    from apitap_spark.operators.dedup import minhash_buckets_cached
+
+    # Pinned memo shared with the full-batch LSH rung: one signature
+    # aggregate per (session, sf_dir) instead of one per gate (round-10;
+    # the bucket table IS the persistent store of this module's design).
+    buckets = minhash_buckets_cached(spark, sf_dir)
     is_old = F.col("doc_id") % 10 < 8
     store = buckets.filter(is_old)  # production: read bucketed dataset
     batch = buckets.filter(~is_old)
