@@ -698,17 +698,19 @@ def test_quantile_binning_windows_over_distinct_values_not_corpus(spark, sf_dir)
 
 
 def test_knn_label_accuracy_constant_bounded_sample(spark, sf_dir):
-    """The kNN audit's query side is a FIXED-SIZE hash-rank sample:
-    TakeOrderedAndProject (distributed top-k by md5, never a global
-    sort) capped at KNN_QUERY_CAP, broadcast into the theta join — so
-    the exact rung is O(cap * N), linear in the corpus, not the
-    round-6 proportional-sample O(N^2/10)."""
+    """The kNN audit's pair scoring is one Arrow-batched NumPy pass of
+    the constant-bounded query sample over each corpus partition
+    (round-10: replaced the broadcast theta join whose interpreted HOF
+    dot fold dominated the gate); per-query top-k still rides
+    WindowGroupLimit. The corpus side is NEVER shuffled before the
+    kernel — the MapInPandas node sits directly on the checkpointed
+    scan."""
     from apitap_spark.operators.similarity import op_knn_label_accuracy
 
     p = _plan(op_knn_label_accuracy(spark, sf_dir))
-    assert "TakeOrderedAndProject" in p  # capped hash-rank sample
-    assert "BroadcastNestedLoopJoin" in p  # 256-row sample is broadcast
+    assert "MapInPandas" in p  # Arrow-batched exact kernel
     assert "WindowGroupLimit" in p  # per-query top-k pushed into sort
+    assert "BroadcastNestedLoopJoin" not in p  # theta join replaced
 
 
 def test_dpo_pairs_two_window_sorts_one_partitioning(spark, sf_dir):
@@ -1039,13 +1041,16 @@ def test_gini_split_constant_size_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_knn_broadcasts_query_sample(spark, sf_dir):
-    """The ~10% query sample joins the corpus via broadcast (never a
-    corpus x corpus shuffle join) and top-k rides WindowGroupLimit."""
+def test_knn_kernel_partition_local(spark, sf_dir):
+    """The query sample scores against the corpus inside the Arrow
+    kernel (never a corpus x corpus shuffle join; the only exchange is
+    the q_id-keyed window above the kernel) and top-k rides
+    WindowGroupLimit."""
     from apitap_spark.operators.similarity import op_knn_label_accuracy
 
     p = _plan(op_knn_label_accuracy(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "WindowGroupLimit" in p
 
 
