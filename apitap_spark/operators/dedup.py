@@ -1939,9 +1939,13 @@ def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
+    # Lazy checkpoint (round-10, guide §1.2): the gram stream feeds the
+    # df groupBy AND the join probe — without it the explode chain ran
+    # twice (same fix as op_cdc_chunking; measured −35% warm there and
+    # ~−40% on the novelty twin of this shape).
     grams = docs.select(
         "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     gdf = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
     return (
         grams.join(gdf, "g")
@@ -2085,9 +2089,14 @@ def op_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
+    # Lazy checkpoint: the gram stream feeds the first-occurrence MIN
+    # AND the join probe (round-10; A/B 3.2-3.7s -> 2.0-2.2s warm at
+    # sf0.1, identical rows — a window-min rewrite measured equal but
+    # loses AQE skew-join splitting, which windows never get, so the
+    # join shape stays).
     grams = docs.select(
         "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     firsts = grams.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )
