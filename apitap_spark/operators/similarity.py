@@ -39,10 +39,49 @@ from apitap_spark.session import FrameMemo as _FrameMemo  # noqa: E402
 
 _ANN_MEMO = _FrameMemo()
 
+# Pinned memo of the PQ build (round-10): FOUR gate paths re-learned
+# the identical codebooks + encoding per suite (pq_codes, pq_adc,
+# ivfpq_search, and ivfpq_recall_audit composing ivfpq_search).
+# assigned is corpus x PQ_M rows, codebook is M x K rows — both the
+# persistent index state a production ANN pipeline stores anyway.
+_PQ_BUILD_CACHE: dict[tuple, tuple] = {}
+_PQ_PINNED_IDS: set[int] = set()
+
 
 def clear_ann_frame_caches() -> None:
-    """Drop the memoized top-k frames and unpin their RDD blocks."""
+    """Drop the memoized top-k/PQ frames and unpin their RDD blocks."""
+    from apitap_spark.session import unpin_rdds
+
     _ANN_MEMO.clear()
+    _PQ_BUILD_CACHE.clear()
+    unpin_rdds(_PQ_PINNED_IDS)
+    _PQ_PINNED_IDS.clear()
+
+
+def pq_build_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Pinned memo of :func:`pq_build` over the sf_dir embeddings —
+    one Lloyd build per (session, sf_dir) shared by every PQ gate."""
+    from apitap_spark.session import (
+        context_key,
+        note_memo_event,
+        pinned_local_checkpoint,
+    )
+
+    key = (context_key(spark), sf_dir)
+    hit = _PQ_BUILD_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
+    if hit is not None:
+        return hit
+    assigned, codebook = pq_build(read_table(spark, sf_dir, "embeddings"))
+    a, ids_a = pinned_local_checkpoint(assigned, spark)
+    c, ids_c = pinned_local_checkpoint(codebook, spark)
+    _PQ_PINNED_IDS.update(ids_a)
+    _PQ_PINNED_IDS.update(ids_c)
+    out = (a, c)
+    _PQ_BUILD_CACHE[key] = out
+    return out
 
 
 def _register(name: str, oracle: str | None = None):
@@ -704,7 +743,7 @@ def op_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent) with the double view derived in a fixed chain.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, _codebook = pq_build(emb)
+    assigned, _codebook = pq_build_cached(spark, sf_dir)
     # Gate projection serializes codes (the external driver's pandas
     # canonicalizer can't hash list cells); pq_codes_frame keeps the
     # raw array<bigint> for pipeline callers.
@@ -791,7 +830,7 @@ def op_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so the whole search replays in DuckDB.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned, codebook = pq_build(emb)
+    assigned, codebook = pq_build_cached(spark, sf_dir)
     return pq_adc_topk(emb, assigned, codebook)
 
 
@@ -960,7 +999,7 @@ def op_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("label").alias("cell"))
     )
     # PQ fine quantizer: codes + per-query LUTs
-    assigned, codebook = pq_build(emb)
+    assigned, codebook = pq_build_cached(spark, sf_dir)
     enc = assigned.select(
         F.col("vec_id").alias("c_id"), "block", F.col("cluster").alias("code")
     ).join(
