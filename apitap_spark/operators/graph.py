@@ -361,6 +361,24 @@ def _lp_oracle() -> str:
     """
 
 
+def lp_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned memo of the converged label-propagation labels (v, label)
+    — node-cardinality. op_graph_modularity composes the SAME LP_ITERS
+    rounds op_graph_label_propagation runs; before round 10 each gate
+    re-ran the full loop (~4 s at sf0.1)."""
+    from apitap_spark.session import pinned_local_checkpoint
+
+    key = (context_key(spark), sf_dir, "lp_labels")
+    hit = _EDGE_CACHE.get(key)
+    note_memo_event(hit=hit is not None)
+    if hit is not None:
+        return hit
+    d, ids = pinned_local_checkpoint(_lp_labels(spark, sf_dir), spark)
+    _GRAPH_PINNED_IDS.update(ids)
+    _EDGE_CACHE[key] = d
+    return d
+
+
 @_register("op_graph_label_propagation", _lp_oracle())
 def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection via synchronous label propagation
@@ -379,7 +397,19 @@ def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label ASC) — so the whole iteration replays exactly in a DuckDB
     recursive CTE. Per round: one edge-to-label join + one (node,
     label)-keyed integer aggregate; lineage cut per round.
+
+    The converged labels are the pinned ``lp_labels`` memo shared with
+    op_graph_modularity (round-10) — the detect half is computed once,
+    the evaluate half reads it.
     """
+    labels = lp_labels_cached(spark, sf_dir)
+    return labels.select(
+        F.col("v").alias("user_id"),
+        F.col("label").cast("bigint").alias("community"),
+    )
+
+
+def _lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     grp = ev.select(
         F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
@@ -421,9 +451,7 @@ def op_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return labels.select(
-        F.col("v").alias("user_id"), F.col("label").cast("bigint").alias("community")
-    )
+    return labels
 
 
 # --- L107: triangle counting over the bounded-degree co-activity graph ------
@@ -965,9 +993,11 @@ def op_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed rounds op_graph_label_propagation runs.
     """
     ev = read_table(spark, sf_dir, "events")
-    comm = QUERIES["op_graph_label_propagation"](spark, sf_dir).select(
-        F.col("user_id").alias("v"), "community"
-    ).localCheckpoint()  # tiny node->community map; probed three times
+    # Pinned memo shared with op_graph_label_propagation (round-10):
+    # the detect half ran its full LP_ITERS loop a second time here.
+    comm = lp_labels_cached(spark, sf_dir).select(
+        "v", F.col("label").cast("bigint").alias("community")
+    )
     grp = ev.select(
         F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
     ).distinct()
