@@ -177,11 +177,47 @@ _RECHECK_FRONT: set[str] = {
     # round 10: den>0 guard for single-language shards (ADVICE #3 —
     # l_docs <= n_docs-1 filter added on BOTH engines)
     "op_chi2_token_selection",
-    # round 10 perf rewrites, semantics-preserving (hash-verified
-    # locally at sf0.01 and sf0.1): window-mean normalization in hits()
-    # and the array-signature minhash audit
-    "op_graph_hits",
+    # round 10 optimization: every gate whose executed plan changed
+    # this round (semantics-preserving rewrites, memo rewires, lazy
+    # checkpoints — all driver-mimic green locally at sf0.001+sf0.01;
+    # see OPTIMIZATION_r10.md) gets a fresh driver oracle row the
+    # same round it ships (round-7 ADVICE #2).
+    # BPE family: shared learning-pass memo + lazy loop checkpoints
+    "op_bpe_learn_merges",
+    "op_bpe_apply_tokens",
+    "op_bpe_encode_docs",
+    "op_bpe_pack_training_rows",
+    "op_bpe_fertility_by_lang",
+    "op_bpe_decode_roundtrip",
+    "op_wordpiece_encode",
+    "op_training_shuffle_plan",
+    # dedup: shingle memo persist->localCheckpoint, shared MinHash
+    # bucket store, gram-stream checkpoints, CC lazy labels
+    "op_dedup_containment",
+    "op_dedup_ngram_jaccard",
+    "op_dedup_minhash_lsh",
+    "op_dedup_threshold_curve",
     "op_minhash_estimate_audit",
+    "op_dedup_incremental_minhash",
+    "op_dedup_clusters",
+    "op_dedup_keep_best",
+    "op_dedup_cluster_size_histogram",
+    "op_dedup_onion_share",
+    "op_text_ngram_novelty",
+    "op_cdc_chunking",
+    # graph: lazy HITS/CC checkpoints, shared LP-label memo
+    "op_graph_hits",
+    "op_graph_session_components",
+    "op_graph_label_propagation",
+    "op_graph_modularity",
+    "op_dbscan_clusters",
+    # similarity: Arrow kNN/SemDeDup kernels, shared PQ build
+    "op_knn_label_accuracy",
+    "op_semantic_dedup",
+    "op_ann_pq_codes",
+    "op_ann_pq_adc",
+    "op_ann_ivfpq_search",
+    "op_ann_ivfpq_recall_audit",
 }
 
 

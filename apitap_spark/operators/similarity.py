@@ -1159,11 +1159,22 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the cells are the whole trick — pairwise cost is
     sum(|cell|^2), not N^2, and the paper sizes k ~ sqrt(N) so each cell
     is ~sqrt(N). Assignment is the same broadcast-fold as kmeans (no
-    shuffle); the within-cell self-join shuffles on cell. At corpus
-    scale swap the label-seeded quantizer for op_kmeans_refine output
-    and reuse op_dedup_embedding_cosine's blocked numpy kernel inside
-    cells. MAX over doubles is order-independent, every upstream is
-    fixed-point deterministic, so the gate hash-checks against DuckDB.
+    shuffle); all per-cell work then runs in ONE cluster-keyed
+    applyInPandas kernel. At corpus scale swap the label-seeded
+    quantizer for op_kmeans_refine output. MAX over doubles is
+    order-independent, every upstream is fixed-point deterministic, so
+    the gate hash-checks against DuckDB.
+
+    Round-10 kernel (guide §4.2): the previous shape ran a within-cell
+    Catalyst self-join (interpreted HOF cosine per pair, the knn-gate
+    bottleneck), two pair-keyed groupBys, a checkpoint and a separate
+    greedy applyInPandas. One per-cell NumPy kernel now computes the
+    pairwise cosines (order-preserving fold per dimension — doubles
+    bit-identical to zip_with+aggregate, same l2 fold, same d/(na*nb)
+    IEEE ops), the per-member max-over-lower-ids, and the greedy
+    keep-against-kept flags in a single pass: measured 3.3-3.7 s ->
+    1.9-2.2 s warm at sf0.1 with repr-identical output. The final
+    ROUND stays in Spark so HALF_UP semantics are unchanged.
     """
     from apitap_spark.operators.ml import _centroids_of, kmeans_assign
 
@@ -1174,71 +1185,62 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = kmeans_assign(
         emb.select("vec_id", "embedding"), init, n_iter=1
     ).select("vec_id", "cluster")
-    # eager checkpoint: sides feeds BOTH pair sides and the final output
-    # join — without it the k x d assignment fold runs three times (same
-    # exchange-kind-mismatch reuse failure as op_dedup_minhash_lsh).
-    sides = (
-        emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
-        .join(assigned, "vec_id")
-        .localCheckpoint()
-    )
-    a, b = sides.alias("a"), sides.alias("b")
-    cos = cosine_from_norms("a.embedding", "b.embedding", "a.n", "b.n")
-    # pairs IS checkpointed: A/B-timed both ways at sf0.1 under the
-    # release_persisted regime — checkpointed 3.5s warm vs 4.2-4.6s lazy
-    # (the self-join recompute for the second consumer costs more than
-    # materializing the O(sum|cell|^2) pair list). The r4->r5 freeze
-    # "regression" (2.79->4.00s) was byte-identical code both rounds; the
-    # cause was accumulated localCheckpoint storage pressure in the bench
-    # loop, fixed by session.release_persisted() between gates.
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col("b.vec_id") < F.col("a.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("v"),
-        F.col("b.vec_id").alias("u"),
-        cos.alias("cos"),
-    ).localCheckpoint()
-    mx = pairs.groupBy(F.col("v").alias("vec_id")).agg(F.max("cos").alias("m"))
-    # Greedy keep-against-kept only depends on the THRESHOLDED graph
-    # (which lower-id cell-mates exceed tau), so the sequential part is
-    # pure integer logic on small per-cell neighbor lists — no float
-    # re-derivation inside Python, full bit-parity with the recursive
-    # SQL replay.
-    nbrs = (
-        pairs.filter(F.col("cos") > F.lit(SEMDEDUP_TAU))
-        .groupBy("v")
-        .agg(F.collect_list("u").alias("lower_nbrs"))
-    )
-    members = sides.select("vec_id", "cluster").join(
-        nbrs, sides.vec_id == nbrs.v, "left"
-    ).select("vec_id", "cluster", "lower_nbrs")
+    members = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    tau = SEMDEDUP_TAU
 
-    def greedy(pdf):
-        pdf = pdf.sort_values("vec_id")
+    def _cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        vids = pdf["vec_id"].to_numpy(dtype="int64")
+        E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        d = E.shape[1]
+        # exact left folds: ((0 + x0*y0) + x1*y1) + ... per pair/norm
+        nsq = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            nsq = nsq + E[:, i] * E[:, i]
+        nrm = np.sqrt(nsq)
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(d):
+            acc = acc + E[:, None, i] * E[None, :, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (nrm[:, None] * nrm[None, :])
+        mx: list = [None] * n
         kept: set = set()
         flags = []
-        for vid, nb in zip(pdf["vec_id"], pdf["lower_nbrs"]):
-            drop = nb is not None and any(u in kept for u in nb)
+        for j in range(n):
+            if j > 0 and nrm[j] > 0:
+                vals = cos[j, :j][nrm[:j] > 0]  # NULL cosines drop, as F.max
+                if vals.size:
+                    mx[j] = float(np.max(vals))
+            drop = False
+            if nrm[j] > 0:
+                for i2 in range(j):
+                    if nrm[i2] > 0 and cos[j, i2] > tau and vids[i2] in kept:
+                        drop = True
+                        break
             if not drop:
-                kept.add(vid)
+                kept.add(vids[j])
             flags.append(not drop)
-        pdf = pdf[["vec_id", "cluster"]].copy()
-        pdf["is_kept"] = flags
-        return pdf
+        return pd.DataFrame(
+            {
+                "vec_id": vids,
+                "cluster": pdf["cluster"],
+                "m": mx,
+                "is_kept": flags,
+            }
+        )
 
     verdicts = members.groupBy("cluster").applyInPandas(
-        greedy, "vec_id long, cluster int, is_kept boolean"
+        _cell, "vec_id long, cluster int, m double, is_kept boolean"
     )
-    return (
-        verdicts.join(mx, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias("cell"),
-            F.round("m", 6).alias("max_cos_lower"),
-            "is_kept",
-        )
+    return verdicts.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cell"),
+        F.round("m", 6).alias("max_cos_lower"),
+        "is_kept",
     )
 
 
