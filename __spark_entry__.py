@@ -211,9 +211,12 @@ _RECHECK_FRONT: set[str] = {
     "op_graph_label_propagation",
     "op_graph_modularity",
     "op_dbscan_clusters",
-    # similarity: Arrow kNN/SemDeDup kernels, shared PQ build
+    # similarity/ml: Arrow kNN/SemDeDup kernels, shared PQ build,
+    # once-per-centroid assignment fold
     "op_knn_label_accuracy",
     "op_semantic_dedup",
+    "op_kmeans_refine",
+    "op_ivf_cell_balance",
     "op_ann_pq_codes",
     "op_ann_pq_adc",
     "op_ann_ivfpq_search",

@@ -1582,7 +1582,7 @@ def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     window hashes keep both engines bit-identical.
     """
     docs = read_table(spark, sf_dir, "documents")
-    # Lazy checkpoint (round-10, guide §1.2 "don't compute things you
+    # Eager checkpoint (round-10, guide §1.2 "don't compute things you
     # throw away"): cdc_dedup_report consumes the chunk frame TWICE
     # (freq groupBy build + join probe), and without the checkpoint each
     # consumer re-ran the md5-per-character boundary scan — the gate's
@@ -1592,7 +1592,7 @@ def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compressed-chunk metadata a storage-dedup pipeline materializes
     # anyway (~total_chars/CDC_DIV rows of hash+len).
     return cdc_dedup_report(
-        cdc_chunks_frame(docs, fast=False).localCheckpoint(eager=False)
+        cdc_chunks_frame(docs, fast=False).localCheckpoint()
     )
 
 
@@ -1939,13 +1939,16 @@ def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    # Lazy checkpoint (round-10, guide §1.2): the gram stream feeds the
+    # Eager checkpoint (round-10, guide §1.2): the gram stream feeds the
     # df groupBy AND the join probe — without it the explode chain ran
     # twice (same fix as op_cdc_chunking; measured −35% warm there and
-    # ~−40% on the novelty twin of this shape).
+    # ~−40% on the novelty twin of this shape). Eager, not lazy: both
+    # consumer stages launch in ONE job and would race-compute a lazy
+    # checkpoint's partitions concurrently (the mid-suite bench caught a
+    # 22s blowup under that race + storage pressure).
     grams = docs.select(
         "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     gdf = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
     return (
         grams.join(gdf, "g")
@@ -2089,14 +2092,15 @@ def op_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    # Lazy checkpoint: the gram stream feeds the first-occurrence MIN
+    # Eager checkpoint: the gram stream feeds the first-occurrence MIN
     # AND the join probe (round-10; A/B 3.2-3.7s -> 2.0-2.2s warm at
     # sf0.1, identical rows — a window-min rewrite measured equal but
     # loses AQE skew-join splitting, which windows never get, so the
-    # join shape stays).
+    # join shape stays). Eager for the same race-free reason as the
+    # ONION gate above.
     grams = docs.select(
         "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     firsts = grams.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )

@@ -119,21 +119,27 @@ def kmeans_assign(
         scored = emb.join(F.broadcast(carr)).select(
             "vec_id",
             "embedding",
-            # row-local argmin: fold over the k centroids carried in one
-            # broadcast array column — no explode, no shuffle
+            # row-local argmin: map each broadcast centroid to its
+            # distance ONCE, then fold comparison-only. The previous
+            # single-fold form re-evaluated _sq_dist twice per centroid
+            # (once in the when-compare, once in the new struct) — the
+            # HOF is interpreted, so that doubled the gate's dominant
+            # cost (round-10; distances and tie-break identical).
             F.aggregate(
-                "cs",
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        _sq_dist(F.col("embedding"), c["centroid"]).alias(
+                            "d"
+                        ),
+                        c["cluster"].alias("cluster"),
+                    ),
+                ),
                 F.struct(
                     F.lit(float("inf")).alias("d"),
                     F.lit(-1).cast("int").alias("cluster"),
                 ),
-                lambda acc, c: F.when(
-                    _sq_dist(F.col("embedding"), c["centroid"]) < acc["d"],
-                    F.struct(
-                        _sq_dist(F.col("embedding"), c["centroid"]).alias("d"),
-                        c["cluster"].alias("cluster"),
-                    ),
-                ).otherwise(acc),
+                lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
             ).alias("best"),
         )
         assigned = scored.select(

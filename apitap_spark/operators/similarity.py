@@ -686,19 +686,21 @@ def pq_build(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             "vec_id",
             "block",
             "e",
+            # distance computed ONCE per centroid, comparison-only fold
+            # (round-10 — see kmeans_assign; values/tie-break identical)
             F.aggregate(
-                "cs",
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        _sq_dist(F.col("e"), c["centroid"]).alias("d"),
+                        c["cluster"].alias("cluster"),
+                    ),
+                ),
                 F.struct(
                     F.lit(float("inf")).alias("d"),
                     F.lit(-1).cast("int").alias("cluster"),
                 ),
-                lambda acc, c: F.when(
-                    _sq_dist(F.col("e"), c["centroid"]) < acc["d"],
-                    F.struct(
-                        _sq_dist(F.col("e"), c["centroid"]).alias("d"),
-                        c["cluster"].alias("cluster"),
-                    ),
-                ).otherwise(acc),
+                lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
             ).alias("best"),
         )
         assigned = scored.select(
