@@ -1915,6 +1915,16 @@ def _onion_oracle() -> str:
     """
 
 
+def _onion_gram_stream(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct word ONION_N-gram stream — the pre-checkpoint
+    frame shared by the ONION and novelty gates; plan tests assert the
+    single explode HERE because the gates' checkpoints truncate it out
+    of their visible plans."""
+    return docs.select(
+        "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
+    )
+
+
 @_register("op_dedup_onion_share", _onion_oracle())
 def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONION-style per-document duplication share (Pomikálek 2011): the
@@ -1945,10 +1955,9 @@ def op_dedup_onion_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~−40% on the novelty twin of this shape). Eager, not lazy: both
     # consumer stages launch in ONE job and would race-compute a lazy
     # checkpoint's partitions concurrently (the mid-suite bench caught a
-    # 22s blowup under that race + storage pressure).
-    grams = docs.select(
-        "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    ).localCheckpoint()
+    # 22s blowup under that race + storage pressure). Plan tests assert
+    # the explode on _onion_gram_stream (checkpoint truncation).
+    grams = _onion_gram_stream(docs).localCheckpoint()
     gdf = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
     return (
         grams.join(gdf, "g")
@@ -2098,9 +2107,7 @@ def op_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loses AQE skew-join splitting, which windows never get, so the
     # join shape stays). Eager for the same race-free reason as the
     # ONION gate above.
-    grams = docs.select(
-        "doc_id", F.explode(shingles("text", ONION_N)).alias("g")
-    ).localCheckpoint()
+    grams = _onion_gram_stream(docs).localCheckpoint()
     firsts = grams.groupBy("g").agg(
         F.min("doc_id").cast("bigint").alias("first_doc")
     )

@@ -1293,14 +1293,22 @@ def test_winsorized_windows_over_distinct_values_only(spark, sf_dir):
 
 def test_onion_share_linear_gram_join_no_pairs(spark, sf_dir):
     """Gram-df attaches by a LINEAR gram-keyed shuffle join (never a
-    doc-pair self-join): one explode, partial-agg df, no cartesian."""
-    from apitap_spark.operators.dedup import op_dedup_onion_share
+    doc-pair self-join): one explode, partial-agg df, no cartesian.
+    The round-10 checkpoint truncates the explode out of the gate's
+    visible plan, so the single-Generate assertion moved to the
+    factored pre-checkpoint helper (tri_pernode_counts pattern)."""
+    from apitap_spark.operators.dedup import (
+        _onion_gram_stream,
+        op_dedup_onion_share,
+    )
+    from apitap_spark.session import read_table
 
     p = _plan(op_dedup_onion_share(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
-    assert p.count("Generate") >= 1  # the single explode
+    g = _plan(_onion_gram_stream(read_table(spark, sf_dir, "documents")))
+    assert g.count("Generate") >= 1  # the single explode, pre-checkpoint
 
 
 def test_mcnemar_one_scan_one_row(spark, sf_dir):
