@@ -56,6 +56,10 @@ DRIFT_WATCHLIST = [
     # medians separate the shuffle-plan gate's real cost from whatever
     # the suite left in the page cache ahead of it.
     "op_training_shuffle_plan",
+    # round-10 optimization freeze: 1.42 -> 3.15s with untouched code
+    # (isolated warm 1.4-1.9s, so suite-position variance is the
+    # suspect); medians decide before anyone "fixes" it.
+    "q_mode_median_price",
 ]
 
 SINK_RUNS = 3
