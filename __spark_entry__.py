@@ -217,6 +217,7 @@ _RECHECK_FRONT: set[str] = {
     "op_semantic_dedup",
     "op_kmeans_refine",
     "op_ivf_cell_balance",
+    "op_embedding_knn_graph",
     "op_ann_pq_codes",
     "op_ann_pq_adc",
     "op_ann_ivfpq_search",

@@ -1770,20 +1770,52 @@ def op_embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < KNN_GRAPH_POOL
     )
-    side = emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
-    a = side.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("n").alias("na"),
-    )
-    b = side.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("n").alias("nb"),
-    )
-    sims = a.join(b, F.col("v1") != F.col("v2")).select(
-        "v1", "v2", cosine_from_norms("ea", "eb", "na", "nb").alias("cos")
-    )
+    # Round-10 kernel (guide §4.2, the dbscan/kNN-gate pattern): the
+    # theta self-join's interpreted HOF cosine dominated; the bounded
+    # pool ships in a mapInPandas closure, each partition scores its
+    # rows against it with order-preserving folds — bit-identical
+    # doubles, so ranks and ties are unchanged.
+    side = emb.select("vec_id", "embedding")
+    pool_rows = side.collect()  # bounded: < KNN_GRAPH_POOL rows
+    p_ids = [r["vec_id"] for r in pool_rows]
+    p_emb = [list(r["embedding"]) for r in pool_rows]
+
+    def _sim_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(p_emb, dtype=np.float64)
+        PI = np.asarray(p_ids, dtype=np.int64)
+        m, d = P.shape
+        pn = np.zeros(m, dtype=np.float64)
+        for i in range(d):
+            pn = pn + P[:, i] * P[:, i]
+        pn = np.sqrt(pn)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            V = b["vec_id"].to_numpy(dtype=np.int64)
+            n = len(b)
+            en = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                en = en + E[:, i] * E[:, i]
+            en = np.sqrt(en)
+            acc = np.zeros((n, m), dtype=np.float64)
+            for i in range(d):
+                acc = acc + E[:, None, i] * P[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (en[:, None] * pn[None, :])
+            vi, ui = np.nonzero(V[:, None] != PI[None, :])
+            out = pd.DataFrame(
+                {"v1": V[vi], "v2": PI[ui], "cos": cos[vi, ui]}
+            )
+            bad = ~((en[:, None] > 0) & (pn[None, :] > 0))[vi, ui]
+            if bad.any():  # zero-norm side -> NULL, as F.when produced
+                out.loc[bad, "cos"] = None
+            yield out
+
+    sims = side.mapInPandas(_sim_kernel, "v1 long, v2 long, cos double")
     w = Window.partitionBy("v1").orderBy(F.desc("cos"), F.asc("v2"))
     knn = (
         sims.withColumn("rk", F.row_number().over(w).cast("bigint"))
@@ -1880,27 +1912,60 @@ def op_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Components reuse the pointer-doubling
     connected_components (O(log n) rounds); the oracle replays them
     as a recursive min-label closure.
+
+    Round-10 kernel (guide §4.2, the kNN-gate pattern): the theta
+    self-join scored 160k pairs through the interpreted HOF cosine;
+    the CONSTANT-bounded pool (DBSCAN_POOL rows) now ships inside a
+    mapInPandas closure and each partition scores its rows against it
+    with order-preserving NumPy folds — cosine doubles bit-identical,
+    so the >= tau pair SET is identical.
     """
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < DBSCAN_POOL
     )
-    side = emb.select("vec_id", "embedding", l2_norm("embedding").alias("n"))
-    a = side.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("n").alias("na"),
-    )
-    b = side.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("n").alias("nb"),
-    )
+    side = emb.select("vec_id", "embedding")
+    pool_rows = side.collect()  # bounded: < DBSCAN_POOL rows
+    p_ids = [r["vec_id"] for r in pool_rows]
+    p_emb = [list(r["embedding"]) for r in pool_rows]
+    tau = DBSCAN_TAU
+
+    def _pair_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(p_emb, dtype=np.float64)  # (m, d)
+        PI = np.asarray(p_ids, dtype=np.int64)
+        m, d = P.shape
+        pn = np.zeros(m, dtype=np.float64)
+        for i in range(d):
+            pn = pn + P[:, i] * P[:, i]
+        pn = np.sqrt(pn)
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            V = b["vec_id"].to_numpy(dtype=np.int64)
+            n = len(b)
+            en = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                en = en + E[:, i] * E[:, i]
+            en = np.sqrt(en)
+            acc = np.zeros((n, m), dtype=np.float64)
+            for i in range(d):
+                acc = acc + E[:, None, i] * P[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (en[:, None] * pn[None, :])
+            keep = (
+                (V[:, None] != PI[None, :])
+                & (en[:, None] > 0)
+                & (pn[None, :] > 0)
+                & (cos >= tau)
+            )
+            vi, ui = np.nonzero(keep)
+            yield pd.DataFrame({"v1": V[vi], "v2": PI[ui]})
+
     pairs = (
-        a.join(b, F.col("v1") != F.col("v2"))
-        .filter(
-            cosine_from_norms("ea", "eb", "na", "nb") >= F.lit(DBSCAN_TAU)
-        )
-        .select("v1", "v2")
+        side.mapInPandas(_pair_kernel, "v1 long, v2 long")
         # Tiny pair list feeds degree, core filter, core-edge filter,
         # the component loop, AND the border join — score once.
         .localCheckpoint()
