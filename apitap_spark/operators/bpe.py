@@ -88,7 +88,7 @@ def learned_bpe(
         _BPE_AUX.setdefault(key, {})["merges"] = merges
         return fv
 
-    fv = _BPE_MEMO.get(spark, ("bpe_final_vocab", sf_dir), build)
+    fv = _BPE_MEMO.get(spark, ("bpe_final_vocab", sf_dir), build, family="bpe")
     return _BPE_AUX[key]["merges"], fv
 
 
@@ -99,12 +99,14 @@ def encoded_bpe(
     vocabulary.  Both pinned checkpoints (see the module-memo note)."""
     _merges, fv = learned_bpe(spark, sf_dir)
     sym_ids = _BPE_MEMO.get(
-        spark, ("bpe_sym_ids", sf_dir), lambda: _sym_id_table(fv)
+        spark, ("bpe_sym_ids", sf_dir), lambda: _sym_id_table(fv),
+        family="bpe",
     )
     seqs = _BPE_MEMO.get(
         spark,
         ("bpe_seqs", sf_dir),
         lambda: _encode_seqs(_gate_docs(spark, sf_dir), fv, sym_ids),
+        family="bpe",
     )
     return seqs, sym_ids
 
@@ -562,6 +564,7 @@ def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("bpe_packed", sf_dir),
         lambda: pack_rows_frame(seqs, eos),
+        family="bpe",
     )
     # Gate projection serializes token_ids (driver pandas canonicalizer
     # can't hash list cells); pack_rows_frame keeps the raw array.

@@ -293,7 +293,7 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (context_key(spark), sf_dir, "df_capped_shingles")
     hit = _DEDUP_FRAME_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="df_capped_shingles")
     if hit is not None:
         return hit
     from apitap_spark.session import pinned_local_checkpoint
@@ -393,7 +393,7 @@ def clear_dedup_frame_caches() -> None:
 def _cached_pinned(spark: SparkSession, sf_dir: str, name: str, build):
     key = (context_key(spark), sf_dir, name)
     hit = _DEDUP_FRAME_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family=name)
     if hit is not None:
         return hit
     from apitap_spark.session import pinned_local_checkpoint

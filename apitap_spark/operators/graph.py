@@ -72,9 +72,12 @@ def connected_components(
     # of the doubling self-join consume it within ONE job, and a lazy
     # cand is race-computed by both join legs before the cache fills
     # (measured slower). Plan truncation is unchanged.
-    lab = nodes.select(F.col("v"), F.col("v").alias("p")).localCheckpoint(
-        eager=False
-    )
+    # The INITIAL lab is eager for the same reason (r10 ADVICE #2):
+    # round 1's cand job consumes it on BOTH legs (nbr_min build and the
+    # left-join probe) with no prior action to fill its cache; every
+    # in-loop lab IS materialized by the round's sum collect before the
+    # next cand job, so those stay lazy.
+    lab = nodes.select(F.col("v"), F.col("v").alias("p")).localCheckpoint()
     prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
@@ -370,7 +373,7 @@ def lp_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (context_key(spark), sf_dir, "lp_labels")
     hit = _EDGE_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="lp_labels")
     if hit is not None:
         return hit
     d, ids = pinned_local_checkpoint(_lp_labels(spark, sf_dir), spark)
@@ -731,7 +734,7 @@ def coactivity_edges_cached(
 
     key = (context_key(spark), sf_dir, k)
     hit = _EDGE_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="coactivity_edges")
     if hit is not None:
         return hit
     d, ids = pinned_local_checkpoint(coactivity_edges(spark, sf_dir, k), spark)
@@ -815,7 +818,7 @@ def _wedge_stats(spark: SparkSession, sf_dir: str):
 
     key = (context_key(spark), sf_dir)
     hit = _WEDGE_STATS_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="wedge_stats")
     if hit is not None:
         return hit
     _e, deg, wedge = _build_wedge_stats(spark, sf_dir, pin=True)

@@ -455,7 +455,7 @@ def trained_logreg_weights(
 ) -> list[int]:
     key = (context_key(spark), sf_dir)
     hit = _LOGREG_WEIGHTS_MEMO.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="logreg_weights")
     if hit is None:
         hit = train_logreg_newton_fixed(X_u)
         _LOGREG_WEIGHTS_MEMO[key] = hit
@@ -515,6 +515,31 @@ def _round_away(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _half_up_arr(T):
+    """Vectorized replication of Spark ``round(double, 0)``: HALF_UP on
+    the double's SHORTEST REPR (BigDecimal.valueOf semantics). Fast path
+    floor(x+0.5)/ceil(x-0.5); elements within a few ulp of a half
+    boundary (where IEEE addition or the shortest-repr perturbation
+    could flip the result) fall back to decimal.Decimal(repr(x)) — the
+    exact semantics — so the output matches Catalyst bit for bit at any
+    magnitude. Returns float64 holding exact integer values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    R = np.where(T >= 0, np.floor(T + 0.5), np.ceil(T - 0.5))
+    sus = np.abs(T - np.floor(T) - 0.5) < (
+        np.spacing(np.abs(T) + 0.5) * 8.0 + 1e-9
+    )
+    if sus.any():
+        q0 = Decimal("1")
+        for idx in zip(*np.nonzero(sus)):
+            R[idx] = float(
+                Decimal(repr(T[idx])).quantize(q0, rounding=ROUND_HALF_UP)
+            )
+    return R
 
 
 def _logreg_cte_prefix() -> str:
@@ -1048,85 +1073,109 @@ def op_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed chain — so {PCA_ITERS} full iterations replay exactly in the
     DuckDB recursive CTE. Per round: one (vec)-keyed dot aggregate +
     one (dim)-keyed sum — shuffle cardinality n + d, no d x d anywhere.
+
+    Round-11 (guide §4.2 + §2.1): the round-10 shape posexploded the
+    corpus to n x d rows and each of the {PCA_ITERS} rounds sort-merge-
+    joined that frame with the per-vector dots — two sorts + a shuffle
+    of the EXPLODED frame per round. Both the mean pass and each power
+    round now run as one Arrow kernel over the raw embedding arrays
+    that emits d partial int64 sums per batch (the isotropy-audit
+    pattern): per-row dots and per-dim contributions are the SAME
+    once-rounded micro ints (``_half_up_arr`` replicates Catalyst's
+    HALF_UP-on-shortest-repr exactly), and int64 addition is
+    order-independent, so every d_u / per-dim sum — and therefore every
+    w update and the final loading vector — is bit-identical. Per
+    round: one columnar scan + a d x parts-sized aggregate; nothing
+    n-sized ever shuffles, no join anywhere. The driver holds only the
+    d-length mean/state vectors (same as before).
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    expl = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos0", "xv"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("xv") * 1000000.0, 0).cast("bigint").alias("v_u"),
-    )
-    mu = expl.groupBy("pos").agg(
-        (
-            F.sum("v_u").cast("double")
-            / F.lit(1000000.0)
-            / F.count("*").cast("double")
-        ).alias("m")
-    )
-    centered = (
-        expl.join(F.broadcast(mu), "pos")
-        .select(
-            "vec_id",
-            "pos",
-            ((F.col("v_u").cast("double") / F.lit(1000000.0)) - F.col("m")).alias(
-                "x"
-            ),
-        )
-        .localCheckpoint()
-    )
     n = emb.count()
-    d = centered.agg(F.max("pos")).collect()[0][0]
+
+    def _mu_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            # v_u = round(x * 1e6, 0) — the expl projection, elementwise
+            Vu = _half_up_arr(E * 1000000.0)
+            d = E.shape[1]
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(1, d + 1, dtype=np.int64),
+                    "s": Vu.astype(np.int64).sum(axis=0),
+                    "cnt": np.full(d, len(b), dtype=np.int64),
+                }
+            )
+
+    mu_rows = (
+        emb.select("embedding")
+        .mapInPandas(_mu_kernel, "pos bigint, s bigint, cnt bigint")
+        .groupBy("pos")
+        .agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum("cnt").cast("bigint").alias("c"),
+        )
+        .collect()
+    )
+    # m = sum(v_u)::double / 1e6 / count::double — the exact chain the
+    # old per-pos aggregate evaluated (int sums are exact, the int ->
+    # double casts are lossless at these magnitudes)
+    mu = {r["pos"]: float(r["s"]) / 1000000.0 / float(r["c"]) for r in mu_rows}
+    d = max(mu)
+    mu_vec = [mu[p] for p in range(1, d + 1)]
     w_u = {p: 1000000 for p in range(1, d + 1)}
     for _ in range(PCA_ITERS):
-        wdf = F.broadcast(
-            emb.sparkSession.createDataFrame(
-                [(p, u) for p, u in w_u.items()], "pos bigint, w_u long"
-            )
-        )
-        dots = (
-            centered.join(wdf, "pos")
-            .groupBy("vec_id")
-            .agg(
-                F.sum(
-                    F.round(
-                        F.col("x")
-                        * (F.col("w_u").cast("double") / F.lit(1000000.0))
-                        * F.lit(1000000.0),
-                        0,
-                    ).cast("bigint")
-                ).alias("d_u")
-            )
-        )
-        dim_sums = (
-            centered.join(dots, "vec_id")
+        w_vec = [w_u[p] for p in range(1, d + 1)]
+
+        def _pc_kernel(batches, _mu=mu_vec, _w=w_vec):
+            import numpy as np
+            import pandas as pd
+
+            MU = np.asarray(_mu, dtype=np.float64)
+            Wd = np.asarray(_w, dtype=np.float64) / 1000000.0  # w_u/1e6
+            dd = len(_mu)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+                X = _half_up_arr(E * 1000000.0) / 1000000.0 - MU[None, :]
+                # d_u = Σ_pos round(x * (w_u/1e6) * 1e6, 0) — exact int
+                Du = (
+                    _half_up_arr(X * Wd[None, :] * 1000000.0)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                # per-dim partial: Σ_vec round(x * (d_u/1e6) * 1e6, 0)
+                S = (
+                    _half_up_arr(
+                        X * (Du.astype(np.float64) / 1000000.0)[:, None]
+                        * 1000000.0
+                    )
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                yield pd.DataFrame(
+                    {"pos": np.arange(1, dd + 1, dtype=np.int64), "s": S}
+                )
+
+        rows = (
+            emb.select("embedding")
+            .mapInPandas(_pc_kernel, "pos bigint, s bigint")
             .groupBy("pos")
-            .agg(
-                (
-                    F.sum(
-                        F.round(
-                            F.col("x")
-                            * (F.col("d_u").cast("double") / F.lit(1000000.0))
-                            * F.lit(1000000.0),
-                            0,
-                        ).cast("bigint")
-                    ).cast("double")
-                    / F.lit(1000000.0)
-                    / F.lit(float(n))
-                ).alias("m")
-            )
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .collect()
         )
-        rows = dim_sums.collect()
-        nm2_u = sum(_round_away(r["m"] * r["m"] * 1e6) for r in rows)
+        # m = sum::double / 1e6 / n::double — the old dim_sums chain
+        ms = {r["pos"]: float(r["s"]) / 1000000.0 / float(n) for r in rows}
+        nm2_u = sum(_round_away(ms[p] * ms[p] * 1e6) for p in sorted(ms))
         import math
 
         norm = math.sqrt(nm2_u / 1e6)
-        w_u = {
-            r["pos"]: _round_away((r["m"] / norm) * 1e6) for r in rows
-        }
+        w_u = {p: _round_away((ms[p] / norm) * 1e6) for p in sorted(ms)}
     return emb.sparkSession.createDataFrame(
         [(p, w_u[p] / 1e6) for p in sorted(w_u)], "pos bigint, loading double"
     )

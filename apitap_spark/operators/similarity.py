@@ -71,7 +71,7 @@ def pq_build_cached(
 
     key = (context_key(spark), sf_dir)
     hit = _PQ_BUILD_CACHE.get(key)
-    note_memo_event(hit=hit is not None)
+    note_memo_event(hit=hit is not None, family="pq_build")
     if hit is not None:
         return hit
     assigned, codebook = pq_build(read_table(spark, sf_dir, "embeddings"))
@@ -142,6 +142,7 @@ def op_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_MEMO.get(
         spark, (sf_dir, "exact_topk"),
         lambda: _cosine_topk_build(spark, sf_dir),
+        family="ann_topk",
     )
 
 
@@ -302,6 +303,7 @@ def op_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_MEMO.get(
         spark, (sf_dir, "lsh_topk"),
         lambda: _lsh_bucketed_build(spark, sf_dir),
+        family="ann_topk",
     )
 
 
@@ -475,78 +477,69 @@ def op_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the dedup ladder (paraphrases that share no n-grams).
 
     Exact all-pairs over a bounded pool (vec_id < 1000), computed as a
-    BLOCKED pairwise kernel: vectors group into blocks of COSINE_BLOCK,
-    block pairs (bi <= bj) fan out as Spark tasks, and each task scores
-    its na x nb tile vectorized in numpy (mapInPandas). This is the
-    brute-force layout FAISS/ScaNN use — O(N^2/B^2) independent tiles,
-    each a dense batch op — and replaces the row-at-a-time theta join
-    (measured 12x at sf0.1). At corpus scale the same tiles run after an
-    LSH prefilter (op_ann_lsh_bucketed) exactly as MinHash replaces
-    exact Jaccard.
+    pool-closure pairwise kernel (guide §4.2): the CONSTANT-bounded
+    pool ships inside a mapInPandas closure and each partition scores
+    its rows against it in one vectorized NumPy pass. Round 11 replaced
+    the round-5 blocked-tile layout (groupBy collect_list + block join
+    + repartition = TWO shuffles before the kernel) with this
+    zero-shuffle form — the dbscan/kNN-gate pattern, same tiles, no
+    exchange; at corpus scale the same scoring runs after an LSH
+    prefilter (op_ann_lsh_bucketed) exactly as MinHash replaces exact
+    Jaccard.
 
     Exactness: the oracle folds products left-to-right in index order;
-    np.cumsum is the same sequential order, so dots/norms are
+    the per-dimension accumulation is the same sequential order (and
+    identical to the old tile kernel's), so dots/norms are
     bit-identical doubles, and the 6-dp round replicates Spark's
     HALF_UP-on-shortest-repr semantics via decimal.
     """
     emb = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    blocks = emb.groupBy(
-        F.floor(F.col("vec_id") / COSINE_BLOCK).alias("block")
-    ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
-    tiles = (
-        blocks.alias("a")
-        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
-        .select(F.col("a.vecs").alias("va"), F.col("b.vecs").alias("vb"))
-        # one tile per task: the tile kernel is the unit of parallelism
-        .repartition(max(2, spark.sparkContext.defaultParallelism))
-    )
+    side = emb.select("vec_id", "embedding")
+    pool_rows = side.collect()  # bounded: < 1000 rows by the gate filter
+    p_ids = [r["vec_id"] for r in pool_rows]
+    p_emb = [list(r["embedding"]) for r in pool_rows]
     thr = COSINE_DUP_THRESHOLD
 
-    def score_tiles(batches):
+    def score_pairs(batches):
         from decimal import ROUND_HALF_UP, Decimal
 
         import numpy as np
         import pandas as pd
 
         q6 = Decimal("0.000001")
-
-        def unpack(cell):
-            ids = np.fromiter((r["vec_id"] for r in cell), dtype=np.int64)
-            mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cell])
-            return ids, mat
-
+        P = np.asarray(p_emb, dtype=np.float64)
+        PI = np.asarray(p_ids, dtype=np.int64)
+        m, d = P.shape
+        # cumsum's last column == the left fold, element for element
+        nb = np.sqrt(np.cumsum(P * P, axis=1)[:, -1]) if m else np.zeros(0)
         for pdf in batches:
-            for va, vb in zip(pdf["va"], pdf["vb"]):
-                ia, A = unpack(va)
-                ib, B = unpack(vb)
-                # accumulate one dimension at a time = the oracle's left
-                # fold, element for element (identical addition order to
-                # cumsum) — but the tile temp is na x nb, not na x nb x d:
-                # the 256x256 tile drops from ~33 MB to ~0.5 MB of traffic
-                na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-                nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-                dots = np.zeros((len(ia), len(ib)))
-                for k in range(A.shape[1]):
-                    dots += A[:, k, None] * B[None, :, k]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / (na[:, None] * nb[None, :])
-                m1, m2 = np.meshgrid(ia, ib, indexing="ij")
-                mask = (m1 < m2) & np.isfinite(cos) & (cos >= thr)
-                kept = cos[mask]
-                yield pd.DataFrame(
-                    {
-                        "v1": m1[mask],
-                        "v2": m2[mask],
-                        "cosine": [
-                            float(
-                                Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
-                            )
-                            for c in kept
-                        ],
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            A = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            ia = pdf["vec_id"].to_numpy(dtype=np.int64)
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            dots = np.zeros((len(ia), m))
+            for k in range(d):
+                dots += A[:, k, None] * P[None, :, k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na[:, None] * nb[None, :])
+            mask = (ia[:, None] < PI[None, :]) & np.isfinite(cos) & (cos >= thr)
+            vi, ui = np.nonzero(mask)
+            kept = cos[vi, ui]
+            yield pd.DataFrame(
+                {
+                    "v1": ia[vi],
+                    "v2": PI[ui],
+                    "cosine": [
+                        float(
+                            Decimal(repr(c)).quantize(q6, rounding=ROUND_HALF_UP)
+                        )
+                        for c in kept
+                    ],
+                }
+            )
 
-    return tiles.mapInPandas(score_tiles, "v1 bigint, v2 bigint, cosine double")
+    return side.mapInPandas(score_pairs, "v1 bigint, v2 bigint, cosine double")
 
 
 PQ_M = 4  # subvector blocks
@@ -1060,6 +1053,79 @@ def op_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = COSINE_DUP_THRESHOLD  # same semantic-dup threshold as the pair rung
+# Per-cell memory guard (r10 ADVICE #1): the one-pass kernel builds a
+# dense n x n float64 cosine matrix per cell — fine for the paper's
+# ~sqrt(N) cells, an OOM hazard for a skewed/huge cell. Above this row
+# count the kernel switches to per-row on-demand folds (O(n) temps,
+# same element-for-element fold order → bit-identical cosines).
+SEMDEDUP_CELL_CAP = 4096
+
+
+def _semdedup_cell_verdicts(pdf, tau: float, cap: int = SEMDEDUP_CELL_CAP):
+    """One cell's (vec_id, cluster, max_cos_lower, is_kept) verdicts.
+
+    Module-level so the dense and guarded paths are unit-testable for
+    equality; both replay the oracle's exact left folds
+    (((0 + x0*y0) + x1*y1) + ...) per pair and per norm, so cosine
+    doubles are bit-identical to the Catalyst HOF's regardless of path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    vids = pdf["vec_id"].to_numpy(dtype="int64")
+    E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    d = E.shape[1] if n else 0
+    nsq = np.zeros(n, dtype=np.float64)
+    for i in range(d):
+        nsq = nsq + E[:, i] * E[:, i]
+    nrm = np.sqrt(nsq)
+    if n <= cap:
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(d):
+            acc = acc + E[:, None, i] * E[None, :, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (nrm[:, None] * nrm[None, :])
+
+        def row_lower(j):  # cosines of j against all lower-id rows
+            return cos[j, :j]
+
+    else:
+
+        def row_lower(j):
+            acc = np.zeros(j, dtype=np.float64)
+            for i in range(d):
+                acc = acc + E[j, i] * E[:j, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return acc / (nrm[j] * nrm[:j])
+
+    mx: list = [None] * n
+    kept: set = set()
+    flags = []
+    for j in range(n):
+        row = row_lower(j) if j > 0 else None
+        if j > 0 and nrm[j] > 0:
+            vals = row[nrm[:j] > 0]  # NULL cosines drop, as F.max
+            if vals.size:
+                mx[j] = float(np.max(vals))
+        drop = False
+        if nrm[j] > 0:
+            for i2 in range(j):
+                if nrm[i2] > 0 and row[i2] > tau and vids[i2] in kept:
+                    drop = True
+                    break
+        if not drop:
+            kept.add(vids[j])
+        flags.append(not drop)
+    return pd.DataFrame(
+        {
+            "vec_id": vids,
+            "cluster": pdf["cluster"],
+            "m": mx,
+            "is_kept": flags,
+        }
+    )
 
 
 def _semdedup_oracle() -> str:
@@ -1190,53 +1256,9 @@ def op_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = emb.select("vec_id", "embedding").join(assigned, "vec_id")
     tau = SEMDEDUP_TAU
 
-    def _cell(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
-        vids = pdf["vec_id"].to_numpy(dtype="int64")
-        E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-        d = E.shape[1]
-        # exact left folds: ((0 + x0*y0) + x1*y1) + ... per pair/norm
-        nsq = np.zeros(n, dtype=np.float64)
-        for i in range(d):
-            nsq = nsq + E[:, i] * E[:, i]
-        nrm = np.sqrt(nsq)
-        acc = np.zeros((n, n), dtype=np.float64)
-        for i in range(d):
-            acc = acc + E[:, None, i] * E[None, :, i]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = acc / (nrm[:, None] * nrm[None, :])
-        mx: list = [None] * n
-        kept: set = set()
-        flags = []
-        for j in range(n):
-            if j > 0 and nrm[j] > 0:
-                vals = cos[j, :j][nrm[:j] > 0]  # NULL cosines drop, as F.max
-                if vals.size:
-                    mx[j] = float(np.max(vals))
-            drop = False
-            if nrm[j] > 0:
-                for i2 in range(j):
-                    if nrm[i2] > 0 and cos[j, i2] > tau and vids[i2] in kept:
-                        drop = True
-                        break
-            if not drop:
-                kept.add(vids[j])
-            flags.append(not drop)
-        return pd.DataFrame(
-            {
-                "vec_id": vids,
-                "cluster": pdf["cluster"],
-                "m": mx,
-                "is_kept": flags,
-            }
-        )
-
     verdicts = members.groupBy("cluster").applyInPandas(
-        _cell, "vec_id long, cluster int, m double, is_kept boolean"
+        lambda pdf: _semdedup_cell_verdicts(pdf, tau),
+        "vec_id long, cluster int, m double, is_kept boolean",
     )
     return verdicts.select(
         "vec_id",
@@ -1411,6 +1433,14 @@ def op_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang inequality prunes pairs before scoring. At corpus scale the
     same lang-pair filter rides the LSH/IVF candidate stream instead of
     the cross join.
+
+    Round-11 (guide §4.2, the dbscan/kNN pool-kernel pattern): the
+    theta self-join scored ~125k pairs through the interpreted HOF
+    cosine; the CONSTANT-bounded pool (CROSSLINGUAL_POOL rows) now
+    ships inside a mapInPandas closure with Spark-computed norms, and
+    each partition scores its rows against it with order-preserving
+    NumPy folds — cosine doubles bit-identical, so the >= tau pair SET
+    is identical; the 6-dp ROUND stays in Spark (HALF_UP).
     """
     emb = read_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < CROSSLINGUAL_POOL
@@ -1423,23 +1453,65 @@ def op_crosslingual_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = emb.join(docs, "vec_id").select(
         "vec_id", "embedding", "lang", l2_norm("embedding").alias("nrm")
     )
-    a = pool.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("lang").alias("lang1"),
-        F.col("nrm").alias("na"),
-    )
-    b = pool.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("lang").alias("lang2"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = cosine_from_norms("ea", "eb", "na", "nb")
-    return (
-        a.join(b, (F.col("v1") < F.col("v2")) & (F.col("lang1") != F.col("lang2")))
-        .filter(cos >= CROSSLINGUAL_THRESHOLD)
-        .select("v1", "v2", "lang1", "lang2", F.round(cos, 6).alias("cosine"))
+    pool_rows = pool.collect()  # bounded: < CROSSLINGUAL_POOL rows
+    p_ids = [r["vec_id"] for r in pool_rows]
+    p_emb = [list(r["embedding"]) for r in pool_rows]
+    p_lang = [r["lang"] for r in pool_rows]
+    p_nrm = [r["nrm"] for r in pool_rows]
+    thr = CROSSLINGUAL_THRESHOLD
+
+    def _xling_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(p_emb, dtype=np.float64)
+        PI = np.asarray(p_ids, dtype=np.int64)
+        PN = np.asarray(p_nrm, dtype=np.float64)
+        PL = np.asarray(p_lang, dtype=object)
+        m, d = P.shape
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            V = b["vec_id"].to_numpy(dtype=np.int64)
+            N = b["nrm"].to_numpy(dtype=np.float64)
+            L = b["lang"].to_numpy(dtype=object)
+            acc = np.zeros((len(b), m), dtype=np.float64)
+            for i in range(d):
+                acc = acc + E[:, None, i] * P[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (N[:, None] * PN[None, :])
+            # Catalyst's `lang1 != lang2` is NULL (filtered) when either
+            # side is NULL — mask nulls explicitly (object != None is
+            # elementwise True in NumPy, the opposite of SQL).
+            lang_ok = (
+                (L[:, None] != PL[None, :])
+                & (L != None)[:, None]  # noqa: E711 — elementwise
+                & (PL != None)[None, :]  # noqa: E711
+            )
+            keep = (
+                (V[:, None] < PI[None, :])
+                & lang_ok
+                & (N[:, None] > 0)
+                & (PN[None, :] > 0)
+                & (cos >= thr)
+            )
+            vi, ui = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "v1": V[vi],
+                    "v2": PI[ui],
+                    "lang1": L[vi],
+                    "lang2": PL[ui],
+                    "cos": cos[vi, ui],
+                }
+            )
+
+    return pool.mapInPandas(
+        _xling_kernel,
+        "v1 long, v2 long, lang1 string, lang2 string, cos double",
+    ).select(
+        "v1", "v2", "lang1", "lang2", F.round("cos", 6).alias("cosine")
     )
 
 
@@ -2126,90 +2198,152 @@ def op_ann_greedy_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N). At corpus scale the same loop runs over an LSH/IVF-built
     approximate kNN graph (op_embedding_knn_graph's scale path) with a
     beam (ef > 1) instead of a single cursor.
+
+    Round-11 (guide §4.2 + §1.2): the 160k-pair kNN build scored every
+    pair through the interpreted HOF cosine inside a
+    BroadcastNestedLoopJoin — the suite's single slowest stage — and
+    the walk then ran up to GREEDY_POOL Spark rounds of THREE jobs each
+    over <= |Q| = 10-row frames (pure driver-coordination overhead; the
+    8-core scaling ratio was 0.75, i.e. SLOWER with more cores). Both
+    sides of the walk's inputs are CONSTANT-bounded by the gate's own
+    filters (pool = GREEDY_POOL rows, qsims = Q x pool) — the same
+    broadcast-equivalent bound as the dbscan/knn-graph pool kernels —
+    so: the pairwise cosines now come from the proven order-preserving
+    mapInPandas NumPy kernel (bit-identical doubles, NULL on zero
+    norms), the kNN top-k and the exact-best audit stay Spark windows
+    over the kernel stream, and the greedy walk replays on the
+    COLLECTED constant-bounded (knn edges, q-c cosines) exactly as the
+    recursive oracle does: strictly-greater moves, max-cos / min-id
+    argmax, per-query independent termination. Identical output
+    (A/B-verified at all three SFs); ~6x fewer jobs.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     pool = emb.filter(F.col("vec_id") < GREEDY_POOL).select(
         "vec_id", "embedding", l2_norm("embedding").alias("n")
     )
-    a = pool.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("n").alias("na"),
+    # Constant-bounded collects (< GREEDY_POOL rows / Q rows by the
+    # gate's own filters); norms are Spark-computed so the kernel's
+    # d/(na*nb) runs on identical doubles.
+    pool_rows = pool.collect()
+    p_ids = [r["vec_id"] for r in pool_rows]
+    p_emb = [list(r["embedding"]) for r in pool_rows]
+    p_nrm = [r["n"] for r in pool_rows]
+    q_rows = (
+        emb.filter(
+            (F.col("vec_id") >= GREEDY_QLO) & (F.col("vec_id") < GREEDY_QHI)
+        )
+        .select("vec_id", "embedding", l2_norm("embedding").alias("nq"))
+        .collect()
     )
-    b = pool.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("n").alias("nb"),
-    )
+    q_ids = [r["vec_id"] for r in q_rows]
+    q_emb = [list(r["embedding"]) for r in q_rows]
+    q_nrm = [r["nq"] for r in q_rows]
+
+    def _pool_cos_kernel(batches):
+        """(v1 = scanned pool row, v2 = closure pool member, cos) — the
+        order-preserving fold of dot()/cosine_from_norms (one
+        vectorized add per dimension = the exact left fold)."""
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(p_emb, dtype=np.float64)
+        PI = np.asarray(p_ids, dtype=np.int64)
+        PN = np.asarray(p_nrm, dtype=np.float64)
+        m, d = P.shape
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            V = b["vec_id"].to_numpy(dtype=np.int64)
+            N = b["n"].to_numpy(dtype=np.float64)
+            acc = np.zeros((len(b), m), dtype=np.float64)
+            for i in range(d):
+                acc = acc + E[:, None, i] * P[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (N[:, None] * PN[None, :])
+            vi, ui = np.nonzero(V[:, None] != PI[None, :])
+            out = pd.DataFrame({"v1": V[vi], "v2": PI[ui], "cos": cos[vi, ui]})
+            bad = ~((N[:, None] > 0) & (PN[None, :] > 0))[vi, ui]
+            if bad.any():  # zero-norm side -> NULL, as F.when produced
+                out.loc[bad, "cos"] = None
+            yield out
+
+    def _qsims_kernel(batches):
+        """(q_id = closure query, c_id = scanned pool row, cos)."""
+        import numpy as np
+        import pandas as pd
+
+        QE = np.asarray(q_emb, dtype=np.float64)
+        QI = np.asarray(q_ids, dtype=np.int64)
+        QN = np.asarray(q_nrm, dtype=np.float64)
+        nq, d = QE.shape
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            V = b["vec_id"].to_numpy(dtype=np.int64)
+            N = b["n"].to_numpy(dtype=np.float64)
+            acc = np.zeros((nq, len(b)), dtype=np.float64)
+            for i in range(d):
+                acc = acc + QE[:, i : i + 1] * E[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (QN[:, None] * N[None, :])
+            qi, ci = np.nonzero(np.ones((nq, len(b)), dtype=bool))
+            out = pd.DataFrame(
+                {"q_id": QI[qi], "c_id": V[ci], "cos": cos[qi, ci]}
+            )
+            bad = ~((QN[:, None] > 0) & (N[None, :] > 0))[qi, ci]
+            if bad.any():
+                out.loc[bad, "cos"] = None
+            yield out
+
+    side = pool.select("vec_id", "embedding", "n")
     w_knn = Window.partitionBy("v1").orderBy(F.desc("cos"), F.asc("v2"))
-    knn = (
-        a.join(b, F.col("v1") != F.col("v2"))
-        .select("v1", "v2", cosine_from_norms("ea", "eb", "na", "nb").alias("cos"))
+    knn_edges = (
+        side.mapInPandas(_pool_cos_kernel, "v1 long, v2 long, cos double")
         .withColumn("rk", F.row_number().over(w_knn))
         .filter(F.col("rk") <= GREEDY_K)
         .select("v1", "v2")
-        .localCheckpoint()  # N*k edges; probed every round
+        .collect()  # N*k = constant-bounded edge list
     )
-    queries = emb.filter(
-        (F.col("vec_id") >= GREEDY_QLO) & (F.col("vec_id") < GREEDY_QHI)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        l2_norm("embedding").alias("nq"),
+    out_nbrs: dict[int, list[int]] = {}
+    for r in knn_edges:
+        out_nbrs.setdefault(r["v1"], []).append(r["v2"])
+    qsims = side.mapInPandas(
+        _qsims_kernel, "q_id long, c_id long, cos double"
     )
-    qsims = (
-        F.broadcast(queries)
-        .crossJoin(pool.select(
-            F.col("vec_id").alias("c_id"),
-            F.col("embedding").alias("ce"),
-            F.col("n").alias("nc"),
-        ))
-        .select(
-            "q_id",
-            "c_id",
-            cosine_from_norms("qe", "ce", "nq", "nc").alias("cos"),
-        )
-        .localCheckpoint()  # Q x N scores; probed every round + exact audit
+    q_cos: dict[tuple[int, int], float | None] = {
+        (r["q_id"], r["c_id"]): r["cos"] for r in qsims.collect()
+    }
+    # Greedy walk on the collected constant-bounded scores — the same
+    # per-query recursion the oracle replays: move only on STRICTLY
+    # greater cosine (NULL compares false, as Catalyst's `>`), argmax
+    # ties break on min candidate id, steps count the moves.
+    final: list[tuple] = []
+    for q in q_ids:
+        if (q, GREEDY_ENTRY) not in q_cos:
+            continue  # entry outside the pool: no initial state row
+        cur, cos_cur, steps = GREEDY_ENTRY, q_cos[(q, GREEDY_ENTRY)], 0
+        for _ in range(GREEDY_POOL):  # safety bound; cosine increases
+            if cos_cur is None:
+                break
+            best = None
+            for c in out_nbrs.get(cur, ()):
+                s = q_cos.get((q, c))
+                if s is None or not s > cos_cur:
+                    continue
+                if best is None or s > best[1] or (s == best[1] and c < best[0]):
+                    best = (c, s)
+            if best is None:
+                break
+            cur, cos_cur = best
+            steps += 1
+        final.append((q, cur, cos_cur, steps))
+    state = spark.createDataFrame(
+        final, schema="q_id long, cur long, cos_cur double, steps int"
     )
-    state = (
-        qsims.filter(F.col("c_id") == GREEDY_ENTRY)
-        .select(
-            "q_id",
-            F.lit(GREEDY_ENTRY).cast("bigint").alias("cur"),
-            F.col("cos").alias("cos_cur"),
-            F.lit(0).alias("steps"),
-        )
-        .localCheckpoint()
-    )
-    w_q = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
-    for _ in range(GREEDY_POOL):  # safety bound; cosine strictly increases
-        nxt = (
-            state.join(knn, state.cur == knn.v1)
-            .join(
-                qsims.select(
-                    F.col("q_id").alias("sq"), "c_id", F.col("cos")
-                ),
-                (F.col("q_id") == F.col("sq")) & (F.col("c_id") == F.col("v2")),
-            )
-            .filter(F.col("cos") > F.col("cos_cur"))
-            .withColumn("rk", F.row_number().over(w_q))
-            .filter(F.col("rk") == 1)
-            .select(
-                "q_id",
-                F.col("c_id").cast("bigint").alias("cur"),
-                F.col("cos").alias("cos_cur"),
-                (F.col("steps") + 1).alias("steps"),
-            )
-            .localCheckpoint()
-        )
-        if nxt.count() == 0:
-            break
-        # advanced queries replace their state; converged ones keep it
-        state = (
-            state.join(nxt.select("q_id"), "q_id", "left_anti")
-            .unionByName(nxt)
-            .localCheckpoint()
-        )
+    # exact-best audit stays a Spark window over the kernel stream — the
+    # one place the returned plan keeps the MapInPandas scorer visible.
     w_exact = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
     exact = (
         qsims.withColumn("rk", F.row_number().over(w_exact))
@@ -2415,7 +2549,8 @@ def op_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = np.zeros((Q, len(b)), dtype=np.float64)
             for i in range(d):
                 acc = acc + QE[:, i : i + 1] * E[None, :, i]
-            cos = acc / (QN[:, None] * N[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (QN[:, None] * N[None, :])
             valid = (QN[:, None] > 0) & (N[None, :] > 0)
             qi, ci = np.nonzero(V[None, :] != QI[:, None])
             out = pd.DataFrame(
@@ -3338,38 +3473,81 @@ def op_embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dim sums are exact int64, and the squared fold runs in doubles
     over the POSITION-ORDERED dim array (identical association order
     in both engines); the two outputs floor-divide once each.
+
+    Round-11 (guide §4.2): the per-component quantize was an
+    interpreted ``transform`` HOF and the per-dim sums a posexplode of
+    n x d rows (~1.1 s of the gate's 1.6 s, measured stage-by-stage
+    with the noop sink). Both now run in one Arrow kernel that emits d
+    PARTIAL int64 sums per batch; Spark reduces them per pos (int64
+    addition is order-independent, so the totals are bit-identical).
+    The kernel replays Spark's exact semantics: norms via the
+    order-preserving cumsum fold, ``round(x, 0)`` as HALF_UP on the
+    double's shortest repr — fast path floor(x+0.5)/ceil(x-0.5), with
+    a decimal.Decimal(repr(x)) fallback inside a 1e-8 half-boundary
+    guard band (divergence requires |x - (k+.5)| < ~2 ulp ≈ 5e-10 at
+    the |x| <= ~1e6 range here, so the band over-covers by ~40x).
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    nv = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            l2_norm("embedding").alias("nrm"),
-        )
-        .filter(F.col("nrm") > 0)
-        .select(
-            F.expr(
-                "transform(embedding,"
-                " x -> cast(round(cast(x as double) / nrm * 1000000.0, 0)"
-                " as bigint))"
-            ).alias("vq")
-        )
+
+    def _iso_kernel(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q0 = Decimal("1")
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            # cumsum's last column == l2_norm's left fold, element for
+            # element
+            nrm = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+            keep = nrm > 0
+            E, nrm = E[keep], nrm[keep]
+            n = E.shape[0]
+            if n == 0:
+                continue
+            d = E.shape[1]
+            # same IEEE chain as the Spark expr: (x / nrm) * 1e6
+            X = (E / nrm[:, None]) * 1000000.0
+            R = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5))
+            sus = np.abs(X - np.floor(X) - 0.5) < 1e-8
+            if sus.any():
+                for i, j in zip(*np.nonzero(sus)):
+                    R[i, j] = float(
+                        Decimal(repr(X[i, j])).quantize(
+                            q0, rounding=ROUND_HALF_UP
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "pos": np.arange(d, dtype=np.int32),
+                    "s": R.astype(np.int64).sum(axis=0),
+                    "cnt": np.full(d, n, dtype=np.int64),
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        _iso_kernel, "pos int, s bigint, cnt bigint"
     )
-    dims = (
-        nv.select(F.posexplode("vq").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.sum("v").cast("bigint").alias("s_u"))
+    dims = parts.groupBy("pos").agg(
+        F.sum("s").cast("bigint").alias("s_u"),
+        F.sum("cnt").cast("bigint").alias("npos"),
     )
-    folded = dims.agg(
+    # npos is the kept-vector count replicated per pos (every batch
+    # contributes its n to all d rows) — max() reads it back without a
+    # second kernel pass; coalesce covers the degenerate empty corpus
+    # the old count() returned 0 for.
+    return dims.agg(
         F.count("*").cast("bigint").alias("n_dims"),
         F.expr(
             "aggregate(transform(array_sort(collect_list(struct(pos, s_u))),"
             " p -> cast(p.s_u as double)), cast(0.0 as double),"
             " (acc, x) -> acc + x * x)"
         ).alias("num"),
-    )
-    nn = nv.agg(F.count("*").cast("bigint").alias("n"))
-    return folded.crossJoin(F.broadcast(nn)).select(
+        F.coalesce(F.max("npos"), F.lit(0)).cast("bigint").alias("n"),
+    ).select(
         F.col("n").alias("n_vecs"),
         "n_dims",
         F.expr(

@@ -111,9 +111,15 @@ def pinned_persist(df, spark: SparkSession):
     """``df.persist()`` materialized now, whose blocks survive
     release_persisted. Unlike :func:`pinned_local_checkpoint` the
     lineage AND the Catalyst output partitioning are retained — use for
-    memoized frames whose physical layout downstream joins rely on
-    (e.g. the shingle-hash-partitioned dedup cache). An evicted block
-    recomputes from lineage, so pinning persists is always safe."""
+    memoized frames whose physical layout downstream joins rely on.
+    An evicted block recomputes from lineage, so pinning persists is
+    always safe — but CacheManager entries do NOT survive
+    ``spark.catalog.clearCache()``, which the bench protocol runs
+    between gates: the former canonical user (the shingle-partitioned
+    dedup cache) moved to :func:`pinned_local_checkpoint` in round 10
+    for exactly that reason, trading the preserved partitioning for
+    blocks that survive the sweep (measured a net win under the bench
+    protocol; see ``dedup._df_capped_shingles``)."""
     before = _persistent_rdd_ids(spark)
     d = df.persist()
     d.count()  # materialize so the id diff sees the new blocks
@@ -131,11 +137,17 @@ def unpin_rdds(ids) -> None:
 # lookup BUILT the shared frame or HIT an existing one. bench.py reads
 # the deltas around each gate to tag freeze rows, so a 0.04s cache-read
 # timing is never mistaken for the operator's cost (round-8 verdict #4).
+# Round-11 (r10 verdict #3): events also carry the memo FAMILY name so
+# the bench can publish build-inclusive per-family totals
+# (memo_family_sec) next to the per-gate hit/build tags.
 MEMO_COUNTERS = {"hits": 0, "builds": 0}
+MEMO_FAMILY_COUNTERS: dict[str, int] = {}
 
 
-def note_memo_event(hit: bool) -> None:
+def note_memo_event(hit: bool, family: str = "misc") -> None:
     MEMO_COUNTERS["hits" if hit else "builds"] += 1
+    k = f"{family}:{'hit' if hit else 'build'}"
+    MEMO_FAMILY_COUNTERS[k] = MEMO_FAMILY_COUNTERS.get(k, 0) + 1
 
 
 def context_key(spark: SparkSession) -> str:
@@ -169,23 +181,45 @@ class FrameMemo:
     def __init__(self) -> None:
         self._cache: dict = {}
         self._ids: set[int] = set()
+        self._ids_by_key: dict = {}
 
-    def get(self, spark: SparkSession, key: tuple, build, persist: bool = False):
+    def get(
+        self,
+        spark: SparkSession,
+        key: tuple,
+        build,
+        persist: bool = False,
+        family: str = "misc",
+    ):
         k = (context_key(spark), *key)
         hit = self._cache.get(k)
         if hit is not None:
-            note_memo_event(hit=True)
+            note_memo_event(hit=True, family=family)
             return hit
-        note_memo_event(hit=False)
+        note_memo_event(hit=False, family=family)
         fn = pinned_persist if persist else pinned_local_checkpoint
         d, ids = fn(build(), spark)
         self._ids.update(ids)
+        self._ids_by_key[k] = set(ids)
         self._cache[k] = d
         return d
+
+    def release(self, spark: SparkSession, key: tuple) -> None:
+        """Unpin ONE entry's blocks and forget it (r10 verdict #4: bound
+        corpus-sized pins). The blocks themselves stay persisted until
+        the host's next ``release_persisted`` sweep / ContextCleaner GC,
+        so a frame the CURRENT gate still reads is safe — only future
+        lookups rebuild."""
+        k = (context_key(spark), *key)
+        ids = self._ids_by_key.pop(k, set())
+        unpin_rdds(ids)
+        self._ids.difference_update(ids)
+        self._cache.pop(k, None)
 
     def clear(self) -> None:
         unpin_rdds(self._ids)
         self._ids.clear()
+        self._ids_by_key.clear()
         self._cache.clear()
 
 

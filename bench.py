@@ -60,6 +60,11 @@ DRIFT_WATCHLIST = [
     # (isolated warm 1.4-1.9s, so suite-position variance is the
     # suspect); medians decide before anyone "fixes" it.
     "q_mode_median_price",
+    # round-10 report: 1.5 -> 5.0s between baseline and mid-round bench
+    # with byte-identical code (r10 verdict #7) — medians adjudicate
+    # suite-position variance vs a real regression before any code
+    # change.
+    "op_vocab_coverage_curve",
 ]
 
 SINK_RUNS = 3
@@ -96,7 +101,13 @@ def main(out_path: str | None = None) -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
-    next(iter(qs.values()))(spark, sf_dir).count()
+    # FIXED warmup gate (r10 verdict #1): the old `next(iter(qs))` was
+    # rotation-dependent — with the recheck-front ordering it warmed a
+    # memo-consumer gate, so that family's memo build landed in the
+    # untimed warmup and appeared in NO timed row. q1 is a plain scan-agg
+    # that builds no memo; every memo build now lands in a timed row.
+    warm = qs.get("q1_pricing_summary") or next(iter(qs.values()))
+    warm(spark, sf_dir).count()
     warmup = time.perf_counter() - t0
 
     # Memo honesty (round-8 verdict #4): cross-gate caches make a
@@ -104,13 +115,15 @@ def main(out_path: str | None = None) -> None:
     # Tag each gate with the memo events its run produced so freeze
     # diffs compare like with like ("build" rows carry the family's
     # build cost; "hit" rows are warm reads).
-    from apitap_spark.session import MEMO_COUNTERS
+    from apitap_spark.session import MEMO_COUNTERS, MEMO_FAMILY_COUNTERS
 
     timings: dict[str, float] = {}
     memo_gates: dict[str, str] = {}
+    gate_families: dict[str, set] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):
         ctr0 = dict(MEMO_COUNTERS)
+        fam0 = dict(MEMO_FAMILY_COUNTERS)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # force full execution; driver-side result stays tiny
@@ -123,6 +136,11 @@ def main(out_path: str | None = None) -> None:
             memo_gates[name] = (
                 "build+hit" if built and hit else "build" if built else "hit"
             )
+            gate_families[name] = {
+                k.split(":")[0]
+                for k, v in MEMO_FAMILY_COUNTERS.items()
+                if v > fam0.get(k, 0)
+            }
         # Ops persist()/localCheckpoint() intermediates for intra-plan
         # reuse; release them so later queries aren't timed under
         # accumulated storage-memory pressure (each op is an independent
@@ -433,48 +451,67 @@ def main(out_path: str | None = None) -> None:
     except (OSError, ValueError, IndexError):
         pass
 
+    # Build-inclusive per-family memo totals (r10 verdict #3): a family's
+    # honest cost is the sum over every timed gate that touched its memo
+    # (the build lands in the first such gate — the fixed q1 warmup
+    # guarantees no build hides in the untimed warmup). Freeze diffs
+    # should compare these, not the redistributed per-gate rows.
+    memo_family_sec: dict[str, float] = {}
+    for gname, fams in gate_families.items():
+        for fam in fams:
+            memo_family_sec[fam] = round(
+                memo_family_sec.get(fam, 0.0) + timings[gname], 3
+            )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    payload = json.dumps(
-            {
-                "metric": "core_transform_seconds_sf" + sf,
-                "value": core_sec,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "n_queries": len(timings),
-                "suite_total_sec": round(total, 3),
-                "warmup_sec": round(warmup, 3),
-                "lineitem_rows": li_rows,
-                "q1_rows_per_sec": rows_per_sec,
-                "sink_rows_per_sec": sink_rows_per_sec,
-                "sink_rows": sink_rows,
-                "sink_runs_sec": [round(s, 4) for s in sink_runs],
-                "sink_pg_rows_per_sec": sink_pg_rows_per_sec,
-                "sink_pg_runs_sec": [round(s, 4) for s in sink_pg_runs],
-                "sink_pg_merge_rows_per_sec": sink_pg_merge_rows_per_sec,
-                "sink_pg_merge_runs_sec": [round(s, 4) for s in merge_runs],
-                "source_pg_read_rows_per_sec": source_pg_read_rows_per_sec,
-                "source_pg_row_read_rows_per_sec": (
-                    source_pg_row_read_rows_per_sec
-                ),
-                "source_pg_stream_rows_per_sec": (
-                    source_pg_stream_rows_per_sec
-                ),
-                "source_pg_read_runs_sec": {
-                    k: [round(s, 4) for s in v] for k, v in read_runs.items()
-                },
-                "watchlist_runs": watchlist_runs,
-                "memo_gates": memo_gates,
-                "curation_docs_per_sec": curation_docs_per_sec,
-                "dedup_docs_per_sec": dedup_docs_per_sec,
-                "bpe_docs_per_sec": bpe_docs_per_sec,
-                "encode_ws_tokens_per_sec": encode_ws_tokens_per_sec,
-                "ws_tokens": ws_tokens,
-                "document_rows": doc_rows,
-                "evidence_rows_by_round": evidence_age,
-                "oldest_evidence_round": max_evidence_age_round,
-                "cpus": cpus,
-            }
+    # Printed-line robustness (r10 verdict #2): round 9's one-line JSON
+    # outgrew the driver's stdout tail and was truncated mid-object,
+    # losing the whole round-over-round comparison. The driver contract
+    # REQUIRES the per-query timings in the printed line, so they stay;
+    # everything auxiliary (per-run arrays, watchlist samples, evidence
+    # ages) now lives only in the file artifact, keeping the printed
+    # line several KB smaller than round 10's.
+    compact = {
+        "metric": "core_transform_seconds_sf" + sf,
+        "value": core_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "suite_total_sec": round(total, 3),
+        "warmup_sec": round(warmup, 3),
+        "lineitem_rows": li_rows,
+        "q1_rows_per_sec": rows_per_sec,
+        "sink_rows_per_sec": sink_rows_per_sec,
+        "sink_rows": sink_rows,
+        "sink_pg_rows_per_sec": sink_pg_rows_per_sec,
+        "sink_pg_merge_rows_per_sec": sink_pg_merge_rows_per_sec,
+        "source_pg_read_rows_per_sec": source_pg_read_rows_per_sec,
+        "source_pg_row_read_rows_per_sec": source_pg_row_read_rows_per_sec,
+        "source_pg_stream_rows_per_sec": source_pg_stream_rows_per_sec,
+        "memo_gates": memo_gates,
+        "memo_family_sec": memo_family_sec,
+        "curation_docs_per_sec": curation_docs_per_sec,
+        "dedup_docs_per_sec": dedup_docs_per_sec,
+        "bpe_docs_per_sec": bpe_docs_per_sec,
+        "encode_ws_tokens_per_sec": encode_ws_tokens_per_sec,
+        "ws_tokens": ws_tokens,
+        "document_rows": doc_rows,
+        "cpus": cpus,
+    }
+    full = dict(compact)
+    full.update(
+        {
+            "sink_runs_sec": [round(s, 4) for s in sink_runs],
+            "sink_pg_runs_sec": [round(s, 4) for s in sink_pg_runs],
+            "sink_pg_merge_runs_sec": [round(s, 4) for s in merge_runs],
+            "source_pg_read_runs_sec": {
+                k: [round(s, 4) for s in v] for k, v in read_runs.items()
+            },
+            "watchlist_runs": watchlist_runs,
+            "evidence_rows_by_round": evidence_age,
+            "oldest_evidence_round": max_evidence_age_round,
+        }
     )
     # The driver keeps only a tail of stdout — persist the complete
     # per-query JSON in-repo so every round's timings stay recoverable.
@@ -487,10 +524,10 @@ def main(out_path: str | None = None) -> None:
         )
     try:
         with open(out_path, "w") as f:
-            f.write(payload + "\n")
+            f.write(json.dumps(full) + "\n")
     except OSError:
         pass
-    print(payload)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

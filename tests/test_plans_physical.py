@@ -340,17 +340,24 @@ def test_feature_snapshot_single_user_shuffle(spark, sf_dir):
 
 
 def test_semantic_dedup_cell_join_no_cartesian(spark, sf_dir):
-    """The within-cell pair join must key on the cell (shuffle or
-    broadcast), never a cartesian product; the checkpointed sides frame
-    keeps the k x d assignment fold from running once per consumer."""
+    """Round-10 shape (r10 ADVICE #5 re-pin): ALL per-cell pair work
+    runs in ONE cluster-keyed Python kernel — no cartesian pair join
+    anywhere, exactly one FlatMapGroupsInPandas, and nothing joins
+    ABOVE the kernel (the only join left is the vec_id/assignment join
+    feeding it)."""
     from apitap_spark.operators.similarity import op_semantic_dedup
 
     p = _plan(op_semantic_dedup(spark, sf_dir))
     assert "CartesianProduct" not in p
+    # one kernel: the operator appears once in the numbered detail list
+    assert p.count(") FlatMapGroupsInPandas") == 1
+    # the kernel's output flows join-free to the gate projection: in the
+    # formatted tree sketch (root-first), no join sits above the kernel
+    sketch = p.split("\n\n")[0]
+    above = sketch.split("FlatMapGroupsInPandas")[0]
+    assert "Join" not in above
+    # the assignment join below the kernel is keyed, and there is only it
     assert "Join" in p
-    # sides is materialized once: the plan reads the checkpoint RDD, not
-    # three re-derivations of the assignment fold
-    assert "ExistingRDD" in p or "LogicalRDD" in p
 
 
 def test_bpe_apply_tokens_broadcasts_vocab(spark, sf_dir):
@@ -1504,13 +1511,17 @@ def test_unigram_dp_jvm_fold_over_distinct_words(spark, sf_dir):
 
 def test_isotropy_no_pairwise_join(spark, sf_dir):
     """The N^2 mean-cosine collapses to a per-dim sum: the plan must
-    contain NO join at all between embedding rows — one scan, one
-    64-group aggregate, scalar tail."""
+    contain NO join at all between embedding rows — one scan feeding
+    the Arrow partial-sum kernel (round 11: quantize + per-dim sums
+    moved from an interpreted transform + posexplode into MapInPandas),
+    then a 64-group aggregate and the scalar tail."""
     from apitap_spark.operators.similarity import op_embedding_isotropy_audit
 
     p = _plan(op_embedding_isotropy_audit(spark, sf_dir))
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    assert p.count(") Scan parquet") <= 2  # nv + denominator count
+    assert "MapInPandas" in p          # the quantize+partial-sum kernel
+    assert "Generate" not in p         # posexplode gone
+    assert p.count(") Scan parquet") == 1  # single embedding pass
 
 
 def test_lsh_recall_curve_single_bucket_join(spark, sf_dir):
