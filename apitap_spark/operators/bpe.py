@@ -61,11 +61,49 @@ _BPE_MEMO = FrameMemo()
 # (context, sf_dir) -> {"merges": [...], "eos": int} driver-side scalars
 _BPE_AUX: dict = {}
 
+# Corpus-sized pin lifecycle (r10 verdict #4): ``bpe_seqs`` and
+# ``bpe_packed`` are encoded-corpus-sized — the one FrameMemo class its
+# own docstring warns about. Each gate that reads one of them marks
+# itself below; once EVERY consumer of an entry has run (per context +
+# sf_dir), the entry is released (unpinned + forgotten) so the next
+# release_persisted sweep frees the blocks, and the consumed-set re-arms
+# (a later cycle — e.g. the bench's drift-watchlist re-runs — rebuilds
+# once and releases again at its own last consumer). Vocab-sized
+# entries (final_vocab, sym_ids) stay pinned for the session: they are
+# the tokenizer artifact itself, orders of magnitude below the corpus.
+_CORPUS_ENTRY_CONSUMERS: dict[str, frozenset] = {
+    "bpe_seqs": frozenset(
+        {
+            "op_bpe_encode_docs",
+            "op_bpe_decode_roundtrip",
+            "op_bpe_pack_training_rows",
+        }
+    ),
+    "bpe_packed": frozenset(
+        {"op_bpe_pack_training_rows", "op_training_shuffle_plan"}
+    ),
+}
+# (context, sf_dir, entry) -> set of consumer gate names seen this cycle
+_CORPUS_CONSUMED: dict[tuple, set] = {}
+
+
+def _note_corpus_consumer(spark: SparkSession, sf_dir: str, gate: str) -> None:
+    ctx = context_key(spark)
+    for entry, consumers in _CORPUS_ENTRY_CONSUMERS.items():
+        if gate not in consumers:
+            continue
+        seen = _CORPUS_CONSUMED.setdefault((ctx, sf_dir, entry), set())
+        seen.add(gate)
+        if seen >= consumers:
+            _BPE_MEMO.release(spark, (entry, sf_dir))
+            seen.clear()
+
 
 def clear_bpe_memo() -> None:
     """Drop the family's memoized frames + scalars (tests/teardown)."""
     _BPE_MEMO.clear()
     _BPE_AUX.clear()
+    _CORPUS_CONSUMED.clear()
 
 
 def _gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +466,7 @@ def op_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay's final vocabulary.
     """
     seqs, _sym_ids = encoded_bpe(spark, sf_dir)
+    _note_corpus_consumer(spark, sf_dir, "op_bpe_encode_docs")
     return seqs.select(
         "doc_id",
         F.size("token_ids").cast("bigint").alias("n_tokens"),
@@ -555,20 +594,27 @@ def op_bpe_pack_training_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's own size. The oracle computes the same integers with a
     plain global running sum.
     """
-    seqs, sym_ids = encoded_bpe(spark, sf_dir)
-    eos = _eos_id(spark, sf_dir, sym_ids)
-    # The packed frame is memoized too (pinned persist): the shuffle-plan
-    # gate composes this gate, so without the memo the explode+groupBy
-    # over the full token stream ran twice per suite.
-    packed = _BPE_MEMO.get(
-        spark,
-        ("bpe_packed", sf_dir),
-        lambda: pack_rows_frame(seqs, eos),
-        family="bpe",
-    )
+    packed = _packed_rows(spark, sf_dir)
+    _note_corpus_consumer(spark, sf_dir, "op_bpe_pack_training_rows")
     # Gate projection serializes token_ids (driver pandas canonicalizer
     # can't hash list cells); pack_rows_frame keeps the raw array.
     return packed.withColumn("token_ids", F.array_join("token_ids", ","))
+
+
+def _packed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized packed training rows. The build lambda is the ONLY place
+    encoded_bpe is touched: a memo hit must not re-request ``bpe_seqs``
+    (which may already be released — re-requesting would rebuild the
+    corpus-sized frame just to throw it away)."""
+
+    def build() -> DataFrame:
+        seqs, sym_ids = encoded_bpe(spark, sf_dir)
+        return pack_rows_frame(seqs, _eos_id(spark, sf_dir, sym_ids))
+
+    # The packed frame is memoized too (pinned checkpoint): the
+    # shuffle-plan gate composes the pack gate, so without the memo the
+    # explode+groupBy over the full token stream ran twice per suite.
+    return _BPE_MEMO.get(spark, ("bpe_packed", sf_dir), build, family="bpe")
 
 
 def pack_rows_frame(seqs: DataFrame, eos: int) -> DataFrame:
@@ -755,6 +801,7 @@ def op_bpe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _gate_docs(spark, sf_dir)
     seqs, sym_ids = encoded_bpe(spark, sf_dir)
+    _note_corpus_consumer(spark, sf_dir, "op_bpe_decode_roundtrip")
     exploded = seqs.select(
         "doc_id", F.posexplode("token_ids").alias("i", "sym_id")
     )
@@ -949,9 +996,8 @@ def op_training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — the oracle nests the pack replay and re-derives the
     assignment.
     """
-    packed = op_bpe_pack_training_rows(spark, sf_dir).select(
-        "row_id", "n_tokens"
-    )
+    packed = _packed_rows(spark, sf_dir).select("row_id", "n_tokens")
+    _note_corpus_consumer(spark, sf_dir, "op_training_shuffle_plan")
     shard = (
         F.conv(
             F.substring(

@@ -304,8 +304,14 @@ def _df_capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df = max(2, int(DF_CAP_FRACTION * n_docs))
     n_par = max(1, spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("shingle")
+    from apitap_spark.session import scan_parallel
+
+    # scan_parallel BELOW the explode (r11): the corpus string-shingle
+    # explode sat under the shingle exchange on the scan's task count —
+    # ONE task for the single-split testdata file — so the build's map
+    # side was serial. Counts/joins above are order-independent.
     sh = (
-        _shingle_df(spark, sf_dir)
+        shingle_rows(scan_parallel(read_table(spark, sf_dir, "documents"), spark))
         .repartition(n_par, "shingle")
         .withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= max_df)
@@ -430,10 +436,19 @@ def minhash_buckets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant 128-permutation signature aggregate. This is exactly the
     bucket table a production pipeline materializes as persistent state
     (see operators.incremental module docstring)."""
+    from apitap_spark.session import scan_parallel
+
+    # scan_parallel: the signature aggregate is the family's dominant
+    # compute (128 xxhash64 min()s per gram row) and ran on ONE task
+    # over the single-split testdata scan (r11 profile: 7.2s of the
+    # 14s build); min() is order-independent, so the round-robin split
+    # is oracle-safe. No-op when the input already has >= cores splits.
     return _cached_pinned(
         spark, sf_dir, "minhash_buckets",
         lambda: minhash_band_buckets(
-            gram_hash_rows(read_table(spark, sf_dir, "documents"))
+            gram_hash_rows(
+                scan_parallel(read_table(spark, sf_dir, "documents"), spark)
+            )
         ),
     )
 
@@ -488,7 +503,13 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the frame is GC'd, unlike a persist() left behind.
         .localCheckpoint()
     )
-    sh_cand = _candidate_doc_shingles(spark, sf_dir, candidates)
+    # Eager checkpoint: the candidate shingles feed THREE consumers in
+    # _jaccard_pairs (the sizes aggregate and both sides of the
+    # intersection join) — lazy, the corpus scan + semi-join + explode
+    # re-ran per consumer (r11 profile: verify 3.8s ≈ 3 × the 1.4s
+    # noop of one sh_cand pass). The frame is candidate-docs-only, so
+    # materializing it is verify-working-set-sized at any scale.
+    sh_cand = _candidate_doc_shingles(spark, sf_dir, candidates).localCheckpoint()
     return _jaccard_pairs(sh_cand, candidates, 0.8)
 
 

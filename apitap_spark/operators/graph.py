@@ -486,6 +486,12 @@ def coactivity_edges(spark: SparkSession, sf_dir: str, k: int = TRI_NEXT_K) -> D
     strictly later in the per-bucket user_id order); the cross-bucket
     ``distinct`` is the single shuffle, keyed by the edge itself.
     """
+    # NOTE (r11 A/B): scan_parallel(ev) measured SLOWER here (warm 0.7
+    # -> 1.4s for the edge build) — this path is shuffle-bound, not
+    # compute-bound, so the extra round-robin exchange (plus its
+    # sort-before-repartition pass) costs more than the 1-task map side
+    # saves. Split-starved-scan fixes only pay above heavy per-row
+    # compute (minhash signatures, shingle explodes).
     ev = read_table(spark, sf_dir, "events")
     grp = ev.select(
         F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
@@ -796,8 +802,16 @@ def _build_wedge_stats(spark: SparkSession, sf_dir: str, pin: bool = False):
     # the edge list outgrows the broadcast threshold at scale, the join
     # falls back to SMJ on w and Catalyst re-inserts the exchange above
     # it — the plan degrades to the classic shape, never breaks.
+    # EXPLICIT partition count (r11): a bare repartition("cu") is
+    # AQE-coalescible, and AQE sizes the stage by the exchange's INPUT
+    # bytes — tiny here, while the stage's real work is the Σ deg(w)^2
+    # join fan-out ABOVE it. Measured: the wedge stage ran as 2 tasks
+    # on 32 cores (7.4s); pinning numPartitions to defaultParallelism
+    # (scale-adaptive, the _df_capped_shingles precedent) keeps the
+    # enumeration wide.
+    n_par = max(1, spark.sparkContext.defaultParallelism)
     wedge = (
-        x.repartition("cu")
+        x.repartition(n_par, "cu")
         .join(y, "w")
         .filter(F.col("cu") < F.col("cv"))
         .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))

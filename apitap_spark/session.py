@@ -251,6 +251,26 @@ def release_persisted(spark: SparkSession) -> int:
     return n
 
 
+def scan_parallel(df, spark: SparkSession):
+    """Round-robin repartition a split-starved scan up to the session's
+    parallelism (guide §2.5 "input skew: one huge unsplittable file …
+    repartition immediately after the read").
+
+    The driver testdata ships each table as ONE single-row-group parquet
+    file, so every scan is one task and heavy per-row compute above it
+    (the 128-permutation MinHash aggregate, corpus shingle explodes)
+    runs single-threaded regardless of core count. At production scale
+    inputs arrive as many splits and this is a no-op — the guard is the
+    ACTUAL scan partition count, not a constant. Only use above
+    order-independent math (integer counts, min/max, per-row hashes):
+    round-robin changes row order, which would flip float-sum results.
+    """
+    n_par = max(1, spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < n_par:
+        return df.repartition(n_par)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing engine quirks.
 

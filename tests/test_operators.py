@@ -732,6 +732,53 @@ def test_bpe_encode_consistent_with_apply_counts(spark, sf_dir):
     assert max(all_ids) == len(all_ids) - 1  # dense id space
 
 
+def test_bpe_corpus_pins_released_after_last_consumer(spark, sf_dir):
+    """r10 verdict #4: the corpus-sized BPE memo entries (bpe_seqs,
+    bpe_packed) must NOT stay pinned for the session — after the
+    family's last consumer gate runs (suite order), the entries are
+    released and the next release_persisted sweep frees their RDD
+    blocks. Vocab-sized entries (final_vocab, sym_ids) stay pinned."""
+    from apitap_spark.operators import bpe
+    from apitap_spark.session import (
+        _persistent_rdd_ids,
+        context_key,
+        release_persisted,
+    )
+
+    bpe.clear_bpe_memo()
+    release_persisted(spark)
+    ctx = context_key(spark)
+    corpus_ids: set[int] = set()
+    order = [  # the bench suite's sorted() gate order for this family
+        "op_bpe_apply_tokens",
+        "op_bpe_decode_roundtrip",
+        "op_bpe_encode_docs",
+        "op_bpe_fertility_by_lang",
+        "op_bpe_learn_merges",
+        "op_bpe_pack_training_rows",
+        "op_training_shuffle_plan",
+        "op_wordpiece_encode",
+    ]
+    for name in order:
+        bpe.QUERIES[name](spark, sf_dir).count()
+        for entry in ("bpe_seqs", "bpe_packed"):
+            corpus_ids |= bpe._BPE_MEMO._ids_by_key.get(
+                (ctx, entry, sf_dir), set()
+            )
+        spark.catalog.clearCache()
+        release_persisted(spark)
+    assert corpus_ids, "corpus-sized entries were never pinned at all?"
+    # both corpus-sized entries released by their last consumers ...
+    assert (ctx, "bpe_seqs", sf_dir) not in bpe._BPE_MEMO._cache
+    assert (ctx, "bpe_packed", sf_dir) not in bpe._BPE_MEMO._cache
+    # ... and their blocks actually freed by the post-gate sweep
+    assert not (corpus_ids & _persistent_rdd_ids(spark))
+    # vocab-sized artifacts survive for the session (the tokenizer itself)
+    assert (ctx, "bpe_final_vocab", sf_dir) in bpe._BPE_MEMO._cache
+    assert (ctx, "bpe_sym_ids", sf_dir) in bpe._BPE_MEMO._cache
+    bpe.clear_bpe_memo()
+
+
 def test_pack_training_rows_tile_the_token_stream(spark, sf_dir):
     """Packed rows reconstruct the EOS-terminated concatenation of the
     encoded docs in doc_id order: all rows full at SEQ_LEN except the
