@@ -1161,9 +1161,14 @@ def op_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     DSIR's own trick — the hash cap is what makes the estimator
     streamable at 100 TB.
     """
+    from apitap_spark.session import scan_parallel
+
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # scan_parallel (r11): the gram explode + md5 bucket hash feeding
+    # the eager feat checkpoint ran on the single-split scan's ONE
+    # task; bucket counts and per-doc int dot products are order-safe.
     d = (
-        read_table(spark, sf_dir, "documents")
+        scan_parallel(read_table(spark, sf_dir, "documents"), spark)
         .select("doc_id", "lang", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
     )

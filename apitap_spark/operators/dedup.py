@@ -703,7 +703,12 @@ def op_dedup_simhash(
     chunk_bits = SIMHASH_BITS // n_chunks
     if max_hamming is None:
         max_hamming = n_chunks - 1
-    docs = read_table(spark, sf_dir, "documents")
+    from apitap_spark.session import scan_parallel
+
+    # scan_parallel (r11): the md5-per-occurrence explode + the 64
+    # partial ±1 sums are the gate's dominant compute and ran on the
+    # single-split scan's ONE task; integer sums are order-independent.
+    docs = scan_parallel(read_table(spark, sf_dir, "documents"), spark)
     # per-occurrence ±1 sums == count-weighted sums over distinct words,
     # so the (doc_id, word) pre-aggregation shuffle is pure overhead —
     # ONE partial-aggregated groupBy(doc_id) pass does it all
@@ -1602,7 +1607,12 @@ def op_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — the exact-dedup shape at chunk granularity. md5-derived
     window hashes keep both engines bit-identical.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    from apitap_spark.session import scan_parallel
+
+    # scan_parallel (r11): the md5-per-character boundary scan is the
+    # dominant per-row compute and ran on the single-split scan's ONE
+    # task; chunk hashes are per-doc, counts integer — order-safe.
+    docs = scan_parallel(read_table(spark, sf_dir, "documents"), spark)
     # Eager checkpoint (round-10, guide §1.2 "don't compute things you
     # throw away"): cdc_dedup_report consumes the chunk frame TWICE
     # (freq groupBy build + join probe), and without the checkpoint each
@@ -1829,7 +1839,12 @@ def op_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side bitmap — at 100 TB the "bitmap" stays a distributed
     position set.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    from apitap_spark.session import scan_parallel
+
+    # scan_parallel (r11): the shingle explode + 3x md5 position hashes
+    # ran on the single-split scan's ONE task for BOTH the build and
+    # probe checkpoints; distinct sets/int counters are order-safe.
+    docs = scan_parallel(read_table(spark, sf_dir, "documents"), spark)
     sh = shingle_rows(docs)
     build = (
         sh.filter(F.col("doc_id") % 2 == 0)

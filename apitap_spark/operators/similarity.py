@@ -2670,62 +2670,58 @@ def op_embedding_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection bugs).
 
     Exactness: the sign matrix is derived once from md5(seed|i|j)
-    parity and inlined as literals in BOTH engines (no per-row hashing);
-    components are quantized ONCE to bigint millis, so every projection
-    is an exact integer sum — order-independent, hash-stable.
+    parity and inlined in BOTH engines (no per-row hashing);
+    components are quantized ONCE to bigint millis (`_half_up_arr`
+    replicates Catalyst's HALF_UP-on-shortest-repr round exactly), so
+    every projection is an exact integer sum — order-independent,
+    hash-stable; the final ratio is a truncating division of
+    NON-NEGATIVE ints (`div` == numpy ``//`` there).
 
-    Scale shape: pure per-row Catalyst projection (zip_with + aggregate
-    over a 64-literal array), no shuffle at all; the output is the
-    narrow (id, 16-int sketch) frame that downstream LSH/banding joins
-    consume instead of the raw vectors.
+    Round-11 (guide §4.2/§7.3): the former shape was 16 interpreted
+    ``zip_with``+``aggregate`` folds over 64-literal arrays per row —
+    a ~3 s constant REGARDLESS of parallelism (measured identical with
+    the scan split to 32 tasks): the cost was the giant expression
+    tree's per-plan/per-task interpretation, not row compute. The
+    projection is now one NumPy int64 matmul per Arrow batch (exact:
+    products/sums of ints ≤ 1.6e16, far inside int64 — see RP_QSCALE).
+    Still no shuffle; output unchanged.
     """
     signs = _rp_signs()
     emb = read_table(spark, sf_dir, "embeddings")
-    q = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") * RP_QSCALE, 0).cast("bigint"),
-    )
-    base = emb.select("vec_id", q.alias("q")).select(
-        "vec_id",
-        "q",
-        F.aggregate(
-            F.transform("q", lambda v: v * v),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("orig_l2sq"),
-    )
-    ycols = [
-        F.aggregate(
-            F.zip_with(
-                "q",
-                F.array(*[F.lit(s).cast("bigint") for s in row]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias(f"y{j}")
-        for j, row in enumerate(signs)
-    ]
-    proj = base.select("vec_id", "orig_l2sq", *ycols)
-    sketch = F.concat_ws(
-        ",", *[F.col(f"y{j}").cast("string") for j in range(RP_DIM)]
-    )
-    l2sq = None
-    for j in range(RP_DIM):
-        term = F.col(f"y{j}") * F.col(f"y{j}")
-        l2sq = term if l2sq is None else l2sq + term
-    return proj.select(
-        "vec_id",
-        sketch.alias("sketch"),
-        l2sq.cast("bigint").alias("sketch_l2sq"),
-        F.expr(
-            # guard orig_l2sq = 0 (an all-zero embedding after milli
-            # quantization) IDENTICALLY in both engines: Spark's div
-            # yields NULL on /0 but DuckDB's // raises — round-6 ADVICE
-            f"CASE WHEN orig_l2sq = 0 THEN NULL ELSE "
-            f"CAST(({' + '.join(f'y{j} * y{j}' for j in range(RP_DIM))})"
-            f" * 1000000L div ({RP_DIM} * orig_l2sq) AS BIGINT) END"
-        ).alias("preservation_micro"),
+
+    def _rp_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from apitap_spark.operators.ml import _half_up_arr
+
+        S = np.asarray(signs, dtype=np.int64)  # RP_DIM x 64
+        for b in batches:
+            if len(b) == 0:
+                continue
+            E = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+            Q = _half_up_arr(E * float(RP_QSCALE)).astype(np.int64)
+            orig = (Q * Q).sum(axis=1)
+            Y = Q @ S.T  # (n, RP_DIM) exact int64
+            ysq = (Y * Y).sum(axis=1)
+            pres = pd.Series(
+                ysq * 1000000 // np.where(orig == 0, 1, RP_DIM * orig),
+                dtype="Int64",
+            )
+            pres[orig == 0] = None  # div-by-zero -> NULL, as Spark `div`
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"].to_numpy(dtype=np.int64),
+                    "sketch": [",".join(map(str, row)) for row in Y],
+                    "sketch_l2sq": ysq,
+                    "preservation_micro": pres,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _rp_kernel,
+        "vec_id bigint, sketch string, sketch_l2sq bigint,"
+        " preservation_micro bigint",
     )
 
 

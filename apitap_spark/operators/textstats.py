@@ -355,8 +355,18 @@ def op_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same collision/selection behavior as a 64-bit hash at corpus
     scale; a production run that prefers cheaper hashing can swap
     xxhash64 back in without touching the window shape.
+
+    scan_parallel (r11, guide §2.5): the md5-per-gram explode — the
+    gate's dominant cost (~3.2 of 4.1 s isolated, r10 noop probe) —
+    sat below the doc_id window exchange on the single-split scan's
+    ONE task. Hashes are per-row and the window-min/distinct are
+    order-independent, so the round-robin split is oracle-safe.
     """
-    return winnow_fingerprints(read_table(spark, sf_dir, "documents"))
+    from apitap_spark.session import scan_parallel
+
+    return winnow_fingerprints(
+        scan_parallel(read_table(spark, sf_dir, "documents"), spark)
+    )
 
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
