@@ -174,54 +174,55 @@ _REPROVE_FIXED: set[str] = set()
 # evidence).  Reset this set each round to only the gates actually
 # touched; they sort between true reds (tier 0) and the backlog tiers.
 _RECHECK_FRONT: set[str] = {
-    # round 10: den>0 guard for single-language shards (ADVICE #3 —
-    # l_docs <= n_docs-1 filter added on BOTH engines)
-    "op_chi2_token_selection",
-    # round 10 optimization: every gate whose executed plan changed
-    # this round (semantics-preserving rewrites, memo rewires, lazy
-    # checkpoints — all driver-mimic green locally at sf0.001+sf0.01;
-    # see OPTIMIZATION_r10.md) gets a fresh driver oracle row the
-    # same round it ships (round-7 ADVICE #2).
-    # BPE family: shared learning-pass memo + lazy loop checkpoints
-    "op_bpe_learn_merges",
-    "op_bpe_apply_tokens",
-    "op_bpe_encode_docs",
-    "op_bpe_pack_training_rows",
-    "op_bpe_fertility_by_lang",
-    "op_bpe_decode_roundtrip",
-    "op_wordpiece_encode",
-    "op_training_shuffle_plan",
-    # dedup: shingle memo persist->localCheckpoint, shared MinHash
-    # bucket store, gram-stream checkpoints, CC lazy labels
-    "op_dedup_containment",
-    "op_dedup_ngram_jaccard",
+    # round 11 optimization: every gate whose executed plan (or kernel
+    # body) changed this round gets a fresh driver oracle row the same
+    # round it ships (round-7 ADVICE #2). All driver-mimic green
+    # locally at sf0.01 + strict-audit/pandas-mimic green at both SFs —
+    # see OPTIMIZATION_r11.md. The r10 set rotated out: each got its
+    # fresh row in CORRECTNESS_r10.
+    # pool-closure cosine kernels + greedy-walk replay (8a477e4)
+    "op_ann_greedy_graph_search",
+    "op_crosslingual_neardup",
+    "op_label_noise_pairs",
+    "op_dedup_embedding_cosine",
+    # single-pass Arrow PCA / isotropy kernels (8a477e4)
+    "op_embedding_top_pc",
+    "op_embedding_isotropy_audit",
+    # kernel-body changes: cell-cap fallback, errstate guard (8a477e4)
+    "op_semantic_dedup",
+    "op_knn_label_accuracy",
+    # connected-components initial eager label (8a477e4)
+    "op_graph_session_components",
+    "op_dbscan_clusters",
+    # wedge builder explicit partition count
+    "op_graph_link_prediction",
+    "op_graph_resource_allocation",
+    # minhash bucket scan_parallel + verify checkpoint (lsh consumers)
     "op_dedup_minhash_lsh",
-    "op_dedup_threshold_curve",
-    "op_minhash_estimate_audit",
     "op_dedup_incremental_minhash",
+    "op_dedup_cluster_size_histogram",
     "op_dedup_clusters",
     "op_dedup_keep_best",
-    "op_dedup_cluster_size_histogram",
-    "op_dedup_onion_share",
-    "op_text_ngram_novelty",
+    # df-capped shingle build scan_parallel (exact-pair consumers)
+    "op_dedup_ngram_jaccard",
+    "op_dedup_containment",
+    "op_minhash_estimate_audit",
+    "op_dedup_threshold_curve",
+    "op_dedup_blocking_audit",
+    "op_lsh_tuning_curve",
+    # split-starved scan fixes (order-independent math)
+    "op_text_winnowing",
+    "op_dedup_simhash",
     "op_cdc_chunking",
-    # graph: lazy HITS/CC checkpoints, shared LP-label memo
-    "op_graph_hits",
-    "op_graph_session_components",
-    "op_graph_label_propagation",
-    "op_graph_modularity",
-    "op_dbscan_clusters",
-    # similarity/ml: Arrow kNN/SemDeDup kernels, shared PQ build,
-    # once-per-centroid assignment fold
-    "op_knn_label_accuracy",
-    "op_semantic_dedup",
-    "op_kmeans_refine",
-    "op_ivf_cell_balance",
-    "op_embedding_knn_graph",
-    "op_ann_pq_codes",
-    "op_ann_pq_adc",
-    "op_ann_ivfpq_search",
-    "op_ann_ivfpq_recall_audit",
+    "op_dedup_bloom_prefilter",
+    "op_dsir_importance_weights",
+    # RP sketch NumPy int64 kernel
+    "op_embedding_rp_sketch",
+    # BPE corpus-pin release rewiring (lazy packed build)
+    "op_bpe_encode_docs",
+    "op_bpe_decode_roundtrip",
+    "op_bpe_pack_training_rows",
+    "op_training_shuffle_plan",
 }
 
 

@@ -1008,13 +1008,17 @@ def test_wordpiece_encode_jvm_side(spark, sf_dir):
 
 
 def test_rp_sketch_no_shuffle_pure_projection(spark, sf_dir):
-    """The JL sketch is one narrow per-row projection: no Exchange of any
-    kind, no Python (the sign matrix is Catalyst literals)."""
+    """The JL sketch is one narrow per-row pass: no Exchange of any
+    kind, and since round 11 the projection runs as ONE Arrow kernel
+    (NumPy int64 matmul) instead of 16 interpreted zip_with/aggregate
+    folds — exactly one MapInPandas, no row-at-a-time Python."""
     from apitap_spark.operators.similarity import op_embedding_rp_sketch
 
     p = _plan(op_embedding_rp_sketch(spark, sf_dir))
     assert "Exchange" not in p
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one kernel: the operator appears once in the numbered detail list
+    assert p.count(") MapInPandas") == 1
+    assert "BatchEvalPython" not in p
 
 
 def test_histogram_drift_single_scan_partial_agg(spark, sf_dir):
