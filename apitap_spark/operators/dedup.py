@@ -754,6 +754,12 @@ def op_dedup_simhash(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk_id"), F.col("ch.chunk"))
+    # NOTE (r11 A/B): an explicit repartition(n_par, chunk_id, chunk) of
+    # the fan-out's stream side (the wedge-builder fix's sibling) was
+    # measured NEUTRAL here over alternating same-session runs
+    # ([7.6, 5.1, 4.9, 3.8] vs [7.5, 4.8, 4.0, 3.9] s, identical 36,270
+    # rows): the 6.1M-raw-pair candidate fan-out is already wide enough
+    # post-broadcast. Left at the minimal plan.
     x = chunks.alias("x")
     y = chunks.alias("y")
     return (
